@@ -1,0 +1,79 @@
+"""Tuned SparkSession builder.
+
+Defaults are chosen for correctness against the DuckDB oracle (UTC
+session timezone, ns-as-long parquet reads) and for scale (AQE with
+skew-join handling, zstd parquet, pushdown/pruning on).
+
+On a real cluster the same builder applies — only ``master`` and the
+shuffle-partition count change (shuffle partitions should be ~2-3x the
+total executor cores; AQE coalesces the excess at runtime).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Reference stores Timestamp(ns) in parquet (compact_columns.c:332-375 of
+# the reference); Spark has no ns timestamp, so read INT64(TIMESTAMP_NANOS)
+# as LongType and keep nanos as the source of truth.
+NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "kubernetes-logs-datalake-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    Every knob here matters at 100 TB:
+
+    - AQE (+ skew-join splitting + partition coalescing) re-plans joins
+      and shuffles at runtime using real statistics.
+    - ``autoBroadcastJoinThreshold`` lets Catalyst broadcast dimension
+      tables (region/nation/supplier-sized) instead of shuffling facts.
+    - zstd parquet + dictionary encoding mirrors the reference's storage
+      choices (ZSTD Arrow IPC bodies, dict-encoded columns).
+    - UTC session timezone makes timestamp semantics match the oracle
+      and the reference's UTC-by-convention timestamps.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config(NANOS_AS_LONG, "true")
+        # Adaptive execution: runtime re-planning, skew handling, coalesce.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Scan efficiency: pushdown + pruning are defaults, pinned here
+        # so a misconfigured cluster can't silently disable them.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # Storage: match the reference's compression/encoding choices.
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # Arrow for any pandas-UDF path (the slow path, but when used it
+        # must be batched, never per-row).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
