@@ -1,0 +1,111 @@
+"""LogQuery — the engine's logical plan for the reference's query
+surface (``y-logcli query '{selectors}' [--since] [-o mode] [-f fmt]``).
+
+The reference assembles SQL strings; here the plan is declared with the
+DataFrame API so Catalyst performs what the CLI does manually:
+
+- selector → partition pruning (native hive layout) or glob pruning
+  (positional layout), reference ``y-logcli:104-123``;
+- ``--since`` → a pushed-down timestamp predicate, ``y-logcli:160-171``;
+- ``-f both`` → ``unionByName`` of the parquet and arrow scans,
+  ``y-logcli:243-255`` (Spark needs no select-list gymnastics: by-name
+  union + a sort on a post-projection column is legal);
+- global ``ORDER BY time`` with ``time_ns`` as tiebreaker so same-µs
+  bursts keep exact nanosecond order, ``y-logcli:229``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kubernetes_logs_datalake_spark.functions.time_ns import (
+    fmt_ns_iso,
+    since_cutoff_predicate,
+)
+from kubernetes_logs_datalake_spark.sources.logs import LogLake
+
+FULL_COLUMNS = [
+    "cluster",
+    "namespace",
+    "node",
+    "pod",
+    "container",
+    "time",
+    "stream",
+    "logtag",
+    "message",
+]
+OUTPUT_MODES = ("table", "raw", "lines", "columns")
+FORMATS = ("parquet", "arrow", "both")
+
+
+@dataclass
+class LogQuery:
+    """A declarative log query over a :class:`LogLake`."""
+
+    lake: LogLake
+    cluster: str | None = None
+    selectors: dict[str, str] = field(default_factory=dict)
+    since: str | None = None
+    fmt: str = "both"
+    output: str = "table"
+
+    def __post_init__(self) -> None:
+        if self.output not in OUTPUT_MODES:
+            raise ValueError(f"unknown output mode {self.output!r} (use {OUTPUT_MODES})")
+        if self.fmt not in FORMATS:
+            raise ValueError(f"unknown format {self.fmt!r} (use {FORMATS})")
+
+    # ------------------------------------------------------------ plan
+
+    def _scan(self, spark: SparkSession, fmt: str) -> DataFrame:
+        df = self.lake.read(spark, fmt=fmt, selectors=self.selectors, cluster=self.cluster)
+        if self.since:
+            df = df.filter(since_cutoff_predicate("time", self.since))
+        cols = [c if c in df.columns else F.lit(None).cast("string").alias(c) for c in FULL_COLUMNS]
+        return df.select("time_ns", *cols)
+
+    def df(self, spark: SparkSession) -> DataFrame:
+        """Full-column result, globally ordered by event time (ns-exact)."""
+        if self.fmt == "both":
+            scans = [self._scan(spark, "arrow"), self._scan(spark, "parquet")]
+            out = scans[0].unionByName(scans[1])
+        else:
+            out = self._scan(spark, self.fmt)
+        return out.orderBy("time_ns")
+
+    def projected(self, spark: SparkSession) -> DataFrame:
+        """Output-mode projection (reference ``y-logcli:177-187``).
+
+        Projection happens *after* the global sort; a narrow ``select``
+        preserves ordering, and Catalyst still prunes the scan columns
+        through the sort.
+        """
+        df = self.df(spark)
+        if self.output == "raw":
+            return df.select("message")
+        if self.output == "columns":
+            return df.select(
+                fmt_ns_iso("time_ns").alias("time"),
+                "pod",
+                "container",
+                "stream",
+                F.substring("message", 1, 60).alias("message"),
+            )
+        # table / lines: the full column list
+        return df.select(*FULL_COLUMNS)
+
+    # ---------------------------------------------------------- explain
+
+    def describe(self, spark: SparkSession) -> list[tuple[str, str]]:
+        """(column, type) pairs of the projected result — the schema
+        pre-pass the reference prints for table mode (``y-logcli:267-273``)."""
+        return [(f.name, f.dataType.simpleString()) for f in self.projected(spark).schema.fields]
+
+    def explain_str(self, spark: SparkSession) -> str:
+        """The executed-plan echo (reference prints its generated SQL,
+        ``y-logcli:277-279``); here it's the Catalyst plan."""
+        return self.projected(spark)._jdf.queryExecution().toString()
