@@ -1,38 +1,791 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check on sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2 and
+the large-scale pipeline operators); each takes (spark, sf_dir) and
+returns a DataFrame with aliased output columns.
+``oracle_sql()`` — DuckDB-equivalent SQL per query (omitted only for
+genuinely non-SQL-expressible approximate operators, which get the
+driver's weaker rows-only check).
+
+Cross-engine comparability rules used throughout:
+- every double output is ``round(x, N)`` in BOTH engines;
+- timestamps are emitted as strings or epoch-µs longs (Spark µs vs
+  DuckDB µs agree; raw ns stays in Spark longs);
+- top-k queries always carry an id tiebreaker in ORDER BY;
+- float32 embedding math is done in sequential double precision in both
+  engines (Spark zip_with/aggregate ≡ DuckDB list_transform/list_sum)
+  so cosine values match bit-for-bit.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kubernetes_logs_datalake_spark.functions.text import (
+    STOPWORDS_EN,
+    fingerprint,
+    lang_id,
+    mean_word_length,
+    normalize_text,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    words,
+)
+from kubernetes_logs_datalake_spark.functions.time_ns import fmt_ns_iso
+from kubernetes_logs_datalake_spark.operators.dedup import (
+    embedding_dedup_pairs,
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from kubernetes_logs_datalake_spark.operators.rollup import rollup_events
+from kubernetes_logs_datalake_spark.operators.similarity import (
+    brute_force_topk,
+    knn_join_bruteforce,
+    lsh_topk,
+)
+
+# ---------------------------------------------------------------- helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def _ts_us(col: str = "ts") -> F.Column:
+    """events.ts (ns long in Spark) truncated to epoch-µs — the exact
+    value DuckDB sees for its µs TIMESTAMP."""
+    c = F.col(col)
+    return ((c - F.pmod(c, 1000)).cast("decimal(38,0)") / 1000).cast("long")
+
+
+_QUERY_VEC_CACHE: dict[str, list[float]] = {}
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    if sf_dir not in _QUERY_VEC_CACHE:
+        row = (
+            _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
+        )
+        _QUERY_VEC_CACHE[sf_dir] = [float(v) for v in row[0]]
+    return _QUERY_VEC_CACHE[sf_dir]
+
+
+# DuckDB-side sequential-double cosine between two list<float> columns.
+def _ddb_cos(a: str, b: str, dim: int = 64) -> str:
+    dp = f"list_sum(list_transform(range(1,{dim + 1}), i -> ({a}[i])::DOUBLE * ({b}[i])::DOUBLE))"
+    na = f"list_sum(list_transform(range(1,{dim + 1}), i -> ({a}[i])::DOUBLE * ({a}[i])::DOUBLE))"
+    nb = f"list_sum(list_transform(range(1,{dim + 1}), i -> ({b}[i])::DOUBLE * ({b}[i])::DOUBLE))"
+    return f"({dp} / (sqrt({na}) * sqrt({nb})))"
+
+
+# DuckDB-side normalized word list, matching functions.text.words().
+_DDB_NORM = "trim(regexp_replace(lower({t}), '[^a-z0-9]+', ' ', 'g'))"
+_DDB_WORDS = f"string_split({_DDB_NORM}, ' ')"
+
+
+def _ddb_stoplist() -> str:
+    return "[" + ",".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
+
+
+# ================================================================ queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: revenue by nation (multi-join star query) on sf0.001."""
+    return _q5_region_revenue(spark, "/root/testdata/sf0.001")
+
+
+# -- TPC-H-style relational core -----------------------------------------
+
+
+def _q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15")))
+    l = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-03-15"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def _q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    region = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf, "nation")
+    customer = _t(spark, sf, "customer")
+    supplier = _t(spark, sf, "supplier")
+    orders = _t(spark, sf, "orders")
+    lineitem = _t(spark, sf, "lineitem")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def _q6_revenue_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    l = _t(spark, sf, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+def _q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def _agg_orders_by_priority(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+def _brand_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Broadcast-join showcase: small dim (part) joined to the fact."""
+    p = _t(spark, sf, "part")
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+def _rollup_returnflag(spark: SparkSession, sf: str) -> DataFrame:
+    l = _t(spark, sf, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+
+
+def _distinct_segments(spark: SparkSession, sf: str) -> DataFrame:
+    return _t(spark, sf, "customer").select("c_mktsegment").distinct()
+
+
+def _union_priority_orders(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.lit("urgent").alias("class")
+    )
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        "o_orderkey", F.lit("high").alias("class")
+    )
+    return urgent.unionByName(high)
+
+
+def _topk_expensive_orders(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return (
+        o.select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def _customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def _parts_ordered_by_brand(spark: SparkSession, sf: str) -> DataFrame:
+    p = _t(spark, sf, "part")
+    l = _t(spark, sf, "lineitem")
+    return (
+        p.join(l, p.p_partkey == l.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+def _window_top_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rank")
+    )
+
+
+def _window_running_total(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+def _pivot_event_counts(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+        .select("user_id", *[F.col(k).alias(f"n_{k}") for k in kinds])
+    )
+
+
+def _scalar_functions_showcase(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") <= 100)
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_upper"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("priority_num"),
+        F.concat_ws("-", F.lit("ord"), F.col("o_orderkey").cast("string")).alias("tag"),
+        F.lpad(F.col("o_orderkey").cast("string"), 8, "0").alias("key_padded"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("sqrt_price"),
+        F.length("o_orderpriority").alias("prio_len"),
+    )
+
+
+# -- events (ns timestamps, rollups, sessions) ----------------------------
+
+
+def _events_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    rolled = rollup_events(
+        e,
+        ts_col="ts",
+        every="hour",
+        keys=["event_type"],
+        aggs=[
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        ],
+    )
+    # bucket in epoch-µs so DuckDB (µs timestamps) can mirror exactly
+    return rolled.select(
+        ((F.col("bucket_ns") - F.pmod(F.col("bucket_ns"), 1000)).cast("decimal(38,0)") / 1000)
+        .cast("long")
+        .alias("bucket_us"),
+        "event_type",
+        "n",
+        "sum_value",
+        "avg_value",
+    )
+
+
+def _events_type_stats(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min(_ts_us()).alias("min_ts_us"),
+        F.max(_ts_us()).alias("max_ts_us"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+def _events_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization: a >30 min gap starts a new session."""
+    e = _t(spark, sf, "events").select("user_id", "event_id", _ts_us().alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_new = F.when(
+        F.lag("ts_us").over(w).isNull()
+        | ((F.col("ts_us") - F.lag("ts_us").over(w)) > 30 * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("new_sess", gap_new)
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+def _events_top_users(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("total_value"), F.count("*").alias("n"))
+        .orderBy(F.desc("total_value"), "user_id")
+        .limit(20)
+    )
+
+
+def _events_iso_ns_format(spark: SparkSession, sf: str) -> DataFrame:
+    """ns-ISO formatting parity (reference y-logcli:175 formatter) —
+    emitted at µs truncation so both engines see identical instants."""
+    e = _t(spark, sf, "events").filter(F.col("event_id") < 1000)
+    return e.select("event_id", fmt_ns_iso(_ts_us() * 1000).alias("iso_time"))
+
+
+# -- document operators: dedup, text analysis ------------------------------
+
+
+def _dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def _dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.6)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return minhash_lsh_candidates(d, "doc_id", "text", num_hashes=64, bands=8, n=1)
+
+
+def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return simhash_candidates(d, "doc_id", "text", max_hamming=12, chunks=4)
+
+
+def _dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    pairs = embedding_dedup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+    return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+
+
+def _text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return (
+        d.withColumn("n_tokens", token_count("text"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+def _text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.round(stopword_ratio("text"), 4).alias("stopword_ratio"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(mean_word_length("text"), 4).alias("mean_word_len"),
+        F.round(quality_score("text"), 4).alias("quality"),
+    )
+
+
+def _text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", "lang", lang_id("text").alias("detected_lang"))
+
+
+def _text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+# -- similarity search -----------------------------------------------------
+
+
+def _ann_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    q = _query_vec(spark, sf)
+    top = brute_force_topk(emb.filter(F.col("vec_id") != 0), "embedding", q, k=10)
+    return top.select("vec_id", F.round("cos", 4).alias("cos"))
+
+
+def _ann_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    q = _query_vec(spark, sf)
+    top = lsh_topk(emb.filter(F.col("vec_id") != 0), "embedding", q, k=10, planes=6, probes=2)
+    return top.select("vec_id", F.round("cos", 4).alias("cos"))
+
+
+def _knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    left = emb.filter(F.col("vec_id") < 20)
+    right = emb.filter(F.col("vec_id") >= 20)
+    out = knn_join_bruteforce(left, right, "embedding", "embedding", "vec_id", "vec_id", k=3)
+    return out.select("query_id", "rank", F.round("cos", 4).alias("cos"))
+
+
+# ================================================================ registry
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q5_region_revenue": _q5_region_revenue,
+        "q6_revenue_forecast": _q6_revenue_forecast,
+        "q10_returned_items": _q10_returned_items,
+        "agg_orders_by_priority": _agg_orders_by_priority,
+        "brand_revenue_broadcast": _brand_revenue,
+        "rollup_returnflag": _rollup_returnflag,
+        "distinct_segments": _distinct_segments,
+        "union_priority_orders": _union_priority_orders,
+        "topk_expensive_orders": _topk_expensive_orders,
+        "anti_join_customers_without_orders": _customers_without_orders,
+        "semi_join_parts_ordered": _parts_ordered_by_brand,
+        "window_top_orders_per_customer": _window_top_orders_per_customer,
+        "window_running_total": _window_running_total,
+        "pivot_event_counts": _pivot_event_counts,
+        "scalar_functions_showcase": _scalar_functions_showcase,
+        # events / time
+        "events_hourly_rollup": _events_hourly_rollup,
+        "events_type_stats": _events_type_stats,
+        "events_sessions": _events_sessions,
+        "events_top_users": _events_top_users,
+        "events_iso_ns_format": _events_iso_ns_format,
+        # documents: dedup + text analysis
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_simhash": _dedup_simhash,
+        "dedup_embedding": _dedup_embedding,
+        "text_token_stats": _text_token_stats,
+        "text_quality": _text_quality,
+        "text_lang_id": _text_lang_id,
+        "text_fingerprint": _text_fingerprint,
+        # similarity search
+        "ann_topk_bruteforce": _ann_topk_bruteforce,
+        "ann_topk_lsh": _ann_topk_lsh,
+        "knn_join": _knn_join,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = _ddb_stoplist()
+    w = _DDB_WORDS.format(t="text")
+    norm = _DDB_NORM.format(t="text")
+    cos_ab = _ddb_cos("a.embedding", "b.embedding")
+    cos_eq = _ddb_cos("e.embedding", "q.embedding")
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "q5_region_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "q6_revenue_forecast": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "agg_orders_by_priority": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total,
+                   round(avg(o_totalprice), 4) AS avg_price,
+                   round(min(o_totalprice), 2) AS min_price,
+                   round(max(o_totalprice), 2) AS max_price
+            FROM orders GROUP BY o_orderstatus, o_orderpriority
+        """,
+        "brand_revenue_broadcast": """
+            SELECT p_brand, count(*) AS n_lines,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "rollup_returnflag": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 2) AS qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "union_priority_orders": """
+            SELECT o_orderkey, 'urgent' AS class FROM orders WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT o_orderkey, 'high' AS class FROM orders WHERE o_orderpriority = '2-HIGH'
+        """,
+        "topk_expensive_orders": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+            FROM orders ORDER BY totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "anti_join_customers_without_orders": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            GROUP BY c_mktsegment
+        """,
+        "semi_join_parts_ordered": """
+            SELECT p_brand, count(*) AS n_parts
+            FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+            GROUP BY p_brand
+        """,
+        "window_top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rank FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rank
+                FROM orders)
+            WHERE rank <= 3
+        """,
+        "window_running_total": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+            FROM orders
+        """,
+        "pivot_event_counts": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                   count(*) FILTER (WHERE event_type = 'error') AS n_error,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'view') AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "scalar_functions_showcase": """
+            SELECT o_orderkey,
+                   upper(o_orderstatus) AS status_upper,
+                   CAST(substr(o_orderpriority, 1, 1) AS INT) AS priority_num,
+                   concat_ws('-', 'ord', CAST(o_orderkey AS VARCHAR)) AS tag,
+                   lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS key_padded,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+                   CAST(year(o_orderdate) AS INT) AS order_year,
+                   o_orderkey % 7 AS key_mod7,
+                   round(sqrt(o_totalprice), 4) AS sqrt_price,
+                   CAST(length(o_orderpriority) AS INT) AS prio_len
+            FROM orders WHERE o_orderkey <= 100
+        """,
+        "events_hourly_rollup": """
+            SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS bucket_us,
+                   event_type, count(*) AS n,
+                   round(sum(value), 2) AS sum_value,
+                   round(avg(value), 4) AS avg_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_type_stats": """
+            SELECT event_type, count(*) AS n,
+                   min(epoch_us(ts)) AS min_ts_us,
+                   max(epoch_us(ts)) AS max_ts_us,
+                   round(sum(value), 2) AS sum_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "events_sessions": """
+            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+                SELECT user_id,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+            GROUP BY user_id
+        """,
+        "events_top_users": """
+            SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n
+            FROM events GROUP BY user_id
+            ORDER BY total_value DESC, user_id LIMIT 20
+        """,
+        "events_iso_ns_format": """
+            SELECT event_id,
+                   strftime(ts, '%Y-%m-%dT%H:%M:%S') || '.' ||
+                   lpad(CAST(epoch_ns(ts) % 1000000000 AS VARCHAR), 9, '0') || 'Z' AS iso_time
+            FROM events WHERE event_id < 1000
+        """,
+        "dedup_exact": f"""
+            SELECT md5({norm}) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH ws AS (
+                SELECT DISTINCT doc_id AS _id, unnest({w}) AS shingle FROM documents
+            ), sizes AS (
+                SELECT _id, count(*) AS sz FROM ws GROUP BY _id
+            ), inter AS (
+                SELECT a._id AS id_a, b._id AS id_b, count(*) AS i
+                FROM ws a JOIN ws b USING (shingle)
+                WHERE a._id < b._id GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa._id = id_a
+            JOIN sizes sb ON sb._id = id_b
+            WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.6
+        """,
+        "dedup_embedding": f"""
+            SELECT id_a, id_b, round(cos, 4) AS cos FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos_ab} AS cos
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            WHERE cos >= 0.35
+        """,
+        "text_token_stats": f"""
+            SELECT lang, count(*) AS n_docs,
+                   sum(len({w})) AS total_tokens,
+                   round(avg(len({w})), 4) AS avg_tokens
+            FROM documents GROUP BY lang
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   len({w}) AS n_tokens,
+                   round(sw_ratio, 4) AS stopword_ratio,
+                   round(p_ratio, 4) AS punct_ratio,
+                   round(mwl, 4) AS mean_word_len,
+                   round(least(sw_ratio * 4, 1.0) * 0.4
+                         + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.0 END) * 0.3
+                         + (CASE WHEN p_ratio < 0.1 THEN 1.0
+                                 ELSE greatest(0.0, 1 - p_ratio * 5) END) * 0.3, 4) AS quality
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN len({w}) > 0
+                            THEN len(list_filter({w}, x -> list_contains({stop}, x))) * 1.0 / len({w})
+                            ELSE 0.0 END AS sw_ratio,
+                       CASE WHEN length(text) > 0
+                            THEN length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) * 1.0 / length(text)
+                            ELSE 0.0 END AS p_ratio,
+                       CASE WHEN len({w}) > 0
+                            THEN list_sum(list_transform({w}, x -> length(x))) * 1.0 / len({w})
+                            ELSE 0.0 END AS mwl,
+                       text
+                FROM documents)
+        """,
+        "text_fingerprint": f"SELECT doc_id, md5({norm}) AS fp FROM documents",
+        "ann_topk_bruteforce": f"""
+            SELECT vec_id, round(cos, 4) AS cos FROM (
+                SELECT e.vec_id, {cos_eq} AS cos
+                FROM embeddings e,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+                WHERE e.vec_id <> 0)
+            ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+        "knn_join": f"""
+            SELECT query_id, rank, round(cos, 4) AS cos FROM (
+                SELECT a.vec_id AS query_id, b.vec_id AS nbr, {cos_ab} AS cos,
+                       row_number() OVER (PARTITION BY a.vec_id
+                                          ORDER BY {cos_ab} DESC, b.vec_id) AS rank
+                FROM embeddings a JOIN embeddings b ON b.vec_id >= 20
+                WHERE a.vec_id < 20)
+            WHERE rank <= 3
+        """,
+        # text_lang_id, dedup_minhash_lsh, dedup_simhash, ann_topk_lsh:
+        # approximate / hash-seeded operators → rows-only check (no SQL).
+    }

@@ -1,0 +1,184 @@
+"""Text-analysis column functions for large-scale document pipelines.
+
+All built from JVM-side column expressions (split/regexp/array ops) so
+they vectorize inside whole-stage codegen — at 100 TB a per-row Python
+UDF here would dominate the job. Each function returns a Column and is
+deliberately expressible in ANSI SQL too, so the DuckDB oracle can
+verify identical semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# ------------------------------------------------------------- tokenization
+
+# Word tokenizer shared by token counting, shingling and lang-id:
+# lowercase, strip non-alphanumerics to spaces, split on runs of space.
+# (A BPE-ish subword regex is below for token *estimation*.)
+
+
+def normalize_text(text: Column | str) -> Column:
+    return F.trim(F.regexp_replace(F.lower(_col(text)), r"[^a-z0-9]+", " "))
+
+
+def words(text: Column | str) -> Column:
+    """array<string> of normalized words (empty array for empty text)."""
+    norm = normalize_text(text)
+    return F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (long)."""
+    return F.size(words(text)).cast("long")
+
+
+# Rough BPE-ish subword estimate: alphanumeric runs contribute
+# ceil(len/4) tokens (≈4 chars/token, the common BPE average), every
+# other non-space character is one token.
+def bpe_token_estimate(text: Column | str) -> Column:
+    t = _col(text)
+    alnum_chars = F.length(F.regexp_replace(t, r"[^A-Za-z0-9]", ""))
+    other_chars = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    return (F.ceil(alnum_chars / 4) + other_chars).cast("long")
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """array<string> of word n-gram shingles (the MinHash/Jaccard unit).
+
+    Built with ``transform`` over an index sequence — no explode, no
+    UDF; stays an array expression until the caller chooses to explode.
+    """
+    w = words(text)
+    count = F.size(w) - (n - 1)
+    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), count - 1),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]),
+        )
+    )
+
+
+# ---------------------------------------------------------------- quality
+
+STOPWORDS_EN = (
+    "the of and to in a is that it was for on are as with his they at be this "
+    "have from or had by not but what all were we when your can said there use "
+    "an each which she do how their if will up other about out many then them "
+    "these so some her would make like him into time has look two more write "
+    "go see no way could people my than first been call who its now find long "
+    "down day did get come made may part"
+).split()
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of words that are (English) stopwords — a standard
+    quality-filter signal (high ratio ⇒ natural prose)."""
+    w = words(text)
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
+    hits = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+    return F.when(F.size(w) > 0, hits / F.size(w)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = _col(text)
+    punct = F.length(F.regexp_replace(t, r"[^!-/:-@\[-`{-~]", ""))
+    return F.when(F.length(t) > 0, punct / F.length(t)).otherwise(F.lit(0.0))
+
+
+def uppercase_ratio(text: Column | str) -> Column:
+    t = _col(text)
+    upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    letters = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    return F.when(letters > 0, upper / letters).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column | str) -> Column:
+    w = words(text)
+    total = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(w) > 0, total / F.size(w)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: prose-like stopword presence,
+    sane word lengths, low punctuation noise. Deliberately simple and
+    fully SQL-expressible; thresholds follow common web-corpus filters
+    (Gopher/C4-style length and symbol rules)."""
+    sw = stopword_ratio(text)
+    mwl = mean_word_length(text)
+    pr = punct_ratio(text)
+    score = (
+        F.least(sw * 4, F.lit(1.0)) * 0.4
+        + F.when((mwl >= 3) & (mwl <= 10), 1.0).otherwise(0.0) * 0.3
+        + F.when(pr < 0.1, 1.0).otherwise(F.greatest(F.lit(0.0), 1 - pr * 5)) * 0.3
+    )
+    return score
+
+
+# ----------------------------------------------------------------- lang id
+
+# Minimal high-frequency function-word sets; the n-gram-free heuristic:
+# score(lang) = |words ∩ markers(lang)| / |words|, argmax wins, 'und' if
+# no markers hit. Good enough for coarse corpus partitioning; a real
+# fastText-style model would slot in as a pandas UDF.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": "the and of to in is that it for with was on are as be this have".split(),
+    "de": "der die das und ist nicht ein eine zu mit von auf für den dem sich".split(),
+    "fr": "le la les et des en un une est pour que dans qui sur pas plus par".split(),
+    "es": "el la los las y es en un una de que no por con para su al como".split(),
+}
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    w = words(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        marr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(w, lambda x: F.array_contains(marr, x)))
+        out[lang] = F.when(F.size(w) > 0, hits / F.size(w)).otherwise(F.lit(0.0))
+    return out
+
+
+def lang_id(text: Column | str, min_score: float = 0.05) -> Column:
+    """Best-scoring language code, or 'und' below the confidence floor.
+
+    Ties break by declaration order (en first) via a first-wins CASE
+    chain — the same chain the SQL oracle writes, so both engines agree
+    bit-for-bit.
+    """
+    scores = lang_scores(text)
+    langs = list(scores)
+    expr = F.lit("und")
+    for lang in reversed(langs):
+        sc = scores[lang]
+        others = [scores[o] for o in langs if o != lang]
+        is_max = sc >= F.greatest(*others) if others else F.lit(True)
+        cond = (sc >= min_score) & is_max
+        # reversed order + overwrite ⇒ earliest declared lang wins ties
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+# ------------------------------------------------------------- fingerprint
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    md5 (not xxhash) so the DuckDB oracle computes the identical value;
+    for engine-internal dedup the cheaper ``xxhash64`` is used instead
+    (operators/dedup.py).
+    """
+    return F.md5(normalize_text(text))
+
+
+def xxfingerprint(text: Column | str, seed: int = 42) -> Column:
+    """64-bit engine-internal fingerprint (fast path, not oracle-portable)."""
+    return F.xxhash64(normalize_text(text), F.lit(seed))

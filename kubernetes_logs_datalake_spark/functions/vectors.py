@@ -1,0 +1,41 @@
+"""Vector math over ``array<float>`` embedding columns.
+
+Expressed with ``zip_with``/``aggregate`` higher-order functions —
+executed in the JVM per-row over the array, no Python involved. For the
+very hot paths (brute-force ANN over millions of vectors) a pandas-UDF
+matrix-multiply variant exists in operators/similarity.py; these column
+forms are the portable baseline the DuckDB oracle can mirror
+(``list_dot_product`` / ``list_cosine_similarity``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    prod = F.zip_with(_col(a), _col(b), lambda x, y: x.cast("double") * y)
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(_col(a), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; 0.0 for zero vectors (DuckDB's
+    list_cosine_similarity NaNs there — callers filter zero vectors
+    before comparing against the oracle)."""
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def literal_vector(values: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in values])

@@ -1,0 +1,225 @@
+"""Deduplication operators for document corpora.
+
+Five families, each a different cost/recall point for 100 TB dedup:
+
+- **exact**: hash-groupBy on a normalized fingerprint. One shuffle on
+  the fingerprint; at scale the cheapest and always the first pass.
+- **n-gram Jaccard**: exact set-similarity via shingle inverted index
+  (explode → self-join on shingle → count). Quadratic in bucket size —
+  correct but only viable after blocking; it is also the *oracle* for
+  the approximate families below.
+- **MinHash + LSH**: k min-hashes over shingles → banded signatures →
+  candidate pairs from band-bucket joins. The standard near-dup path at
+  corpus scale: linear scans + one shuffle per band, no all-pairs.
+- **SimHash**: 64-bit sign-aggregated fingerprint; near-dups differ in
+  few bits. Candidates via band equality on bit-chunks.
+- **embedding cosine**: semantic near-dup over `array<float>` vectors.
+
+All hashing uses ``xxhash64`` with fixed seeds — deterministic across
+runs and executors, which the correctness harness depends on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kubernetes_logs_datalake_spark.functions.text import fingerprint, shingles
+from kubernetes_logs_datalake_spark.functions.vectors import cosine
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest-id representative per exact (normalized) text.
+
+    groupBy on the md5 fingerprint — map-side partial aggregation makes
+    this one narrow shuffle of (fingerprint, min_id) pairs, never the
+    documents themselves.
+    """
+    fp = fingerprint(text_col).alias("fp")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------- n-gram Jaccard
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs, distinct per document."""
+    return (
+        df.select(F.col(id_col).alias("_id"), F.explode(shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """All document pairs with word-``n``-gram Jaccard ≥ threshold.
+
+    Inverted-index join: explode shingles, self-join on the shingle,
+    count intersections, compute |A∩B| / (|A|+|B|-|A∩B|). Exact; cost is
+    Σ bucket² over shingle buckets, so at corpus scale run it *after*
+    LSH blocking (``minhash_lsh_candidates``) — here it doubles as the
+    oracle for the approximate families.
+    """
+    sh = shingle_sets(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ----------------------------------------------------------- MinHash + LSH
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, n: int = 3
+) -> DataFrame:
+    """(id, array<long> signature): one explode of shingles, then
+    ``num_hashes`` seeded-xxhash64 min-aggregations in a single groupBy —
+    the whole signature costs one shuffle regardless of k."""
+    sh = shingle_sets(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    agg = sh.groupBy("_id").agg(*mins)
+    return agg.select(
+        "_id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Signature split into ``bands`` bands of ``num_hashes/bands`` rows;
+    documents colliding in any band's bucket become a candidate pair.
+    Pair generation is a self-join on (band, bucket_hash) — each band is
+    a narrow equi-join on a 64-bit key, no all-pairs blowup. Callers
+    re-rank candidates with ``ngram_jaccard_pairs`` semantics on the
+    (small) candidate set.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(",", *[F.element_at("signature", b * rows + r + 1) for r in range(rows)])
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("_id", F.posexplode(band_arr).alias("band", "bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: hash each word, sum ±1 per bit
+    position weighted by presence, take sign bits. Pure column algebra
+    over one explode; returns (id, simhash long)."""
+    from kubernetes_logs_datalake_spark.functions.text import words
+
+    exploded = df.select(
+        F.col(id_col).alias("_id"), F.explode(words(text_col)).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    bit_sums = exploded.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        acc = acc + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
+    return bit_sums.select("_id", acc.alias("simhash"))
+
+
+def hamming64(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """Near-dup candidates: by pigeonhole, two 64-bit simhashes within
+    ``max_hamming`` ≤ chunks-1 bits share at least one identical 16-bit
+    chunk → equi-join per chunk, then exact hamming filter."""
+    sh = simhash(df, id_col, text_col)
+    width = 64 // chunks
+    chunk_arr = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit((1 << width) - 1))
+            for i in range(chunks)
+        ]
+    )
+    pieces = sh.select("_id", "simhash", F.posexplode(chunk_arr).alias("chunk_idx", "chunk"))
+    a, b = pieces.alias("a"), pieces.alias("b")
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ------------------------------------------------------- embedding cosine
+
+
+def embedding_dedup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Semantic near-dup pairs: cosine ≥ threshold.
+
+    Brute-force all-pairs join — exact, oracle-checkable. The scale path
+    is ``operators.similarity.lsh_bucketed_pairs`` (random-hyperplane
+    blocking) with this as the re-rank inside buckets.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+
+- **brute-force top-k** — exact cosine against a query vector via
+  ``zip_with``/``aggregate`` column math. O(N·d) scan, embarrassingly
+  parallel, no shuffle until the final top-k (TakeOrderedAndProject).
+  The correctness baseline; DuckDB mirrors it with
+  ``list_cosine_similarity``.
+- **LSH (random hyperplanes)** — sign-bit signatures over ``p``
+  deterministic hyperplanes block the corpus into 2^p buckets; probe
+  only the query's bucket (multi-probe: flip low-margin bits). Turns
+  the 100 TB scan into a bucket-local one; recall tunable by p and
+  probes.
+
+An IVF variant (k-means coarse quantizer via pyspark.ml) would slot in
+the same shape: assign→probe nearest centroids→re-rank. Random
+hyperplanes are preferred here because they need no training pass and
+are deterministic, which the harness requires.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kubernetes_logs_datalake_spark.functions.vectors import cosine, literal_vector
+
+
+def brute_force_topk(
+    df: DataFrame, vec_col: str, query: list[float], k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query``.
+
+    ``orderBy(...).limit(k)`` compiles to TakeOrderedAndProject: each
+    partition keeps its local k, the driver merges — no global sort
+    shuffle. Ties break on id for determinism.
+    """
+    q = literal_vector(query)
+    return (
+        df.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos"))
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG; no numpy
+    dependency in the plan, reproducible across executors/runs)."""
+    state = seed & 0x7FFFFFFF
+    out = []
+    for _ in range(planes):
+        vec = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            vec.append(state / 0x7FFFFFFF * 2.0 - 1.0)
+        n = math.sqrt(sum(v * v for v in vec)) or 1.0
+        out.append([v / n for v in vec])
+    return out
+
+
+def lsh_signature(vec_col, planes: list[list[float]]):
+    """Sign-bit bucket id of a vector under the hyperplane set."""
+    from kubernetes_logs_datalake_spark.functions.vectors import dot
+
+    acc = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        acc = acc + F.when(dot(vec_col, literal_vector(p)) >= 0, F.lit(2**i).cast("long")).otherwise(0)
+    return acc
+
+
+def lsh_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    probes: int = 1,
+) -> DataFrame:
+    """Approximate top-k: restrict the cosine scan to the query's LSH
+    bucket(s). ``probes`` > 1 also scans buckets at Hamming distance 1
+    from the query signature (multi-probe) to recover recall."""
+    hp = _hyperplanes(len(query), planes)
+    sig_col = lsh_signature(F.col(vec_col), hp)
+    # driver-side query signature
+    qsig = 0
+    for i, p in enumerate(hp):
+        if sum(a * b for a, b in zip(query, p)) >= 0:
+            qsig |= 1 << i
+    buckets = {qsig}
+    if probes > 1:
+        for b in range(planes):
+            buckets.add(qsig ^ (1 << b))
+    q = literal_vector(query)
+    return (
+        df.withColumn("_bucket", sig_col)
+        .filter(F.col("_bucket").isin(*buckets))
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos"))
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join_bruteforce(
+    left: DataFrame,
+    right: DataFrame,
+    left_vec: str,
+    right_vec: str,
+    left_id: str,
+    right_id: str,
+    k: int = 5,
+) -> DataFrame:
+    """For every left row, its k nearest right rows by cosine.
+
+    Broadcast the smaller (right) side, window-rank per left id. The
+    100 TB shape: right is a centroid/probe set (small), left is the
+    corpus — broadcast avoids shuffling the corpus entirely.
+    """
+    from pyspark.sql import Window
+
+    joined = left.select(
+        F.col(left_id).alias("query_id"), F.col(left_vec).alias("_lv")
+    ).crossJoin(
+        F.broadcast(
+            right.select(F.col(right_id).alias("neighbor_id"), F.col(right_vec).alias("_rv"))
+        )
+    )
+    scored = joined.withColumn("cos", cosine("_lv", "_rv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 and compares against
+``oracle_sql()`` via DuckDB: row count, column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted,
+floats repr'd). Queries without oracle SQL get a rows-only check.
+
+Usage: python tools/check_correctness.py [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from kubernetes_logs_datalake_spark import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x1f".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            cols = sdf.columns
+            rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(rows)} rows (rows-only, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        problems = []
+        if sorted(cols) != sorted(ocols):
+            problems.append(f"cols spark={sorted(cols)} duckdb={sorted(ocols)}")
+        if len(rows) != len(orows):
+            problems.append(f"rowcount spark={len(rows)} duckdb={len(orows)}")
+        if not problems:
+            hs, ho = value_hash(cols, rows), value_hash(ocols, orows)
+            if hs != ho:
+                problems.append(f"valuehash {hs} != {ho}")
+                # show a diff sample
+                order_s = sorted(range(len(cols)), key=lambda i: cols[i])
+                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                ls = sorted("\x1f".join(norm_cell(r[i]) for i in order_s) for r in rows)
+                lo = sorted("\x1f".join(norm_cell(r[i]) for i in order_o) for r in orows)
+                for a, b in zip(ls, lo):
+                    if a != b:
+                        problems.append(f"  spark : {a[:160]}")
+                        problems.append(f"  duckdb: {b[:160]}")
+                        break
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems[:1]))
+            for p in problems[1:]:
+                print(f"      {p}")
+            failures.append(name)
+        else:
+            print(f"ok    {name}: {len(rows)} rows match ({time.time()-t0:.1f}s)")
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        return 1
+    print("all queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
