@@ -488,6 +488,112 @@ def _knn_join(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("query_id", "rank", F.round("cos", 4).alias("cos"))
 
 
+# -- extended relational / temporal operators ------------------------------
+
+
+def _asof_purchase_click(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    prior-or-simultaneous click (point-in-time lookup)."""
+    from kubernetes_logs_datalake_spark.operators.asof import as_of_join
+
+    e = _t(spark, sf, "events").select("user_id", "event_id", "event_type", _ts_us().alias("ts_us"))
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts_us"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts_us").alias("click_ts")
+    )
+    joined = as_of_join(
+        purchases, clicks, on="user_id", left_ts="ts_us", right_ts="click_ts",
+        value_cols=["click_id"],
+    )
+    return joined.select("user_id", "purchase_id", F.col("click_id_asof").alias("prev_click_id"))
+
+
+def _intersect_nation_keys(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+def _except_nation_keys(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return c.exceptAll(s)
+
+
+def _exists_late_shipments(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one lineitem shipped >90
+    days after the order date, counted per priority (semi join with a
+    non-equi condition)."""
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    cond = (l.l_orderkey == o.o_orderkey) & (
+        l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def _percentile_event_value(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+def _stringagg_region_nations(spark: SparkSession, sf: str) -> DataFrame:
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
+    )
+
+
+def _cube_order_counts(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+def _regex_source_extract(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("source", r"src(\d+)", 1).cast("int").alias("source_num"),
+        F.regexp_replace("source", r"\d+", "#").alias("source_masked"),
+        F.substring("text", 1, 20).alias("prefix20"),
+    )
+
+
+def _monthly_order_trend(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month"))
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+def _array_stats_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    from kubernetes_logs_datalake_spark.functions.vectors import norm
+
+    emb = _t(spark, sf, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(norm("embedding"), 6).alias("l2_norm"),
+    )
+
+
 # ================================================================ registry
 
 
@@ -531,6 +637,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": _ann_topk_bruteforce,
         "ann_topk_lsh": _ann_topk_lsh,
         "knn_join": _knn_join,
+        # extended relational / temporal
+        "asof_purchase_click": _asof_purchase_click,
+        "intersect_nation_keys": _intersect_nation_keys,
+        "except_nation_keys": _except_nation_keys,
+        "exists_late_shipments": _exists_late_shipments,
+        "percentile_event_value": _percentile_event_value,
+        "stringagg_region_nations": _stringagg_region_nations,
+        "cube_order_counts": _cube_order_counts,
+        "regex_source_extract": _regex_source_extract,
+        "monthly_order_trend": _monthly_order_trend,
+        "array_stats_embeddings": _array_stats_embeddings,
     }
 
 
@@ -786,6 +903,98 @@ def oracle_sql() -> dict[str, str]:
                 WHERE a.vec_id < 20)
             WHERE rank <= 3
         """,
-        # text_lang_id, dedup_minhash_lsh, dedup_simhash, ann_topk_lsh:
-        # approximate / hash-seeded operators → rows-only check (no SQL).
+        "text_lang_id": _lang_id_oracle_sql(),
+        "asof_purchase_click": """
+            SELECT p.user_id, p.purchase_id, c.click_id AS prev_click_id
+            FROM (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS ts_us
+                  FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN
+                 (SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_ts
+                  FROM events WHERE event_type = 'click') c
+            ON p.user_id = c.user_id AND p.ts_us >= c.click_ts
+        """,
+        "intersect_nation_keys": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey AS nationkey FROM supplier
+        """,
+        "except_nation_keys": """
+            SELECT DISTINCT c_nationkey AS nationkey FROM customer
+            EXCEPT ALL
+            SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        """,
+        "exists_late_shipments": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "percentile_event_value": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(quantile_cont(value, 0.99), 4) AS p99
+            FROM events GROUP BY event_type
+        """,
+        "stringagg_region_nations": """
+            SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "cube_order_counts": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "regex_source_extract": """
+            SELECT doc_id,
+                   CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) AS source_num,
+                   regexp_replace(source, '\\d+', '#', 'g') AS source_masked,
+                   substr(text, 1, 20) AS prefix20
+            FROM documents
+        """,
+        "monthly_order_trend": """
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+                   count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY 1
+        """,
+        "array_stats_embeddings": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS INT) AS dim,
+                   round((embedding[1])::DOUBLE, 6) AS first_val,
+                   round(sqrt(list_sum(list_transform(embedding,
+                         x -> (x)::DOUBLE * (x)::DOUBLE))), 6) AS l2_norm
+            FROM embeddings
+        """,
+        # dedup_minhash_lsh, dedup_simhash, ann_topk_lsh: hash-seeded
+        # approximate operators → rows-only check (no SQL oracle).
     }
+
+
+def _lang_id_oracle_sql() -> str:
+    """CASE-chain language id identical to functions.text.lang_id
+    (first-declared language wins ties)."""
+    from kubernetes_logs_datalake_spark.functions.text import LANG_MARKERS
+
+    w = _DDB_WORDS.format(t="text")
+    score_defs = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = "[" + ",".join(f"'{m}'" for m in markers) + "]"
+        score_defs.append(
+            f"CASE WHEN len({w}) > 0 THEN "
+            f"len(list_filter({w}, x -> list_contains({lst}, x))) * 1.0 / len({w}) "
+            f"ELSE 0.0 END AS s_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    cases = []
+    for lang in langs:
+        others = ", ".join(f"s_{o}" for o in langs if o != lang)
+        cases.append(f"WHEN s_{lang} >= 0.05 AND s_{lang} >= greatest({others}) THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+        SELECT doc_id, lang, {case_sql} AS detected_lang
+        FROM (SELECT doc_id, lang, {', '.join(score_defs)} FROM documents)
+    """
