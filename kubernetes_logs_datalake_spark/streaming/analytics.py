@@ -1,0 +1,75 @@
+"""Streaming analytics over the ingested stream: watermarked windowed
+aggregation and session windows.
+
+The reference performs no stream-side aggregation (its ingest is
+write-only; reordering happens at query time). These operators extend
+the surface the Spark-native way: event-time tumbling/session windows
+with watermarks bounding state — the piece you need the moment someone
+asks "errors per namespace per minute, live".
+
+State sizing at scale: watermark delay × key cardinality bounds the
+state store; with `delay=5m` and ~10^5 live (namespace, container)
+pairs the state is trivially small because aggregates are partial rows,
+not events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    records: DataFrame,
+    window: str = "1 minute",
+    watermark_delay: str = "5 minutes",
+    keys: list[str] | None = None,
+    time_col: str = "time",
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Event-time tumbling-window aggregation with late-data handling.
+
+    Works identically on a streaming or batch DataFrame (same plan);
+    with a stream, the watermark lets Spark emit+drop finalized windows.
+    """
+    keys = keys or []
+    aggs = aggs or [F.count(F.lit(1)).alias("n")]
+    # watermarks require TIMESTAMP (tz-aware); our time is NTZ-µs — the
+    # cast is value-preserving because the session tz is pinned UTC
+    out = records.withColumn(time_col, F.col(time_col).cast("timestamp"))
+    if records.isStreaming:
+        out = out.withWatermark(time_col, watermark_delay)
+    res = out.groupBy(F.window(time_col, window).alias("w"), *[F.col(k) for k in keys]).agg(*aggs)
+    agg_cols = [c for c in res.columns if c != "w" and c not in keys]
+    return res.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *keys,
+        *agg_cols,
+    )
+
+
+def sessionized_counts(
+    records: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "5 minutes",
+    keys: list[str] | None = None,
+    time_col: str = "time",
+) -> DataFrame:
+    """Session-window aggregation (dynamic-length windows closed by a
+    quiet gap) — the streaming counterpart of the batch sessionization
+    in ``__spark_entry__._events_sessions``."""
+    keys = keys or []
+    out = records.withColumn(time_col, F.col(time_col).cast("timestamp"))
+    if records.isStreaming:
+        out = out.withWatermark(time_col, watermark_delay)
+    return (
+        out.groupBy(F.session_window(time_col, gap).alias("w"), *[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *keys,
+            "n_events",
+        )
+    )

@@ -1,0 +1,124 @@
+"""Tests: multimodal plumbing, JSON-lines ingest, salted join,
+streaming windowed analytics, long-line guard, dedup operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kubernetes_logs_datalake_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    frame_sample_plan,
+)
+from kubernetes_logs_datalake_spark.operators.skew import salted_join
+from kubernetes_logs_datalake_spark.sources.cri import parse_cri_lines
+from kubernetes_logs_datalake_spark.sources.json_logs import parse_json_log_lines
+
+
+def test_multimodal_feature_extraction(spark):
+    rows = [
+        (1, "image", b"\x89PNG-fake-bytes", ("image/png", 640, 480, None)),
+        (2, "audio", b"RIFF-fake", ("audio/wav", None, None, 2000)),
+        (3, "image", None, ("image/png", 1, 1, None)),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>"
+    )
+    feats = extract_features(df).collect()
+    assert len(feats) == 3
+    by_id = {r.media_id: r for r in feats}
+    assert len(by_id[1].feature) == FEATURE_DIM
+    assert all(r.decoded_ok for r in feats)
+    # deterministic: same payload → same features
+    feats2 = extract_features(df).collect()
+    assert {r.media_id: r.feature for r in feats2} == {r.media_id: r.feature for r in feats}
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(7, "video", b"x", ("video/mp4", None, None, 3500))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    frames = frame_sample_plan(df, every_ms=1000).collect()
+    assert [(r.frame_idx, r.frame_ts_ms) for r in frames] == [(0, 0), (1, 1000), (2, 2000)]
+
+
+def test_json_log_lines(spark):
+    lines = [
+        '{"time":"2024-01-15T10:30:45.123456789Z","stream":"stdout","logtag":"F","message":"hello","cluster":"test"}',
+        "not json at all",
+    ]
+    df = parse_json_log_lines(spark.createDataFrame([(s,) for s in lines], ["value"]))
+    rows = df.collect()
+    assert rows[0].time_ns == 1705314645123456789
+    assert rows[0].stream == "stdout" and rows[0].cluster == "test"
+    assert rows[1].time_ns is None and rows[1].message is None
+
+
+def test_salted_join_matches_plain_join(spark):
+    # hot key 1 dominates
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, i) for i in range(10)], ["k", "v"]
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")], ["k", "label"])
+    plain = {(r.k, r.v, r.label) for r in big.join(small, "k").collect()}
+    salted = {(r.k, r.v, r.label) for r in salted_join(big, small, "k", salt=4).collect()}
+    assert salted == plain
+
+
+def test_windowed_counts_batch_and_stream_agree(spark, tmp_path):
+    """The same windowed plan over batch input and over a file stream
+    (complete mode) must produce identical finalized windows."""
+    from kubernetes_logs_datalake_spark.streaming.analytics import windowed_counts
+
+    data_dir = tmp_path / "in"
+    data_dir.mkdir()
+    lines = [
+        f"2024-01-15T10:{30 + (i // 30):02d}:{i % 30:02d}.0Z stdout F m{i}" for i in range(90)
+    ]
+    (data_dir / "a.log").write_text("\n".join(lines) + "\n")
+
+    def records_of(df):
+        return parse_cri_lines(df.withColumn("path", F.input_file_name()),
+                               path_col=None, cluster="dev")
+
+    batch = records_of(spark.read.text(str(data_dir)))
+    got_batch = {
+        (str(r.window_start), r.n)
+        for r in windowed_counts(batch, window="1 minute").collect()
+    }
+    assert got_batch == {
+        ("2024-01-15 10:30:00", 30),
+        ("2024-01-15 10:31:00", 30),
+        ("2024-01-15 10:32:00", 30),
+    }
+
+    stream = records_of(spark.readStream.format("text").load(str(data_dir)))
+    q = (
+        windowed_counts(stream, window="1 minute", watermark_delay="1 minute")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got_stream = {
+            (str(r.window_start), r.n) for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+        assert got_stream == got_batch
+    finally:
+        q.stop()
+
+
+def test_long_line_guard(spark):
+    lines = [
+        ("p", "2024-01-15T10:30:45.0Z stdout F ok"),
+        ("p", "2024-01-15T10:30:46.0Z stdout F " + "x" * 5000),
+    ]
+    df = spark.createDataFrame(lines, ["path", "value"])
+    out = parse_cri_lines(df, cluster="c", max_line_bytes=1024)
+    assert [r.message for r in out.collect()] == ["ok"]
