@@ -48,6 +48,7 @@ from kubernetes_logs_datalake_spark.operators.dedup import (
 from kubernetes_logs_datalake_spark.operators.rollup import rollup_events
 from kubernetes_logs_datalake_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     knn_join_bruteforce,
     lsh_topk,
 )
@@ -480,6 +481,15 @@ def _ann_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return top.select("vec_id", F.round("cos", 4).alias("cos"))
 
 
+def _ann_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    q = _query_vec(spark, sf)
+    top = ivf_topk(
+        emb.filter(F.col("vec_id") != 0), "embedding", q, k=10, n_centroids=8, n_probe=4
+    )
+    return top.select("vec_id", F.round("cos", 4).alias("cos"))
+
+
 def _knn_join(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     left = emb.filter(F.col("vec_id") < 20)
@@ -636,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_topk_bruteforce": _ann_topk_bruteforce,
         "ann_topk_lsh": _ann_topk_lsh,
+        "ann_topk_ivf": _ann_topk_ivf,
         "knn_join": _knn_join,
         # extended relational / temporal
         "asof_purchase_click": _asof_purchase_click,

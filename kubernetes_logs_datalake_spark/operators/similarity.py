@@ -104,6 +104,65 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    Train k-means centroids (pyspark.ml, seeded → deterministic), assign
+    every vector to its nearest centroid, then scan only the ``n_probe``
+    centroids nearest the query. The 100 TB shape: training samples the
+    corpus once; assignment is a broadcast of ``n_centroids`` small
+    vectors; the probe scan touches ~n_probe/n_centroids of the data —
+    and the assignment column can be persisted as a partition key so
+    probes become partition pruning.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(train)
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+
+    # distance of the driver-side query to each centroid → probe set
+    def sqdist(a: list[float], b: list[float]) -> float:
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    probe = sorted(range(len(centers)), key=lambda i: sqdist(query, centers[i]))[:n_probe]
+
+    # executor-side assignment: argmin over broadcast centroid literals
+    # (pure column math — no model UDF in the scan)
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                literal_vector(c),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in centers
+    ]
+    assign = F.array_position(F.array(*dists), F.array_min(F.array(*dists))) - 1
+
+    q = literal_vector(query)
+    return (
+        df.withColumn("_cell", assign)
+        .filter(F.col("_cell").isin(probe))
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos"))
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def knn_join_bruteforce(
     left: DataFrame,
     right: DataFrame,

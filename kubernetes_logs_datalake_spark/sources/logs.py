@@ -70,6 +70,11 @@ class LogLake:
 
     root: str
     layout: str = "native"  # native | positional
+    # T2 size-flush analog: bounds output file size so one hot
+    # partition cannot produce an unsplittable multi-GB file. The
+    # reference bounds bytes (total_file_size 1M); record count is the
+    # splittable-parquet equivalent.
+    max_records_per_file: int = 5_000_000
 
     # ---------------------------------------------------------------- write
 
@@ -88,7 +93,7 @@ class LogLake:
             (
                 out.repartition(*[F.col(c) for c in NATIVE_PARTITIONING])
                 .write.mode(mode)
-                .option("maxRecordsPerFile", 5_000_000)
+                .option("maxRecordsPerFile", self.max_records_per_file)
                 .partitionBy(*NATIVE_PARTITIONING)
                 .parquet(self.root)
             )

@@ -122,3 +122,21 @@ def test_long_line_guard(spark):
     df = spark.createDataFrame(lines, ["path", "value"])
     out = parse_cri_lines(df, cluster="c", max_line_bytes=1024)
     assert [r.message for r in out.collect()] == ["ok"]
+
+
+def test_ivf_topk_recall(spark):
+    """IVF probing half the cells must recover most of the exact top-k."""
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).first().embedding]
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in brute_force_topk(rest, "embedding", q, k=10).collect()}
+    approx = {
+        r.vec_id
+        for r in ivf_topk(rest, "embedding", q, k=10, n_centroids=8, n_probe=4).collect()
+    }
+    assert len(exact & approx) >= 5  # recall@10 ≥ 0.5 with 4/8 probes
