@@ -443,14 +443,26 @@ def _text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    from kubernetes_logs_datalake_spark.functions.text import quality_score_from, words
+
     d = _t(spark, sf, "documents")
-    return d.select(
+    # stage the tokenization once; every word-based metric reuses it
+    # (2-3x less scan work than re-tokenizing per metric)
+    w = F.col("_w")
+    staged = d.select("doc_id", "text", words("text").alias("_w")).select(
         "doc_id",
-        token_count("text").alias("n_tokens"),
-        F.round(stopword_ratio("text"), 4).alias("stopword_ratio"),
-        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
-        F.round(mean_word_length("text"), 4).alias("mean_word_len"),
-        F.round(quality_score("text"), 4).alias("quality"),
+        F.size(w).cast("long").alias("n_tokens"),
+        stopword_ratio("text", words_col=w).alias("_swr"),
+        punct_ratio("text").alias("_pr"),
+        mean_word_length("text", words_col=w).alias("_mwl"),
+    )
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        F.round("_swr", 4).alias("stopword_ratio"),
+        F.round("_pr", 4).alias("punct_ratio"),
+        F.round("_mwl", 4).alias("mean_word_len"),
+        F.round(quality_score_from(F.col("_swr"), F.col("_mwl"), F.col("_pr")), 4).alias("quality"),
     )
 
 

@@ -79,10 +79,19 @@ STOPWORDS_EN = (
 ).split()
 
 
-def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+def stopword_ratio(
+    text: Column | str,
+    stopwords: list[str] | None = None,
+    words_col: Column | None = None,
+) -> Column:
     """Fraction of words that are (English) stopwords — a standard
-    quality-filter signal (high ratio ⇒ natural prose)."""
-    w = words(text)
+    quality-filter signal (high ratio ⇒ natural prose).
+
+    Pass ``words_col`` (a precomputed ``words(text)`` column) when
+    combining several word-based metrics in one projection — otherwise
+    each metric re-tokenizes and the scan does the regex work N times.
+    """
+    w = words_col if words_col is not None else words(text)
     sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
     hits = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
     return F.when(F.size(w) > 0, hits / F.size(w)).otherwise(F.lit(0.0))
@@ -101,26 +110,31 @@ def uppercase_ratio(text: Column | str) -> Column:
     return F.when(letters > 0, upper / letters).otherwise(F.lit(0.0))
 
 
-def mean_word_length(text: Column | str) -> Column:
-    w = words(text)
+def mean_word_length(text: Column | str, words_col: Column | None = None) -> Column:
+    w = words_col if words_col is not None else words(text)
     total = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
     return F.when(F.size(w) > 0, total / F.size(w)).otherwise(F.lit(0.0))
 
 
-def quality_score(text: Column | str) -> Column:
-    """Composite [0,1] quality heuristic: prose-like stopword presence,
-    sane word lengths, low punctuation noise. Deliberately simple and
-    fully SQL-expressible; thresholds follow common web-corpus filters
-    (Gopher/C4-style length and symbol rules)."""
-    sw = stopword_ratio(text)
-    mwl = mean_word_length(text)
-    pr = punct_ratio(text)
-    score = (
+def quality_score_from(sw: Column, mwl: Column, pr: Column) -> Column:
+    """Composite [0,1] quality from precomputed component columns."""
+    return (
         F.least(sw * 4, F.lit(1.0)) * 0.4
         + F.when((mwl >= 3) & (mwl <= 10), 1.0).otherwise(0.0) * 0.3
         + F.when(pr < 0.1, 1.0).otherwise(F.greatest(F.lit(0.0), 1 - pr * 5)) * 0.3
     )
-    return score
+
+
+def quality_score(text: Column | str, words_col: Column | None = None) -> Column:
+    """Composite [0,1] quality heuristic: prose-like stopword presence,
+    sane word lengths, low punctuation noise. Deliberately simple and
+    fully SQL-expressible; thresholds follow common web-corpus filters
+    (Gopher/C4-style length and symbol rules)."""
+    return quality_score_from(
+        stopword_ratio(text, words_col=words_col),
+        mean_word_length(text, words_col=words_col),
+        punct_ratio(text),
+    )
 
 
 # ----------------------------------------------------------------- lang id

@@ -155,6 +155,23 @@ class LogLake:
             df = df.filter(F.col(k) == v)
         return df
 
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        """The lake as a continuous source: downstream jobs (live
+        rollups, alerting) tail the lake itself instead of re-ingesting
+        raw logs. File-source discovery + checkpoints give the same
+        at-least-once contract as ingest; hive partition columns are
+        recovered from the directory layout."""
+        if self.layout != "native":
+            raise ValueError("read_stream supports the native layout only")
+        static = self._read_native(spark, "parquet", {}, None)
+        return (
+            spark.readStream.schema(static.schema)
+            .option("basePath", self.root)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1000")
+            .parquet(self.root)
+        )
+
     # -- positional (reference) layout ---------------------------------
 
     def positional_glob(

@@ -122,3 +122,26 @@ def test_compaction_preserves_rows(spark, pods_dir, tmp_path):
     compact_lake(spark, lake_root)
     after = lake.read(spark).count()
     assert before == after == 50
+
+
+def test_lake_read_stream(spark, pods_dir, tmp_path):
+    """Downstream consumers tail the lake itself as a stream."""
+    lake_root = str(tmp_path / "lake4")
+    write_log(pods_dir, "qa", "app-1", "app", [f"{ts(i)} stdout F s-{i}" for i in range(15)])
+    job = IngestJob(logs_dir=pods_dir, lake_root=lake_root, cluster="dev",
+                    trigger_seconds=1, formats=("parquet",))
+    job.start(spark)
+    job.process_available()
+    job.stop_gracefully()
+
+    stream = LogLake(lake_root).read_stream(spark)
+    assert stream.isStreaming
+    q = (stream.groupBy("namespace").count()
+         .writeStream.format("memory").queryName("lake_tail")
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        rows = {(r.namespace, r["count"]) for r in spark.sql("SELECT * FROM lake_tail").collect()}
+        assert rows == {("qa", 15)}
+    finally:
+        q.stop()
