@@ -67,6 +67,50 @@ def _ts_us(col: str = "ts") -> F.Column:
     return ((c - F.pmod(c, 1000)).cast("decimal(38,0)") / 1000).cast("long")
 
 
+# --- exact-decimal aggregation helpers ------------------------------------
+# Monetary/metric columns in the testdata are exact at 4 decimal places,
+# so casting to DECIMAL before SUM makes the aggregate exact and
+# order-independent — double summation order differs between Spark's
+# partial aggregates and DuckDB, which otherwise flips round() at
+# boundaries (observed: 1 row in 599 on a 2-year revenue rollup).
+# Precisions are sized so chained products stay within DECIMAL(38):
+# price(12,4) × rate(8,4) × rate(8,4) → (30,12).
+
+def _dprice(c) -> F.Column:
+    return (F.col(c) if isinstance(c, str) else c).cast("decimal(12,4)")
+
+
+def _drate(expr) -> F.Column:
+    return expr.cast("decimal(8,4)")
+
+
+def _rev_dec() -> F.Column:
+    """Exact decimal revenue: l_extendedprice * (1 - l_discount)."""
+    return _dprice("l_extendedprice") * _drate(F.lit(1.0) - F.col("l_discount"))
+
+
+def _dsum(expr, scale: int = 2) -> F.Column:
+    """round(SUM(decimal), scale) emitted as double."""
+    return F.round(F.sum(expr), scale).cast("double")
+
+
+def _davg(expr, scale: int = 4) -> F.Column:
+    """Exact-sum average: CAST(SUM(dec) AS double)/COUNT, rounded."""
+    return F.round(F.sum(expr).cast("double") / F.count(F.lit(1)), scale)
+
+
+# DuckDB-side equivalents (textual)
+_S_REV = "(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(8,4)))"
+
+
+def _s_dsum(expr: str, alias: str, scale: int = 2) -> str:
+    return f"CAST(round(sum({expr}), {scale}) AS DOUBLE) AS {alias}"
+
+
+def _s_davg(expr: str, alias: str, scale: int = 4) -> str:
+    return f"round(CAST(sum({expr}) AS DOUBLE) / count(*), {scale}) AS {alias}"
+
+
 _QUERY_VEC_CACHE: dict[str, list[float]] = {}
 
 
@@ -113,20 +157,13 @@ def _q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _dsum(_dprice("l_quantity")).alias("sum_qty"),
+            _dsum(_dprice("l_extendedprice")).alias("sum_base_price"),
+            _dsum(_rev_dec()).alias("sum_disc_price"),
+            _dsum(_rev_dec() * _drate(F.lit(1.0) + F.col("l_tax"))).alias("sum_charge"),
+            _davg(_dprice("l_quantity")).alias("avg_qty"),
+            _davg(_dprice("l_extendedprice")).alias("avg_price"),
+            _davg(_drate(F.col("l_discount"))).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -142,7 +179,7 @@ def _q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_dsum(_rev_dec()).alias("revenue"))
         .select(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -168,7 +205,7 @@ def _q5_region_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_dsum(_rev_dec()).alias("revenue"))
     )
 
 
@@ -180,7 +217,7 @@ def _q6_revenue_forecast(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("l_discount") >= 0.05)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
-    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    ).agg(_dsum(_dprice("l_extendedprice") * _drate(F.col("l_discount"))).alias("revenue"))
 
 
 def _q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
@@ -193,7 +230,7 @@ def _q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(_dsum(_rev_dec()).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -203,8 +240,8 @@ def _agg_orders_by_priority(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders")
     return o.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        _dsum(_dprice("o_totalprice")).alias("total"),
+        _davg(_dprice("o_totalprice")).alias("avg_price"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
@@ -219,7 +256,7 @@ def _brand_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_lines"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            _dsum(_rev_dec()).alias("revenue"),
         )
     )
 
@@ -227,7 +264,7 @@ def _brand_revenue(spark: SparkSession, sf: str) -> DataFrame:
 def _rollup_returnflag(spark: SparkSession, sf: str) -> DataFrame:
     l = _t(spark, sf, "lineitem")
     return l.rollup("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+        F.count("*").alias("n"), _dsum(_dprice("l_quantity")).alias("qty")
     )
 
 
@@ -295,7 +332,7 @@ def _window_running_total(spark: SparkSession, sf: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.round(F.sum(_dprice("o_totalprice")).over(w), 2).cast("double").alias("running_total"),
     )
 
 
@@ -340,8 +377,8 @@ def _events_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
         keys=["event_type"],
         aggs=[
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            _dsum(_dprice("value")).alias("sum_value"),
+            _davg(_dprice("value")).alias("avg_value"),
         ],
     )
     # bucket in epoch-µs so DuckDB (µs timestamps) can mirror exactly
@@ -362,7 +399,7 @@ def _events_type_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n"),
         F.min(_ts_us()).alias("min_ts_us"),
         F.max(_ts_us()).alias("max_ts_us"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        _dsum(_dprice("value")).alias("sum_value"),
         F.count_distinct("user_id").alias("n_users"),
     )
 
@@ -387,7 +424,7 @@ def _events_top_users(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "events")
     return (
         e.groupBy("user_id")
-        .agg(F.round(F.sum("value"), 2).alias("total_value"), F.count("*").alias("n"))
+        .agg(_dsum(_dprice("value")).alias("total_value"), F.count("*").alias("n"))
         .orderBy(F.desc("total_value"), "user_id")
         .limit(20)
     )
@@ -582,7 +619,7 @@ def _stringagg_region_nations(spark: SparkSession, sf: str) -> DataFrame:
 def _cube_order_counts(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+        F.count("*").alias("n"), _dsum(_dprice("o_totalprice")).alias("total")
     )
 
 
@@ -600,7 +637,7 @@ def _monthly_order_trend(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders")
     return (
         o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month"))
-        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count("*").alias("n_orders"), _dsum(_dprice("o_totalprice")).alias("total"))
     )
 
 
@@ -613,6 +650,102 @@ def _array_stats_embeddings(spark: SparkSession, sf: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
         F.round(norm("embedding"), 6).alias("l2_norm"),
+    )
+
+
+def _q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between customer-nation and
+    supplier-nation pairs."""
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    pairs = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.c_nk)
+        .join(F.broadcast(n2), s.s_nationkey == n2.s_nk)
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+    )
+    return (
+        pairs.groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_dsum(_rev_dec()).alias("volume"))
+    )
+
+
+def _q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share in a month window."""
+    p = _t(spark, sf, "part")
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-06-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-07-01")))
+    )
+    rev = _rev_dec()
+    zero = F.lit(0.0).cast("decimal(8,4)") * F.lit(0.0).cast("decimal(12,4)")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+def _grouping_sets_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than rollup/cube): totals per
+    status, per priority, and overall — expressed in Spark SQL."""
+    _t(spark, sf, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def _scalar_null_handling(spark: SparkSession, sf: str) -> DataFrame:
+    """Null/conditional scalar parity: coalesce, nullif, CASE, least/
+    greatest, trim/replace/strpos semantics."""
+    c = _t(spark, sf, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("(building)")).alias(
+            "segment_folded"
+        ),
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .otherwise("ok")
+        .alias("balance_class"),
+        F.round(F.greatest(F.col("c_acctbal"), F.lit(0.0)), 2).alias("nonneg_bal"),
+        F.round(F.least(F.col("c_acctbal"), F.lit(5000.0)), 2).alias("capped_bal"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("short_name"),
+        F.instr(F.col("c_name"), "#").cast("long").alias("hash_pos"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit("  "))).alias("trimmed"),
+    )
+
+
+def _approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL sketch per event type (approximate — rows-only check; the
+    exact variant events_type_stats.n_users is the oracle-checked one)."""
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
     )
 
 
@@ -671,6 +804,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_source_extract": _regex_source_extract,
         "monthly_order_trend": _monthly_order_trend,
         "array_stats_embeddings": _array_stats_embeddings,
+        "q7_nation_volume": _q7_nation_volume,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "grouping_sets_orders": _grouping_sets_orders,
+        "scalar_null_handling": _scalar_null_handling,
+        "approx_distinct_users": _approx_distinct_users,
     }
 
 
@@ -681,22 +819,22 @@ def oracle_sql() -> dict[str, str]:
     cos_ab = _ddb_cos("a.embedding", "b.embedding")
     cos_eq = _ddb_cos("e.embedding", "q.embedding")
     return {
-        "q1_pricing_summary": """
+        "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-                   round(avg(l_quantity), 4) AS avg_qty,
-                   round(avg(l_extendedprice), 4) AS avg_price,
-                   round(avg(l_discount), 4) AS avg_disc,
+                   {_s_dsum("CAST(l_quantity AS DECIMAL(12,4))", "sum_qty")},
+                   {_s_dsum("CAST(l_extendedprice AS DECIMAL(12,4))", "sum_base_price")},
+                   {_s_dsum(_S_REV, "sum_disc_price")},
+                   {_s_dsum(_S_REV + " * CAST(1 + l_tax AS DECIMAL(8,4))", "sum_charge")},
+                   {_s_davg("CAST(l_quantity AS DECIMAL(12,4))", "avg_qty")},
+                   {_s_davg("CAST(l_extendedprice AS DECIMAL(12,4))", "avg_price")},
+                   {_s_davg("CAST(l_discount AS DECIMAL(8,4))", "avg_disc")},
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
         """,
-        "q3_shipping_priority": """
+        "q3_shipping_priority": f"""
             SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   {_s_dsum(_S_REV, "revenue")}
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -706,9 +844,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey, o_orderdate
             ORDER BY revenue DESC, l_orderkey LIMIT 10
         """,
-        "q5_region_revenue": """
+        "q5_region_revenue": f"""
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   {_s_dsum(_S_REV, "revenue")}
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -718,17 +856,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
             GROUP BY n_name
         """,
-        "q6_revenue_forecast": """
-            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        "q6_revenue_forecast": f"""
+            SELECT {_s_dsum("CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_discount AS DECIMAL(8,4))", "revenue")}
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
         """,
-        "q10_returned_items": """
+        "q10_returned_items": f"""
             SELECT c_custkey, c_name, n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   {_s_dsum(_S_REV, "revenue")}
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -737,24 +875,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, n_name
             ORDER BY revenue DESC, c_custkey LIMIT 20
         """,
-        "agg_orders_by_priority": """
+        "agg_orders_by_priority": f"""
             SELECT o_orderstatus, o_orderpriority,
                    count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS total,
-                   round(avg(o_totalprice), 4) AS avg_price,
+                   {_s_dsum("CAST(o_totalprice AS DECIMAL(12,4))", "total")},
+                   {_s_davg("CAST(o_totalprice AS DECIMAL(12,4))", "avg_price")},
                    round(min(o_totalprice), 2) AS min_price,
                    round(max(o_totalprice), 2) AS max_price
             FROM orders GROUP BY o_orderstatus, o_orderpriority
         """,
-        "brand_revenue_broadcast": """
+        "brand_revenue_broadcast": f"""
             SELECT p_brand, count(*) AS n_lines,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   {_s_dsum(_S_REV, "revenue")}
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
         """,
-        "rollup_returnflag": """
+        "rollup_returnflag": f"""
             SELECT l_returnflag, l_linestatus, count(*) AS n,
-                   round(sum(l_quantity), 2) AS qty
+                   {_s_dsum("CAST(l_quantity AS DECIMAL(12,4))", "qty")}
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
@@ -787,9 +925,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "window_running_total": """
             SELECT o_custkey, o_orderkey,
-                   round(sum(o_totalprice) OVER (
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,4))) OVER (
                        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+                   AS running_total
             FROM orders
         """,
         "pivot_event_counts": """
@@ -815,18 +954,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(o_orderpriority) AS INT) AS prio_len
             FROM orders WHERE o_orderkey <= 100
         """,
-        "events_hourly_rollup": """
+        "events_hourly_rollup": f"""
             SELECT (epoch_us(ts) - epoch_us(ts) % 3600000000) AS bucket_us,
                    event_type, count(*) AS n,
-                   round(sum(value), 2) AS sum_value,
-                   round(avg(value), 4) AS avg_value
+                   {_s_dsum("CAST(value AS DECIMAL(12,4))", "sum_value")},
+                   {_s_davg("CAST(value AS DECIMAL(12,4))", "avg_value")}
             FROM events GROUP BY 1, 2
         """,
-        "events_type_stats": """
+        "events_type_stats": f"""
             SELECT event_type, count(*) AS n,
                    min(epoch_us(ts)) AS min_ts_us,
                    max(epoch_us(ts)) AS max_ts_us,
-                   round(sum(value), 2) AS sum_value,
+                   {_s_dsum("CAST(value AS DECIMAL(12,4))", "sum_value")},
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
         """,
@@ -840,8 +979,9 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
             GROUP BY user_id
         """,
-        "events_top_users": """
-            SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n
+        "events_top_users": f"""
+            SELECT user_id, {_s_dsum("CAST(value AS DECIMAL(12,4))", "total_value")},
+                   count(*) AS n
             FROM events GROUP BY user_id
             ORDER BY total_value DESC, user_id LIMIT 20
         """,
@@ -967,9 +1107,9 @@ def oracle_sql() -> dict[str, str]:
             FROM nation JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
         """,
-        "cube_order_counts": """
+        "cube_order_counts": f"""
             SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-                   round(sum(o_totalprice), 2) AS total
+                   {_s_dsum("CAST(o_totalprice AS DECIMAL(12,4))", "total")}
             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "regex_source_extract": """
@@ -979,9 +1119,10 @@ def oracle_sql() -> dict[str, str]:
                    substr(text, 1, 20) AS prefix20
             FROM documents
         """,
-        "monthly_order_trend": """
+        "monthly_order_trend": f"""
             SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
-                   count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+                   count(*) AS n_orders,
+                   {_s_dsum("CAST(o_totalprice AS DECIMAL(12,4))", "total")}
             FROM orders GROUP BY 1
         """,
         "array_stats_embeddings": """
@@ -992,8 +1133,53 @@ def oracle_sql() -> dict[str, str]:
                          x -> (x)::DOUBLE * (x)::DOUBLE))), 6) AS l2_norm
             FROM embeddings
         """,
-        # dedup_minhash_lsh, dedup_simhash, ann_topk_lsh: hash-seeded
-        # approximate operators → rows-only check (no SQL oracle).
+        "q7_nation_volume": f"""
+            SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   {_s_dsum(_S_REV, "volume")}
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND n1.n_name < n2.n_name
+            GROUP BY 1, 2, 3
+        """,
+        "q14_promo_revenue": f"""
+            SELECT round(100.0 *
+                       CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_S_REV}
+                                ELSE CAST(0.0 AS DECIMAL(8,4)) * CAST(0.0 AS DECIMAL(12,4)) END)
+                            AS DOUBLE) /
+                       CAST(sum({_S_REV}) AS DOUBLE), 4) AS promo_share_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+              AND l_shipdate < TIMESTAMP '1997-07-01'
+        """,
+        "grouping_sets_orders": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "scalar_null_handling": """
+            SELECT c_custkey,
+                   coalesce(nullif(c_mktsegment, 'BUILDING'), '(building)') AS segment_folded,
+                   CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                        WHEN c_acctbal < 1000 THEN 'low'
+                        ELSE 'ok' END AS balance_class,
+                   round(greatest(c_acctbal, 0.0), 2) AS nonneg_bal,
+                   round(least(c_acctbal, 5000.0), 2) AS capped_bal,
+                   replace(c_name, 'Customer', 'Cust') AS short_name,
+                   CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+                   trim('  ' || c_mktsegment || '  ') AS trimmed
+            FROM customer WHERE c_custkey <= 200
+        """,
+        # dedup_minhash_lsh, dedup_simhash, ann_topk_lsh, ann_topk_ivf,
+        # approx_distinct_users: approximate/hash-seeded operators →
+        # rows-only check (no SQL oracle).
     }
 
 
