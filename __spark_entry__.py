@@ -466,6 +466,18 @@ def _dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
+def _dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs (unigram Jaccard ≥ 0.8) resolved to duplicate
+    groups via distributed connected components."""
+    from kubernetes_logs_datalake_spark.operators.dedup import connected_components
+
+    d = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.8)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("keep_id")
+    )
+
+
 def _text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     return (
@@ -784,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding": _dedup_embedding,
+        "dedup_components": _dedup_components,
         "text_token_stats": _text_token_stats,
         "text_quality": _text_quality,
         "text_lang_id": _text_lang_id,
@@ -1017,6 +1030,32 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos_ab} AS cos
                 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
             WHERE cos >= 0.35
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE ws AS (
+                SELECT DISTINCT doc_id AS _id, unnest({_DDB_WORDS.format(t="text")}) AS shingle
+                FROM documents
+            ), sizes AS (
+                SELECT _id, count(*) AS sz FROM ws GROUP BY _id
+            ), inter AS (
+                SELECT a._id AS id_a, b._id AS id_b, count(*) AS i
+                FROM ws a JOIN ws b USING (shingle)
+                WHERE a._id < b._id GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa._id = id_a
+                JOIN sizes sb ON sb._id = id_b
+                WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+            )
+            SELECT node AS doc_id, min(r) AS keep_id FROM reach GROUP BY node
         """,
         "text_token_stats": f"""
             SELECT lang, count(*) AS n_docs,

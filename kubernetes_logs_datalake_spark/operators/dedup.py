@@ -203,6 +203,60 @@ def simhash_candidates(
     )
 
 
+# ------------------------------------------------- component resolution
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-duplicate *pairs* into duplicate *groups*: each node
+    labeled with the minimum id reachable in its connected component
+    (the canonical representative to keep).
+
+    Iterative min-label propagation — each round, every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds. This is the standard distributed CC
+    shape (GraphFrames/Pregel-style) expressed as plain joins: per round
+    one shuffle join edges⋈labels + one min-aggregate. ``localCheckpoint``
+    truncates the growing lineage. Deterministic; terminates early on
+    convergence.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.distinct().localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
 # ------------------------------------------------------- embedding cosine
 
 

@@ -69,10 +69,26 @@ class LogQuery:
         return df.select("time_ns", *cols)
 
     def df(self, spark: SparkSession) -> DataFrame:
-        """Full-column result, globally ordered by event time (ns-exact)."""
+        """Full-column result, globally ordered by event time (ns-exact).
+
+        ``-f both`` tolerates a single-format lake (the reference always
+        writes both formats, so its UNION never sees a missing side; our
+        lake may legitimately hold only parquet) — but at least one
+        format must exist.
+        """
         if self.fmt == "both":
-            scans = [self._scan(spark, "arrow"), self._scan(spark, "parquet")]
-            out = scans[0].unionByName(scans[1])
+            scans = []
+            errors = []
+            for fmt in ("arrow", "parquet"):
+                try:
+                    scans.append(self._scan(spark, fmt))
+                except Exception as e:  # missing format → skip side
+                    errors.append(e)
+            if not scans:
+                raise errors[0]
+            out = scans[0]
+            for s in scans[1:]:
+                out = out.unionByName(s)
         else:
             out = self._scan(spark, self.fmt)
         return out.orderBy("time_ns")

@@ -127,3 +127,37 @@ def test_oracle_duckdb_same_result(spark, lake):
         """
     ).fetchall()
     assert ours == [tuple(r) for r in oracle]
+
+
+def test_both_formats_tolerates_parquet_only_lake(spark, lake):
+    """-f both on a parquet-only lake degrades to the available format."""
+    q = LogQuery(lake, cluster="dev", selectors={"namespace": "qa"}, fmt="both", output="raw")
+    msgs = [r.message for r in q.projected(spark).collect()]
+    assert msgs == ["hello from qa 1", "partial line", "hello from qa 2"]
+
+
+def test_positional_parquet_reference_file(spark, tmp_path):
+    """Reference-written positional-layout parquet (TIMESTAMP_NS time
+    column) reads with derived dims and exact ns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dest = (
+        tmp_path / "ref" / "dev" / "qa" / "2024" / "01" / "15"
+        / "n1" / "pod-x" / "app" / "10" / "30"
+    )
+    dest.mkdir(parents=True)
+    table = pa.table(
+        {
+            "time": pa.array([1705314645123456789], pa.timestamp("ns")),
+            "stream": ["stdout"],
+            "logtag": ["F"],
+            "message": ["pq ref"],
+            "cluster": ["dev"],
+        }
+    )
+    pq.write_table(table, str(dest / "0001.parquet"))
+    lk = LogLake(str(tmp_path / "ref"), layout="positional")
+    row = lk.read(spark, fmt="parquet", selectors={"pod": "pod-x"}, cluster="dev").first()
+    assert row.time_ns == 1705314645123456789
+    assert (row.namespace, row.node, row.container) == ("qa", "n1", "app")
