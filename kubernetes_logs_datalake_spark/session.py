@@ -60,6 +60,13 @@ def get_spark(
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         # Storage: match the reference's compression/encoding choices.
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Dynamic-partition writes must preserve the caller's in-task
+        # (partition-cols, time) ordering so rolled files get disjoint
+        # time ranges (zone-map clustering). Planned write inserts its
+        # own empty2null partition-col sort that scrambles secondary
+        # order; the concurrent-writers path streams rows as they come.
+        .config("spark.sql.optimizer.plannedWrite.enabled", "false")
+        .config("spark.sql.maxConcurrentOutputFileWriters", "64")
         # Arrow for any pandas-UDF path (the slow path, but when used it
         # must be batched, never per-row).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

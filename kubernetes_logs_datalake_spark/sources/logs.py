@@ -90,8 +90,16 @@ class LogLake:
             raise ValueError("write_batch supports the native hive layout only")
         out = _ensure_date(df)
         if fmt == "parquet":
+            # Range-partition on (partition cols, time): a hot
+            # namespace/day splits into parallel TIME-RANGE tasks (not
+            # interleaved hash/skew splits), and the in-task sort makes
+            # every file and row group a tight, disjoint time span —
+            # zone-map clustering, so a --since predicate skips whole
+            # row groups instead of scanning the day.
+            cols = [F.col(c) for c in NATIVE_PARTITIONING] + [F.col("time_ns")]
             (
-                out.repartition(*[F.col(c) for c in NATIVE_PARTITIONING])
+                out.repartitionByRange(*cols)
+                .sortWithinPartitions(*cols)
                 .write.mode(mode)
                 .option("maxRecordsPerFile", self.max_records_per_file)
                 .partitionBy(*NATIVE_PARTITIONING)

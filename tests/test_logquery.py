@@ -161,3 +161,41 @@ def test_positional_parquet_reference_file(spark, tmp_path):
     row = lk.read(spark, fmt="parquet", selectors={"pod": "pod-x"}, cluster="dev").first()
     assert row.time_ns == 1705314645123456789
     assert (row.namespace, row.node, row.container) == ("qa", "n1", "app")
+
+
+def test_rolled_files_have_disjoint_time_ranges(spark, tmp_path):
+    """Lake writes cluster by time: rolled files within a partition must
+    cover disjoint time ranges so --since skips whole files/row groups."""
+    import glob as globmod
+    import random
+
+    import pyarrow.parquet as pq
+
+    rng = random.Random(7)
+    idx = list(range(3000))
+    rng.shuffle(idx)
+    raw = spark.createDataFrame(
+        [
+            (
+                "/var/log/pods/qa_p_u/app/0.log",
+                f"2024-01-15T10:{i // 60 % 60:02d}:{i % 60:02d}.{i:09d}Z stdout F m{i}",
+            )
+            for i in idx
+        ],
+        ["path", "value"],
+    )
+    lk = LogLake(str(tmp_path / "sorted"), max_records_per_file=1000)
+    lk.write_batch(parse_cri_lines(raw, path_col="path", cluster="c"))
+    stats = []
+    for f in globmod.glob(f"{lk.root}/**/*.parquet", recursive=True):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(c)
+                for c in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(c).path_in_schema == "time_ns"
+            )
+            stats.append((col.statistics.min, col.statistics.max))
+    stats.sort()
+    assert len(stats) >= 3
+    assert all(a[1] <= b[0] for a, b in zip(stats, stats[1:])), stats
