@@ -581,6 +581,72 @@ def _asof_purchase_click(spark: SparkSession, sf: str) -> DataFrame:
     return joined.select("user_id", "purchase_id", F.col("click_id_asof").alias("prev_click_id"))
 
 
+def _range_join_error_context(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval join: for each error event, count the same user's events
+    within ±60 s (bucketized range join — no per-key cross product)."""
+    from kubernetes_logs_datalake_spark.operators.rangejoin import range_join
+
+    e = _t(spark, sf, "events").select("user_id", "event_id", _ts_us().alias("ts_us"))
+    errors = e.filter(F.col("event_id") % 7 == 0).select(
+        "user_id", F.col("event_id").alias("err_id"), F.col("ts_us").alias("err_ts")
+    )
+    others = e.select("user_id", F.col("event_id").alias("near_id"), F.col("ts_us").alias("near_ts"))
+    joined = range_join(errors, others, on="user_id", left_ts="err_ts",
+                        right_ts="near_ts", max_delta=60_000_000)
+    return (
+        joined.filter(F.col("near_id") != F.col("err_id"))
+        .groupBy("err_id")
+        .agg(F.count("*").alias("n_nearby"))
+    )
+
+
+def _json_props_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Opaque-JSON enrichment: parse events.props and aggregate on an
+    extracted field (the from_json path the reference leaves to
+    consumers)."""
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.sum("k").cast("double") / F.count(F.lit(1)), 4).alias("avg_k"),
+        )
+    )
+
+
+def _unpivot_order_measures(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT/melt: wide per-status totals to (status, measure, value)."""
+    o = _t(spark, sf, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        _dsum(_dprice("o_totalprice")).alias("total"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    return wide.selectExpr(
+        "o_orderstatus",
+        "stack(3, 'total', total, 'min_price', min_price, 'max_price', max_price) AS (measure, value)",
+    )
+
+
+def _above_avg_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated-subquery shape: customers above their nation's average
+    balance (decorrelated to an aggregate + broadcast join)."""
+    c = _t(spark, sf, "customer")
+    nation_avg = c.groupBy("c_nationkey").agg(
+        (F.sum(_dprice("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("nation_avg")
+    )
+    return (
+        c.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_above"))
+    )
+
+
 def _intersect_nation_keys(spark: SparkSession, sf: str) -> DataFrame:
     c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
@@ -808,6 +874,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _knn_join,
         # extended relational / temporal
         "asof_purchase_click": _asof_purchase_click,
+        "range_join_error_context": _range_join_error_context,
+        "json_props_extract": _json_props_extract,
+        "unpivot_order_measures": _unpivot_order_measures,
+        "above_avg_customers": _above_avg_customers,
         "intersect_nation_keys": _intersect_nation_keys,
         "except_nation_keys": _except_nation_keys,
         "exists_late_shipments": _exists_late_shipments,
@@ -1114,6 +1184,45 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_ts
                   FROM events WHERE event_type = 'click') c
             ON p.user_id = c.user_id AND p.ts_us >= c.click_ts
+        """,
+        "range_join_error_context": """
+            SELECT a.event_id AS err_id, count(*) AS n_nearby
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.event_id <> a.event_id
+             AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+            WHERE a.event_id % 7 = 0
+            GROUP BY 1
+        """,
+        "json_props_extract": """
+            SELECT event_type, count(*) AS n,
+                   min(k) AS min_k, max(k) AS max_k,
+                   round(CAST(sum(k) AS DOUBLE) / count(*), 4) AS avg_k
+            FROM (SELECT event_type,
+                         CAST(json_extract_string(props, '$.k') AS INT) AS k
+                  FROM events)
+            GROUP BY event_type
+        """,
+        "unpivot_order_measures": f"""
+            WITH wide AS (
+                SELECT o_orderstatus,
+                       {_s_dsum("CAST(o_totalprice AS DECIMAL(12,4))", "total")},
+                       round(min(o_totalprice), 2) AS min_price,
+                       round(max(o_totalprice), 2) AS max_price
+                FROM orders GROUP BY o_orderstatus)
+            SELECT o_orderstatus, 'total' AS measure, total AS value FROM wide
+            UNION ALL
+            SELECT o_orderstatus, 'min_price', min_price FROM wide
+            UNION ALL
+            SELECT o_orderstatus, 'max_price', max_price FROM wide
+        """,
+        "above_avg_customers": """
+            SELECT c_nationkey, count(*) AS n_above
+            FROM customer c
+            WHERE c_acctbal > (
+                SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,4))) AS DOUBLE) / count(*)
+                FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+            GROUP BY c_nationkey
         """,
         "intersect_nation_keys": """
             SELECT c_nationkey AS nationkey FROM customer
