@@ -57,7 +57,17 @@ from kubernetes_logs_datalake_spark.operators.similarity import (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """The driver may hand us a session built without our defaults;
+    these two are load-bearing for correctness (events.ts is parquet
+    TIMESTAMP(NANOS) → must read as long; all time semantics are UTC)
+    and both are runtime-settable SQL confs."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def _ts_us(col: str = "ts") -> F.Column:
