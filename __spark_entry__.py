@@ -30,12 +30,9 @@ from kubernetes_logs_datalake_spark.functions.text import (
     fingerprint,
     lang_id,
     mean_word_length,
-    normalize_text,
     punct_ratio,
-    quality_score,
     stopword_ratio,
     token_count,
-    words,
 )
 from kubernetes_logs_datalake_spark.functions.time_ns import fmt_ns_iso
 from kubernetes_logs_datalake_spark.operators.dedup import (

@@ -21,7 +21,7 @@ runs and executors, which the correctness harness depends on.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kubernetes_logs_datalake_spark.functions.text import fingerprint, shingles

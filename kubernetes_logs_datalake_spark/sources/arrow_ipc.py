@@ -28,10 +28,7 @@ import pyarrow.feather as feather
 import pyarrow.ipc as ipc
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-from kubernetes_logs_datalake_spark.schema import LOGTAG_VALUES, STREAM_VALUES
 
 DICT_COLUMNS = ("stream", "logtag")
 

@@ -20,7 +20,6 @@ containers, trivially small.
 from __future__ import annotations
 
 from collections.abc import Iterator
-from typing import Any
 
 import pandas as pd
 

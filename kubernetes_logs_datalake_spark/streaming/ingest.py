@@ -36,7 +36,6 @@ AQE-sized batch writes, and a periodic compaction pass for small files
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
