@@ -46,6 +46,55 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_arrow(
+    df: DataFrame, vec_col: str, query: list[float], k: int = 10, id_col: str = "vec_id"
+) -> DataFrame:
+    """Arrow-vectorized brute-force top-k: same semantics as
+    ``brute_force_topk``, executed as a numpy matrix product per Arrow
+    batch inside ``mapInArrow``.
+
+    The column-expression version's higher-order functions evaluate
+    interpreted per element; this path does one BLAS matvec per Arrow
+    batch over the list column's flat value buffer (no Python lists).
+    Measured locally at 500k x 64-float vectors the two are comparable
+    (arrow slightly ahead warm, behind cold due to Python worker
+    startup); the gap widens with dimension and corpus size, making
+    this the preferred shape for embedding-heavy workloads. Values can
+    differ from the sequential fold in the last float ulp (pairwise vs
+    sequential summation), so the DuckDB-oracle contract keeps the
+    column version.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+
+    def score(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            if len(tbl) == 0:
+                continue
+            ids = tbl.column(id_col).to_numpy()
+            # zero-copy-ish: flatten the list column's value buffer and
+            # reshape — never materialize Python lists
+            lst = tbl.column(vec_col).combine_chunks()
+            mat = lst.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            ).reshape(len(tbl), -1)
+            norms = np.linalg.norm(mat, axis=1)
+            denom = norms * qn
+            cos = np.where(denom > 0, mat @ q / np.where(denom == 0, 1, denom), 0.0)
+            yield pa.record_batch(
+                {id_col: pa.array(ids), "cos": pa.array(cos, pa.float64())}
+            )
+
+    scored = df.select(id_col, vec_col).mapInArrow(
+        score, f"{id_col} long, cos double"
+    )
+    return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
 def _hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (LCG; no numpy
     dependency in the plan, reproducible across executors/runs)."""

@@ -1,0 +1,47 @@
+"""Approximate-operator quality gates: the fast/approximate paths must
+track the exact ones."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kubernetes_logs_datalake_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+)
+from kubernetes_logs_datalake_spark.operators.similarity import (
+    brute_force_topk,
+    brute_force_topk_arrow,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_arrow_topk_matches_column_topk(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 0).first().embedding]
+    rest = emb.filter(F.col("vec_id") != 0)
+    col_rows = brute_force_topk(rest, "embedding", q, k=10).collect()
+    arrow_rows = brute_force_topk_arrow(rest, "embedding", q, k=10).collect()
+    assert [r.vec_id for r in col_rows] == [r.vec_id for r in arrow_rows]
+    for a, b in zip(col_rows, arrow_rows):
+        assert abs(a.cos - b.cos) < 1e-9
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark):
+    """LSH banding tuned for the 0.7 similarity region must recover most
+    truly-similar pairs (banded probability: 1-(1-s^r)^b)."""
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.7).collect()
+    }
+    candidates = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            d, "doc_id", "text", num_hashes=64, bands=16, n=1
+        ).collect()
+    }
+    assert exact, "fixture produced no similar pairs; test is vacuous"
+    recall = len(exact & candidates) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} below 0.8 ({len(exact)} true pairs)"
