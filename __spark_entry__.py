@@ -790,6 +790,82 @@ def _q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of regional revenue
+    per year."""
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    n_cust = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key"))
+    n_supp = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    base = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_cust), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cr_key") == r.r_regionkey)
+        .join(F.broadcast(n_supp), s.s_nationkey == F.col("sn_key"))
+    )
+    share_num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", _rev_dec()).otherwise(
+            F.lit(0.0).cast("decimal(12,4)") * F.lit(0.0).cast("decimal(8,4)")
+        )
+    )
+    return (
+        base.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(share_num.cast("double") / F.sum(_rev_dec()).cast("double"), 6).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+def _full_outer_nation_counts(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer").groupBy("c_nationkey").agg(F.count("*").alias("n_cust"))
+    s = _t(spark, sf, "supplier").groupBy("s_nationkey").agg(F.count("*").alias("n_supp"))
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+def _cross_join_region_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    r = _t(spark, sf, "region")
+    a = r.select(F.col("r_name").alias("from_region"))
+    b = r.select(F.col("r_name").alias("to_region"))
+    return a.crossJoin(b).filter(F.col("from_region") != F.col("to_region"))
+
+
+def _date_functions_showcase(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") <= 50)
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.to_date(F.lit("2000-01-01")), F.to_date("o_orderdate")).alias(
+            "days_to_y2k"
+        ),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_format(F.date_add(F.to_date("o_orderdate"), 30), "yyyy-MM-dd").alias(
+            "plus_30d"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        # month-boundary count (DuckDB date_diff semantics; Spark's
+        # months_between is fractional and would not match)
+        ((F.lit(2000) - F.year("o_orderdate")) * 12 + (F.lit(1) - F.month("o_orderdate")))
+        .cast("int")
+        .alias("months_to_y2k"),
+    )
+
+
 def _grouping_sets_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Explicit GROUPING SETS (finer than rollup/cube): totals per
     status, per priority, and overall — expressed in Spark SQL."""
@@ -895,7 +971,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_order_trend": _monthly_order_trend,
         "array_stats_embeddings": _array_stats_embeddings,
         "q7_nation_volume": _q7_nation_volume,
+        "q8_market_share": _q8_market_share,
         "q14_promo_revenue": _q14_promo_revenue,
+        "full_outer_nation_counts": _full_outer_nation_counts,
+        "cross_join_region_pairs": _cross_join_region_pairs,
+        "date_functions_showcase": _date_functions_showcase,
         "grouping_sets_orders": _grouping_sets_orders,
         "scalar_null_handling": _scalar_null_handling,
         "approx_distinct_users": _approx_distinct_users,
@@ -1302,6 +1382,46 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1998-01-01'
               AND n1.n_name < n2.n_name
             GROUP BY 1, 2, 3
+        """,
+        "q8_market_share": f"""
+            SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                   round(CAST(sum(CASE WHEN n2.n_name = 'NATION_1' THEN {_S_REV}
+                                  ELSE CAST(0.0 AS DECIMAL(8,4)) * CAST(0.0 AS DECIMAL(12,4)) END) AS DOUBLE)
+                         / CAST(sum({_S_REV}) AS DOUBLE), 6) AS mkt_share
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'AMERICA'
+            GROUP BY 1
+        """,
+        "full_outer_nation_counts": """
+            SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+                   coalesce(n_cust, 0) AS n_cust,
+                   coalesce(n_supp, 0) AS n_supp
+            FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+            FULL OUTER JOIN
+                 (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
+            ON c.c_nationkey = s.s_nationkey
+        """,
+        "cross_join_region_pairs": """
+            SELECT a.r_name AS from_region, b.r_name AS to_region
+            FROM region a CROSS JOIN region b
+            WHERE a.r_name <> b.r_name
+        """,
+        "date_functions_showcase": """
+            SELECT o_orderkey,
+                   CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_y2k,
+                   CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+                   CAST(dayofyear(o_orderdate) AS INT) AS doy,
+                   CAST(quarter(o_orderdate) AS INT) AS qtr,
+                   strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+                   strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+                   CAST(date_diff('month', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS months_to_y2k
+            FROM orders WHERE o_orderkey <= 50
         """,
         "q14_promo_revenue": f"""
             SELECT round(100.0 *
