@@ -72,3 +72,18 @@ def test_no_python_udfs_in_oracle_queries(spark):
     for name in entrymod.oracle_sql():
         p = plan_of(spark, name)
         assert "EvalPython" not in p, f"{name} fell back to a Python UDF"
+
+
+def test_range_join_stays_equi_join(spark):
+    """The bucketized range join must never degrade to a nested-loop or
+    cartesian plan."""
+    p = plan_of(spark, "range_join_error_context")
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_asof_join_single_window_shuffle(spark):
+    """The as-of join is one window pass — no join operators at all."""
+    p = plan_of(spark, "asof_purchase_click")
+    assert "WindowExec" in p or "Window" in p
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "NestedLoop"):
+        assert bad not in p, f"asof join introduced {bad}"
