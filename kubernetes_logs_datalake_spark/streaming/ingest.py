@@ -133,6 +133,9 @@ def compact_lake(
     at-least-once duplicates from ingest are NOT removed here (they are
     an ingest contract), only file counts change.
     """
+    import os
+    import shutil
+
     lake = LogLake(lake_root)
     df = lake.read(spark, fmt="parquet")
     tmp = lake_root.rstrip("/") + "_compacted"
@@ -143,10 +146,19 @@ def compact_lake(
         .partitionBy("cluster", "namespace", "date")
         .parquet(tmp)
     )
+    # The directory swap replaces the whole tree — carry the lake's
+    # non-parquet content (the Arrow IPC side of the dual-format lake)
+    # into the compacted tree first, or it would be silently deleted.
+    root = lake_root.rstrip("/")
+    for dirpath, _dirs, files in os.walk(root):
+        for fname in files:
+            if fname.endswith(".arrow"):
+                rel = os.path.relpath(os.path.join(dirpath, fname), root)
+                dest = os.path.join(tmp, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                shutil.copy2(os.path.join(dirpath, fname), dest)
     # atomic-ish swap on the same filesystem
-    import shutil
-
-    old = lake_root.rstrip("/") + "_old"
+    old = root + "_old"
     shutil.move(lake_root, old)
     shutil.move(tmp, lake_root)
     shutil.rmtree(old)

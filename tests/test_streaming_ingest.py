@@ -145,3 +145,30 @@ def test_lake_read_stream(spark, pods_dir, tmp_path):
         assert rows == {("qa", 15)}
     finally:
         q.stop()
+
+
+def test_compaction_preserves_arrow_side(spark, pods_dir, tmp_path):
+    """Compaction rewrites parquet only — the Arrow IPC side of a
+    dual-format lake must survive the directory swap (regression: it was
+    silently deleted)."""
+    import glob as globmod
+
+    from kubernetes_logs_datalake_spark.sources import parse_cri_lines
+    from kubernetes_logs_datalake_spark.streaming.ingest import compact_lake
+
+    lake_root = str(tmp_path / "lake5")
+    raw = spark.createDataFrame(
+        [("/var/log/pods/qa_p_u/app/0.log", f"{ts(i)} stdout F d-{i}") for i in range(20)],
+        ["path", "value"],
+    )
+    lake = LogLake(lake_root)
+    rec = parse_cri_lines(raw, path_col="path", cluster="c")
+    lake.write_batch(rec, fmt="parquet")
+    lake.write_batch(rec, fmt="arrow")
+    n_arrow_before = len(globmod.glob(f"{lake_root}/**/*.arrow", recursive=True))
+    assert n_arrow_before >= 1
+
+    compact_lake(spark, lake_root)
+    assert len(globmod.glob(f"{lake_root}/**/*.arrow", recursive=True)) == n_arrow_before
+    assert lake.read(spark, fmt="parquet").count() == 20
+    assert lake.read(spark, fmt="arrow").count() == 20
