@@ -866,6 +866,33 @@ def _date_functions_showcase(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _fuzzy_name_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance text matching (levenshtein) — the fuzzy-join
+    primitive for entity resolution."""
+    c = _t(spark, sf, "customer").filter(F.col("c_custkey") <= 500)
+    return c.select(
+        "c_custkey",
+        F.levenshtein(F.col("c_name"), F.lit("Customer#000000104")).alias("edit_dist"),
+    ).filter(F.col("edit_dist") <= 2)
+
+
+def _array_functions_showcase(spark: SparkSession, sf: str) -> DataFrame:
+    """Array-function parity over the embedding column: slice, sort,
+    contains-style predicates, element stats."""
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 50)
+    arr = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(arr).alias("dim"),
+        F.round(F.element_at(F.array_sort(arr), -1).cast("double"), 6).alias("max_val"),
+        F.round(F.element_at(F.array_sort(arr), 1).cast("double"), 6).alias("min_val"),
+        F.size(F.filter(arr, lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.aggregate(F.slice(arr, 1, 8), F.lit(0.0), lambda a, x: a + x.cast("double")), 6
+        ).alias("head8_sum"),
+    )
+
+
 def _grouping_sets_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Explicit GROUPING SETS (finer than rollup/cube): totals per
     status, per priority, and overall — expressed in Spark SQL."""
@@ -977,6 +1004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_join_region_pairs": _cross_join_region_pairs,
         "date_functions_showcase": _date_functions_showcase,
         "grouping_sets_orders": _grouping_sets_orders,
+        "fuzzy_name_match": _fuzzy_name_match,
+        "array_functions_showcase": _array_functions_showcase,
         "scalar_null_handling": _scalar_null_handling,
         "approx_distinct_users": _approx_distinct_users,
     }
@@ -1432,6 +1461,21 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1997-06-01'
               AND l_shipdate < TIMESTAMP '1997-07-01'
+        """,
+        "fuzzy_name_match": """
+            SELECT c_custkey,
+                   CAST(levenshtein(c_name, 'Customer#000000104') AS INT) AS edit_dist
+            FROM customer
+            WHERE c_custkey <= 500 AND levenshtein(c_name, 'Customer#000000104') <= 2
+        """,
+        "array_functions_showcase": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS INT) AS dim,
+                   round((list_sort(embedding)[len(embedding)])::DOUBLE, 6) AS max_val,
+                   round((list_sort(embedding)[1])::DOUBLE, 6) AS min_val,
+                   CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+                   round(list_sum(list_transform(embedding[1:8], x -> (x)::DOUBLE)), 6) AS head8_sum
+            FROM embeddings WHERE vec_id < 50
         """,
         "grouping_sets_orders": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n,

@@ -86,3 +86,15 @@ def test_cli_bad_selector(capsys):
     rc = cli.main(["--context=dev", "--root=/nope", "query", "{bogus=1}"])
     assert rc == 2
     assert "unknown selector key" in capsys.readouterr().err
+
+
+def test_cli_explain_echoes_plan(spark, lake, capsys):
+    from kubernetes_logs_datalake_spark import cli
+
+    rc = cli.main(
+        ["--context=dev", f"--root={lake.root}", "query", '{namespace="qa"}',
+         "-o", "raw", "-f", "parquet", "--explain"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "-- plan executed:" in out and "Physical Plan" in out

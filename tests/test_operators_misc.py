@@ -140,3 +140,20 @@ def test_ivf_topk_recall(spark):
         for r in ivf_topk(rest, "embedding", q, k=10, n_centroids=8, n_probe=4).collect()
     }
     assert len(exact & approx) >= 5  # recall@10 ≥ 0.5 with 4/8 probes
+
+
+def test_sessionized_counts_batch(spark):
+    """Session windows: a >gap quiet period splits sessions."""
+    from kubernetes_logs_datalake_spark.streaming.analytics import sessionized_counts
+
+    lines = [
+        ("p", "2024-01-15T10:30:00.0Z stdout F a"),
+        ("p", "2024-01-15T10:30:05.0Z stdout F b"),
+        ("p", "2024-01-15T10:31:00.0Z stdout F c"),  # 55s gap > 10s
+    ]
+    rec = parse_cri_lines(spark.createDataFrame(lines, ["path", "value"]), cluster="c")
+    got = sorted(
+        (str(r.session_start), r.n_events)
+        for r in sessionized_counts(rec, gap="10 seconds").collect()
+    )
+    assert got == [("2024-01-15 10:30:00", 2), ("2024-01-15 10:31:00", 1)]
