@@ -493,7 +493,11 @@ def _text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            # exact-sum average (one float op) — bit-identical to the
+            # oracle's CAST(sum AS DOUBLE)/count under any normalization
+            F.round(F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_tokens"
+            ),
         )
     )
 
@@ -1169,7 +1173,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "events_sessions": """
-            SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+            -- CAST: DuckDB sum(INT) is HUGEINT, which exports as
+            -- decimal128/float64 via arrow/pandas and hash-diverges from
+            -- Spark's BIGINT under the driver's normalization.
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events FROM (
                 SELECT user_id,
                        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
@@ -1244,9 +1252,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(r) AS keep_id FROM reach GROUP BY node
         """,
         "text_token_stats": f"""
+            -- CAST sum: avoid HUGEINT (see events_sessions); avg via the
+            -- exact-sum recipe so both engines do one identical float op.
             SELECT lang, count(*) AS n_docs,
-                   sum(len({w})) AS total_tokens,
-                   round(avg(len({w})), 4) AS avg_tokens
+                   CAST(sum(len({w})) AS BIGINT) AS total_tokens,
+                   round(CAST(sum(len({w})) AS DOUBLE) / count(*), 4) AS avg_tokens
             FROM documents GROUP BY lang
         """,
         "text_quality": f"""
@@ -1479,7 +1489,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "grouping_sets_orders": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-                   round(sum(o_totalprice), 2) AS total
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,4))), 2)
+                        AS DOUBLE) AS total
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """,

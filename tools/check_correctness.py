@@ -75,14 +75,35 @@ def main() -> int:
             print(f"rows  {name}: {len(rows)} rows (rows-only, {time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # fetch via Arrow — the closest public analog of whatever
+            # pandas/arrow path the driver uses, so type hazards (HUGEINT
+            # → decimal128/float64) surface locally instead of driver-side
+            otbl = con.execute(oracles[name]).arrow()
+            ocols = otbl.column_names
+            orows = [
+                tuple(d[c] for c in ocols) for d in otbl.to_pylist()
+            ]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             failures.append(name)
             continue
         problems = []
+        # output-type lint: DECIMAL (incl. HUGEINT's decimal128 export)
+        # stringifies differently across engines/paths — ban it in oracle
+        # outputs; require clean BIGINT/DOUBLE/VARCHAR/BOOL/DATE/TS.
+        import pyarrow as pa  # noqa: PLC0415
+
+        for field in otbl.schema:
+            if pa.types.is_decimal(field.type):
+                problems.append(
+                    f"oracle col {field.name} has decimal type {field.type} "
+                    "(likely HUGEINT sum) — CAST it in the oracle SQL"
+                )
+        for f_name, f_type in sdf.dtypes:
+            if f_type.startswith("decimal"):
+                problems.append(
+                    f"spark col {f_name} is {f_type} — cast to double/long"
+                )
         if sorted(cols) != sorted(ocols):
             problems.append(f"cols spark={sorted(cols)} duckdb={sorted(ocols)}")
         if len(rows) != len(orows):
