@@ -587,7 +587,7 @@ def _asof_purchase_click(spark: SparkSession, sf: str) -> DataFrame:
     )
     joined = as_of_join(
         purchases, clicks, on="user_id", left_ts="ts_us", right_ts="click_ts",
-        value_cols=["click_id"],
+        value_cols=["click_id"], tiebreak="click_id",
     )
     return joined.select("user_id", "purchase_id", F.col("click_id_asof").alias("prev_click_id"))
 
@@ -1303,12 +1303,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_lang_id": _lang_id_oracle_sql(),
         "asof_purchase_click": """
+            -- equal-ts clicks pre-collapsed to max(click_id): mirrors the
+            -- Spark operator's tiebreak=click_id (largest wins), removing
+            -- the engine's arbitrary choice among same-µs right rows
             SELECT p.user_id, p.purchase_id, c.click_id AS prev_click_id
             FROM (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS ts_us
                   FROM events WHERE event_type = 'purchase') p
             ASOF LEFT JOIN
-                 (SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_ts
-                  FROM events WHERE event_type = 'click') c
+                 (SELECT user_id, epoch_us(ts) AS click_ts,
+                         max(event_id) AS click_id
+                  FROM events WHERE event_type = 'click'
+                  GROUP BY user_id, epoch_us(ts)) c
             ON p.user_id = c.user_id AND p.ts_us >= c.click_ts
         """,
         "range_join_error_context": """

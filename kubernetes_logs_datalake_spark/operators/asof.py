@@ -32,12 +32,16 @@ def as_of_join(
     right_ts: str,
     value_cols: list[str] | None = None,
     suffix: str = "_asof",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """For each left row: columns of the latest right row at-or-before
     its timestamp (nulls when no prior right row exists).
 
     ``on``: equality key; ``left_ts``/``right_ts``: ordering columns of
-    a common comparable type (ns longs or timestamps).
+    a common comparable type (ns longs or timestamps). ``tiebreak``: a
+    right-side column that deterministically orders right rows sharing
+    the same (key, ts) — the row with the LARGEST tiebreak wins. Without
+    it, ties resolve to an arbitrary (partition-order-dependent) row.
     """
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, right_ts)
@@ -49,14 +53,19 @@ def as_of_join(
         F.col(on),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
+        *([F.col(tiebreak).alias("_tb")] if tiebreak else []),
         *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
     )
     # right rows sort before left rows at equal ts (_side 0 < 1), so a
     # right row at exactly left_ts matches (<= semantics, like ASOF JOIN)
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    # _tb ascending → last() keeps the max-tiebreak right row among
+    # equal-ts ties; left rows carry null _tb, irrelevant since _side
+    # already orders them after every right row at the same ts.
+    order = ["_ts", "_side"] + (["_tb"] if tiebreak else [])
     w = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
@@ -69,4 +78,4 @@ def as_of_join(
     out = filled.filter(F.col("_side") == 1)
     for c in value_cols:
         out = out.drop(f"{c}{suffix}").withColumnRenamed(f"{c}{suffix}_filled", f"{c}{suffix}")
-    return out.drop("_ts", "_side")
+    return out.drop("_ts", "_side", *(["_tb"] if tiebreak else []))

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.time_ns import _floordiv
+
 
 def range_join(
     left: DataFrame,
@@ -29,10 +31,10 @@ def range_join(
     ``|left_ts - right_ts| <= max_delta`` (same time unit as the ts
     columns; ns longs here). Output: left columns + right columns
     (caller pre-aliases to avoid collisions)."""
-    bucket_l = (F.col(left_ts) - F.pmod(F.col(left_ts), max_delta)) / max_delta
-    l = left.withColumn("_bucket", bucket_l.cast("long"))
-    bucket_r = (F.col(right_ts) - F.pmod(F.col(right_ts), max_delta)) / max_delta
-    r = right.withColumn("_rbucket", bucket_r.cast("long")).withColumn(
+    # exact long floor-division: `/` on longs is double and shifts bucket
+    # ids past 2^53 (ns-since-epoch ~1.7e18), silently dropping pairs
+    l = left.withColumn("_bucket", _floordiv(F.col(left_ts), max_delta))
+    r = right.withColumn("_rbucket", _floordiv(F.col(right_ts), max_delta)).withColumn(
         "_bucket", F.explode(F.array(F.col("_rbucket") - 1, F.col("_rbucket"), F.col("_rbucket") + 1))
     )
     joined = l.join(r.drop("_rbucket"), [on, "_bucket"])

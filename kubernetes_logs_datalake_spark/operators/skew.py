@@ -29,7 +29,17 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` on column ``on`` with salt-spread of
     hot keys. Output columns = big's columns + small's non-key columns
-    (like a plain ``join(on=...)``)."""
+    (like a plain ``join(on=...)``).
+
+    Only ``inner`` and ``left`` (big-side-preserving) joins are sound:
+    the small side is replicated per salt, so right/full-outer would
+    emit each unmatched small row once per replica."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "the salt-replicated small side multiplies unmatched rows "
+            "under right/full-outer semantics"
+        )
     salted_big = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
     )

@@ -69,6 +69,46 @@ def test_salted_join_matches_plain_join(spark):
     assert salted == plain
 
 
+def test_salted_join_rejects_outer_how(spark):
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    with pytest.raises(ValueError, match="inner.*left"):
+        salted_join(df, df.select("k"), "k", how="full_outer")
+
+
+def test_asof_tiebreak_deterministic(spark):
+    """Two right rows at the same (key, ts): the one with the largest
+    tiebreak must win, regardless of input partition order."""
+    from kubernetes_logs_datalake_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame([(1, 100)], ["k", "lts"])
+    right = spark.createDataFrame(
+        [(1, 50, 7), (1, 50, 9), (1, 50, 8)], ["k", "rts", "rid"]
+    ).repartition(3)
+    got = as_of_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        value_cols=["rid"], tiebreak="rid",
+    ).collect()
+    assert [r.rid_asof for r in got] == [9]
+
+
+def test_range_join_ns_scale_bucketing(spark):
+    """Regression (ADVICE r1): bucket ids must use exact long division.
+    The old double route (`/` then cast) shifts a bucket id by one for
+    ns-since-epoch values, and when the two sides' errors diverge the
+    pair lands >1 bucket apart and is silently dropped despite being
+    within max_delta."""
+    from kubernetes_logs_datalake_spark.operators.rangejoin import range_join
+
+    # constructed pair: 849_713 ns apart (< 1 ms) but the double route
+    # puts them 2 buckets apart at max_delta=1_000_000
+    ts_l, ts_r = 1669366385010150287, 1669366385011000000
+    left = spark.createDataFrame([(1, ts_l)], ["k", "lts"])
+    right = spark.createDataFrame([(1, ts_r)], ["k", "rts"])
+    got = range_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                     max_delta=1_000_000).collect()
+    assert len(got) == 1
+
+
 def test_windowed_counts_batch_and_stream_agree(spark, tmp_path):
     """The same windowed plan over batch input and over a file stream
     (complete mode) must produce identical finalized windows."""
