@@ -47,6 +47,7 @@ from kubernetes_logs_datalake_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
     knn_join_bruteforce,
+    lsh_bucketed_pairs,
     lsh_topk,
 )
 
@@ -470,6 +471,19 @@ def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 def _dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     pairs = embedding_dedup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+    return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+
+
+def _dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale path for embedding dedup: random-hyperplane LSH blocking +
+    exact cosine re-rank — no all-pairs/BroadcastNestedLoop join. Output
+    ⊆ dedup_embedding; recall at (bits=4, tables=16) is gated in
+    tests/test_similarity_quality.py. Params tuned for this corpus's low
+    operating threshold (0.35); real near-dup thresholds use more bits."""
+    emb = _t(spark, sf, "embeddings")
+    pairs = lsh_bucketed_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, bits=4, tables=16
+    )
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
@@ -976,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding": _dedup_embedding,
+        "dedup_embedding_lsh": _dedup_embedding_lsh,
         "dedup_components": _dedup_components,
         "text_token_stats": _text_token_stats,
         "text_quality": _text_quality,
@@ -1302,6 +1317,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 3
         """,
         "text_lang_id": _lang_id_oracle_sql(),
+        "dedup_embedding_lsh": _lsh_pairs_oracle_sql(),
         "asof_purchase_click": """
             -- equal-ts clicks pre-collapsed to max(click_id): mirrors the
             -- Spark operator's tiebreak=click_id (largest wins), removing
@@ -1516,6 +1532,51 @@ def oracle_sql() -> dict[str, str]:
         # approx_distinct_users: approximate/hash-seeded operators →
         # rows-only check (no SQL oracle).
     }
+
+
+def _lsh_pairs_oracle_sql(
+    bits: int = 4, tables: int = 16, seed: int = 42, dim: int = 64,
+    threshold: float = 0.35,
+) -> str:
+    """DuckDB mirror of ``lsh_bucketed_pairs``: the deterministic LCG
+    hyperplanes are emitted as list literals, the sign-bit signature as
+    CASE arithmetic, so even the approximate LSH path is hash-checkable
+    (not just rows-only). Sequential-double dot products match Spark's
+    zip_with/aggregate fold bit-for-bit (same recipe as _ddb_cos)."""
+    from kubernetes_logs_datalake_spark.operators.similarity import _hyperplanes
+
+    def dot_sql(plane: list[float]) -> str:
+        # unrolled left-associative sum: same sequential fp order as
+        # Spark's aggregate() fold and as list_sum, but ~50x faster in
+        # DuckDB than a per-row lambda over an inline list literal
+        return "(" + " + ".join(
+            f"(embedding[{i + 1}])::DOUBLE * ({v!r})" for i, v in enumerate(plane)
+        ) + ")"
+
+    bucket_exprs = []
+    for t in range(tables):
+        planes = _hyperplanes(dim, bits, seed + 7919 * t)
+        terms = [
+            f"(CASE WHEN {dot_sql(p)} >= 0 THEN {2**i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        ]
+        bucket_exprs.append("(" + " + ".join(terms) + ")")
+    buckets = "[" + ", ".join(bucket_exprs) + "]"
+    cos_ab = _ddb_cos("a.embedding", "b.embedding")
+    return f"""
+        WITH sigs AS (SELECT vec_id, {buckets} AS buckets FROM embeddings),
+        banded AS (SELECT vec_id, t.range AS tbl, buckets[t.range + 1] AS bucket
+                   FROM sigs, range({tables}) t),
+        cands AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                  FROM banded x JOIN banded y
+                    ON x.tbl = y.tbl AND x.bucket = y.bucket
+                   AND x.vec_id < y.vec_id)
+        SELECT id_a, id_b, round(cos, 4) AS cos FROM (
+            SELECT id_a, id_b, {cos_ab} AS cos
+            FROM cands JOIN embeddings a ON a.vec_id = id_a
+                       JOIN embeddings b ON b.vec_id = id_b)
+        WHERE cos >= {threshold}
+    """
 
 
 def _lang_id_oracle_sql() -> str:

@@ -212,6 +212,66 @@ def ivf_topk(
     )
 
 
+def lsh_bucketed_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bits: int = 8,
+    tables: int = 8,
+    seed: int = 42,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs without the all-pairs join — the scale
+    path promised by ``operators.dedup.embedding_dedup_pairs``.
+
+    Shape: ``tables`` independent random-hyperplane signatures of
+    ``bits`` sign-bits each; rows colliding in any table's bucket become
+    candidates (banded equi-join on (table, bucket) — never all-pairs);
+    candidates are re-ranked with the exact cosine and filtered at
+    ``threshold``, so output ⊆ brute force with recall set by
+    (bits, tables): per-table collision ≈ (1-θ/π)^bits, overall
+    1-(1-p)^tables. High thresholds (real near-dup, cos ≥ 0.9) take
+    bits=8+; low thresholds need fewer bits / more tables.
+
+    ``max_bucket`` skips buckets larger than the cap (hot-bucket guard:
+    Σ bucket² cost stays bounded; skipped mass is recoverable by adding
+    tables). Deterministic: LCG hyperplanes, fixed seeds.
+    """
+    dim = df.select(F.size(F.col(vec_col))).first()[0]  # 1-row probe
+    sigs = [
+        lsh_signature(F.col(vec_col), _hyperplanes(dim, bits, seed + 7919 * t))
+        for t in range(tables)
+    ]
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.array(*sigs)).alias("tbl", "bucket"),
+    )
+    if max_bucket is not None:
+        counts = banded.groupBy("tbl", "bucket").agg(F.count("*").alias("_bn"))
+        banded = banded.join(
+            counts.filter(F.col("_bn") <= max_bucket).drop("_bn"),
+            ["tbl", "bucket"],
+            "left_semi",
+        )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", cosine("_va", "_vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def knn_join_bruteforce(
     left: DataFrame,
     right: DataFrame,

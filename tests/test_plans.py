@@ -81,6 +81,15 @@ def test_range_join_stays_equi_join(spark):
     assert "NestedLoop" not in p and "CartesianProduct" not in p
 
 
+def test_embedding_lsh_no_nested_loop(spark):
+    """The LSH embedding-dedup scale path must be banded equi-joins —
+    never the all-pairs BroadcastNestedLoopJoin that the brute-force
+    oracle (dedup_embedding) deliberately uses."""
+    p = plan_of(spark, "dedup_embedding_lsh")
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
 def test_asof_join_single_window_shuffle(spark):
     """The as-of join is one window pass — no join operators at all."""
     p = plan_of(spark, "asof_purchase_click")

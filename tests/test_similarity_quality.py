@@ -28,6 +28,43 @@ def test_arrow_topk_matches_column_topk(spark):
         assert abs(a.cos - b.cos) < 1e-9
 
 
+def test_lsh_bucketed_pairs_recall_vs_bruteforce(spark):
+    """The banded-LSH embedding-dedup scale path must recover most
+    brute-force pairs at the operating threshold, and (being an exact
+    re-rank of a candidate subset) must never emit a pair brute force
+    would not."""
+    from kubernetes_logs_datalake_spark.operators.dedup import embedding_dedup_pairs
+    from kubernetes_logs_datalake_spark.operators.similarity import lsh_bucketed_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in embedding_dedup_pairs(emb, "vec_id", "embedding", threshold=0.35).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in lsh_bucketed_pairs(
+            emb, "vec_id", "embedding", threshold=0.35, bits=4, tables=16
+        ).collect()
+    }
+    assert brute, "fixture produced no near-dup pairs; test is vacuous"
+    assert lsh <= brute, "LSH emitted a pair the exact re-rank should have filtered"
+    recall = len(lsh & brute) / len(brute)
+    assert recall >= 0.85, f"LSH recall {recall:.2f} below 0.85 ({len(brute)} true pairs)"
+
+
+def test_lsh_bucketed_pairs_hot_bucket_guard(spark):
+    """max_bucket skips oversized buckets: with a cap of 1 no bucket can
+    produce a pair, so the result must be empty (bounded Σ bucket²)."""
+    from kubernetes_logs_datalake_spark.operators.similarity import lsh_bucketed_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
+    got = lsh_bucketed_pairs(
+        emb, "vec_id", "embedding", threshold=0.0, bits=2, tables=2, max_bucket=1
+    ).count()
+    assert got == 0
+
+
 def test_minhash_lsh_recall_vs_exact_jaccard(spark):
     """LSH banding tuned for the 0.7 similarity region must recover most
     truly-similar pairs (banded probability: 1-(1-s^r)^b)."""
