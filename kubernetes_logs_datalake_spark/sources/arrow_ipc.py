@@ -36,11 +36,24 @@ DICT_COLUMNS = ("stream", "logtag")
 # ---------------------------------------------------------------------- read
 
 
-def _decode_schema(sample_file: str, with_filename: bool) -> T.StructType:
-    """Driver-side schema probe of one IPC file (ns timestamps → long)."""
-    reader = ipc.open_file(pa.memory_map(sample_file))
+def _normalized_arrow_schema(schema: pa.Schema) -> pa.Schema:
+    """Schema as the reader will surface it: dictionary→value type,
+    ns-timestamp→int64. Used to detect heterogeneous files early."""
     fields = []
-    for f in reader.schema:
+    for f in schema:
+        typ = f.type
+        if pa.types.is_dictionary(typ):
+            typ = typ.value_type
+        if pa.types.is_timestamp(typ) and typ.unit == "ns":
+            typ = pa.int64()
+        fields.append(pa.field(f.name, typ))
+    return pa.schema(fields)
+
+
+def _decode_schema(schema: pa.Schema, with_filename: bool) -> T.StructType:
+    """Spark schema for an IPC file schema (ns timestamps → long)."""
+    fields = []
+    for f in schema:
         typ = f.type
         if pa.types.is_dictionary(typ):
             typ = typ.value_type
@@ -96,41 +109,53 @@ def read_arrow(
     """Read Arrow IPC files matching a glob as a DataFrame.
 
     The Spark analog of DuckDB's ``read_arrow(glob, filename=true)``
-    (reference ``y-logcli:210-213``). ``binaryFile`` rows carry only
-    (path, length) into the plan; file bytes are opened executor-side
-    with ``pa.memory_map`` inside ``mapInArrow`` so decode scales with
-    the number of files, not with driver memory.
+    (reference ``y-logcli:210-213``). File bytes travel through
+    ``binaryFile``'s ``content`` column and decode executor-side from
+    ``pa.BufferReader`` inside ``mapInArrow`` — no local-path
+    assumption, so the same plan runs on any Hadoop filesystem
+    (``s3a://``, ``abfs://``, local), matching the reference's S3-glob
+    reads. Decode scales with the number of files, not driver memory;
+    the ingest layer bounds file sizes (~1 MB-class micro-batches).
     """
     reader = spark.read.format("binaryFile").option("pathGlobFilter", "*.arrow")
     if any(ch in path_glob for ch in "*?["):
-        files_df = reader.load(path_glob).select("path")
+        files_df = reader.load(path_glob).select("path", "content")
     else:  # plain directory → recurse (Hadoop globs have no `**`)
         files_df = (
-            reader.option("recursiveFileLookup", "true").load(path_glob).select("path")
+            reader.option("recursiveFileLookup", "true")
+            .load(path_glob)
+            .select("path", "content")
         )
+    # driver-side schema probe: one file's bytes (micro-batch-sized)
     sample = files_df.limit(1).collect()
     if not sample:
         raise FileNotFoundError(f"no .arrow files match {path_glob}")
-    schema = _decode_schema(_strip_scheme(sample[0].path), with_filename)
+    probe = ipc.open_file(pa.BufferReader(sample[0].content)).schema
+    schema = _decode_schema(probe, with_filename)
+    expect_norm = _normalized_arrow_schema(probe)
 
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            for fname_raw in batch.column("path").to_pylist():
-                fname = _strip_scheme(fname_raw)
-                table = ipc.open_file(pa.memory_map(fname)).read_all()
+            paths = batch.column("path").to_pylist()
+            contents = batch.column("content").to_pylist()
+            for fname_raw, buf in zip(paths, contents):
+                try:
+                    rd = ipc.open_file(pa.BufferReader(buf))
+                except pa.ArrowInvalid as exc:
+                    raise ValueError(
+                        f"{fname_raw} is not an Arrow IPC file: {exc}"
+                    ) from exc
+                got_norm = _normalized_arrow_schema(rd.schema)
+                if got_norm != expect_norm:
+                    raise ValueError(
+                        f"heterogeneous Arrow IPC schema in {fname_raw}: "
+                        f"expected {expect_norm}, got {got_norm}"
+                    )
+                table = rd.read_all()
                 for out in _normalize_batch(table, fname_raw, with_filename).to_batches():
                     yield out
 
     return files_df.mapInArrow(decode, schema)
-
-
-def _strip_scheme(path: str) -> str:
-    """``file:/x``, ``file:///x`` → ``/x`` (Hadoop URIs vary in slash
-    count); non-file schemes pass through for the filesystem layer."""
-    if path.startswith("file:"):
-        rest = path[5:]
-        return "/" + rest.lstrip("/")
-    return path
 
 
 # --------------------------------------------------------------------- write

@@ -94,6 +94,30 @@ def test_read_arrow_reference_layout(spark, tmp_path):
     assert rows[0].node == "node-1" and rows[0].namespace == "qa"
 
 
+def test_read_arrow_decodes_executor_side_from_content(spark, arrow_lake):
+    """Scale/portability gate: decode must run inside MapInArrow over
+    binaryFile's content bytes (works on any Hadoop filesystem), never
+    via a driver-side loop or a local-path reopen."""
+    df = arrow_lake.read(spark, fmt="arrow")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan
+    # the scan feeding the decode carries the file bytes, not just paths
+    assert "content" in plan
+
+
+def test_read_arrow_rejects_heterogeneous_schema(spark, tmp_path):
+    """A file whose schema differs from the probe must fail with a clear
+    error naming the file, not an opaque mapInArrow crash."""
+    root = tmp_path / "mixed"
+    root.mkdir()
+    t1 = pa.table({"time_ns": pa.array([1], pa.int64()), "message": ["a"]})
+    t2 = pa.table({"time_ns": pa.array([2], pa.int64()), "other": [3.5]})
+    feather.write_feather(t1, str(root / "a.arrow"), compression="zstd")
+    feather.write_feather(t2, str(root / "b.arrow"), compression="zstd")
+    with pytest.raises(Exception, match="heterogeneous Arrow IPC schema"):
+        read_arrow(spark, str(root)).collect()
+
+
 def test_logquery_both_formats_union(spark, tmp_path):
     """-f both: arrow + parquet scans union and stay ns-ordered
     (reference y-logcli:243-255)."""
