@@ -57,17 +57,41 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All document pairs with word-``n``-gram Jaccard ≥ threshold.
 
     Inverted-index join: explode shingles, self-join on the shingle,
-    count intersections, compute |A∩B| / (|A|+|B|-|A∩B|). Exact; cost is
-    Σ bucket² over shingle buckets, so at corpus scale run it *after*
-    LSH blocking (``minhash_lsh_candidates``) — here it doubles as the
-    oracle for the approximate families.
+    count intersections, compute |A∩B| / (|A|+|B|-|A∩B|). Cost is
+    Σ df² over shingle document-frequencies, so a shingle appearing in
+    k documents contributes k² join rows — on a real corpus a single
+    stopword-frequency shingle ("the") is quadratic in corpus size.
+
+    ``max_df`` is the guard: shingles with document frequency > max_df
+    are dropped from the index *and* from the set sizes before the
+    join, bounding the join at Σ min(df, max_df)² ≤ |index| · max_df.
+    Semantics with the cap: Jaccard over the retained (discriminative)
+    shingles — the standard stopword-shingle prefilter; near-dup pairs
+    that share *only* ultra-common shingles are below any useful
+    threshold anyway. ``max_df=None`` keeps the exact semantics (the
+    oracle mode — only safe standalone after LSH blocking,
+    ``minhash_lsh_candidates``).
     """
-    sh = shingle_sets(df, id_col, text_col, n).cache()
+    sh = shingle_sets(df, id_col, text_col, n)
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    sh = sh.cache()
     sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

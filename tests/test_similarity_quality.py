@@ -28,6 +28,38 @@ def test_arrow_topk_matches_column_topk(spark):
         assert abs(a.cos - b.cos) < 1e-9
 
 
+def test_ngram_jaccard_max_df_guard(spark):
+    """A universal shingle must not quadratically explode the inverted-
+    index join: 20 docs sharing one token produce 190 pairs uncapped,
+    and zero once the document-frequency cap drops that token."""
+    docs = spark.createDataFrame(
+        [(i, f"common u{i}") for i in range(20)], ["doc_id", "text"]
+    )
+    uncapped = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.1)
+    assert uncapped.count() == 190  # 20*19/2, all via the universal token
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=1, threshold=0.1, max_df=5
+    )
+    assert capped.count() == 0
+
+
+def test_ngram_jaccard_max_df_noop_when_loose(spark):
+    """A cap above every shingle's document frequency must not change
+    results — the guard is a pure prefilter."""
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(100)
+    base = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.6).collect()
+    }
+    loose = {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in ngram_jaccard_pairs(
+            d, "doc_id", "text", n=1, threshold=0.6, max_df=10_000
+        ).collect()
+    }
+    assert base == loose and base
+
+
 def test_lsh_bucketed_pairs_recall_vs_bruteforce(spark):
     """The banded-LSH embedding-dedup scale path must recover most
     brute-force pairs at the operating threshold, and (being an exact
