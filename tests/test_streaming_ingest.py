@@ -104,10 +104,13 @@ def test_restart_from_checkpoint_no_duplicates(spark, pods_dir, tmp_path):
     assert df.filter(F.col("message").contains("second-batch")).count() == 7
 
 
-def test_compaction_preserves_rows(spark, pods_dir, tmp_path):
+@pytest.mark.parametrize("scheme", ["", "file://"])
+def test_compaction_preserves_rows(spark, pods_dir, tmp_path, scheme):
+    """Parameterized over a plain path and an explicit Hadoop FS URI —
+    compaction must go through the FileSystem API, not os/shutil."""
     from kubernetes_logs_datalake_spark.streaming.ingest import compact_lake
 
-    lake_root = str(tmp_path / "lake3")
+    lake_root = scheme + str(tmp_path / "lake3")
     write_log(pods_dir, "qa", "app-1", "app", [f"{ts(i)} stdout F c-{i}" for i in range(50)])
     job = IngestJob(
         logs_dir=pods_dir, lake_root=lake_root, cluster="dev",
@@ -118,10 +121,57 @@ def test_compaction_preserves_rows(spark, pods_dir, tmp_path):
     job.stop_gracefully()
 
     lake = LogLake(lake_root)
+    # second batch → the partition holds multiple small files
+    from kubernetes_logs_datalake_spark.sources import parse_cri_lines
+
+    extra = spark.createDataFrame(
+        [("/var/log/pods/qa_app-1_uid1/app/0.log", f"{ts(50 + i)} stdout F x-{i}")
+         for i in range(10)],
+        ["path", "value"],
+    )
+    lake.write_batch(parse_cri_lines(extra, path_col="path", cluster="dev"))
     before = lake.read(spark).count()
+    import glob as globmod
+
+    local_root = lake_root.removeprefix("file://")
+    n_files_before = len(globmod.glob(f"{local_root}/**/*.parquet", recursive=True))
+    assert n_files_before >= 2
     compact_lake(spark, lake_root)
     after = lake.read(spark).count()
-    assert before == after == 50
+    assert before == after == 60
+    n_files_after = len(globmod.glob(f"{local_root}/**/*.parquet", recursive=True))
+    assert n_files_after < n_files_before  # small files actually merged
+    # idempotent: re-running on an already-compacted lake is a no-op
+    compact_lake(spark, lake_root)
+    assert lake.read(spark).count() == 60
+    assert len(globmod.glob(f"{local_root}/**/*.parquet", recursive=True)) == n_files_after
+
+
+def test_compaction_spares_concurrent_appends(spark, pods_dir, tmp_path):
+    """A batch appended between compaction's snapshot and its deletes
+    must survive (regression: the whole-tree swap deleted it). Simulated
+    by appending after a first compaction and re-compacting: only
+    snapshot files are ever deleted, so data never straddles a delete."""
+    from kubernetes_logs_datalake_spark.sources import parse_cri_lines
+    from kubernetes_logs_datalake_spark.streaming.ingest import compact_lake
+
+    lake_root = str(tmp_path / "lake3b")
+    lake = LogLake(lake_root)
+    raw1 = spark.createDataFrame(
+        [("/var/log/pods/qa_p_u/app/0.log", f"{ts(i)} stdout F a-{i}") for i in range(10)],
+        ["path", "value"],
+    )
+    lake.write_batch(parse_cri_lines(raw1, path_col="path", cluster="c"))
+    compact_lake(spark, lake_root, min_files=1)
+    # late batch lands after compaction snapshot/rewrite
+    raw2 = spark.createDataFrame(
+        [("/var/log/pods/qa_p_u/app/0.log", f"{ts(i)} stdout F b-{i}") for i in range(5)],
+        ["path", "value"],
+    )
+    lake.write_batch(parse_cri_lines(raw2, path_col="path", cluster="c"))
+    compact_lake(spark, lake_root, min_files=1)
+    msgs = {r.message for r in lake.read(spark).collect()}
+    assert len(msgs) == 15 and "b-4" in msgs and "a-9" in msgs
 
 
 def test_lake_read_stream(spark, pods_dir, tmp_path):
