@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed in Arrow-batched Python.
 
-The Spark-side architecture is real and tested — schema, partitioning,
-``mapInPandas`` batch shape, deterministic outputs. The actual media
-decode is STUBBED (``decode_image`` raises ``NotImplementedError`` or
-produces a deterministic fake): the image/audio libraries are not in
-this environment. Swapping in PIL/torchaudio later changes only the
-body of the decode functions, not the distributed plumbing.
+The Spark-side architecture — schema, partitioning, ``mapInPandas``
+batch shape, deterministic outputs — is real and tested, and so is one
+genuine decode path: netpbm images (PGM/PPM, the uncompressed
+interchange format) decode with a stdlib parser to real pixels, which
+average-pool into the feature vector. Compressed formats (PNG/JPEG)
+use PIL when it is importable (feature probe, not a hard import);
+without PIL they fall back to a deterministic digest-derived fake with
+``decoded_ok=false`` so downstream schemas never change shape.
 
 At 100 TB of media this is the shape that works: binary payloads stay
 columnar in parquet, batches stream through Arrow into Python (never
@@ -16,10 +18,16 @@ row-at-a-time), and heavy decode parallelizes per input split.
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+
+try:  # feature probe: PIL is optional, never a hard dependency
+    from PIL import Image as _PIL_Image  # type: ignore
+except ImportError:  # pragma: no cover - env-dependent
+    _PIL_Image = None
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -52,36 +60,109 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def _fake_decode(payload: bytes) -> list[float]:
-    """Deterministic stand-in for a real decoder: derive FEATURE_DIM
-    floats from the payload digest. Replace with a real
-    decode→resize→embed pipeline when media libs are available."""
+    """Deterministic stand-in when no decoder can handle the payload:
+    derive FEATURE_DIM floats from the payload digest. Keeps schemas and
+    batch shapes identical to the real path."""
     digest = hashlib.sha256(payload or b"").digest()
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
 
 
-def decode_image(payload: bytes):  # pragma: no cover - intentional stub
-    """Real image decode (PIL) — unavailable in this environment."""
-    raise NotImplementedError("image decode requires PIL/opencv; use extract_features' fake path")
+_PNM_HEADER = re.compile(rb"^(P[56])\s+(?:#[^\n]*\s+)*(\d+)\s+(\d+)\s+(\d+)\s")
+
+
+def _decode_pnm(payload: bytes) -> tuple[int, int, bytes]:
+    """Stdlib decoder for binary netpbm images: P5 (PGM, grayscale) and
+    P6 (PPM, RGB → luminance). Returns (width, height, grayscale bytes).
+    Raises ValueError for malformed/oversized-sample files."""
+    m = _PNM_HEADER.match(payload)
+    if not m:
+        raise ValueError("not a binary PGM/PPM payload")
+    magic, w, h, maxval = m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4))
+    if maxval > 255:
+        raise ValueError("16-bit netpbm samples not supported")
+    body = payload[m.end():]
+    if magic == b"P5":
+        need = w * h
+        if len(body) < need:
+            raise ValueError("truncated PGM body")
+        return w, h, body[:need]
+    need = 3 * w * h
+    if len(body) < need:
+        raise ValueError("truncated PPM body")
+    # integer Rec.601 luminance — deterministic, no float error
+    gray = bytes(
+        (299 * body[i] + 587 * body[i + 1] + 114 * body[i + 2]) // 1000
+        for i in range(0, need, 3)
+    )
+    return w, h, gray
+
+
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an image payload to (width, height, grayscale bytes).
+
+    Netpbm (PGM/PPM) decodes with the stdlib parser everywhere;
+    compressed formats need PIL (feature-probed import). Raises
+    NotImplementedError when no available decoder handles the payload —
+    callers choose between failing and the deterministic fake.
+    """
+    if payload and payload[:2] in (b"P5", b"P6"):
+        return _decode_pnm(payload)
+    if _PIL_Image is not None:  # pragma: no cover - env-dependent
+        import io
+
+        img = _PIL_Image.open(io.BytesIO(payload)).convert("L")
+        return img.width, img.height, img.tobytes()
+    raise NotImplementedError(
+        "no decoder for this image format (netpbm decodes everywhere; "
+        "PNG/JPEG need PIL, which is not installed)"
+    )
+
+
+def image_features(width: int, height: int, gray: bytes) -> list[float]:
+    """4x4 average-pooled luminance thumbnail, normalized to [0, 1] —
+    FEATURE_DIM floats from real pixels (vectorized numpy pooling)."""
+    import numpy as np
+
+    img = np.frombuffer(gray, dtype=np.uint8).reshape(height, width)
+    ys = [height * i // 4 for i in range(5)]
+    xs = [width * i // 4 for i in range(5)]
+    out = []
+    for cy in range(4):
+        for cx in range(4):
+            block = img[ys[cy]:ys[cy + 1] or 1, xs[cx]:xs[cx + 1] or 1]
+            out.append(float(block.mean()) / 255.0 if block.size else 0.0)
+    return out
 
 
 def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """payload binary → fixed-dim float feature vector, via mapInPandas.
 
     Arrow streams batches of (media_id, payload) into Python; each batch
-    is processed vectorized and yields (media_id, feature,
-    decoded_ok). Column pruning applies — only the two needed columns
-    cross the language boundary.
+    is processed vectorized and yields (media_id, feature, decoded_ok).
+    ``decoded_ok=true`` means real pixels produced the features
+    (netpbm stdlib decode, or PIL when installed); undecodable payloads
+    deterministically fall back to the digest fake with
+    ``decoded_ok=false`` so pipelines can filter or re-route them.
+    Column pruning applies — only the two needed columns cross the
+    language boundary.
     """
     import pandas as pd
 
+    def one(payload: bytes) -> tuple[list[float], bool]:
+        try:
+            w, h, gray = decode_image(payload)
+            return image_features(w, h, gray), True
+        except (NotImplementedError, ValueError, TypeError):
+            return _fake_decode(payload), False
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            feats = [_fake_decode(p) for p in pdf["payload"]]
+            decoded = [one(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "feature": feats,
-                    "decoded_ok": [True] * len(pdf),
+                    "feature": [f for f, _ in decoded],
+                    "decoded_ok": [ok for _, ok in decoded],
                 }
             )
 

@@ -30,10 +30,55 @@ def test_multimodal_feature_extraction(spark):
     assert len(feats) == 3
     by_id = {r.media_id: r for r in feats}
     assert len(by_id[1].feature) == FEATURE_DIM
-    assert all(r.decoded_ok for r in feats)
+    # undecodable payloads take the deterministic fake with decoded_ok=false
+    assert not any(r.decoded_ok for r in feats)
     # deterministic: same payload → same features
     feats2 = extract_features(df).collect()
     assert {r.media_id: r.feature for r in feats2} == {r.media_id: r.feature for r in feats}
+
+
+def _pgm(width: int, height: int, pixels: bytes) -> bytes:
+    return b"P5\n# test\n%d %d\n255\n" % (width, height) + pixels
+
+
+def test_multimodal_real_pixel_decode(spark):
+    """The netpbm decode path produces features from REAL pixels: a
+    half-black/half-white PGM must pool to 0s on the left cells and 1s
+    on the right cells."""
+    from kubernetes_logs_datalake_spark.operators.multimodal import (
+        decode_image,
+        image_features,
+    )
+
+    w = h = 8
+    rows = bytes([0] * 4 + [255] * 4) * h
+    payload = _pgm(w, h, rows)
+    dw, dh, gray = decode_image(payload)
+    assert (dw, dh) == (8, 8) and gray == rows
+    feat = image_features(dw, dh, gray)
+    assert feat[0::4] == [0.0] * 4 and feat[1::4] == [0.0] * 4
+    assert feat[2::4] == [1.0] * 4 and feat[3::4] == [1.0] * 4
+
+    df = spark.createDataFrame(
+        [(1, "image", payload, ("image/x-portable-graymap", w, h, None))],
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    rows_out = extract_features(df).collect()
+    assert rows_out[0].decoded_ok
+    assert [round(v, 6) for v in rows_out[0].feature] == [round(v, 6) for v in feat]
+
+
+def test_multimodal_ppm_luminance(spark):
+    """P6 (RGB) decodes via integer Rec.601 luminance."""
+    from kubernetes_logs_datalake_spark.operators.multimodal import decode_image
+
+    # one red, one green, one blue, one white pixel
+    body = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    payload = b"P6\n4 1\n255\n" + body
+    w, h, gray = decode_image(payload)
+    assert (w, h) == (4, 1)
+    assert list(gray) == [76, 149, 29, 255]  # 299/587/114 per mille
 
 
 def test_frame_sample_plan(spark):

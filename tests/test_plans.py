@@ -81,6 +81,17 @@ def test_range_join_stays_equi_join(spark):
     assert "NestedLoop" not in p and "CartesianProduct" not in p
 
 
+def test_q7_q8_broadcast_dims_no_cartesian(spark):
+    """The two-nation-alias TPC-H shapes must broadcast every dimension
+    and never fall back to a cartesian/nested-loop despite the self-
+    joined nation table appearing twice."""
+    for name in ("q7_nation_volume", "q8_market_share"):
+        p = plan_of(spark, name)
+        assert "BroadcastHashJoin" in p, name
+        assert "CartesianProduct" not in p, name
+        assert "NestedLoop" not in p, name
+
+
 def test_embedding_lsh_no_nested_loop(spark):
     """The LSH embedding-dedup scale path must be banded equi-joins —
     never the all-pairs BroadcastNestedLoopJoin that the brute-force
