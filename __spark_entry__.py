@@ -946,6 +946,43 @@ def _scalar_null_handling(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Balanced per-language sample: exactly 5 docs per lang, selected
+    deterministically by md5(doc_id) — reproducible on any cluster size
+    or engine (rand()/TABLESAMPLE are partition-dependent)."""
+    from kubernetes_logs_datalake_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return stratified_sample(d, "lang", "doc_id", k=5)
+
+
+def _mix_datasets_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted corpus mixture: downsample English to 30%, keep the
+    rest — the data-mixture step of a training pipeline, as one
+    shuffle-free deterministic scan per source."""
+    from kubernetes_logs_datalake_spark.operators.sampling import mix_datasets
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    en = d.filter(F.col("lang") == "en")
+    rest = d.filter(F.col("lang") != "en")
+    return mix_datasets([(en, 0.3), (rest, 1.0)], "doc_id")
+
+
+def _vocab_top50(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary (tokenizer prep): top-50 words by occurrence."""
+    from kubernetes_logs_datalake_spark.operators.sampling import vocab_topk
+
+    return vocab_topk(_t(spark, sf, "documents"), "text", k=50)
+
+
+def _doc_length_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Equal-frequency token-length quartiles over the corpus
+    (curriculum/bucketed-batching prep)."""
+    from kubernetes_logs_datalake_spark.operators.sampling import length_bins
+
+    return length_bins(_t(spark, sf, "documents"), "doc_id", "text", n_bins=4)
+
+
 def _approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     """HLL sketch per event type (approximate — rows-only check; the
     exact variant events_type_stats.n_users is the oracle-checked one)."""
@@ -1027,10 +1064,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_functions_showcase": _array_functions_showcase,
         "scalar_null_handling": _scalar_null_handling,
         "approx_distinct_users": _approx_distinct_users,
+        # training-data pipeline: sampling / mixing / vocab / binning
+        "stratified_sample_docs": _stratified_sample_docs,
+        "mix_datasets_by_lang": _mix_datasets_by_lang,
+        "vocab_top50": _vocab_top50,
+        "doc_length_bins": _doc_length_bins,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from kubernetes_logs_datalake_spark.operators.sampling import hash_rate_threshold
+
     stop = _ddb_stoplist()
     w = _DDB_WORDS.format(t="text")
     norm = _DDB_NORM.format(t="text")
@@ -1527,6 +1571,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
                    trim('  ' || c_mktsegment || '  ') AS trimmed
             FROM customer WHERE c_custkey <= 200
+        """,
+        "stratified_sample_docs": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                FROM documents)
+            WHERE rk <= 5
+        """,
+        "mix_datasets_by_lang": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE lang = 'en'
+              AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  < '{hash_rate_threshold(0.3)}'
+            UNION ALL
+            SELECT doc_id, lang FROM documents WHERE lang <> 'en'
+        """,
+        "vocab_top50": f"""
+            SELECT word, count(*) AS n FROM (
+                SELECT unnest({w}) AS word FROM documents)
+            WHERE word <> ''
+            GROUP BY word ORDER BY n DESC, word LIMIT 50
+        """,
+        "doc_length_bins": f"""
+            SELECT doc_id, n_tokens,
+                   CAST(ntile(4) OVER (ORDER BY n_tokens, doc_id) AS INT) AS bin
+            FROM (SELECT doc_id, len({w}) AS n_tokens FROM documents)
         """,
         # dedup_minhash_lsh, dedup_simhash, ann_topk_lsh, ann_topk_ivf,
         # approx_distinct_users: approximate/hash-seeded operators →

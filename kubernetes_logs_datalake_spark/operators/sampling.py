@@ -1,0 +1,121 @@
+"""Deterministic sampling & dataset-mixing operators for training-data
+pipelines.
+
+Training corpus preparation needs reproducible subsetting: the same
+inputs must select the same rows on any cluster size, any partitioning,
+any engine — so none of these use ``rand()``/``TABLESAMPLE`` (both are
+partition-dependent). Instead rows are ordered/thresholded on the md5
+of their id, which every engine computes identically; the DuckDB
+oracles mirror each operator exactly.
+
+- :func:`stratified_sample` — exactly ``k`` rows per stratum (language,
+  source, quality bin), the balanced-eval-set maker. One window pass:
+  ``row_number() over (partition by stratum order by md5(id), id)``.
+- :func:`hash_sample` — Bernoulli-style rate sampling by comparing an
+  md5 prefix against a hex threshold (lexicographic hex compare ==
+  numeric compare at fixed width). O(scan), no shuffle, no state.
+- :func:`mix_datasets` — weighted mixture of corpora: per-source
+  ``hash_sample`` then union — the "data mixture" step in front of
+  tokenizer/training jobs.
+- :func:`vocab_topk` — corpus vocabulary with counts (tokenizer prep):
+  explode → count → top-k compiles to TakeOrderedAndProject.
+- :func:`length_bins` — equal-frequency (ntile) binning of documents by
+  token count, for curriculum/bucketed batching.
+
+At 100 TB: stratified_sample shuffles once on the stratum key;
+hash_sample/mix are shuffle-free scans; vocab_topk is one partial-agg
+shuffle on the word; length_bins is the only global-sort operator
+(ntile needs a total order) — bin on a per-partition quantile sketch
+(``approxQuantile`` cutpoints) instead when the exact equal-frequency
+property isn't required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _md5_of(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c.cast("string"))
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, deterministically
+    pseudo-random: rows ranked by (md5(id), id) within each stratum."""
+    w = Window.partitionBy(stratum_col).orderBy(_md5_of(id_col), F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def hash_rate_threshold(rate: float) -> str:
+    """8-hex-digit threshold such that md5-prefix < threshold selects
+    ~``rate`` of rows (md5 prefixes are uniform on [0, 16^8))."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return format(int(rate * 16**8), "08x")
+
+
+def hash_sample(df: DataFrame, id_col: str, rate: float) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep rows whose md5(id)
+    8-hex prefix is below the rate threshold. Same-width lexicographic
+    hex compare == numeric compare, and md5 is engine-portable, so the
+    selection is reproducible everywhere (unlike rand()/TABLESAMPLE).
+    Rows keep their correlated fate across runs and engines — also the
+    standard trick for train/holdout splits that survive re-ingestion."""
+    return df.filter(
+        F.substring(_md5_of(id_col), 1, 8) < F.lit(hash_rate_threshold(rate))
+    )
+
+
+def mix_datasets(parts: list[tuple[DataFrame, float]], id_col: str) -> DataFrame:
+    """Weighted dataset mixture: per-source deterministic rate sample,
+    unioned by name. The mixture-weights step of a training-data
+    pipeline; each source scans once, shuffle-free."""
+    if not parts:
+        raise ValueError("mix_datasets needs at least one (df, rate) pair")
+    out = None
+    for df, rate in parts:
+        sampled = df if rate >= 1.0 else hash_sample(df, id_col, rate)
+        out = sampled if out is None else out.unionByName(sampled)
+    return out
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str, k: int = 100
+) -> DataFrame:
+    """Corpus vocabulary: top-k words by document-occurrence count
+    (ties broken by word for determinism). One explode + one
+    partial-agg shuffle on the word; top-k is TakeOrderedAndProject."""
+    from kubernetes_logs_datalake_spark.functions.text import words
+
+    return (
+        df.select(F.explode(words(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(k)
+    )
+
+
+def length_bins(
+    df: DataFrame, id_col: str, text_col: str, n_bins: int = 4
+) -> DataFrame:
+    """Equal-frequency token-length bins (1..n_bins) per document —
+    curriculum/bucketed-batching prep. Exact ntile needs a total order
+    (one global sort); for approximate binning at extreme scale use
+    approxQuantile cutpoints instead and keep this as the oracle."""
+    from kubernetes_logs_datalake_spark.functions.text import token_count
+
+    with_len = df.select(
+        F.col(id_col), token_count(text_col).alias("n_tokens")
+    )
+    w = Window.orderBy("n_tokens", id_col)
+    return with_len.withColumn("bin", F.ntile(n_bins).over(w))

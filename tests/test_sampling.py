@@ -1,0 +1,83 @@
+"""Deterministic sampling / mixing / vocab / binning operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kubernetes_logs_datalake_spark.operators.sampling import (
+    hash_rate_threshold,
+    hash_sample,
+    length_bins,
+    mix_datasets,
+    stratified_sample,
+    vocab_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stratified_sample_exact_k_and_deterministic(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    s1 = stratified_sample(d.select("doc_id", "lang"), "lang", "doc_id", k=3)
+    per = {r.lang: r.n for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per and all(n == 3 for n in per.values())
+    # repartitioning must not change the selection
+    s2 = stratified_sample(
+        d.select("doc_id", "lang").repartition(13), "lang", "doc_id", k=3
+    )
+    assert {r.doc_id for r in s1.collect()} == {r.doc_id for r in s2.collect()}
+
+
+def test_hash_sample_rate_monotone_and_stable(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    n = d.count()
+    small = {r.doc_id for r in hash_sample(d, "doc_id", 0.2).collect()}
+    big = {r.doc_id for r in hash_sample(d, "doc_id", 0.6).collect()}
+    # nested thresholds → nested samples (stable train/holdout splits)
+    assert small <= big
+    assert 0.05 * n < len(small) < 0.4 * n
+    assert 0.4 * n < len(big) < 0.8 * n
+    # determinism across partitionings
+    again = {r.doc_id for r in hash_sample(d.repartition(7), "doc_id", 0.2).collect()}
+    assert again == small
+
+
+def test_hash_rate_threshold_bounds():
+    assert hash_rate_threshold(0.0) == "00000000"
+    assert hash_rate_threshold(1.0) == format(16**8, "08x")
+    with pytest.raises(ValueError):
+        hash_rate_threshold(1.5)
+
+
+def test_mix_datasets_weights(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    en = d.filter(F.col("lang") == "en")
+    rest = d.filter(F.col("lang") != "en")
+    mixed = mix_datasets([(en, 1.0), (rest, 1.0)], "doc_id")
+    assert mixed.count() == d.count()  # rate 1.0 keeps everything
+    downs = mix_datasets([(en, 0.0), (rest, 1.0)], "doc_id")
+    assert downs.filter(F.col("lang") == "en").count() == 0
+    assert downs.count() == rest.count()
+
+
+def test_vocab_topk_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "beta gamma!")], ["doc_id", "text"]
+    )
+    got = [(r.word, r.n) for r in vocab_topk(docs, "text", k=2).collect()]
+    assert got == [("beta", 3), ("alpha", 1)]
+
+
+def test_length_bins_equal_frequency(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (i + 1))) for i in range(8)], ["doc_id", "text"]
+    )
+    rows = length_bins(docs, "doc_id", "text", n_bins=4).collect()
+    sizes = {}
+    for r in rows:
+        sizes[r.bin] = sizes.get(r.bin, 0) + 1
+    assert sizes == {1: 2, 2: 2, 3: 2, 4: 2}
+    # longer docs land in higher bins
+    by_id = {r.doc_id: r.bin for r in rows}
+    assert by_id[0] == 1 and by_id[7] == 4
