@@ -49,6 +49,32 @@ def windowed_counts(
     )
 
 
+def stream_dedup(
+    records: DataFrame,
+    keys: list[str],
+    watermark_delay: str = "10 minutes",
+    time_col: str = "time",
+) -> DataFrame:
+    """Streaming exact dedup on ``keys`` with bounded state.
+
+    The at-least-once ingest contract means re-delivered rows; this is
+    the stream-side companion to ``operators.dedup.exact_dedup``:
+    ``dropDuplicatesWithinWatermark`` keeps one row per key seen within
+    the watermark horizon, and the state store holds only keys newer
+    than the horizon — state is O(arrival rate × delay), not O(stream
+    history), which is the property that survives at 100 TB/day.
+    On a batch DataFrame the same call degrades to a plain
+    ``dropDuplicates`` (full-history semantics), so backfills and the
+    live stream share one definition.
+    """
+    out = records.withColumn(time_col, F.col(time_col).cast("timestamp"))
+    if records.isStreaming:
+        return out.withWatermark(time_col, watermark_delay).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return out.dropDuplicates(keys)
+
+
 def sessionized_counts(
     records: DataFrame,
     gap: str = "30 minutes",

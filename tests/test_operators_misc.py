@@ -199,6 +199,43 @@ def test_windowed_counts_batch_and_stream_agree(spark, tmp_path):
         q.stop()
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered (at-least-once) rows collapse to one per key in
+    stream mode; batch mode gives the same answer via dropDuplicates."""
+    from kubernetes_logs_datalake_spark.streaming.analytics import stream_dedup
+
+    data_dir = tmp_path / "in"
+    data_dir.mkdir()
+    lines = [f"2024-01-15T10:30:{i % 10:02d}.0Z stdout F m{i % 5}" for i in range(20)]
+    (data_dir / "a.log").write_text("\n".join(lines) + "\n")
+
+    def records_of(df):
+        return parse_cri_lines(df.withColumn("path", F.input_file_name()),
+                               path_col=None, cluster="dev")
+
+    batch = stream_dedup(records_of(spark.read.text(str(data_dir))), keys=["message"])
+    got_batch = sorted(r.message for r in batch.collect())
+    assert got_batch == [f"m{i}" for i in range(5)]
+
+    stream = records_of(spark.readStream.format("text").load(str(data_dir)))
+    q = (
+        stream_dedup(stream, keys=["message"])
+        .select("message")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got_stream = sorted(
+            r.message for r in spark.sql("SELECT * FROM dedup_out").collect()
+        )
+        assert got_stream == got_batch
+    finally:
+        q.stop()
+
+
 def test_long_line_guard(spark):
     lines = [
         ("p", "2024-01-15T10:30:45.0Z stdout F ok"),
