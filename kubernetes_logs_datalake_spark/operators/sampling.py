@@ -119,3 +119,32 @@ def length_bins(
     )
     w = Window.orderBy("n_tokens", id_col)
     return with_len.withColumn("bin", F.ntile(n_bins).over(w))
+
+
+def length_bins_approx(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bins: int = 4,
+    relative_error: float = 0.01,
+) -> DataFrame:
+    """Scale variant of :func:`length_bins`: bin by approxQuantile
+    cutpoints instead of a global-sort ntile.
+
+    Two passes, neither a global sort: a Greenwald-Khanna quantile
+    sketch (one scan, mergeable per partition) yields the cutpoints,
+    then a shuffle-free scan assigns ``bin = 1 + #cutpoints below``.
+    Bins are boundary-approximate (ties and sketch error move rows near
+    a cutpoint by at most one bin) but the operator touches each row
+    twice and never shuffles it — the 100 TB shape. :func:`length_bins`
+    is its exactness oracle in tests.
+    """
+    from kubernetes_logs_datalake_spark.functions.text import token_count
+
+    with_len = df.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
+    probs = [i / n_bins for i in range(1, n_bins)]
+    cuts = with_len.stat.approxQuantile("n_tokens", probs, relative_error)
+    bin_expr = F.lit(1)
+    for c in cuts:
+        bin_expr = bin_expr + F.when(F.col("n_tokens") > c, 1).otherwise(0)
+    return with_len.withColumn("bin", bin_expr.cast("int"))

@@ -69,6 +69,25 @@ def test_vocab_topk_counts(spark):
     assert got == [("beta", 3), ("alpha", 1)]
 
 
+def test_length_bins_approx_tracks_exact(spark):
+    """The sketch-based binning must agree with the exact ntile oracle
+    for the overwhelming majority of rows (disagreement only at bin
+    boundaries/ties)."""
+    from kubernetes_logs_datalake_spark.operators.sampling import length_bins_approx
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    exact = {r.doc_id: r.bin for r in length_bins(d, "doc_id", "text", 4).collect()}
+    approx = {
+        r.doc_id: r.bin
+        for r in length_bins_approx(d, "doc_id", "text", 4, relative_error=0.001).collect()
+    }
+    assert set(exact) == set(approx)
+    agree = sum(1 for k in exact if exact[k] == approx[k]) / len(exact)
+    assert agree >= 0.9, f"approx binning agreement {agree:.2f}"
+    # never off by more than one bin
+    assert all(abs(exact[k] - approx[k]) <= 1 for k in exact)
+
+
 def test_length_bins_equal_frequency(spark):
     docs = spark.createDataFrame(
         [(i, " ".join(["w"] * (i + 1))) for i in range(8)], ["doc_id", "text"]
