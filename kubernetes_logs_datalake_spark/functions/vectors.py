@@ -37,5 +37,16 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
+def cosine_prenorm(
+    a: Column | str, b: Column | str, na: Column | str, nb: Column | str
+) -> Column:
+    """Cosine given precomputed norms — ``cosine()`` with the two norm
+    folds hoisted out of a pair join (one HOF fold per pair instead of
+    three). Same expression tree on the same values → bit-identical
+    results, so oracle parity is preserved."""
+    d = _col(na) * _col(nb)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
 def literal_vector(values: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in values])

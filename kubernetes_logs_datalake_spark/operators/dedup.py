@@ -293,11 +293,19 @@ def embedding_dedup_pairs(
     is ``operators.similarity.lsh_bucketed_pairs`` (random-hyperplane
     blocking) with this as the re-rank inside buckets.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    from kubernetes_logs_datalake_spark.functions.vectors import cosine_prenorm, norm
+
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        norm(vec_col).alias("_na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        norm(vec_col).alias("_nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine("va", "vb"))
+        .withColumn("cos", cosine_prenorm("va", "vb", "_na", "_nb"))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

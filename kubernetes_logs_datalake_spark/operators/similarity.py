@@ -261,12 +261,22 @@ def lsh_bucketed_pairs(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    from kubernetes_logs_datalake_spark.functions.vectors import cosine_prenorm, norm
+
+    # per-row norms join through with the vectors; the per-pair re-rank
+    # then folds only the dot product
+    va = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+        norm(vec_col).alias("_na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+        norm(vec_col).alias("_nb"),
+    )
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos", cosine("_va", "_vb"))
+        .withColumn("cos", cosine_prenorm("_va", "_vb", "_na", "_nb"))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -289,14 +299,24 @@ def knn_join_bruteforce(
     """
     from pyspark.sql import Window
 
+    from kubernetes_logs_datalake_spark.functions.vectors import cosine_prenorm, norm
+
+    # norms fold once per ROW before the join; only the dot product
+    # runs per PAIR (3x less higher-order-function work in the loop)
     joined = left.select(
-        F.col(left_id).alias("query_id"), F.col(left_vec).alias("_lv")
+        F.col(left_id).alias("query_id"),
+        F.col(left_vec).alias("_lv"),
+        norm(left_vec).alias("_ln"),
     ).crossJoin(
         F.broadcast(
-            right.select(F.col(right_id).alias("neighbor_id"), F.col(right_vec).alias("_rv"))
+            right.select(
+                F.col(right_id).alias("neighbor_id"),
+                F.col(right_vec).alias("_rv"),
+                norm(right_vec).alias("_rn"),
+            )
         )
     )
-    scored = joined.withColumn("cos", cosine("_lv", "_rv"))
+    scored = joined.withColumn("cos", cosine_prenorm("_lv", "_rv", "_ln", "_rn"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
