@@ -560,6 +560,23 @@ def _ann_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     return top.select("vec_id", F.round("cos", 4).alias("cos"))
 
 
+def _ann_topk_arrow(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-vectorized brute-force ANN (numpy matvec per batch) — the
+    embedding-heavy scan shape. Equivalence to the column path is
+    pytest-gated to 1e-9; pairwise-vs-sequential summation keeps it off
+    the bit-exact SQL oracle (rows-only)."""
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        brute_force_topk_arrow,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    q = _query_vec(spark, sf)
+    out = brute_force_topk_arrow(
+        emb.filter(F.col("vec_id") != 0), "embedding", q, k=10
+    )
+    return out.select("vec_id", F.round("cos", 4).alias("cos"))
+
+
 def _ann_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     q = _query_vec(spark, sf)
@@ -983,6 +1000,15 @@ def _doc_length_bins(spark: SparkSession, sf: str) -> DataFrame:
     return length_bins(_t(spark, sf, "documents"), "doc_id", "text", n_bins=4)
 
 
+def _doc_length_bins_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-based variant of doc_length_bins (approxQuantile
+    cutpoints, no global sort) — boundary-approximate, so rows-only;
+    agreement with the exact ntile oracle is pytest-gated ≥90%."""
+    from kubernetes_logs_datalake_spark.operators.sampling import length_bins_approx
+
+    return length_bins_approx(_t(spark, sf, "documents"), "doc_id", "text", n_bins=4)
+
+
 def _approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     """HLL sketch per event type (approximate — rows-only check; the
     exact variant events_type_stats.n_users is the oracle-checked one)."""
@@ -1035,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         # similarity search
         "ann_topk_bruteforce": _ann_topk_bruteforce,
+        "ann_topk_arrow": _ann_topk_arrow,
         "ann_topk_lsh": _ann_topk_lsh,
         "ann_topk_ivf": _ann_topk_ivf,
         "knn_join": _knn_join,
@@ -1069,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_datasets_by_lang": _mix_datasets_by_lang,
         "vocab_top50": _vocab_top50,
         "doc_length_bins": _doc_length_bins,
+        "doc_length_bins_approx": _doc_length_bins_approx,
     }
 
 
