@@ -516,6 +516,21 @@ def _text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _text_bpe_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per document — the cost
+    estimator a training pipeline budgets context windows with
+    (≈4 chars per subword token for alphanumeric runs; punctuation one
+    token each)."""
+    from kubernetes_logs_datalake_spark.functions.text import bpe_token_estimate
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_words"),
+        bpe_token_estimate("text").alias("n_bpe_est"),
+    )
+
+
 def _text_quality(spark: SparkSession, sf: str) -> DataFrame:
     from kubernetes_logs_datalake_spark.functions.text import quality_score_from, words
 
@@ -1056,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": _dedup_embedding_lsh,
         "dedup_components": _dedup_components,
         "text_token_stats": _text_token_stats,
+        "text_bpe_estimate": _text_bpe_estimate,
         "text_quality": _text_quality,
         "text_lang_id": _text_lang_id,
         "text_fingerprint": _text_fingerprint,
@@ -1345,6 +1361,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len({w})) AS BIGINT) AS total_tokens,
                    round(CAST(sum(len({w})) AS DOUBLE) / count(*), 4) AS avg_tokens
             FROM documents GROUP BY lang
+        """,
+        "text_bpe_estimate": f"""
+            SELECT doc_id,
+                   CAST(len({w}) AS BIGINT) AS n_words,
+                   CAST(ceil(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / 4)
+                        + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                        AS BIGINT) AS n_bpe_est
+            FROM documents
         """,
         "text_quality": f"""
             SELECT doc_id,
