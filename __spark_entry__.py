@@ -874,6 +874,144 @@ def _q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q4_late_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: no l_commitdate in the schema): orders
+    with any lineitem shipped >60 days after order date, counted per
+    priority — EXISTS as a compound-condition semi join."""
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-07-01")))
+    )
+    l = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+
+
+def _q13_order_count_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer (including
+    zero) — left join + two-level aggregation."""
+    c = _t(spark, sf, "customer").select("c_custkey")
+    o = _t(spark, sf, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+def _q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    nested aggregate + equality join back on the max."""
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    rev = l.groupBy("l_suppkey").agg(_dsum(_rev_dec()).alias("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    s = _t(spark, sf, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == F.col("_mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+def _q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: weekly revenue potential of small-quantity
+    lineitems (below 20% of the part's average quantity) — correlated
+    average as one window pass, exact-sum recipe."""
+    p = _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    l = _t(spark, sf, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(_dprice("l_quantity")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    small = l.withColumn("_avg_qty", avg_qty).filter(
+        F.col("l_quantity") < 0.2 * F.col("_avg_qty")
+    )
+    return small.agg(
+        F.round(
+            F.sum(_dprice("l_extendedprice")).cast("double") / 7.0, 2
+        ).alias("avg_weekly")
+    )
+
+
+def _q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: top large-volume orders (total quantity above a
+    threshold), customer attached, deterministic top-100."""
+    l = _t(spark, sf, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(_dsum(_dprice("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250.0)
+    )
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(100)
+    )
+
+
+def _q19_disjunctive_filters(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under OR-of-ANDs brand/size/quantity
+    predicates — exercises disjunctive predicate handling."""
+    p = _t(spark, sf, "part")
+    l = _t(spark, sf, "lineitem")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 15) & q.between(1, 30))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(10, 30) & q.between(5, 40))
+        | ((F.col("p_brand") == "Brand#5") & sz.between(20, 50) & q.between(10, 50))
+    )
+    return j.filter(cond).agg(_dsum(_rev_dec()).alias("revenue"))
+
+
+def _q22_inactive_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: mktsegment for country code): above-
+    average-balance customers with no orders since mid-2000 — scalar
+    subquery + anti join + aggregate."""
+    c = _t(spark, sf, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dprice("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("_avg")
+    )
+    recent = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-07-01"))
+    )
+    inactive = c.join(
+        recent, c.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return (
+        inactive.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            _dsum(_dprice("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
 def _full_outer_nation_counts(spark: SparkSession, sf: str) -> DataFrame:
     c = _t(spark, sf, "customer").groupBy("c_nationkey").agg(F.count("*").alias("n_cust"))
     s = _t(spark, sf, "supplier").groupBy("s_nationkey").agg(F.count("*").alias("n_supp"))
@@ -1096,9 +1234,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_source_extract": _regex_source_extract,
         "monthly_order_trend": _monthly_order_trend,
         "array_stats_embeddings": _array_stats_embeddings,
+        "q4_late_shipping_priority": _q4_late_shipping_priority,
         "q7_nation_volume": _q7_nation_volume,
         "q8_market_share": _q8_market_share,
+        "q13_order_count_distribution": _q13_order_count_distribution,
         "q14_promo_revenue": _q14_promo_revenue,
+        "q15_top_supplier": _q15_top_supplier,
+        "q17_small_quantity_revenue": _q17_small_quantity_revenue,
+        "q18_large_orders": _q18_large_orders,
+        "q19_disjunctive_filters": _q19_disjunctive_filters,
+        "q22_inactive_rich_customers": _q22_inactive_rich_customers,
         "full_outer_nation_counts": _full_outer_nation_counts,
         "cross_join_region_pairs": _cross_join_region_pairs,
         "date_functions_showcase": _date_functions_showcase,
@@ -1623,6 +1768,79 @@ def oracle_sql() -> dict[str, str]:
                    CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
                    trim('  ' || c_mktsegment || '  ') AS trimmed
             FROM customer WHERE c_custkey <= 200
+        """,
+        "q4_late_shipping_priority": """
+            SELECT o_orderpriority, count(*) AS n FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o.o_orderkey
+                            AND l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "q13_order_count_distribution": """
+            SELECT n_orders, count(*) AS n_customers FROM (
+                SELECT c_custkey, count(o_orderkey) AS n_orders
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey)
+            GROUP BY n_orders
+        """,
+        "q15_top_supplier": f"""
+            WITH rev AS (
+                SELECT l_suppkey, {_s_dsum(_S_REV, "total_rev")}
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_rev
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        """,
+        "q17_small_quantity_revenue": """
+            SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)))
+                              AS DOUBLE) / 7.0, 2) AS avg_weekly
+            FROM (
+                SELECT l_extendedprice, l_quantity,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(12,4)))
+                                OVER (PARTITION BY l_partkey) AS DOUBLE)
+                           / count(*) OVER (PARTITION BY l_partkey) AS avg_qty
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#23')
+            WHERE l_quantity < 0.2 * avg_qty
+        """,
+        "q18_large_orders": f"""
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate, total_qty
+            FROM (SELECT l_orderkey,
+                         {_s_dsum("CAST(l_quantity AS DECIMAL(12,4))", "total_qty")}
+                  FROM lineitem GROUP BY l_orderkey) big
+            JOIN orders ON big.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE total_qty > 250.0
+            ORDER BY total_qty DESC, o_orderkey LIMIT 100
+        """,
+        "q19_disjunctive_filters": f"""
+            SELECT {_s_dsum(_S_REV, "revenue")}
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 30)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 5 AND 40)
+               OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 10 AND 50)
+        """,
+        "q22_inactive_rich_customers": f"""
+            SELECT c_mktsegment, count(*) AS n_custs,
+                   {_s_dsum("CAST(c_acctbal AS DECIMAL(12,4))", "total_bal")}
+            FROM customer c
+            WHERE c_acctbal > (
+                    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE)
+                           / count(*)
+                    FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c.c_custkey
+                                AND o_orderdate >= TIMESTAMP '2000-07-01')
+            GROUP BY c_mktsegment
         """,
         "stratified_sample_docs": """
             SELECT doc_id, lang FROM (
