@@ -134,6 +134,65 @@ def image_features(width: int, height: int, gray: bytes) -> list[float]:
     return out
 
 
+def resize_gray(
+    width: int, height: int, gray: bytes, out_w: int, out_h: int
+) -> bytes:
+    """Box-filter (block-mean) downscale of a grayscale image —
+    the resize kernel behind :func:`image_features`, exposed for
+    thumbnail pipelines. Pure numpy, deterministic."""
+    import numpy as np
+
+    img = np.frombuffer(gray, dtype=np.uint8).reshape(height, width)
+    ys = [height * i // out_h for i in range(out_h + 1)]
+    xs = [width * i // out_w for i in range(out_w + 1)]
+    out = np.empty((out_h, out_w), dtype=np.uint8)
+    for cy in range(out_h):
+        for cx in range(out_w):
+            block = img[ys[cy]:ys[cy + 1] or 1, xs[cx]:xs[cx + 1] or 1]
+            out[cy, cx] = int(block.mean()) if block.size else 0
+    return out.tobytes()
+
+
+def resize_images(
+    df: DataFrame, out_w: int = 64, out_h: int = 64
+) -> DataFrame:
+    """payload → decoded, box-resized grayscale thumbnail (binary) via
+    mapInPandas; undecodable payloads yield null thumbnails. The
+    Arrow-batched resize stage of a media pipeline — decode and resize
+    parallelize per input split, thumbnails stay columnar."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("thumb", T.BinaryType()),
+            T.StructField("thumb_w", T.IntegerType()),
+            T.StructField("thumb_h", T.IntegerType()),
+        ]
+    )
+
+    def one(payload: bytes) -> bytes | None:
+        try:
+            w, h, gray = decode_image(payload)
+            return resize_gray(w, h, gray, out_w, out_h)
+        except (NotImplementedError, ValueError, TypeError):
+            return None
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            thumbs = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "thumb": thumbs,
+                    "thumb_w": [out_w if t is not None else None for t in thumbs],
+                    "thumb_h": [out_h if t is not None else None for t in thumbs],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, out_schema)
+
+
 def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """payload binary → fixed-dim float feature vector, via mapInPandas.
 

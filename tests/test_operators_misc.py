@@ -69,6 +69,29 @@ def test_multimodal_real_pixel_decode(spark):
     assert [round(v, 6) for v in rows_out[0].feature] == [round(v, 6) for v in feat]
 
 
+def test_multimodal_resize(spark):
+    """Box-filter resize: an 8x8 half-black/half-white image downscales
+    to a 2x2 thumbnail with exact block means; undecodable payloads get
+    null thumbnails."""
+    from kubernetes_logs_datalake_spark.operators.multimodal import (
+        resize_gray,
+        resize_images,
+    )
+
+    w = h = 8
+    rows = bytes([0] * 4 + [255] * 4) * h
+    assert list(resize_gray(w, h, rows, 2, 2)) == [0, 255, 0, 255]
+
+    df = spark.createDataFrame(
+        [(1, _pgm(w, h, rows)), (2, b"not-an-image")],
+        "media_id long, payload binary",
+    )
+    out = {r.media_id: r for r in resize_images(df, 2, 2).collect()}
+    assert list(out[1].thumb) == [0, 255, 0, 255]
+    assert (out[1].thumb_w, out[1].thumb_h) == (2, 2)
+    assert out[2].thumb is None and out[2].thumb_w is None
+
+
 def test_multimodal_ppm_luminance(spark):
     """P6 (RGB) decodes via integer Rec.601 luminance."""
     from kubernetes_logs_datalake_spark.operators.multimodal import decode_image
