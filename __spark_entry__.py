@@ -516,6 +516,16 @@ def _text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _doc_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS winnowing fingerprints (k=8 char-grams, window=4): the
+    rolling-hash document fingerprint family, guaranteed to surface any
+    shared substring ≥ 11 chars between documents."""
+    from kubernetes_logs_datalake_spark.operators.dedup import winnowing_fingerprints
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return winnowing_fingerprints(d, "doc_id", "text", k=8, window=4)
+
+
 def _text_bpe_estimate(spark: SparkSession, sf: str) -> DataFrame:
     """Whitespace vs BPE-ish token counts per document — the cost
     estimator a training pipeline budgets context windows with
@@ -1208,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _dedup_embedding,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
         "dedup_components": _dedup_components,
+        "doc_winnow_fingerprints": _doc_winnow_fingerprints,
         "text_token_stats": _text_token_stats,
         "text_bpe_estimate": _text_bpe_estimate,
         "text_quality": _text_quality,
@@ -1506,6 +1517,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len({w})) AS BIGINT) AS total_tokens,
                    round(CAST(sum(len({w})) AS DOUBLE) / count(*), 4) AS avg_tokens
             FROM documents GROUP BY lang
+        """,
+        "doc_winnow_fingerprints": """
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS b
+                FROM documents WHERE doc_id < 100
+            ), grams AS (
+                SELECT doc_id,
+                       list_transform(range(1, greatest(length(b) - 7, 0) + 1),
+                                      i -> md5(substring(b, i, 8))) AS g
+                FROM base
+            ), mins AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(g) - 3, 0) + 1),
+                           j -> list_aggregate(g[j:j+3], 'min'))) AS fps
+                FROM grams
+            )
+            SELECT doc_id, unnest(fps) AS fp FROM mins
         """,
         "text_bpe_estimate": f"""
             SELECT doc_id,

@@ -60,6 +60,31 @@ def test_ngram_jaccard_max_df_noop_when_loose(spark):
     assert base == loose and base
 
 
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing's core property: documents sharing a substring of at
+    least k + window - 1 characters MUST share a fingerprint; disjoint
+    documents share none; sub-k texts produce no (garbage) grams."""
+    from kubernetes_logs_datalake_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix one {shared} suffix alpha"),
+            (2, f"different opening {shared} other ending"),
+            (3, "completely unrelated words entirely elsewhere"),
+            (4, "tiny"),  # < k after normalization → no fingerprints
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4)
+    by_doc: dict[int, set] = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc.get(3, set()))
+    assert 4 not in by_doc
+
+
 def test_lsh_bucketed_pairs_recall_vs_bruteforce(spark):
     """The banded-LSH embedding-dedup scale path must recover most
     brute-force pairs at the operating threshold, and (being an exact
