@@ -53,6 +53,11 @@ from kubernetes_logs_datalake_spark.operators.similarity import (
 
 # ---------------------------------------------------------------- helpers
 
+# the testdata embeddings table's vector dimension — the ONE source of
+# truth shared by the Spark LSH path and its generated SQL oracle so the
+# two cannot silently diverge (ADVICE r2)
+EMBEDDING_DIM = 64
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
@@ -482,7 +487,8 @@ def _dedup_embedding_lsh(spark: SparkSession, sf: str) -> DataFrame:
     operating threshold (0.35); real near-dup thresholds use more bits."""
     emb = _t(spark, sf, "embeddings")
     pairs = lsh_bucketed_pairs(
-        emb, "vec_id", "embedding", threshold=0.35, bits=4, tables=16
+        emb, "vec_id", "embedding", threshold=0.35, bits=4, tables=16,
+        dim=EMBEDDING_DIM,
     )
     return pairs.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
@@ -1588,7 +1594,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 3
         """,
         "text_lang_id": _lang_id_oracle_sql(),
-        "dedup_embedding_lsh": _lsh_pairs_oracle_sql(),
+        "dedup_embedding_lsh": _lsh_pairs_oracle_sql(dim=EMBEDDING_DIM),
         "asof_purchase_click": """
             -- equal-ts clicks pre-collapsed to max(click_id): mirrors the
             -- Spark operator's tiebreak=click_id (largest wins), removing
@@ -1906,7 +1912,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _lsh_pairs_oracle_sql(
-    bits: int = 4, tables: int = 16, seed: int = 42, dim: int = 64,
+    dim: int, bits: int = 4, tables: int = 16, seed: int = 42,
     threshold: float = 0.35,
 ) -> str:
     """DuckDB mirror of ``lsh_bucketed_pairs``: the deterministic LCG

@@ -67,28 +67,35 @@ def _fake_decode(payload: bytes) -> list[float]:
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
 
 
-_PNM_HEADER = re.compile(rb"^(P[56])\s+(?:#[^\n]*\s+)*(\d+)\s+(\d+)\s+(\d+)\s")
+# comments are whitespace per the netpbm spec: they may appear between
+# ANY header tokens, not just after the magic
+_PNM_WS = rb"(?:\s+|\s*#[^\n]*\n)+"
+_PNM_HEADER = re.compile(
+    rb"^(P[56])" + _PNM_WS + rb"(\d+)" + _PNM_WS + rb"(\d+)" + _PNM_WS + rb"(\d+)\s"
+)
 
 
 def _decode_pnm(payload: bytes) -> tuple[int, int, bytes]:
     """Stdlib decoder for binary netpbm images: P5 (PGM, grayscale) and
-    P6 (PPM, RGB → luminance). Returns (width, height, grayscale bytes).
-    Raises ValueError for malformed/oversized-sample files."""
+    P6 (PPM, RGB → luminance). Returns (width, height, grayscale bytes
+    normalized to maxval 255). Raises ValueError for malformed or
+    16-bit-sample files."""
     m = _PNM_HEADER.match(payload)
     if not m:
         raise ValueError("not a binary PGM/PPM payload")
     magic, w, h, maxval = m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4))
-    if maxval > 255:
+    if not 0 < maxval <= 255:
         raise ValueError("16-bit netpbm samples not supported")
     body = payload[m.end():]
-    if magic == b"P5":
-        need = w * h
-        if len(body) < need:
-            raise ValueError("truncated PGM body")
-        return w, h, body[:need]
-    need = 3 * w * h
+    need = (1 if magic == b"P5" else 3) * w * h
     if len(body) < need:
-        raise ValueError("truncated PPM body")
+        raise ValueError("truncated PGM/PPM body")
+    if maxval != 255:
+        # normalize low-maxval samples (round-to-nearest) so a maxval=15
+        # white stays white instead of decoding near-black
+        body = bytes((v * 255 + maxval // 2) // maxval for v in body[:need])
+    if magic == b"P5":
+        return w, h, body[:need]
     # integer Rec.601 luminance — deterministic, no float error
     gray = bytes(
         (299 * body[i] + 587 * body[i + 1] + 114 * body[i + 2]) // 1000
@@ -129,8 +136,12 @@ def image_features(width: int, height: int, gray: bytes) -> list[float]:
     out = []
     for cy in range(4):
         for cx in range(4):
-            block = img[ys[cy]:ys[cy + 1] or 1, xs[cx]:xs[cx + 1] or 1]
-            out.append(float(block.mean()) / 255.0 if block.size else 0.0)
+            # clamp each block to ≥1 row/col: when a dimension is
+            # smaller than the grid, the nearest block repeats instead
+            # of yielding a spurious empty slice (black cell)
+            y0, x0 = min(ys[cy], height - 1), min(xs[cx], width - 1)
+            block = img[y0:max(ys[cy + 1], y0 + 1), x0:max(xs[cx + 1], x0 + 1)]
+            out.append(float(block.mean()) / 255.0)
     return out
 
 
@@ -148,8 +159,11 @@ def resize_gray(
     out = np.empty((out_h, out_w), dtype=np.uint8)
     for cy in range(out_h):
         for cx in range(out_w):
-            block = img[ys[cy]:ys[cy + 1] or 1, xs[cx]:xs[cx + 1] or 1]
-            out[cy, cx] = int(block.mean()) if block.size else 0
+            # clamped blocks (≥1 row/col) — upscaling repeats the
+            # nearest source pixel instead of emitting black cells
+            y0, x0 = min(ys[cy], height - 1), min(xs[cx], width - 1)
+            block = img[y0:max(ys[cy + 1], y0 + 1), x0:max(xs[cx + 1], x0 + 1)]
+            out[cy, cx] = int(block.mean())
     return out.tobytes()
 
 

@@ -55,10 +55,18 @@ def stratified_sample(
 
 
 def hash_rate_threshold(rate: float) -> str:
-    """8-hex-digit threshold such that md5-prefix < threshold selects
-    ~``rate`` of rows (md5 prefixes are uniform on [0, 16^8))."""
+    """Threshold such that md5-prefix < threshold selects ~``rate`` of
+    rows (md5 prefixes are uniform on [0, 16^8)). For rate < 1 the
+    result is an 8-hex-digit string (same-width lexicographic compare ==
+    numeric compare); rate == 1.0 returns ``"g"``, which sorts above
+    every hex digit so the compare keeps all rows — the naive
+    ``format(16**8, "08x")`` is 9 chars and would *lose* the same-width
+    invariant (lexicographically below ``"2..."``, silently keeping only
+    ~6% of rows)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0,1], got {rate}")
+    if rate >= 1.0:
+        return "g"
     return format(int(rate * 16**8), "08x")
 
 
@@ -68,7 +76,11 @@ def hash_sample(df: DataFrame, id_col: str, rate: float) -> DataFrame:
     hex compare == numeric compare, and md5 is engine-portable, so the
     selection is reproducible everywhere (unlike rand()/TABLESAMPLE).
     Rows keep their correlated fate across runs and engines — also the
-    standard trick for train/holdout splits that survive re-ingestion."""
+    standard trick for train/holdout splits that survive re-ingestion.
+    ``rate >= 1.0`` short-circuits to the input unchanged."""
+    if rate >= 1.0:
+        hash_rate_threshold(rate)  # still validate the range
+        return df
     return df.filter(
         F.substring(_md5_of(id_col), 1, 8) < F.lit(hash_rate_threshold(rate))
     )

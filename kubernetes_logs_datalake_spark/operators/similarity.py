@@ -221,6 +221,7 @@ def lsh_bucketed_pairs(
     tables: int = 8,
     seed: int = 42,
     max_bucket: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs without the all-pairs join — the scale
     path promised by ``operators.dedup.embedding_dedup_pairs``.
@@ -237,8 +238,21 @@ def lsh_bucketed_pairs(
     ``max_bucket`` skips buckets larger than the cap (hot-bucket guard:
     Σ bucket² cost stays bounded; skipped mass is recoverable by adding
     tables). Deterministic: LCG hyperplanes, fixed seeds.
+
+    ``dim`` is the vector dimension; pass it explicitly when known (the
+    contract query shares one constant with its SQL oracle so the two
+    cannot silently diverge). When omitted, a 1-row probe runs an eager
+    job at plan-construction time; an empty/all-null input raises a
+    clear ValueError instead of a bare TypeError.
     """
-    dim = df.select(F.size(F.col(vec_col))).first()[0]  # 1-row probe
+    if dim is None:
+        probe = df.select(F.size(F.col(vec_col))).first()  # 1-row probe
+        if probe is None or probe[0] is None or probe[0] < 0:
+            raise ValueError(
+                "lsh_bucketed_pairs: cannot infer vector dimension from an "
+                "empty or null-vector input; pass dim= explicitly"
+            )
+        dim = probe[0]
     sigs = [
         lsh_signature(F.col(vec_col), _hyperplanes(dim, bits, seed + 7919 * t))
         for t in range(tables)

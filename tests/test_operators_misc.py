@@ -104,6 +104,48 @@ def test_multimodal_ppm_luminance(spark):
     assert list(gray) == [76, 149, 29, 255]  # 299/587/114 per mille
 
 
+def test_pnm_comments_and_low_maxval():
+    """Spec conformance (ADVICE r2): comments are legal between any
+    header tokens, and maxval<255 samples are rescaled so white stays
+    white."""
+    from kubernetes_logs_datalake_spark.operators.multimodal import decode_image
+
+    payload = b"P5\n# a\n2 # b\n2\n# c\n15\n" + bytes([0, 15, 15, 0])
+    w, h, gray = decode_image(payload)
+    assert (w, h) == (2, 2)
+    assert list(gray) == [0, 255, 255, 0]
+    # 16-bit samples still rejected
+    with pytest.raises(ValueError):
+        decode_image(b"P5\n2 2\n65535\n" + bytes(8))
+
+
+def test_small_image_block_clamp():
+    """Images smaller than the pooling grid repeat the nearest block
+    instead of producing spurious black cells (ADVICE r2)."""
+    from kubernetes_logs_datalake_spark.operators.multimodal import (
+        image_features,
+        resize_gray,
+    )
+
+    # 2x2 all-white: every pooled cell must be 1.0, none 0.0
+    feat = image_features(2, 2, bytes([255] * 4))
+    assert feat == [1.0] * 16
+    # 1x1 upscale to 4x4 repeats the single pixel
+    assert list(resize_gray(1, 1, bytes([200]), 4, 4)) == [200] * 16
+
+
+def test_lsh_bucketed_pairs_empty_input_raises(spark):
+    """Empty input without an explicit dim raises a clear ValueError
+    (not a bare TypeError from the 1-row probe) — ADVICE r2."""
+    from kubernetes_logs_datalake_spark.operators.similarity import lsh_bucketed_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="dim"):
+        lsh_bucketed_pairs(empty, "vec_id", "embedding")
+    # explicit dim: plan builds lazily and yields zero pairs
+    assert lsh_bucketed_pairs(empty, "vec_id", "embedding", dim=4).count() == 0
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame(
         [(7, "video", b"x", ("video/mp4", None, None, 3500))],

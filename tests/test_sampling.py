@@ -45,9 +45,18 @@ def test_hash_sample_rate_monotone_and_stable(spark):
 
 def test_hash_rate_threshold_bounds():
     assert hash_rate_threshold(0.0) == "00000000"
-    assert hash_rate_threshold(1.0) == format(16**8, "08x")
+    # 1.0 must compare ABOVE any 8-hex md5 prefix; the naive 9-char
+    # "100000000" sorts below "2xxxxxxx" and would drop ~94% of rows
+    assert "ffffffff" < hash_rate_threshold(1.0)
     with pytest.raises(ValueError):
         hash_rate_threshold(1.5)
+
+
+def test_hash_sample_rate_one_keeps_everything(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    assert hash_sample(d, "doc_id", 1.0).count() == d.count()
+    with pytest.raises(ValueError):
+        hash_sample(d, "doc_id", 1.5)
 
 
 def test_mix_datasets_weights(spark):
