@@ -118,19 +118,72 @@ def vocab_topk(
 
 
 def length_bins(
-    df: DataFrame, id_col: str, text_col: str, n_bins: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bins: int = 4,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Equal-frequency token-length bins (1..n_bins) per document —
-    curriculum/bucketed-batching prep. Exact ntile needs a total order
-    (one global sort); for approximate binning at extreme scale use
-    approxQuantile cutpoints instead and keep this as the oracle."""
+    curriculum/bucketed-batching prep. Exact ntile semantics (identical
+    to ``ntile(n) OVER (ORDER BY n_tokens, id)``), computed
+    **distributed**:
+
+    1. ``repartitionByRange`` on (n_tokens, id) orders ranges across
+       partitions (range shuffle — each partition holds a contiguous
+       slice of the total order, nothing ever concentrates on one node);
+    2. per-partition ``row_number`` over a *partitioned* window gives
+       local ranks in parallel;
+    3. partition row-counts (one tiny row per partition) turn local
+       ranks into exact global ranks via a broadcast join;
+    4. the SQL ntile formula (first ``N % B`` bins get one extra row)
+       is applied as column math on the global rank.
+
+    This is the repartitionByRange + partition-offset-rank shape — the
+    100 TB-safe replacement for the unpartitioned-window ntile (which
+    Spark itself warns moves ALL data to a single partition). The
+    per-row pass is deterministic, so the counts job and the rank job
+    see identical partition assignments.
+    """
     from kubernetes_logs_datalake_spark.functions.text import token_count
 
-    with_len = df.select(
-        F.col(id_col), token_count(text_col).alias("n_tokens")
+    with_len = df.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
+    spark = df.sparkSession
+    nparts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    w = Window.orderBy("n_tokens", id_col)
-    return with_len.withColumn("bin", F.ntile(n_bins).over(w))
+    part = with_len.repartitionByRange(
+        nparts, F.col("n_tokens"), F.col(id_col)
+    ).withColumn("_pid", F.spark_partition_id())
+
+    # tiny driver-side collect: one (pid, count) row per partition
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in part.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    total = sum(n for _, n in counts)
+    if total == 0:
+        return part.select(id_col, "n_tokens", F.lit(None).cast("int").alias("bin"))
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+
+    w = Window.partitionBy("_pid").orderBy("n_tokens", id_col)
+    ranked = (
+        part.withColumn("_lrn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn("_rank", F.col("_off") + F.col("_lrn"))
+    )
+    # SQL ntile: base rows per bin, first `rem` bins take one extra
+    base, rem = total // n_bins, total % n_bins
+    cut = rem * (base + 1)
+    r = F.col("_rank")
+    bin_expr = F.when(
+        r <= cut, F.floor((r - 1) / (base + 1)) + 1
+    ).otherwise(F.lit(rem) + F.floor((r - cut - 1) / max(base, 1)) + 1)
+    return ranked.select(id_col, "n_tokens", bin_expr.cast("int").alias("bin"))
 
 
 def length_bins_approx(

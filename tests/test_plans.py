@@ -101,6 +101,28 @@ def test_embedding_lsh_no_nested_loop(spark):
     assert "HashJoin" in p or "SortMergeJoin" in p
 
 
+def test_no_unpartitioned_window_in_contract_queries(spark):
+    """No contract query may contain an unpartitioned WindowExec — the
+    plan shape that moves the ENTIRE input to one partition (Spark
+    itself warns 'serious performance degradation'). An unpartitioned
+    window compiles to `Window <- Sort <- Exchange SinglePartition`, so
+    we flag any `Exchange SinglePartition` in the few lines under a
+    Window node. (This gate would have caught r2's global-ntile
+    doc_length_bins.)"""
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    for name, fn in entrymod.queries().items():
+        lines = (
+            fn(spark, SF)._jdf.queryExecution().executedPlan().toString().splitlines()
+        )
+        for i, line in enumerate(lines):
+            if "Window " not in line:
+                continue
+            below = "\n".join(lines[i + 1 : i + 4])
+            assert "Exchange SinglePartition" not in below, (
+                f"{name} has an unpartitioned Window (single-partition sort)"
+            )
+
+
 def test_asof_join_single_window_shuffle(spark):
     """The as-of join is one window pass — no join operators at all."""
     p = plan_of(spark, "asof_purchase_click")
