@@ -19,7 +19,6 @@ chosen at ``:399-402``). Spark has no Arrow IPC file source, so:
 
 from __future__ import annotations
 
-import os
 import uuid
 from collections.abc import Iterator
 
@@ -161,6 +160,28 @@ def read_arrow(
 # --------------------------------------------------------------------- write
 
 
+def _resolve_fs(dest: str):
+    """``(pyarrow.fs.FileSystem, path)`` for a destination URI.
+
+    Runs executor-side (inside ``applyInArrow`` workers, where no JVM —
+    hence no Hadoop FileSystem API — is reachable), so the sink resolves
+    the filesystem from the URI with ``pyarrow.fs``: ``s3a://``/
+    ``s3n://`` (the Hadoop S3 connector schemes the reference's lake
+    uses, ``fluent-bit.conf:32-45``) map onto pyarrow's S3FileSystem;
+    ``file://`` and scheme-less paths resolve to the local filesystem.
+    This is the write-side mirror of the reader's ``binaryFile`` +
+    ``BufferReader`` object-store path.
+    """
+    from pyarrow import fs as pafs
+
+    uri = dest
+    if uri.startswith(("s3a://", "s3n://")):
+        uri = "s3://" + uri.split("://", 1)[1]
+    if "://" not in uri:
+        return pafs.LocalFileSystem(), uri
+    return pafs.FileSystem.from_uri(uri)
+
+
 def _to_arrow_compact(table: pa.Table) -> pa.Table:
     """Apply the reference's column compaction to an Arrow table:
     int8-dictionary-encode the 2-3-value columns (reference
@@ -182,9 +203,15 @@ def _to_arrow_compact(table: pa.Table) -> pa.Table:
 
 def write_arrow_file(table: pa.Table, dest: str) -> None:
     """One Feather-v2 file: ZSTD bodies + compacted columns — the same
-    storage contract the reference's writer produces."""
-    os.makedirs(os.path.dirname(dest), exist_ok=True)
-    feather.write_feather(_to_arrow_compact(table), dest, compression="zstd")
+    storage contract the reference's writer produces. ``dest`` may be a
+    local path or any ``pyarrow.fs``-resolvable URI (``file://``,
+    ``s3://``/``s3a://``) — writes go through the filesystem's output
+    stream, never ``os`` local-path calls."""
+    filesystem, path = _resolve_fs(dest)
+    if "/" in path:
+        filesystem.create_dir(path.rsplit("/", 1)[0], recursive=True)
+    with filesystem.open_output_stream(path) as sink:
+        feather.write_feather(_to_arrow_compact(table), sink, compression="zstd")
 
 
 def write_arrow_partitioned(
@@ -208,7 +235,7 @@ def write_arrow_partitioned(
 
     def write_group(key: tuple, table: pa.Table) -> pa.Table:
         rel = "/".join(f"{c}={v}" for c, v in zip(partition_cols, key))
-        dest = os.path.join(root, rel, f"{uuid.uuid4().hex}.arrow")
+        dest = f"{root.rstrip('/')}/{rel}/{uuid.uuid4().hex}.arrow"
         write_arrow_file(table.select(value_cols), dest)
         return pa.table({"path": [dest], "rows": [len(table)]})
 
