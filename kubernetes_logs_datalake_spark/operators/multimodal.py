@@ -2,12 +2,13 @@
 columns with typed metadata, processed in Arrow-batched Python.
 
 The Spark-side architecture — schema, partitioning, ``mapInPandas``
-batch shape, deterministic outputs — is real and tested, and so is one
-genuine decode path: netpbm images (PGM/PPM, the uncompressed
-interchange format) decode with a stdlib parser to real pixels, which
-average-pool into the feature vector. Compressed formats (PNG/JPEG)
-use PIL when it is importable (feature probe, not a hard import);
-without PIL they fall back to a deterministic digest-derived fake with
+batch shape, deterministic outputs — is real and tested, and so are
+the decode paths that need only the stdlib: netpbm images (PGM/PPM)
+via a header parser, PNG via zlib inflate + numpy scanline unfilter,
+and WAV/PCM audio via the ``wave`` module — all to real pixels/samples
+that pool into feature vectors. JPEG uses PIL when it is importable
+(feature probe, not a hard import); payloads no available decoder
+handles fall back to a deterministic digest-derived fake with
 ``decoded_ok=false`` so downstream schemas never change shape.
 
 At 100 TB of media this is the shape that works: binary payloads stay
@@ -104,24 +105,132 @@ def _decode_pnm(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, gray
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(arr, channels: int, stride: int):
+    """Reverse PNG scanline filtering (spec §9, filters 0-4). ``arr`` is
+    (height, stride+1) uint8 with the filter byte in column 0; returns
+    (height, stride) uint8 of reconstructed bytes. Up/None rows are
+    vectorized; Sub/Average/Paeth recur on the previous pixel, so those
+    run per-byte (decode cost is per-image Python either way — the
+    parallelism is per input split, not per pixel)."""
+    import numpy as np
+
+    height = arr.shape[0]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    for y in range(height):
+        ftype = int(arr[y, 0])
+        row = arr[y, 1:].copy()
+        if ftype == 0:
+            rec = row
+        elif ftype == 2:  # Up (uint8 addition wraps mod 256)
+            rec = row + prev
+        elif ftype in (1, 3, 4):
+            rec = row
+            p = prev
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                if ftype == 1:  # Sub
+                    pred = a
+                elif ftype == 3:  # Average
+                    pred = (a + int(p[x])) >> 1
+                else:  # Paeth
+                    b, c = int(p[x]), (int(p[x - bpp]) if x >= bpp else 0)
+                    q = a + b - c
+                    qa, qb, qc = abs(q - a), abs(q - b), abs(q - c)
+                    pred = a if (qa <= qb and qa <= qc) else (b if qb <= qc else c)
+                rec[x] = (int(rec[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Stdlib PNG decoder: chunk walk → zlib inflate → scanline
+    unfilter → grayscale. Supports bit depth 8, color types 0 (gray),
+    2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced — the shapes a
+    media lake actually stores. Palette/16-bit/interlaced raise
+    ValueError (callers fall back to the digest fake)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, n = 8, len(payload)
+    width = height = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # 4 length + 4 type + data + 4 crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    px = _png_unfilter(arr, channels, stride).reshape(height, width, channels)
+    if channels == 1:
+        gray = px[:, :, 0]
+    elif channels == 2:  # gray+alpha → gray
+        gray = px[:, :, 0]
+    else:  # RGB(A) → integer Rec.601 luminance, same kernel as P6
+        rgb = px[:, :, :3].astype(np.int32)
+        gray = (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000
+    return width, height, gray.astype(np.uint8).tobytes()
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Decode an image payload to (width, height, grayscale bytes).
 
-    Netpbm (PGM/PPM) decodes with the stdlib parser everywhere;
-    compressed formats need PIL (feature-probed import). Raises
-    NotImplementedError when no available decoder handles the payload —
-    callers choose between failing and the deterministic fake.
+    Netpbm (PGM/PPM) and PNG (zlib + numpy unfilter) decode with the
+    stdlib everywhere; other compressed formats (JPEG) need PIL
+    (feature-probed import). Raises NotImplementedError when no
+    available decoder handles the payload — callers choose between
+    failing and the deterministic fake.
     """
     if payload and payload[:2] in (b"P5", b"P6"):
         return _decode_pnm(payload)
+    if payload and payload.startswith(_PNG_SIG):
+        try:
+            return _decode_png(payload)
+        except ValueError:
+            # unsupported PNG subtype (palette/16-bit/interlaced): give
+            # PIL a chance when installed, else surface the error
+            if _PIL_Image is None:
+                raise
     if _PIL_Image is not None:  # pragma: no cover - env-dependent
         import io
 
         img = _PIL_Image.open(io.BytesIO(payload)).convert("L")
         return img.width, img.height, img.tobytes()
     raise NotImplementedError(
-        "no decoder for this image format (netpbm decodes everywhere; "
-        "PNG/JPEG need PIL, which is not installed)"
+        "no decoder for this image format (netpbm and PNG decode "
+        "everywhere; JPEG needs PIL, which is not installed)"
     )
 
 
@@ -240,6 +349,104 @@ def extract_features(df: DataFrame, batch_hint: int = 1024) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(run, FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("rms", T.FloatType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("decoded_ok", T.BooleanType()),
+    ]
+)
+
+
+def decode_wav(payload: bytes):
+    """Stdlib WAV/PCM decoder via the ``wave`` module: returns
+    (sample_rate, mono float64 samples in [-1, 1]). 8-bit unsigned and
+    16-bit signed PCM supported; multi-channel downmixes by mean.
+    Raises ValueError for non-RIFF/compressed payloads."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload or b"")) as w:
+            rate = w.getframerate()
+            nch = w.getnchannels()
+            sw = w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as exc:
+        raise ValueError(f"not a PCM WAV payload: {exc}") from exc
+    if sw == 2:
+        arr = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        arr = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    if nch > 1:
+        arr = arr[: (len(arr) // nch) * nch].reshape(-1, nch).mean(axis=1)
+    if rate <= 0:
+        raise ValueError("WAV sample rate must be positive")
+    return rate, arr
+
+
+def audio_segment_features(rate: int, samples) -> tuple[int, float, list[float]]:
+    """(duration_ms, overall RMS, per-segment RMS over FEATURE_DIM equal
+    slices) — the audio analog of the pooled image thumbnail. Pure
+    numpy; empty segments (clip shorter than the grid) repeat the
+    nearest sample instead of emitting zeros."""
+    import numpy as np
+
+    n = len(samples)
+    duration_ms = int(round(1000.0 * n / rate))
+    if n == 0:
+        return duration_ms, 0.0, [0.0] * FEATURE_DIM
+    rms = float(np.sqrt(np.mean(samples**2)))
+    cuts = [n * i // FEATURE_DIM for i in range(FEATURE_DIM + 1)]
+    seg = []
+    for i in range(FEATURE_DIM):
+        lo = min(cuts[i], n - 1)
+        hi = max(cuts[i + 1], lo + 1)
+        seg.append(float(np.sqrt(np.mean(samples[lo:hi] ** 2))))
+    return duration_ms, rms, seg
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """payload binary → (duration_ms, rms, segment-RMS feature vector)
+    via mapInPandas — the audio decode/feature stage of a media
+    pipeline. Real stdlib WAV/PCM decode (``decoded_ok=true``);
+    non-WAV payloads deterministically fall back to the digest fake
+    with null duration/rms so schemas never change shape. Arrow-batched,
+    parallel per input split, only (media_id, payload) crosses the
+    language boundary.
+    """
+    import pandas as pd
+
+    def one(payload: bytes):
+        try:
+            rate, samples = decode_wav(payload)
+            dur, rms, seg = audio_segment_features(rate, samples)
+            return dur, rms, seg, True
+        except (ValueError, TypeError):
+            return None, None, _fake_decode(payload), False
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            decoded = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "duration_ms": [d for d, _, _, _ in decoded],
+                    "rms": [r for _, r, _, _ in decoded],
+                    "feature": [f for _, _, f, _ in decoded],
+                    "decoded_ok": [ok for _, _, _, ok in decoded],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

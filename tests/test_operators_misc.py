@@ -134,6 +134,194 @@ def test_small_image_block_clamp():
     assert list(resize_gray(1, 1, bytes([200]), 4, 4)) == [200] * 16
 
 
+# ---- stdlib PNG decode fixtures: a minimal in-test encoder so every
+# ---- scanline filter type (0-4) is exercised against known pixels
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _make_png(width, height, raw: bytes, color_type, row_filters) -> bytes:
+    """Encode raw (height*width*channels) bytes as a PNG, forward-
+    filtering each row with the given filter type (spec §9)."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    bpp, stride = channels, width * channels
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = raw[y * stride : (y + 1) * stride]
+        f = row_filters[y % len(row_filters)]
+        out.append(f)
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                q = a + b - c
+                qa, qb, qc = abs(q - a), abs(q - b), abs(q - c)
+                pred = a if (qa <= qb and qa <= qc) else (b if qb <= qc else c)
+            out.append((row[x] - pred) & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_gray_decode_all_filters(spark):
+    """8x8 grayscale PNG, rows cycling through every filter type, must
+    reconstruct the exact source pixels and flow through
+    extract_features with decoded_ok=true."""
+    from kubernetes_logs_datalake_spark.operators.multimodal import (
+        decode_image,
+        image_features,
+    )
+
+    w = h = 8
+    raw = bytes([0] * 4 + [255] * 4) * h  # half-black / half-white
+    payload = _make_png(w, h, raw, color_type=0, row_filters=[0, 1, 2, 3, 4])
+    dw, dh, gray = decode_image(payload)
+    assert (dw, dh) == (w, h) and gray == raw
+
+    df = spark.createDataFrame(
+        [(1, payload)], "media_id long, payload binary"
+    )
+    out = extract_features(df).collect()[0]
+    assert out.decoded_ok
+    feat = image_features(w, h, raw)
+    assert [round(v, 6) for v in out.feature] == [round(v, 6) for v in feat]
+
+
+def test_png_rgb_and_rgba_luminance():
+    """Color PNGs decode via the same integer Rec.601 kernel as P6;
+    alpha is ignored."""
+    from kubernetes_logs_datalake_spark.operators.multimodal import decode_image
+
+    rgb = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    w, h, gray = decode_image(_make_png(4, 1, rgb, 2, [0, 1, 4]))
+    assert (w, h) == (4, 1) and list(gray) == [76, 149, 29, 255]
+
+    rgba = bytes([255, 0, 0, 7, 0, 255, 0, 7])
+    _, _, gray = decode_image(_make_png(2, 1, rgba, 6, [4]))
+    assert list(gray) == [76, 149]
+
+    # gray+alpha takes the gray channel
+    ga = bytes([10, 255, 200, 0])
+    _, _, gray = decode_image(_make_png(2, 1, ga, 4, [2]))
+    assert list(gray) == [10, 200]
+
+
+def test_png_unsupported_subtypes_fall_to_fake(spark):
+    """Palette PNGs (no stdlib path, no PIL here) raise ValueError from
+    decode and take the digest fake with decoded_ok=false in the
+    pipeline, keeping the schema stable."""
+    import struct
+
+    from kubernetes_logs_datalake_spark.operators.multimodal import decode_image
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)  # color type 3
+    payload = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    try:
+        from PIL import Image  # noqa: F401
+
+        pytest.skip("PIL installed: palette PNGs decode for real")
+    except ImportError:
+        pass
+    with pytest.raises(ValueError, match="color type"):
+        decode_image(payload)
+    df = spark.createDataFrame([(9, payload)], "media_id long, payload binary")
+    out = extract_features(df).collect()[0]
+    assert not out.decoded_ok and len(out.feature) == FEATURE_DIM
+
+
+def _wav_bytes(samples, rate=8000, nch=1, width=2) -> bytes:
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        if width == 2:
+            w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+        else:
+            w.writeframes(bytes(samples))
+    return buf.getvalue()
+
+
+def test_wav_decode_and_audio_features(spark):
+    """Real stdlib WAV decode: duration, RMS, and segment features from
+    actual samples; non-WAV payloads fall back with null duration."""
+    import math
+
+    from kubernetes_logs_datalake_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+    )
+
+    # 0.5 s of a full-scale square wave at 8 kHz: RMS is exactly 1.0
+    n, rate = 4000, 8000
+    sq = [32767 if i % 2 == 0 else -32767 for i in range(n)]
+    payload = _wav_bytes(sq, rate=rate)
+    r, samples = decode_wav(payload)
+    assert r == rate and len(samples) == n
+
+    df = spark.createDataFrame(
+        [(1, payload), (2, b"not audio"), (3, None)],
+        "media_id long, payload binary",
+    )
+    out = {row.media_id: row for row in audio_features(df).collect()}
+    assert out[1].decoded_ok
+    assert out[1].duration_ms == 500
+    assert math.isclose(out[1].rms, 32767 / 32768, rel_tol=1e-5)
+    assert len(out[1].feature) == FEATURE_DIM
+    assert all(math.isclose(v, out[1].rms, rel_tol=1e-4) for v in out[1].feature)
+    for bad in (2, 3):
+        assert not out[bad].decoded_ok
+        assert out[bad].duration_ms is None and out[bad].rms is None
+        assert len(out[bad].feature) == FEATURE_DIM
+
+
+def test_wav_stereo_downmix_and_8bit():
+    from kubernetes_logs_datalake_spark.operators.multimodal import decode_wav
+
+    # stereo: L=+1000, R=-1000 → mono mean 0
+    inter = []
+    for _ in range(100):
+        inter += [1000, -1000]
+    _, samples = decode_wav(_wav_bytes(inter, rate=4000, nch=2))
+    assert len(samples) == 100 and abs(samples).max() == 0.0
+
+    # 8-bit unsigned: 128 is silence, 255 ≈ +1
+    _, samples = decode_wav(_wav_bytes([128] * 10 + [255] * 10, rate=1000, width=1))
+    assert samples[0] == 0.0 and samples[-1] > 0.99
+
+
 def test_lsh_bucketed_pairs_empty_input_raises(spark):
     """Empty input without an explicit dim raises a clear ValueError
     (not a bare TypeError from the 1-row probe) — ADVICE r2."""
