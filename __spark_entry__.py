@@ -532,6 +532,20 @@ def _doc_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     return winnowing_fingerprints(d, "doc_id", "text", k=8, window=4)
 
 
+def _dedup_winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs by Jaccard over winnowing fingerprints — the pair
+    operator consuming doc_winnow_fingerprints, via the same inverted-
+    index join as the shingle path. Threshold is low (0.02) because this
+    synthetic corpus plants no long shared substrings (max winnow
+    Jaccard ≈ 0.076); real corpora run ≥ 0.2 for boilerplate/license
+    dedup."""
+    from kubernetes_logs_datalake_spark.operators.dedup import winnow_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    pairs = winnow_pairs(d, "doc_id", "text", k=8, window=4, threshold=0.02)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
 def _text_bpe_estimate(spark: SparkSession, sf: str) -> DataFrame:
     """Whitespace vs BPE-ish token counts per document — the cost
     estimator a training pipeline budgets context windows with
@@ -1225,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": _dedup_embedding_lsh,
         "dedup_components": _dedup_components,
         "doc_winnow_fingerprints": _doc_winnow_fingerprints,
+        "dedup_winnow_pairs": _dedup_winnow_pairs,
         "text_token_stats": _text_token_stats,
         "text_bpe_estimate": _text_bpe_estimate,
         "text_quality": _text_quality,
@@ -1542,6 +1557,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM grams
             )
             SELECT doc_id, unnest(fps) AS fp FROM mins
+        """,
+        "dedup_winnow_pairs": """
+            WITH base AS (
+                SELECT doc_id,
+                       regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS b
+                FROM documents WHERE doc_id < 100
+            ), grams AS (
+                SELECT doc_id,
+                       list_transform(range(1, greatest(length(b) - 7, 0) + 1),
+                                      i -> md5(substring(b, i, 8))) AS g
+                FROM base
+            ), fps AS (
+                SELECT DISTINCT doc_id AS _id, unnest(list_distinct(list_transform(
+                           range(1, greatest(len(g) - 3, 0) + 1),
+                           j -> list_aggregate(g[j:j+3], 'min')))) AS fp
+                FROM grams
+            ), sizes AS (
+                SELECT _id, count(*) AS sz FROM fps GROUP BY _id
+            ), inter AS (
+                SELECT a._id AS id_a, b._id AS id_b, count(*) AS i
+                FROM fps a JOIN fps b USING (fp)
+                WHERE a._id < b._id GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa._id = id_a
+            JOIN sizes sb ON sb._id = id_b
+            WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.02
         """,
         "text_bpe_estimate": f"""
             SELECT doc_id,

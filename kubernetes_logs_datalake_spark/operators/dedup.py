@@ -82,33 +82,44 @@ def ngram_jaccard_pairs(
     oracle mode — only safe standalone after LSH blocking,
     ``minhash_lsh_candidates``).
     """
-    sh = shingle_sets(df, id_col, text_col, n)
+    return _set_jaccard_pairs(
+        shingle_sets(df, id_col, text_col, n), "shingle", threshold, max_df
+    )
+
+
+def _set_jaccard_pairs(
+    sets: DataFrame, key: str, threshold: float, max_df: int | None
+) -> DataFrame:
+    """Inverted-index Jaccard join over distinct ``(_id, key)`` set
+    rows — the shared kernel behind :func:`ngram_jaccard_pairs`
+    (key=shingle) and :func:`winnow_pairs` (key=fingerprint). One
+    self-equi-join on the key, never all-pairs; ``max_df`` bounds the
+    quadratic contribution of corpus-frequency keys."""
     if max_df is not None:
         keep = (
-            sh.groupBy("shingle")
+            sets.groupBy(key)
             .agg(F.count("*").alias("_df"))
             .filter(F.col("_df") <= max_df)
-            .select("shingle")
+            .select(key)
         )
-        sh = sh.join(keep, "shingle", "left_semi")
-    sh = sh.cache()
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+        sets = sets.join(keep, key, "left_semi")
+    sets = sets.cache()
+    sizes = sets.groupBy("_id").agg(F.count("*").alias("sz"))
+    a = sets.alias("a")
+    b = sets.alias("b")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, key)
         .filter(F.col("a._id") < F.col("b._id"))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
-    out = (
+    return (
         inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 # ----------------------------------------------------------- MinHash + LSH
@@ -276,6 +287,33 @@ def winnowing_fingerprints(
     )
 
 
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by Jaccard over winnowing fingerprints — the pair
+    operator the fingerprint family feeds.
+
+    Same inverted-index + ``max_df`` join as the shingle path
+    (:func:`_set_jaccard_pairs`) but over :func:`winnowing_fingerprints`,
+    so the index is ~2/(window+1) the size of a full shingle index while
+    still guaranteeing that any shared substring ≥ k + window - 1 chars
+    surfaces as a shared key. The cheap long-shared-substring detector
+    (plagiarism/boilerplate/license-text dedup) next to the word-n-gram
+    Jaccard's bag-of-shingles similarity. Oracle-exact: md5 gram hashes
+    and hex-min selection reproduce in ANSI SQL.
+    """
+    fps = winnowing_fingerprints(df, id_col, text_col, k, window).select(
+        F.col(id_col).alias("_id"), F.col("fp")
+    )
+    return _set_jaccard_pairs(fps, "fp", threshold, max_df)
+
+
 # ------------------------------------------------- component resolution
 
 
@@ -334,15 +372,34 @@ def connected_components(
 
 
 def embedding_dedup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Semantic near-dup pairs: cosine ≥ threshold.
 
-    Brute-force all-pairs join — exact, oracle-checkable. The scale path
-    is ``operators.similarity.lsh_bucketed_pairs`` (random-hyperplane
-    blocking) with this as the re-rank inside buckets.
+    Brute-force all-pairs join — exact, oracle-checkable, and O(n²):
+    this is the *oracle* for ``operators.similarity.lsh_bucketed_pairs``
+    (random-hyperplane blocking), not the corpus-scale path. To make
+    misuse impossible, the operator counts its input and raises above
+    ``max_rows`` (default 100k ≈ 5·10⁹ candidate pairs, already days of
+    work) with a pointer to the LSH path; pass ``max_rows=None`` only in
+    tests/oracles that knowingly bound the input themselves.
     """
     from kubernetes_logs_datalake_spark.functions.vectors import cosine_prenorm, norm
+
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_dedup_pairs is the all-pairs oracle: input has "
+                f"{n} rows > max_rows={max_rows} (≈{n * (n - 1) // 2:.2g} "
+                f"candidate pairs). Use operators.similarity."
+                f"lsh_bucketed_pairs for corpus-scale embedding dedup, or "
+                f"raise max_rows explicitly if you accept the O(n²) cost."
+            )
 
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
