@@ -123,6 +123,26 @@ def test_no_unpartitioned_window_in_contract_queries(spark):
             )
 
 
+def test_arrow_ann_is_batched_not_row_at_a_time(spark):
+    """The Arrow ANN path must be a MapInArrow stage (Arrow record
+    batches into numpy) — never BatchEvalPython (row-at-a-time pickling,
+    the ~100x-slower shape this repo bans)."""
+    p = plan_of(spark, "ann_topk_arrow")
+    assert "MapInArrow" in p, "ann_topk_arrow lost its Arrow batch stage"
+    assert "BatchEvalPython" not in p
+
+
+def test_resize_images_is_batched_not_row_at_a_time(spark):
+    """The media resize stage must be MapInPandas (Arrow-batched) —
+    never BatchEvalPython."""
+    from kubernetes_logs_datalake_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame([(1, b"P5\n1 1\n255\n\x00")], "media_id long, payload binary")
+    p = resize_images(df, 2, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
+
+
 def test_asof_join_single_window_shuffle(spark):
     """The as-of join is one window pass — no join operators at all."""
     p = plan_of(spark, "asof_purchase_click")

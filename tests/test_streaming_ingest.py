@@ -174,6 +174,68 @@ def test_compaction_spares_concurrent_appends(spark, pods_dir, tmp_path):
     assert len(msgs) == 15 and "b-4" in msgs and "a-9" in msgs
 
 
+def test_compaction_dual_format_checkpoint_integration(spark, pods_dir, tmp_path):
+    """Integration over one qualified (file://-scheme) root: streaming
+    dual-format ingest with checkpointed offsets, then compaction, then
+    a restart. Compaction must shrink the parquet side only — the Arrow
+    files and the checkpoint survive byte-for-byte, and the restarted
+    stream resumes from its offsets (no re-ingest) while new data still
+    flows. Catches scheme-handling regressions none of the single-
+    feature tests can."""
+    import glob as globmod
+
+    from kubernetes_logs_datalake_spark.streaming.ingest import compact_lake
+
+    local_root = str(tmp_path / "lake6")
+    lake_root = "file://" + local_root
+    write_log(pods_dir, "qa", "app-1", "app",
+              [f"{ts(i)} stdout F int-{i}" for i in range(30)])
+    job = IngestJob(
+        logs_dir=pods_dir, lake_root=lake_root, cluster="dev",
+        trigger_seconds=1, max_files_per_trigger=3,
+    )
+    job.start(spark)
+    job.process_available()
+    # second file before stopping → more small parquet files
+    write_log(pods_dir, "qa", "app-1", "app",
+              [f"{ts(30 + i)} stdout F int-{30 + i}" for i in range(10)], fname="1.log")
+    job.process_available()
+    job.stop_gracefully()
+
+    lake = LogLake(lake_root)
+    assert lake.read(spark, fmt="parquet").count() == 40
+    n_arrow = sorted(globmod.glob(f"{local_root}/**/*.arrow", recursive=True))
+    n_pq_before = len(globmod.glob(f"{local_root}/**/*.parquet", recursive=True))
+    assert n_pq_before >= 2 and len(n_arrow) >= 1
+    ckpt_dir = local_root + "_checkpoint"
+    ckpt_files_before = sorted(globmod.glob(f"{ckpt_dir}/**", recursive=True))
+    assert ckpt_files_before, "checkpoint must live outside the lake root"
+
+    compact_lake(spark, lake_root)
+
+    # parquet shrank, rows identical, both formats still queryable
+    assert len(globmod.glob(f"{local_root}/**/*.parquet", recursive=True)) < n_pq_before
+    assert lake.read(spark, fmt="parquet").count() == 40
+    assert sorted(globmod.glob(f"{local_root}/**/*.arrow", recursive=True)) == n_arrow
+    assert lake.read(spark, fmt="arrow").count() == 40
+    # checkpoint untouched by compaction
+    assert sorted(globmod.glob(f"{ckpt_dir}/**", recursive=True)) == ckpt_files_before
+
+    # restart: offsets intact (no re-ingest), new data flows
+    write_log(pods_dir, "prod", "late-1", "main",
+              [f"{ts(50)} stdout F post-compact"], fname="0.log")
+    job2 = IngestJob(
+        logs_dir=pods_dir, lake_root=lake_root, cluster="dev",
+        trigger_seconds=1, max_files_per_trigger=3,
+    )
+    job2.start(spark)
+    job2.process_available()
+    job2.stop_gracefully()
+    df = lake.read(spark, fmt="parquet")
+    assert df.filter(F.col("message").startswith("int-")).count() == 40
+    assert df.filter(F.col("message") == "post-compact").count() == 1
+
+
 def test_lake_read_stream(spark, pods_dir, tmp_path):
     """Downstream consumers tail the lake itself as a stream."""
     lake_root = str(tmp_path / "lake4")
