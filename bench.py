@@ -21,13 +21,13 @@ from kubernetes_logs_datalake_spark import get_spark
 
 # Representative spread: scans+agg, multi-join, window, rollup,
 # sessionize, dedup, text quality, similarity search, temporal joins.
-# (The all-pairs jaccard/minhash operators are excluded here: the
-# synthetic corpus's ~40-word vocabulary makes every document collide
-# with every other, which benchmarks the generator, not the operator.
-# dedup_embedding_lsh is excluded for the same reason — at the
-# synthetic corpus's 0.35 operating threshold ~64% of all pairs are
-# true candidates, so candidate volume measures the generator's
-# uniformity, not the banding.)
+# (The all-pairs jaccard/minhash CONTRACT queries are excluded here: the
+# driver's synthetic corpus's ~40-word vocabulary makes every document
+# collide with every other, which benchmarks the generator, not the
+# operator — at its 0.35 embedding threshold ~64% of all pairs are true
+# candidates. The LSH families are benchmarked instead on the clustered
+# fixture below, whose similarity distribution matches a real corpus:
+# see *_clustered entries.)
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -52,29 +52,184 @@ HEADLINE = [
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 
+# --------------------------------------------------- clustered fixture
+#
+# The driver's synthetic embeddings/documents are adversarial for
+# blocking (see HEADLINE note) — so the LSH families get their own
+# bench fixture with a realistic similarity distribution: planted
+# near-dup pairs (cos ≈ 0.95, unigram Jaccard ≈ 0.8) over a background
+# whose pairwise similarity is noise (cos ≲ 0.5, Jaccard ≈ 0.004).
+
+
+def make_clustered_corpus(
+    n_bg_e: int, n_pl_e: int, n_bg_d: int, n_pl_d: int,
+    dim: int = 64, seed: int = 20260813,
+):
+    """Deterministic clustered near-dup corpus. Returns
+    (embeddings pyarrow.Table, documents pyarrow.Table): embeddings are
+    n_bg_e background gaussians + n_pl_e (base, base+0.3·noise) planted
+    pairs (cos ≈ 1/sqrt(1.09) ≈ 0.957); documents are 60-word texts over
+    an 8000-word vocab, planted pairs sharing 54/60 positions."""
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(seed)
+    bg = rng.standard_normal((n_bg_e, dim))
+    base = rng.standard_normal((n_pl_e, dim))
+    dup = base + 0.3 * rng.standard_normal((n_pl_e, dim))
+    vecs = np.vstack([bg, base, dup]).astype(np.float32)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+        }
+    )
+
+    vocab = np.array([f"w{i:04d}" for i in range(8000)])
+    docs_bg = rng.integers(0, len(vocab), size=(n_bg_d, 60))
+    docs_base = rng.integers(0, len(vocab), size=(n_pl_d, 60))
+    docs_dup = docs_base.copy()
+    for r in range(n_pl_d):  # replace 6 of 60 positions → Jaccard ≈ 0.8
+        pos = rng.choice(60, size=6, replace=False)
+        docs_dup[r, pos] = rng.integers(0, len(vocab), size=6)
+    texts = [" ".join(vocab[row]) for row in np.vstack([docs_bg, docs_base, docs_dup])]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    return emb, docs
+
+
+def ensure_clustered_fixture(sf: float) -> str:
+    """Write the clustered corpus (sized to the SF: sf0.1 ≈ the driver
+    tables' row counts) under /tmp once and reuse it across runs."""
+    import pyarrow.parquet as pq
+
+    scale = sf / 0.1 if sf > 0 else 0.1
+    dest = f"/tmp/spark_graft_clustered_sf{sf}"
+    emb_path = os.path.join(dest, "embeddings.parquet")
+    doc_path = os.path.join(dest, "documents.parquet")
+    if not (os.path.exists(emb_path) and os.path.exists(doc_path)):
+        os.makedirs(dest, exist_ok=True)
+        emb, docs = make_clustered_corpus(
+            n_bg_e=int(1600 * scale), n_pl_e=int(200 * scale),
+            n_bg_d=int(4000 * scale), n_pl_d=int(500 * scale),
+        )
+        pq.write_table(emb, emb_path)
+        pq.write_table(docs, doc_path)
+    return dest
+
+
+def clustered_queries(spark, fixture_dir: str) -> dict:
+    """LSH-family bench entries over the clustered fixture. Parameters
+    target the planted similarity levels: hyperplane LSH at cos ≥ 0.8
+    (bits=8/tables=8), MinHash at Jaccard ≥ 0.8 (r=4 rows × 16 bands →
+    collision prob 0.9998 at j=0.8, ~1e-9 for background)."""
+    from kubernetes_logs_datalake_spark.operators.dedup import minhash_lsh_candidates
+    from kubernetes_logs_datalake_spark.operators.similarity import lsh_bucketed_pairs
+
+    emb = spark.read.parquet(f"{fixture_dir}/embeddings.parquet")
+    docs = spark.read.parquet(f"{fixture_dir}/documents.parquet")
+    return {
+        "dedup_embedding_lsh_clustered": lambda: lsh_bucketed_pairs(
+            emb, "vec_id", "embedding", threshold=0.8, bits=8, tables=8, dim=64
+        ),
+        "minhash_lsh_clustered": lambda: minhash_lsh_candidates(
+            docs, "doc_id", "text", num_hashes=64, bands=16, n=1
+        ),
+    }
+
+
+# ------------------------------------------------------ ingest metric
+
+
+def ensure_cri_corpus(sf: float) -> tuple[str, int]:
+    """Deterministic CRI log corpus under /tmp: (dir, total_lines).
+    Sized to the SF (sf0.1 → 120k lines across 24 pod log files)."""
+    scale = sf / 0.1 if sf > 0 else 0.1
+    n_files = 24
+    lines_per_file = max(int(120_000 * scale) // n_files, 10)
+    dest = f"/tmp/spark_graft_cri_sf{sf}"
+    marker = os.path.join(dest, "_COMPLETE")
+    if not os.path.exists(marker):
+        for i in range(n_files):
+            ns = f"ns{i % 4}"
+            d = os.path.join(dest, "var/log/pods", f"{ns}_pod-{i}_uid{i}", "app")
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "0.log"), "w") as fh:
+                for j in range(lines_per_file):
+                    t_ns = 1705314600_000000000 + (i * lines_per_file + j) * 1_000_000
+                    sec, ns_part = divmod(t_ns, 1_000_000_000)
+                    iso = time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime(sec))
+                    fh.write(
+                        f"{iso}.{ns_part:09d}Z stdout F "
+                        f"request handled status=200 latency_ms={j % 250} seq={j}\n"
+                    )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return dest, n_files * lines_per_file
+
+
+def bench_ingest(spark, sf: float) -> dict:
+    """Measured ingest throughput: the streaming IngestJob batch-converts
+    the CRI corpus into a fresh dual-format lake (parse + partitioned
+    parquet AND arrow writes + checkpoint). One timed run — the
+    reference's envelope is operational (lines/sec), not query latency."""
+    import shutil
+    import tempfile
+
+    from kubernetes_logs_datalake_spark.streaming.ingest import IngestJob
+
+    logs_dir, total_lines = ensure_cri_corpus(sf)
+    lake_root = tempfile.mkdtemp(prefix="spark_graft_ingest_bench_")
+    shutil.rmtree(lake_root)  # IngestJob creates it
+    job = IngestJob(
+        logs_dir=logs_dir, lake_root=lake_root, cluster="bench",
+        trigger_seconds=1,
+    )
+    t0 = time.time()
+    job.start(spark)
+    job.process_available()
+    job.stop_gracefully()
+    elapsed = time.time() - t0
+    shutil.rmtree(lake_root, ignore_errors=True)
+    shutil.rmtree(lake_root + "_checkpoint", ignore_errors=True)
+    return {
+        "ingest_lines": total_lines,
+        "ingest_sec": round(elapsed, 3),
+        "ingest_lines_per_sec": round(total_lines / elapsed),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("kld-bench")
     qs = entrymod.queries()
+    extra = clustered_queries(spark, ensure_clustered_fixture(sf))
 
     def run(name: str) -> float:
         t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        df = extra[name]() if name in extra else qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
+
+    names = HEADLINE + sorted(extra)
 
     # warm-up pass over every query family: first execution pays JVM
     # JIT, codegen compilation and parquet footer caching — one-time
     # costs that would otherwise be attributed to whichever query runs
     # first (observed 14.7 -> 20 s suite variance round 1)
-    for name in HEADLINE:
+    for name in names:
         run(name)
 
     # median of N repeats, plus spread, so round-over-round regressions
     # are attributable to plan changes rather than run jitter
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    samples: dict[str, list[float]] = {name: [] for name in names}
     for _ in range(REPEATS):
-        for name in HEADLINE:
+        for name in names:
             samples[name].append(run(name))
     timings = {
         name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in samples.items()
@@ -82,6 +237,8 @@ def main() -> None:
     spread = {
         name: round(max(ts) - min(ts), 3) for name, ts in samples.items()
     }
+
+    ingest = bench_ingest(spark, sf)
 
     print(
         json.dumps(
@@ -92,6 +249,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                **ingest,
                 "sf": sf,
             }
         )

@@ -120,6 +120,61 @@ def test_winnow_pairs_detects_long_shared_substrings(spark):
     assert nj[(1, 2)] < wp[(1, 2)]
 
 
+def test_lsh_recall_on_clustered_corpus(spark):
+    """On a corpus with a realistic similarity distribution (planted
+    near-dup pairs over noise background — the bench fixture's
+    generator), the banded-LSH path at the bench parameters must
+    recover ≥ 90% of brute-force pairs at cos ≥ 0.8 with no false
+    positives, and the candidate volume must stay near the planted pair
+    count (blocking actually blocks, unlike on the adversarial driver
+    corpus)."""
+    from bench import make_clustered_corpus
+    from kubernetes_logs_datalake_spark.operators.dedup import embedding_dedup_pairs
+    from kubernetes_logs_datalake_spark.operators.similarity import lsh_bucketed_pairs
+
+    emb_t, _ = make_clustered_corpus(n_bg_e=300, n_pl_e=60, n_bg_d=0, n_pl_d=0)
+    emb = spark.createDataFrame(emb_t.to_pandas())
+    brute = {
+        (r.id_a, r.id_b)
+        for r in embedding_dedup_pairs(emb, "vec_id", "embedding", threshold=0.8).collect()
+    }
+    assert len(brute) >= 50, "fixture must plant enough cos>=0.8 pairs"
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in lsh_bucketed_pairs(
+            emb, "vec_id", "embedding", threshold=0.8, bits=8, tables=8
+        ).collect()
+    }
+    assert lsh <= brute
+    recall = len(lsh & brute) / len(brute)
+    assert recall >= 0.9, f"clustered-corpus LSH recall {recall:.2f} < 0.9"
+    # blocking blocks: candidates ≈ planted pairs, nowhere near all-pairs
+    assert len(lsh) <= 2 * len(brute)
+
+
+def test_minhash_recall_on_clustered_corpus(spark):
+    """MinHash banding at the bench parameters (r=4 × 16 bands) over the
+    clustered document fixture: ≥ 90% of the planted jaccard≈0.8 pairs
+    surface as candidates, and background pairs effectively never do."""
+    from bench import make_clustered_corpus
+    from kubernetes_logs_datalake_spark.operators.dedup import minhash_lsh_candidates
+
+    _, docs_t = make_clustered_corpus(n_bg_e=0, n_pl_e=0, n_bg_d=300, n_pl_d=60)
+    docs = spark.createDataFrame(docs_t.to_pandas())
+    # planted pair ids: (base_i, dup_i) = (300+i, 360+i)
+    planted = {(300 + i, 360 + i) for i in range(60)}
+    cand = {
+        (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+        for r in minhash_lsh_candidates(
+            docs, "doc_id", "text", num_hashes=64, bands=16, n=1
+        ).collect()
+    }
+    recall = len(cand & planted) / len(planted)
+    assert recall >= 0.9, f"clustered-corpus MinHash recall {recall:.2f} < 0.9"
+    false_pos = cand - planted
+    assert len(false_pos) <= len(planted) // 4, f"too many background candidates: {len(false_pos)}"
+
+
 def test_embedding_dedup_max_rows_guard(spark):
     """The all-pairs embedding oracle refuses oversized inputs with a
     pointer to the LSH scale path (VERDICT r2: make misuse impossible)."""
