@@ -1201,6 +1201,93 @@ def _approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _approx_distinct_kmv(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV distinct-count sketch per event type — same one-pass /
+    bounded-state shape as HLL but deterministic column algebra over
+    md5, so (unlike approx_distinct_users) the DuckDB oracle reproduces
+    the estimate bit-for-bit and the hash check stays strong."""
+    from kubernetes_logs_datalake_spark.operators.sketch import kmv_distinct
+
+    e = _t(spark, sf, "events")
+    return kmv_distinct(e, "user_id", ["event_type"], k=64)
+
+
+def _events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Strict-order first-touch conversion funnel signup→view→click→
+    purchase: per-stage converted-user counts."""
+    from kubernetes_logs_datalake_spark.operators.funnel import funnel_counts
+
+    e = _t(spark, sf, "events")
+    return funnel_counts(
+        e, "user_id", "event_type", "ts", ["signup", "view", "click", "purchase"]
+    )
+
+
+def _events_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Retention triangle: users per (first-seen epoch day, day offset
+    returned on). Integer day math on the raw ns epoch."""
+    from kubernetes_logs_datalake_spark.operators.funnel import retention_cohorts
+
+    e = _t(spark, sf, "events")
+    return retention_cohorts(e, "user_id", "ts", max_offset_days=30)
+
+
+def _text_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 keywords per document by TF-IDF (keyword extraction)."""
+    from kubernetes_logs_datalake_spark.functions.text import tfidf_topk
+
+    d = _t(spark, sf, "documents")
+    return tfidf_topk(d, "doc_id", "text", k=3)
+
+
+def _events_value_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Events whose value is > 3 population std-devs above/below their
+    type's mean — anomaly flagging from exact decimal sums."""
+    from kubernetes_logs_datalake_spark.operators.profile import zscore_outliers
+
+    e = _t(spark, sf, "events")
+    return zscore_outliers(e, "event_type", "value", "event_id", z=3.0)
+
+
+def _histogram_order_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width 10-bin histogram of o_totalprice (column profiling)."""
+    from kubernetes_logs_datalake_spark.operators.profile import fixed_width_histogram
+
+    o = _t(spark, sf, "orders")
+    return fixed_width_histogram(o, "o_totalprice", n_bins=10)
+
+
+def _corr_quantity_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson corr + population covariance of (l_quantity,
+    l_extendedprice) per returnflag, from exact decimal sums (engine-
+    native corr would diverge by accumulation order)."""
+    from kubernetes_logs_datalake_spark.operators.profile import exact_corr
+
+    li = _t(spark, sf, "lineitem")
+    return exact_corr(li, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
+def _groupingsets_segment_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS ((segment), (priority), ()) over orders⋈customer —
+    the multi-grain rollup shape (beyond cube/rollup) with grouping()
+    flags disambiguating the all-rows."""
+    _t(spark, sf, "orders").createOrReplaceTempView("_gs_orders")
+    _t(spark, sf, "customer").createOrReplaceTempView("_gs_customer")
+    return spark.sql(
+        """
+        SELECT coalesce(c_mktsegment, '(all)') AS segment,
+               coalesce(o_orderpriority, '(all)') AS priority,
+               CAST(grouping(c_mktsegment) AS INT) AS g_seg,
+               CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+               count(*) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE)
+                   AS total_price
+        FROM _gs_orders o JOIN _gs_customer c ON o.o_custkey = c.c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+        """
+    )
+
+
 # ================================================================ registry
 
 
@@ -1290,7 +1377,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top50": _vocab_top50,
         "doc_length_bins": _doc_length_bins,
         "doc_length_bins_approx": _doc_length_bins_approx,
+        # sketch / product analytics / profiling
+        "approx_distinct_kmv": _approx_distinct_kmv,
+        "events_funnel": _events_funnel,
+        "events_retention": _events_retention,
+        "text_tfidf_topk": _text_tfidf_topk,
+        "events_value_outliers": _events_value_outliers,
+        "histogram_order_price": _histogram_order_price,
+        "corr_quantity_price": _corr_quantity_price,
+        "groupingsets_segment_priority": _groupingsets_segment_priority,
     }
+
+
+def _kmv_oracle() -> str:
+    """Generated from the same (table, key, group, k) as the Spark call
+    in _approx_distinct_kmv — single source of truth, mirroring the
+    EMBEDDING_DIM pattern."""
+    from kubernetes_logs_datalake_spark.operators.sketch import kmv_oracle_sql
+
+    return kmv_oracle_sql("events", "user_id", ["event_type"], k=64)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1948,6 +2053,136 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens,
                    CAST(ntile(4) OVER (ORDER BY n_tokens, doc_id) AS INT) AS bin
             FROM (SELECT doc_id, len({w}) AS n_tokens FROM documents)
+        """,
+        "approx_distinct_kmv": _kmv_oracle(),
+        "events_funnel": """
+            WITH firsts AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+                       min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+                       min(CASE WHEN event_type = 'click' THEN ts END) AS t2,
+                       min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+                FROM events GROUP BY user_id
+            ), agg AS (
+                SELECT
+                  CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                  CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 > t0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                  CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 > t0 AND t2 > t1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                  CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 > t0 AND t2 > t1 AND t3 > t2
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n3
+                FROM firsts)
+            SELECT 0 AS stage_idx, 'signup' AS stage, n0 AS n_users FROM agg
+            UNION ALL SELECT 1, 'view', n1 FROM agg
+            UNION ALL SELECT 2, 'click', n2 FROM agg
+            UNION ALL SELECT 3, 'purchase', n3 FROM agg
+        """,
+        "events_retention": """
+            WITH ev AS (
+                SELECT user_id AS u, epoch_ns(ts) // 86400000000000 AS day
+                FROM events
+            ), firsts AS (
+                SELECT u, min(day) AS cohort_day FROM ev GROUP BY u
+            )
+            SELECT cohort_day, CAST(day - cohort_day AS INT) AS day_offset,
+                   count(*) AS n_users
+            FROM (SELECT DISTINCT cohort_day, day, u
+                  FROM ev JOIN firsts USING (u)
+                  WHERE day - cohort_day <= 30)
+            GROUP BY 1, 2
+        """,
+        "text_tfidf_topk": f"""
+            WITH terms AS (
+                SELECT doc_id AS _id, unnest({w}) AS word FROM documents
+            ), tf AS (
+                SELECT _id, word, count(*) AS tf FROM terms
+                WHERE word <> '' GROUP BY 1, 2
+            ), dfq AS (
+                SELECT word, count(*) AS df FROM tf GROUP BY 1
+            ), nd AS (
+                SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents
+            ), ranked AS (
+                SELECT _id, word,
+                       CAST(tf AS DOUBLE) * ln((SELECT n FROM nd) / CAST(df AS DOUBLE))
+                           AS tfidf,
+                       row_number() OVER (
+                           PARTITION BY _id
+                           ORDER BY CAST(tf AS DOUBLE)
+                                    * ln((SELECT n FROM nd) / CAST(df AS DOUBLE)) DESC,
+                                    word) AS rank
+                FROM tf JOIN dfq USING (word)
+            )
+            SELECT _id AS doc_id, word, round(tfidf, 4) AS tfidf, rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "events_value_outliers": """
+            WITH stats AS (
+                SELECT event_type,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                       CAST(sum(CAST(value AS DECIMAL(18,4))
+                                * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+                FROM events GROUP BY event_type
+            )
+            SELECT event_id, event_type, value,
+                   round((value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)), 4)
+                       AS z_score
+            FROM events JOIN stats USING (event_type)
+            WHERE abs((value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n))) > 3.0
+        """,
+        "histogram_order_price": """
+            WITH b AS (
+                SELECT CAST(min(o_totalprice) AS DOUBLE) AS blo,
+                       CAST(max(o_totalprice) AS DOUBLE) AS bhi
+                FROM orders
+            ), binned AS (
+                SELECT CASE WHEN bhi = blo THEN 0
+                            ELSE least(CAST(floor(
+                                (CAST(o_totalprice AS DOUBLE) - blo)
+                                / ((bhi - blo) / 10.0)) AS INT), 9) END AS bin,
+                       blo, bhi
+                FROM orders, b
+            )
+            SELECT bin,
+                   round(min(blo) + bin * min((bhi - blo) / 10.0), 4) AS lo,
+                   round(min(blo) + (bin + 1) * min((bhi - blo) / 10.0), 4) AS hi,
+                   count(*) AS n
+            FROM binned GROUP BY bin
+        """,
+        "corr_quantity_price": """
+            SELECT l_returnflag,
+                   round((n * sxy - sx * sy)
+                         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4)
+                       AS corr,
+                   round((n * sxy - sx * sy) / (n * n), 4) AS covar_pop
+            FROM (
+                -- DECIMAL(19,4): forces DuckDB onto int128 arithmetic
+                -- (the int64-backed (18,4) product overflows); the
+                -- values are mathematically exact either way, so they
+                -- still match Spark's (18,4)->(37,8) products
+                SELECT l_returnflag,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+                       CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sy,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(19,4))
+                                * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+                       CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))
+                                * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(19,4))
+                                * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy
+                FROM lineitem GROUP BY l_returnflag)
+        """,
+        "groupingsets_segment_priority": """
+            SELECT coalesce(c_mktsegment, '(all)') AS segment,
+                   coalesce(o_orderpriority, '(all)') AS priority,
+                   CAST(grouping(c_mktsegment) AS INT) AS g_seg,
+                   CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+                   count(*) AS n_orders,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE)
+                       AS total_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
         """,
         # dedup_minhash_lsh, dedup_simhash, ann_topk_lsh, ann_topk_ivf,
         # approx_distinct_users: approximate/hash-seeded operators →

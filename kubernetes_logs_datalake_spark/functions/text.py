@@ -196,3 +196,46 @@ def fingerprint(text: Column | str) -> Column:
 def xxfingerprint(text: Column | str, seed: int = 42) -> Column:
     """64-bit engine-internal fingerprint (fast path, not oracle-portable)."""
     return F.xxhash64(normalize_text(text), F.lit(seed))
+
+
+# ------------------------------------------------------- corpus TF-IDF
+
+def tfidf_topk(df, id_col: str, text_col: str, k: int = 3):
+    """Top-``k`` terms per document by TF-IDF — the classic keyword/
+    feature-extraction pass: (id, word, round(tfidf, 4), rank).
+
+    score = tf · ln(N / df), from integer tf/df/N so both engines feed
+    identical doubles into one ln and one multiply (bit-identical
+    output; engine-native similarity functions would not be). Ties
+    break by word for determinism.
+
+    One explode + two partial-agg shuffles (term frequencies, document
+    frequencies) + a partitioned rank window. The df side aggregates to
+    the vocabulary — small enough to broadcast-join back at any corpus
+    size; the rank window benefits from WindowGroupLimit (partial
+    top-k before shuffle) on Spark ≥ 3.5.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.select(id_col).distinct().count()
+    terms = df.select(
+        F.col(id_col).alias("_id"), F.explode(words(text_col)).alias("word")
+    ).filter(F.col("word") != "")
+    tf = terms.groupBy("_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "word").withColumn(
+        "tfidf",
+        F.col("tf").cast("double")
+        * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_id").alias(id_col),
+            "word",
+            F.round("tfidf", 4).alias("tfidf"),
+            "rank",
+        )
+    )

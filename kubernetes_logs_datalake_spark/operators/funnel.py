@@ -1,0 +1,82 @@
+"""Event-sequence analytics: conversion funnels and retention cohorts.
+
+The product-analytics layer over the events table — the queries a
+training-data pipeline's upstream (or any clickstream lake) runs daily.
+Both operators are pure conditional aggregation: one shuffle on the
+user key, everything else map-side, no window over the whole corpus and
+no per-user state beyond a handful of min/max timestamps — the shape
+that holds at any user count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NS_PER_DAY = 86_400 * 1_000_000_000
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Strict-order conversion funnel over first occurrences.
+
+    A user converts through stage *i* when their first stage-*i* event
+    is strictly later than their first stage-*i-1* event (the standard
+    first-touch funnel). One row per stage: (stage_idx, stage,
+    n_users). Single groupBy on the user — the per-user state is one
+    min(ts) per stage regardless of event volume.
+    """
+    firsts = df.groupBy(user_col).agg(
+        *[
+            F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(f"_t{i}")
+            for i, s in enumerate(stages)
+        ]
+    )
+    conv = F.col("_t0").isNotNull()
+    out_cols = [F.sum(conv.cast("long")).alias("n_users_0")]
+    for i in range(1, len(stages)):
+        conv = conv & (F.col(f"_t{i}") > F.col(f"_t{i - 1}"))
+        out_cols.append(F.sum(conv.cast("long")).alias(f"n_users_{i}"))
+    wide = firsts.agg(*out_cols)
+    stage_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage_idx"),
+                F.lit(s).alias("stage"),
+                F.col(f"n_users_{i}").alias("n_users"),
+            )
+            for i, s in enumerate(stages)
+        ]
+    )
+    return wide.select(F.explode(stage_rows).alias("r")).select("r.*")
+
+
+def retention_cohorts(
+    df: DataFrame, user_col: str, ts_col: str, max_offset_days: int = 30
+) -> DataFrame:
+    """Classic retention triangle: users bucketed by first-seen day
+    (cohort), counted per day-offset they return on.
+
+    Returns (cohort_day, day_offset, n_users) with epoch-day ints —
+    integer outputs, so the oracle comparison is exact. Day math is
+    integer division on the raw ns epoch (no timezone dependence).
+    Two shuffles: first-day per user, then the distinct
+    (cohort, offset, user) count.
+    """
+    day = F.expr(f"CAST({ts_col} DIV {NS_PER_DAY} AS LONG)").alias("_day")
+    events = df.select(F.col(user_col).alias("_u"), day)
+    firsts = events.groupBy("_u").agg(F.min("_day").alias("cohort_day"))
+    return (
+        events.join(firsts, "_u")
+        .withColumn("day_offset", (F.col("_day") - F.col("cohort_day")).cast("int"))
+        .filter(F.col("day_offset") <= max_offset_days)
+        .select("cohort_day", "day_offset", "_u")
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -1,0 +1,120 @@
+"""Data-profiling operators: the corpus-statistics pass a pipeline runs
+before training — distributions, outliers, correlations.
+
+All three operators follow this repo's exact-sums recipe: aggregate in
+DECIMAL (order-independent, engine-exact), then derive the float
+statistic from the exact sums with ONE fixed sequence of double ops —
+so Spark and the DuckDB oracle produce bit-identical values and the
+hash check stays meaningful. Naive float aggregation would differ by
+partial-aggregation order; engine-native ``stddev``/``corr`` would
+differ by implementation.
+
+Each is one partial-agg shuffle (plus a broadcast of the tiny stats
+frame where rows are filtered against group statistics) — no windows,
+no second scan of wide data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dec(col, p: int = 18, s: int = 4) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({p},{s})")
+
+
+def zscore_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    z: float = 3.0,
+) -> DataFrame:
+    """Rows whose value deviates more than ``z`` population standard
+    deviations from their group mean: (id, group, value, z_score).
+
+    Mean and variance come from exact decimal Σx / Σx² (König-Huygens),
+    so the float z-score is a deterministic function of exact inputs.
+    One agg shuffle on the group; the per-group stats frame broadcasts
+    back onto the scan.
+    """
+    stats = df.groupBy(group_col).agg(
+        F.count("*").alias("_n"),
+        F.sum(_dec(value_col)).alias("_sx"),
+        F.sum(_dec(value_col) * _dec(value_col)).alias("_sxx"),
+    )
+    n = F.col("_n").cast("double")
+    mean = F.col("_sx").cast("double") / n
+    var = F.col("_sxx").cast("double") / n - mean * mean
+    zs = (F.col(value_col) - mean) / F.sqrt(var)
+    return (
+        df.join(F.broadcast(stats), group_col)
+        .withColumn("z_score", zs)
+        .filter(F.abs(F.col("z_score")) > z)
+        .select(
+            id_col, group_col, value_col, F.round("z_score", 4).alias("z_score")
+        )
+    )
+
+
+def fixed_width_histogram(
+    df: DataFrame, value_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Fixed-width histogram over the global [min, max] range:
+    (bin, lo, hi, n). The profiling pass behind "what does this column
+    look like" — two scans (exact min/max, then a shuffle-free bin map
+    + one partial-agg shuffle on the bin id), no sort.
+
+    Bin edges are the same double expression in both engines; the top
+    edge is closed (x = max lands in the last bin).
+    """
+    bounds = df.agg(
+        F.min(value_col).cast("double").alias("_lo"),
+        F.max(value_col).cast("double").alias("_hi"),
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    binned = (
+        df.select(F.col(value_col).cast("double").alias("_x"))
+        .crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bin",
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.floor((F.col("_x") - F.col("_lo")) / width).cast("int"),
+                    F.lit(n_bins - 1),
+                )
+            ),
+        )
+    )
+    return binned.groupBy("bin").agg(
+        F.round(F.min("_lo") + F.col("bin") * F.min(width), 4).alias("lo"),
+        F.round(F.min("_lo") + (F.col("bin") + 1) * F.min(width), 4).alias("hi"),
+        F.count("*").alias("n"),
+    )
+
+
+def exact_corr(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group Pearson correlation + population covariance from exact
+    decimal sums: (group, corr, covar_pop), rounded to 4. The six
+    sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) aggregate exactly;
+    the closed-form corr is then one fixed float expression — unlike
+    engine-native ``corr``, whose streaming accumulation differs across
+    engines and partition orders."""
+    sx = F.sum(_dec(x_col)).cast("double")
+    sy = F.sum(_dec(y_col)).cast("double")
+    sxx = F.sum(_dec(x_col) * _dec(x_col)).cast("double")
+    syy = F.sum(_dec(y_col) * _dec(y_col)).cast("double")
+    sxy = F.sum(_dec(x_col) * _dec(y_col)).cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    covar = (n * sxy - sx * sy) / (n * n)
+    return df.groupBy(group_col).agg(
+        F.round(corr, 4).alias("corr"),
+        F.round(covar, 4).alias("covar_pop"),
+    )

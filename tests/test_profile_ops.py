@@ -1,0 +1,147 @@
+"""Semantic tests for the sketch / funnel / profiling operator families
+(cross-engine value equality is covered by the oracle harness; these
+pin the operators' meaning on hand-built inputs)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_kmv_estimate_accuracy(spark):
+    """KMV with k=128 over 5000 distinct keys must land within ~12%
+    (3/sqrt(k) ≈ 0.27 is the 3-sigma bound; md5 behaves far better),
+    and the under-k branch returns the EXACT count."""
+    from kubernetes_logs_datalake_spark.operators.sketch import kmv_distinct
+
+    df = spark.range(5000).select(
+        F.lit("big").alias("g"), F.col("id").alias("k")
+    ).union(
+        spark.range(37).select(F.lit("small").alias("g"), F.col("id").alias("k"))
+    )
+    out = {r.g: r.est_distinct for r in kmv_distinct(df, "k", ["g"], k=128).collect()}
+    assert out["small"] == 37.0  # < k distinct → exact
+    assert abs(out["big"] - 5000) / 5000 < 0.12, out["big"]
+
+
+def test_kmv_duplicates_do_not_inflate(spark):
+    """The sketch estimates DISTINCT keys: replicating every key 10x
+    must not change the estimate."""
+    from kubernetes_logs_datalake_spark.operators.sketch import kmv_distinct
+
+    base = spark.range(1000).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    dup = base.withColumn("_r", F.explode(F.array(*[F.lit(i) for i in range(10)])))
+    a = kmv_distinct(base, "k", ["g"], k=64).collect()[0].est_distinct
+    b = kmv_distinct(dup, "k", ["g"], k=64).collect()[0].est_distinct
+    assert a == b
+
+
+def test_funnel_strict_order(spark):
+    """Only users whose first-occurrence times strictly increase through
+    the stages convert; doing a later stage BEFORE an earlier one does
+    not count."""
+    from kubernetes_logs_datalake_spark.operators.funnel import funnel_counts
+
+    rows = [
+        # u1: full ordered funnel
+        (1, "signup", 100), (1, "view", 200), (1, "click", 300),
+        # u2: clicked before viewing → converts only through signup
+        (2, "signup", 100), (2, "click", 150), (2, "view", 200),
+        # u3: never signed up → counts nowhere
+        (3, "view", 50), (3, "click", 60),
+        # u4: signup only
+        (4, "signup", 10),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    out = {r.stage: r.n_users for r in
+           funnel_counts(df, "user_id", "event_type", "ts",
+                         ["signup", "view", "click"]).collect()}
+    assert out == {"signup": 3, "view": 2, "click": 1}
+
+
+def test_retention_cohorts(spark):
+    """Cohort day = first-seen day; each (cohort, offset) counts a user
+    once however many events they emit that day."""
+    from kubernetes_logs_datalake_spark.operators.funnel import (
+        NS_PER_DAY,
+        retention_cohorts,
+    )
+
+    d = NS_PER_DAY
+    rows = [
+        (1, 0 * d + 5), (1, 0 * d + 99), (1, 2 * d + 1),   # cohort 0: day 0, 2
+        (2, 0 * d + 7), (2, 1 * d + 3),                    # cohort 0: day 0, 1
+        (3, 1 * d + 2),                                    # cohort 1: day 0
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long")
+    out = {(r.cohort_day, r.day_offset): r.n_users
+           for r in retention_cohorts(df, "user_id", "ts").collect()}
+    assert out == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_zscore_outliers(spark):
+    """One planted extreme value must be flagged with the right z."""
+    from kubernetes_logs_datalake_spark.operators.profile import zscore_outliers
+
+    vals = [10.0] * 50 + [20.0] * 50 + [1000.0]
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)], "id long, g string, v double"
+    )
+    out = zscore_outliers(df, "g", "v", "id", z=3.0).collect()
+    assert [r.id for r in out] == [100]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum(v * v for v in vals) / n - mean * mean
+    assert math.isclose(out[0].z_score, round((1000 - mean) / math.sqrt(var), 4))
+
+
+def test_fixed_width_histogram(spark):
+    """Uniform integers bin evenly; max value lands in the last bin;
+    degenerate (constant) input takes bin 0."""
+    from kubernetes_logs_datalake_spark.operators.profile import fixed_width_histogram
+
+    df = spark.range(100).select(F.col("id").cast("double").alias("x"))
+    out = {r.bin: r for r in fixed_width_histogram(df, "x", n_bins=10).collect()}
+    assert len(out) == 10
+    assert all(out[b].n == 10 for b in range(10))
+    assert out[0].lo == 0.0 and out[9].hi == 99.0
+
+    const = spark.createDataFrame([(5.0,)] * 7, "x double")
+    rows = fixed_width_histogram(const, "x", n_bins=4).collect()
+    assert len(rows) == 1 and rows[0].bin == 0 and rows[0].n == 7
+
+
+def test_exact_corr_known_values(spark):
+    """Perfect positive / negative correlation and a known covariance."""
+    from kubernetes_logs_datalake_spark.operators.profile import exact_corr
+
+    rows = [("pos", float(i), 2.0 * i + 1) for i in range(10)]
+    rows += [("neg", float(i), -3.0 * i) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in exact_corr(df, "g", "x", "y").collect()}
+    assert out["pos"].corr == 1.0 and out["neg"].corr == -1.0
+    # population covariance of x with 2x+1 over 0..9 = 2 * var(x) = 2*8.25
+    assert math.isclose(out["pos"].covar_pop, 16.5)
+
+
+def test_tfidf_topk(spark):
+    """Terms unique to a doc outrank corpus-wide terms; rank respects
+    the (score desc, word) tiebreak; k bounds output per doc."""
+    from kubernetes_logs_datalake_spark.functions.text import tfidf_topk
+
+    docs = [
+        (1, "common common unique1 unique1 unique1"),
+        (2, "common unique2"),
+        (3, "common filler"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = tfidf_topk(df, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.word, r.tfidf))
+    assert by_doc[1][0][1] == "unique1"  # tf=3, df=1 → top
+    assert by_doc[2][0][1] == "unique2"
+    assert all(len(v) <= 2 for v in by_doc.values())
+    # 'common' appears in every doc → idf = ln(1) = 0
+    assert all(s == 0.0 for d in by_doc.values() for rk, w, s in d if w == "common")
