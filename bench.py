@@ -46,6 +46,9 @@ HEADLINE = [
     "knn_join",
     "asof_purchase_click",
     "range_join_error_context",
+    "events_funnel",
+    "text_tfidf_topk",
+    "approx_distinct_kmv",
 ]
 
 
