@@ -1288,6 +1288,52 @@ def _groupingsets_segment_priority(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+ORDER_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _pivot_status_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-tab: order counts per status × priority, priorities as
+    columns (explicit value list → single conditional-agg shuffle, no
+    distinct-collection prescan)."""
+    from kubernetes_logs_datalake_spark.operators.reshape import pivot_counts
+
+    o = _t(spark, sf, "orders")
+    return pivot_counts(o, "o_orderstatus", "o_orderpriority", ORDER_PRIORITIES)
+
+
+def _unpivot_lineitem_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long profile of the four lineitem measures (melt via
+    Spark's native Expand + one agg shuffle; exact decimal sums)."""
+    from kubernetes_logs_datalake_spark.operators.reshape import (
+        unpivot_metric_summary,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    return unpivot_metric_summary(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def _quantiles_price_by_flag(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact discrete p50/p90/p99 of l_extendedprice per returnflag —
+    element-exact (percentile_disc rank formula), so the hash check is
+    strong despite being a quantile."""
+    from kubernetes_logs_datalake_spark.operators.profile import group_quantiles
+
+    li = _t(spark, sf, "lineitem")
+    return group_quantiles(li, "l_returnflag", "l_extendedprice")
+
+
+def _events_interarrival(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user inter-event gap stats (cadence profile). Gaps are in
+    µs — the cross-engine comparable grain (DuckDB reads the parquet
+    ns timestamps as µs TIMESTAMP; the `_ts_us` recipe)."""
+    from kubernetes_logs_datalake_spark.operators.funnel import interarrival_stats
+
+    e = _t(spark, sf, "events").select("user_id", _ts_us().alias("ts_us"))
+    return interarrival_stats(e, "user_id", "ts_us")
+
+
 # ================================================================ registry
 
 
@@ -1386,6 +1432,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_order_price": _histogram_order_price,
         "corr_quantity_price": _corr_quantity_price,
         "groupingsets_segment_priority": _groupingsets_segment_priority,
+        "pivot_status_priority": _pivot_status_priority,
+        "unpivot_lineitem_metrics": _unpivot_lineitem_metrics,
+        "quantiles_price_by_flag": _quantiles_price_by_flag,
+        "events_interarrival": _events_interarrival,
     }
 
 
@@ -2183,6 +2233,66 @@ def oracle_sql() -> dict[str, str]:
                        AS total_price
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+        """,
+        "pivot_status_priority": """
+            SELECT o_orderstatus,
+                   CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS p_1_urgent,
+                   CAST(sum(CASE WHEN o_orderpriority = '2-HIGH'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS p_2_high,
+                   CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS p_3_medium,
+                   CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS p_4_not_specified,
+                   CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS p_5_low
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "unpivot_lineitem_metrics": """
+            WITH long AS (
+                SELECT 'l_quantity' AS metric,
+                       CAST(l_quantity AS DECIMAL(18,4)) AS value FROM lineitem
+                UNION ALL SELECT 'l_extendedprice',
+                       CAST(l_extendedprice AS DECIMAL(18,4)) FROM lineitem
+                UNION ALL SELECT 'l_discount',
+                       CAST(l_discount AS DECIMAL(18,4)) FROM lineitem
+                UNION ALL SELECT 'l_tax',
+                       CAST(l_tax AS DECIMAL(18,4)) FROM lineitem
+            )
+            SELECT metric, count(value) AS n,
+                   round(CAST(sum(value) AS DOUBLE), 4) AS total,
+                   round(CAST(min(value) AS DOUBLE), 4) AS vmin,
+                   round(CAST(max(value) AS DOUBLE), 4) AS vmax,
+                   round(CAST(sum(value) AS DOUBLE)
+                         / CAST(count(value) AS DOUBLE), 4) AS avg
+            FROM long GROUP BY metric
+        """,
+        "quantiles_price_by_flag": """
+            WITH ranked AS (
+                SELECT l_returnflag,
+                       CAST(l_extendedprice AS DOUBLE) AS _v,
+                       row_number() OVER (
+                           PARTITION BY l_returnflag
+                           ORDER BY CAST(l_extendedprice AS DOUBLE)) AS _rn,
+                       count(*) OVER (PARTITION BY l_returnflag) AS _n
+                FROM lineitem
+            )
+            SELECT l_returnflag, CAST(q AS DOUBLE) AS q, _v AS value
+            FROM ranked, (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+            WHERE _rn = greatest(CAST(ceil(q * _n) AS BIGINT), 1)
+        """,
+        "events_interarrival": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap
+                FROM events
+            )
+            SELECT user_id, count(*) AS n_gaps,
+                   min(gap) AS min_gap, max(gap) AS max_gap,
+                   round(CAST(sum(gap) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 4) AS avg_gap
+            FROM g WHERE gap IS NOT NULL GROUP BY user_id
         """,
         # dedup_minhash_lsh, dedup_simhash, ann_topk_lsh, ann_topk_ivf,
         # approx_distinct_users: approximate/hash-seeded operators →

@@ -56,6 +56,37 @@ def funnel_counts(
     return wide.select(F.explode(stage_rows).alias("r")).select("r.*")
 
 
+def interarrival_stats(
+    df: DataFrame, user_col: str, ts_col: str
+) -> DataFrame:
+    """Per-user inter-event gap statistics over a numeric epoch column:
+    (user, n_gaps, min_gap, max_gap, avg_gap), in whatever unit the
+    input column carries. The cadence / bot-detection profile — users
+    with sub-second uniform gaps are machines.
+
+    lag() over a window PARTITIONED by user (never global), gaps as
+    exact integer longs; avg is the one sum/count double division.
+    Equal timestamps are safe: the sorted gap multiset is the same
+    whatever order ties land in. Output is O(users), not O(events).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy("_ts")
+    gaps = (
+        df.select(user_col, F.col(ts_col).alias("_ts"))
+        .withColumn("_gap", F.col("_ts") - F.lag("_ts").over(w))
+        .filter(F.col("_gap").isNotNull())
+    )
+    return gaps.groupBy(user_col).agg(
+        F.count("*").alias("n_gaps"),
+        F.min("_gap").alias("min_gap"),
+        F.max("_gap").alias("max_gap"),
+        F.round(
+            F.sum("_gap").cast("double") / F.count("*").cast("double"), 4
+        ).alias("avg_gap"),
+    )
+
+
 def retention_cohorts(
     df: DataFrame, user_col: str, ts_col: str, max_offset_days: int = 30
 ) -> DataFrame:

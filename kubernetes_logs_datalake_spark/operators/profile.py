@@ -95,6 +95,47 @@ def fixed_width_histogram(
     )
 
 
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact discrete quantiles per group: (group, q, value), where
+    value is the element at rank ceil(q·n) — SQL-standard
+    ``percentile_disc`` semantics, computed explicitly so both engines
+    use the identical rank formula (DuckDB's ``quantile_disc`` rounds
+    differently, and interpolated ``percentile_cont`` would compare
+    floats produced by different arithmetic).
+
+    Because the picked value is an actual element of the column, the
+    result is exact — no float accumulation anywhere. Plan: one shuffle
+    on the group key, a partitioned sort window (row_number + count,
+    same window frame → one WindowExec), then a map-side explode of the
+    requested quantile fractions and a rank-equality filter. No global
+    sort, no driver round-trip; per-group state is the partition sort,
+    which is the floor for any exact quantile.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("_v")
+    wg = Window.partitionBy(group_col)
+    ranked = (
+        df.select(group_col, F.col(value_col).cast("double").alias("_v"))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(wg))
+    )
+    q = F.explode(F.array(*[F.lit(float(x)) for x in qs])).alias("q")
+    return (
+        ranked.select(group_col, "_v", "_rn", "_n", q)
+        .filter(
+            F.col("_rn")
+            == F.greatest(F.ceil(F.col("q") * F.col("_n")), F.lit(1))
+        )
+        .select(group_col, "q", F.col("_v").alias("value"))
+    )
+
+
 def exact_corr(
     df: DataFrame, group_col: str, x_col: str, y_col: str
 ) -> DataFrame:
