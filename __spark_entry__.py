@@ -1042,6 +1042,222 @@ def _q22_inactive_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q2_cheapest_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp — the distinct
+    (l_partkey, l_suppkey) pairs of lineitem are the part↔supplier
+    bridge, and s_acctbal stands in for ps_supplycost): for each
+    size-filtered part, the supplier(s) with the MINIMUM account
+    balance among European suppliers who shipped it. The correlated-min
+    subquery is a partitioned window min + equality filter — never a
+    per-row re-aggregation.
+
+    Scale: the bridge is one distinct shuffle on (part, supp); part /
+    supplier / nation / region are broadcast dims; the window is
+    partitioned by part key (no global sort); top-100 is a
+    deterministic total order.
+    """
+    bridge = (
+        _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    p = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_size") == 2)
+        .select("p_partkey", "p_name")
+    )
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    s = (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = bridge.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    ).join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("_mn", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("_mn"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+        )
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+def _q9_nation_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no ps_supplycost — profit is discounted
+    revenue): profit per supplier nation per order-year for parts whose
+    name contains 'plate'. Broadcast part/nation dims; one shuffle for
+    the fact-fact orders join; one partial-agg shuffle."""
+    p = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_name").contains("plate"))
+        .select("p_partkey")
+    )
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_dsum(_rev_dec()).alias("profit"))
+    )
+
+
+def _q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: lineitem revenue for ps_supplycost ×
+    ps_availqty): parts whose total line value exceeds 0.02% of the
+    global total — per-group aggregate + broadcast scalar-subquery
+    threshold. Both sides aggregate in exact decimals, so the strict
+    ``>`` filter picks identical rows on any engine."""
+    l = _t(spark, sf, "lineitem")
+    val = (_dprice("l_extendedprice") * _dprice("l_quantity")).alias("_v")
+    pv = l.groupBy("l_partkey").agg(F.sum(val).alias("_value"))
+    tot = l.agg(F.sum(val).alias("_total"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("_value").cast("double")
+            > 0.0002 * F.col("_total").cast("double")
+        )
+        .select(
+            "l_partkey",
+            F.round("_value", 2).cast("double").alias("value"),
+        )
+    )
+
+
+def _q12_priority_by_linestatus(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: l_linestatus for l_shipmode): per line
+    status in a one-year ship window, how many lines belong to
+    critical- vs normal-priority orders — join + conditional aggregate
+    (the CASE-sum cross-tab)."""
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def _q16_supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier count per (brand, type, size)
+    for filtered parts, excluding flagged suppliers (negative balance
+    stands in for the complaints NOT IN list → broadcast anti join)."""
+    bridge = (
+        _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(2, 19, 35, 48)
+    )
+    bad = _t(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        bridge.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def _q20_volume_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: shipped quantity for ps_availqty):
+    suppliers who shipped more than 400 units of 'red …' parts during
+    1997 — aggregate-then-semi-join chain, dims broadcast."""
+    p = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    shipped = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dprice("l_quantity")).alias("_qty"))
+        .filter(F.col("_qty") > 400.0)
+    )
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        shipped.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.round("_qty", 2).cast("double").alias("qty_shipped"),
+        )
+    )
+
+
+def _q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: shipped >90 days after order date
+    stands in for receipt>commit): suppliers who were the SOLE late
+    supplier on a finished multi-supplier order. The EXISTS / NOT
+    EXISTS pair collapses to one per-order aggregate — n_suppliers > 1
+    AND exactly one distinct late supplier — then a per-supplier count:
+    two shuffles total (orderkey, then suppkey), no self-joins."""
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    l = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    per_order = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("_n_supp"),
+            F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("_n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("_late_supp"),
+        )
+        .filter((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
+    )
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.groupBy("_late_supp")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(s), F.col("_late_supp") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
 def _full_outer_nation_counts(spark: SparkSession, sf: str) -> DataFrame:
     c = _t(spark, sf, "customer").groupBy("c_nationkey").agg(F.count("*").alias("n_cust"))
     s = _t(spark, sf, "supplier").groupBy("s_nationkey").agg(F.count("*").alias("n_supp"))
@@ -1409,6 +1625,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": _q18_large_orders,
         "q19_disjunctive_filters": _q19_disjunctive_filters,
         "q22_inactive_rich_customers": _q22_inactive_rich_customers,
+        "q2_cheapest_supplier": _q2_cheapest_supplier,
+        "q9_nation_profit": _q9_nation_profit,
+        "q11_important_parts": _q11_important_parts,
+        "q12_priority_by_linestatus": _q12_priority_by_linestatus,
+        "q16_supplier_part_counts": _q16_supplier_part_counts,
+        "q20_volume_suppliers": _q20_volume_suppliers,
+        "q21_waiting_suppliers": _q21_waiting_suppliers,
         "full_outer_nation_counts": _full_outer_nation_counts,
         "cross_join_region_pairs": _cross_join_region_pairs,
         "date_functions_showcase": _date_functions_showcase,
@@ -2076,6 +2299,109 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c.c_custkey
                                 AND o_orderdate >= TIMESTAMP '2000-07-01')
             GROUP BY c_mktsegment
+        """,
+        "q2_cheapest_supplier": """
+            WITH bridge AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            cand AS (
+                SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+                       s.s_acctbal, n.n_name
+                FROM bridge b
+                JOIN part p ON b.l_partkey = p.p_partkey AND p.p_size = 2
+                JOIN supplier s ON b.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                               AND r.r_name = 'EUROPE')
+            SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+                   p_partkey, p_name, s_suppkey
+            FROM (SELECT *, min(s_acctbal) OVER (PARTITION BY p_partkey) AS _mn
+                  FROM cand)
+            WHERE s_acctbal = _mn
+            ORDER BY s_acctbal DESC, p_partkey, s_suppkey
+            LIMIT 100
+        """,
+        "q9_nation_profit": f"""
+            SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+                   {_s_dsum(_S_REV, "profit")}
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%plate%'
+            GROUP BY 1, 2
+        """,
+        "q11_important_parts": """
+            WITH pv AS (
+                SELECT l_partkey,
+                       sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                           * CAST(l_quantity AS DECIMAL(12,4))) AS _value
+                FROM lineitem GROUP BY l_partkey)
+            SELECT l_partkey, CAST(round(_value, 2) AS DOUBLE) AS value
+            FROM pv
+            WHERE CAST(_value AS DOUBLE) > 0.0002 * (
+                SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                                * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE)
+                FROM lineitem)
+        """,
+        "q12_priority_by_linestatus": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_linestatus
+        """,
+        "q16_supplier_part_counts": """
+            WITH bridge AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM bridge
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#4' AND p_type <> 'MEDIUM'
+              AND p_size IN (2, 19, 35, 48)
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "q20_volume_suppliers": """
+            WITH shipped AS (
+                SELECT l_suppkey,
+                       sum(CAST(l_quantity AS DECIMAL(12,4))) AS _qty
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE 'red%'
+                  AND l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY l_suppkey
+                HAVING CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE)
+                       > 400.0)
+            SELECT s_suppkey, s_name, n_name,
+                   CAST(round(_qty, 2) AS DOUBLE) AS qty_shipped
+            FROM shipped
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+        """,
+        "q21_waiting_suppliers": """
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       count(DISTINCT l_suppkey) AS _n_supp,
+                       count(DISTINCT CASE
+                           WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                           THEN l_suppkey END) AS _n_late,
+                       max(CASE
+                           WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                           THEN l_suppkey END) AS _late_supp
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+                GROUP BY l_orderkey)
+            SELECT s_suppkey, s_name, count(*) AS numwait
+            FROM per_order JOIN supplier ON _late_supp = s_suppkey
+            WHERE _n_supp > 1 AND _n_late = 1
+            GROUP BY s_suppkey, s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 100
         """,
         "stratified_sample_docs": """
             SELECT doc_id, lang FROM (
