@@ -153,6 +153,36 @@ def _ddb_stoplist() -> str:
     return "[" + ",".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
 
 
+# DuckDB-side PII scrub, generated from the SAME pattern registry the
+# Spark operator uses (operators/scrub.py) so the two can't drift.
+_DDB_PII_SALT = (
+    "(text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com via http://ex.example/'"
+    " || CAST(doc_id AS VARCHAR)"
+    " || ' from 10.1.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || '.7 tel +1 555 010 '"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+)
+
+
+def _ddb_pii_scrub_sql() -> str:
+    from kubernetes_logs_datalake_spark.operators.scrub import PII_PATTERNS
+
+    red = _DDB_PII_SALT
+    for name, pat in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '[{name.upper()}]', 'g')"
+    counts = ",\n                   ".join(
+        f"CAST(len(regexp_extract_all({_DDB_PII_SALT}, '{pat}')) AS BIGINT)"
+        f" AS n_{name}"
+        for name, pat in PII_PATTERNS
+    )
+    return (
+        f"SELECT doc_id,\n                   {counts},\n"
+        f"                   md5({red}) AS redacted_md5\n"
+        f"            FROM documents"
+    )
+
+
 # ================================================================ queries
 
 
@@ -1550,6 +1580,59 @@ def _events_interarrival(spark: SparkSession, sf: str) -> DataFrame:
     return interarrival_stats(e, "user_id", "ts_us")
 
 
+def _docs_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction over the corpus. The synthetic corpus carries no
+    PII, so the query salts each document with deterministic doc_id-
+    derived PII (identically in the oracle) — the operator's regex and
+    replacement behavior is what's under test. Output carries
+    md5(redacted) so the full redacted string is hash-compared without
+    shipping it."""
+    from kubernetes_logs_datalake_spark.operators.scrub import redact_pii
+
+    d = _t(spark, sf, "documents")
+    salted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com via http://ex.example/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" from 10.1."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7 tel +1 555 010 "),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = redact_pii(salted, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_url",
+        "n_email",
+        "n_ip",
+        "n_phone",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+def _docs_repetition_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality filter over the corpus."""
+    from kubernetes_logs_datalake_spark.operators.scrub import (
+        word_repetition_profile,
+    )
+
+    return word_repetition_profile(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def _docs_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget sequence packing (512-token bins, 8 shards)."""
+    from kubernetes_logs_datalake_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf, "documents"), "doc_id", "text", budget=512, shards=8
+    )
+
+
 # ================================================================ registry
 
 
@@ -1659,6 +1742,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_lineitem_metrics": _unpivot_lineitem_metrics,
         "quantiles_price_by_flag": _quantiles_price_by_flag,
         "events_interarrival": _events_interarrival,
+        "docs_pii_scrub": _docs_pii_scrub,
+        "docs_repetition_profile": _docs_repetition_profile,
+        "docs_pack_sequences": _docs_pack_sequences,
     }
 
 
@@ -2402,6 +2488,61 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_suppkey, s_name
             ORDER BY numwait DESC, s_name
             LIMIT 100
+        """,
+        "docs_pii_scrub": _ddb_pii_scrub_sql(),
+        "docs_repetition_profile": f"""
+            WITH wl AS (
+                SELECT doc_id,
+                       list_filter({_DDB_WORDS.format(t="text")}, x -> x <> '') AS w
+                FROM documents),
+            wc AS (
+                SELECT doc_id, g, count(*) AS c
+                FROM (SELECT doc_id, unnest(w) AS g FROM wl)
+                GROUP BY doc_id, g),
+            ws AS (
+                SELECT doc_id, sum(c) AS n_w, count(*) AS d_w,
+                       max(c) AS top_w
+                FROM wc GROUP BY doc_id),
+            bl AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) >= 2
+                            THEN list_transform(range(1, len(w)),
+                                                i -> w[i] || ' ' || w[i+1])
+                            ELSE [] END AS bg
+                FROM wl),
+            bc AS (
+                SELECT doc_id, g, count(*) AS c
+                FROM (SELECT doc_id, unnest(bg) AS g FROM bl)
+                GROUP BY doc_id, g),
+            bs AS (
+                SELECT doc_id, sum(c) AS n_b, max(c) AS top_b
+                FROM bc GROUP BY doc_id)
+            SELECT ws.doc_id,
+                   CAST(n_w AS BIGINT) AS n_words,
+                   CAST(d_w AS BIGINT) AS n_distinct_words,
+                   round(CAST(top_w AS DOUBLE) / CAST(n_w AS DOUBLE), 6)
+                       AS top_word_frac,
+                   coalesce(round(CAST(top_b AS DOUBLE) / CAST(n_b AS DOUBLE),
+                                  6), 0.0) AS top_bigram_frac,
+                   (round(CAST(top_w AS DOUBLE) / CAST(n_w AS DOUBLE), 6) > 0.2
+                    OR coalesce(round(CAST(top_b AS DOUBLE)
+                                      / CAST(n_b AS DOUBLE), 6), 0.0) > 0.2)
+                       AS repetitive
+            FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+        """,
+        "docs_pack_sequences": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len({_DDB_WORDS.format(t="text")}) AS BIGINT) AS n_tokens,
+                       CAST(doc_id % 8 AS INT) AS shard
+                FROM documents)
+            SELECT doc_id, n_tokens, shard,
+                   CAST(floor(CAST(coalesce(sum(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS DOUBLE)
+                        / 512) AS BIGINT) AS bin
+            FROM t
         """,
         "stratified_sample_docs": """
             SELECT doc_id, lang FROM (

@@ -213,3 +213,46 @@ def length_bins_approx(
     for c in cuts:
         bin_expr = bin_expr + F.when(F.col("n_tokens") > c, 1).otherwise(0)
     return with_len.withColumn("bin", bin_expr.cast("int"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 2048,
+    shards: int = 32,
+) -> DataFrame:
+    """Sequence packing for pretraining batches: assign each document a
+    (shard, bin) so every bin holds ~``budget`` tokens — the step that
+    turns a shuffled corpus into fixed-token-budget training batches.
+    Output: (id, n_tokens, shard, bin).
+
+    Contiguous cumulative packing: documents are sharded by
+    ``id % shards`` (callers with clustered ids should pre-hash), then
+    within a shard, walking ids in order, ``bin = floor(exclusive-
+    cumsum(tokens) / budget)`` — a document straddling a boundary lands
+    in the earlier bin (bins overflow by at most one document, the
+    standard "packed sequences with boundary overflow" scheme; exact
+    first-fit packing is inherently sequential and would not
+    distribute).
+
+    Plan: one shuffle on the shard key, a PARTITIONED window cumsum per
+    shard (never global — shard count scales with the cluster), map-side
+    bin math. State per task is one running sum.
+    """
+    from kubernetes_logs_datalake_spark.functions.text import token_count
+
+    toks = df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        F.pmod(F.col(id_col), F.lit(shards)).cast("int").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return toks.withColumn(
+        "bin", F.floor(before / F.lit(budget)).cast("long")
+    )

@@ -1,0 +1,122 @@
+"""Text scrubbing / quality-filter operators for training-data prep:
+PII redaction and word-repetition profiling.
+
+Both are pure JVM column/aggregate pipelines — no Python UDFs. The
+regexes use only the Java-regex ∩ RE2 common subset (no backrefs, no
+lookaround) so the DuckDB oracle applies the byte-identical patterns;
+redaction order is part of the contract (urls → emails → ips → phones)
+because earlier passes can consume characters later passes would match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Pattern registry: (name, regex). Kept engine-portable — Java regex and
+# RE2 agree on every construct used here ( \d \b {m,n} character
+# classes, alternation-free bodies ).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("url", r"https?://[^\s]+"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+\d[\d ]{7,}\d"),
+)
+
+
+def pii_counts(text) -> dict[str, F.Column]:
+    """Per-type PII match counts over ``text`` (pre-redaction), as a
+    dict of named long columns — `size(regexp_extract_all(...))`, one
+    codegen'd pass per pattern."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        f"n_{name}": F.size(F.regexp_extract_all(c, F.lit(pat), 0)).cast("long")
+        for name, pat in PII_PATTERNS
+    }
+
+
+def redact_text(text) -> F.Column:
+    """``text`` with every PII span replaced by its ``[TYPE]`` token,
+    applied in registry order (the order is semantic: a URL containing
+    an ``@`` must become ``[URL]``, not part-email)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for name, pat in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, f"[{name.upper()}]")
+    return c
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrub: (id, n_url, n_email, n_ip, n_phone, redacted) — the
+    redaction pass every public-web training corpus runs before
+    tokenization. Scale: a pure map stage (zero shuffles); regexes run
+    inside whole-stage codegen over each partition's strings.
+    """
+    counts = pii_counts(text_col)
+    return df.select(
+        F.col(id_col),
+        *[col.alias(name) for name, col in counts.items()],
+        redact_text(text_col).alias("redacted"),
+    )
+
+
+def word_repetition_profile(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Gopher-style repetition metrics per document: (id, n_words,
+    n_distinct_words, top_word_frac, top_bigram_frac, repetitive) —
+    the "excessive repetition" quality filter for training corpora
+    (documents dominated by one word or one bigram are boilerplate or
+    spam).
+
+    Plan: one explode of the staged word list into (doc, gram) rows for
+    words and bigrams (bigrams built with a bounds-guarded
+    ``transform(sequence(...))`` — the sequence(1,0) descending trap is
+    guarded with CASE), then two partial-agg shuffles: (doc, gram) →
+    counts, doc → profile. Both aggregations combine map-side; nothing
+    is ever a global window. ``repetitive`` applies the published
+    Gopher thresholds (top word > 20 % of words, top bigram > 20 % of
+    bigrams — arXiv:2112.11446 §A.1.1).
+    """
+    from kubernetes_logs_datalake_spark.functions.text import words
+
+    w = F.filter(words(text_col), lambda x: x != "")
+    with_words = df.select(F.col(id_col), w.alias("_w"))
+    bigrams = F.when(
+        F.size("_w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - 1),
+            lambda i: F.concat_ws(" ", F.element_at("_w", i), F.element_at("_w", i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def _top_frac(grams_col: F.Column, kind: str) -> DataFrame:
+        per_gram = (
+            with_words.select(F.col(id_col), F.explode(grams_col).alias("_g"))
+            .groupBy(id_col, "_g")
+            .agg(F.count("*").alias("_c"))
+        )
+        return per_gram.groupBy(id_col).agg(
+            F.sum("_c").alias(f"_n_{kind}"),
+            F.count("*").alias(f"_d_{kind}"),
+            F.max("_c").alias(f"_top_{kind}"),
+        )
+
+    wstats = _top_frac(F.col("_w"), "w")
+    bstats = _top_frac(bigrams, "b")
+    frac = lambda top, n: F.round(  # noqa: E731
+        F.col(top).cast("double") / F.col(n).cast("double"), 6
+    )
+    return (
+        wstats.join(bstats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("_n_w").alias("n_words"),
+            F.col("_d_w").alias("n_distinct_words"),
+            frac("_top_w", "_n_w").alias("top_word_frac"),
+            F.coalesce(frac("_top_b", "_n_b"), F.lit(0.0)).alias("top_bigram_frac"),
+        )
+        .withColumn(
+            "repetitive",
+            (F.col("top_word_frac") > 0.2) | (F.col("top_bigram_frac") > 0.2),
+        )
+    )

@@ -1,0 +1,101 @@
+"""Semantic tests for the training-data scrub/quality/packing
+operators (cross-engine equality is covered by the oracle harness;
+these pin meaning on hand-built inputs)."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_redact_pii_all_types(spark):
+    """Each PII type is counted and replaced by its token; order
+    matters — a URL containing digits must not leak into the phone
+    pass."""
+    from kubernetes_logs_datalake_spark.operators.scrub import redact_pii
+
+    text = (
+        "mail a@b.org or visit https://x.test/path?q=1 from 10.0.0.1 "
+        "call +1 555 010 9999 done"
+    )
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    r = redact_pii(df, "id", "text").collect()[0]
+    assert (r.n_url, r.n_email, r.n_ip, r.n_phone) == (1, 1, 1, 1)
+    assert r.redacted == "mail [EMAIL] or visit [URL] from [IP] call [PHONE] done"
+
+
+def test_redact_pii_url_with_at_is_url(spark):
+    """An @ inside a URL is consumed by the URL pass, not the email
+    pass (registry order is the contract)."""
+    from kubernetes_logs_datalake_spark.operators.scrub import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "see http://u@h.example/x rest")], "id long, text string"
+    )
+    r = redact_pii(df, "id", "text").collect()[0]
+    assert r.redacted == "see [URL] rest"
+    assert r.n_url == 1
+
+
+def test_redact_pii_clean_text_unchanged(spark):
+    from kubernetes_logs_datalake_spark.operators.scrub import redact_pii
+
+    df = spark.createDataFrame([(1, "just words here")], "id long, text string")
+    r = redact_pii(df, "id", "text").collect()[0]
+    assert r.redacted == "just words here"
+    assert (r.n_url, r.n_email, r.n_ip, r.n_phone) == (0, 0, 0, 0)
+
+
+def test_word_repetition_profile(spark):
+    """'a a a a b' → top word 4/5; top bigram 'a a' 3/4; repetitive."""
+    from kubernetes_logs_datalake_spark.operators.scrub import (
+        word_repetition_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a a b"), (2, "w x y z q r s t u v")], "id long, text string"
+    )
+    out = {r.id: r for r in word_repetition_profile(df, "id", "text").collect()}
+    r1 = out[1]
+    assert (r1.n_words, r1.n_distinct_words) == (5, 2)
+    assert math.isclose(r1.top_word_frac, 0.8)
+    assert math.isclose(r1.top_bigram_frac, 0.75)
+    assert r1.repetitive
+    r2 = out[2]
+    assert r2.n_distinct_words == 10 and not r2.repetitive
+
+
+def test_word_repetition_single_word_doc(spark):
+    """One-word docs have no bigrams: frac 0, no sequence(1,0) blowup."""
+    from kubernetes_logs_datalake_spark.operators.scrub import (
+        word_repetition_profile,
+    )
+
+    df = spark.createDataFrame([(1, "solo")], "id long, text string")
+    r = word_repetition_profile(df, "id", "text").collect()[0]
+    assert (r.n_words, r.top_bigram_frac) == (1, 0.0)
+    assert r.repetitive  # 1/1 = 100% top word
+
+
+def test_pack_sequences_bins(spark):
+    """Within a shard, bins fill to the budget with boundary overflow:
+    tokens 3,3,3 at budget 5 → exclusive cumsums 0,3,6 → bins 0,0,1."""
+    from kubernetes_logs_datalake_spark.operators.sampling import pack_sequences
+
+    rows = [(0, "a b c"), (8, "d e f"), (16, "g h i")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r for r in
+           pack_sequences(df, "id", "text", budget=5, shards=8).collect()}
+    assert all(out[i].shard == 0 for i in (0, 8, 16))
+    assert (out[0].bin, out[8].bin, out[16].bin) == (0, 0, 1)
+
+
+def test_pack_sequences_shards_independent(spark):
+    """Docs in different shards pack independently from cumsum 0."""
+    from kubernetes_logs_datalake_spark.operators.sampling import pack_sequences
+
+    rows = [(0, "a b c d e f"), (1, "a b c d e f")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r for r in
+           pack_sequences(df, "id", "text", budget=4, shards=2).collect()}
+    assert out[0].shard != out[1].shard
+    assert out[0].bin == 0 and out[1].bin == 0
