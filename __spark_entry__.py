@@ -1580,6 +1580,31 @@ def _events_interarrival(spark: SparkSession, sf: str) -> DataFrame:
     return interarrival_stats(e, "user_id", "ts_us")
 
 
+def _events_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-session rows via Spark's NATIVE session_window operator (the
+    lag/cumsum formulation in events_sessions is the portable oracle;
+    this is the engine-native path — one shuffle on the user key, local
+    sort + session merge, no self-join): (user, start_us, end_us,
+    n_events), end = last event + gap, half-open.
+
+    Session semantics: an event exactly ``gap`` after the previous one
+    starts a NEW session (window is [start, last+gap)), which the
+    oracle mirrors with ``diff >= gap``.
+    """
+    e = _t(spark, sf, "events").select(
+        "user_id", F.timestamp_micros(_ts_us()).alias("ts")
+    )
+    sw = e.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return sw.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("start_us"),
+        F.unix_micros(F.col("session_window.end")).alias("end_us"),
+        "n_events",
+    )
+
+
 def _docs_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     """PII redaction over the corpus. The synthetic corpus carries no
     PII, so the query salts each document with deterministic doc_id-
@@ -1745,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pii_scrub": _docs_pii_scrub,
         "docs_repetition_profile": _docs_repetition_profile,
         "docs_pack_sequences": _docs_pack_sequences,
+        "events_session_windows": _events_session_windows,
     }
 
 
@@ -2488,6 +2514,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_suppkey, s_name
             ORDER BY numwait DESC, s_name
             LIMIT 100
+        """,
+        "events_session_windows": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+            m AS (
+                SELECT user_id, ts_us,
+                       CASE WHEN lag(ts_us) OVER w IS NULL
+                                 OR ts_us - lag(ts_us) OVER w >= 1800000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+            s AS (
+                SELECT user_id, ts_us,
+                       sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts_us
+                           ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM m)
+            SELECT user_id, min(ts_us) AS start_us,
+                   max(ts_us) + 1800000000 AS end_us,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sess_id
         """,
         "docs_pii_scrub": _ddb_pii_scrub_sql(),
         "docs_repetition_profile": f"""
