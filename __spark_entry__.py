@@ -1658,6 +1658,21 @@ def _docs_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _embedding_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label embedding centroids (class prototypes / IVF training
+    step) — element-exact decimal sums, assembled distributed. The
+    contract query re-explodes the centroid array to scalar rows so the
+    value hash covers every element without array-stringification
+    hazards."""
+    from kubernetes_logs_datalake_spark.operators.vectors import label_centroids
+
+    emb = _t(spark, sf, "embeddings")
+    c = label_centroids(emb, "label", "embedding")
+    return c.select(
+        "label", "n_vectors", F.posexplode("centroid").alias("pos", "val")
+    )
+
+
 # ================================================================ registry
 
 
@@ -1771,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repetition_profile": _docs_repetition_profile,
         "docs_pack_sequences": _docs_pack_sequences,
         "events_session_windows": _events_session_windows,
+        "embedding_label_centroids": _embedding_label_centroids,
     }
 
 
@@ -2514,6 +2530,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_suppkey, s_name
             ORDER BY numwait DESC, s_name
             LIMIT 100
+        """,
+        "embedding_label_centroids": """
+            WITH pv AS (
+                SELECT label, u.pos, u.val
+                FROM embeddings,
+                     unnest(list_transform(
+                         range(1, len(embedding) + 1),
+                         i -> {'pos': i - 1, 'val': embedding[i]})) AS t(u)),
+            per AS (
+                SELECT label, pos,
+                       round(CAST(sum(CAST(val AS DECIMAL(25,10))) AS DOUBLE)
+                             / count(*), 6) AS val,
+                       count(*) AS n
+                FROM pv GROUP BY label, pos)
+            SELECT label, CAST(max(n) OVER (PARTITION BY label) AS BIGINT)
+                       AS n_vectors,
+                   pos, val
+            FROM per
         """,
         "events_session_windows": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),

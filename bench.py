@@ -49,6 +49,12 @@ HEADLINE = [
     "events_funnel",
     "text_tfidf_topk",
     "approx_distinct_kmv",
+    "q9_nation_profit",
+    "q21_waiting_suppliers",
+    "events_session_windows",
+    "docs_pii_scrub",
+    "docs_repetition_profile",
+    "docs_pack_sequences",
 ]
 
 

@@ -1,0 +1,61 @@
+"""Distributed element-wise vector aggregation: per-group embedding
+centroids.
+
+The reduction a clustering / class-prototype / IVF-training step needs:
+mean vector per label over an ``array<float>`` column. Computed the
+distributed way — posexplode to (group, position, value) rows so the
+shuffle key is (group, position) and every element is a plain numeric
+aggregate; the centroid is reassembled with an order-pinned
+collect_list. No vector is ever materialized on the driver and no
+group's whole membership ever lands in one task during the summation.
+
+Exactness: elements are summed as DECIMAL(25,10) (order-independent —
+float summation order varies with partitioning, which would make the
+result nondeterministic run to run), with ONE double division at the
+end; this is the repo's exact-sum recipe applied element-wise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def label_centroids(
+    df: DataFrame, label_col: str, vec_col: str, scale: int = 6
+) -> DataFrame:
+    """(label, n_vectors, centroid: array<double>) — element-exact mean
+    vector per label.
+
+    Plan: one explode (map-side), one partial-agg shuffle on
+    (label, pos) — cardinality |labels|·dim, perfectly balanced — then
+    a tiny (|labels|·dim → |labels|) final agg whose collect_list is
+    bounded by dim. Ragged inputs are fine: each position averages over
+    the vectors that have it.
+    """
+    pos_val = df.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col)).alias("_pos", "_val"),
+    )
+    per_pos = pos_val.groupBy(label_col, "_pos").agg(
+        F.round(
+            F.sum(F.col("_val").cast("decimal(25,10)")).cast("double")
+            / F.count(F.lit(1)),
+            scale,
+        ).alias("_avg"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        per_pos.groupBy(label_col)
+        .agg(
+            F.max("_n").alias("n_vectors"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos"), F.col("_avg")))
+            ).alias("_pairs"),
+        )
+        .select(
+            F.col(label_col),
+            F.col("n_vectors"),
+            F.transform(F.col("_pairs"), lambda p: p["_avg"]).alias("centroid"),
+        )
+    )

@@ -99,3 +99,42 @@ def sessionized_counts(
             "n_events",
         )
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str = "time",
+    right_time: str = "rtime",
+    horizon: str = "10 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: pair each left row with right rows for
+    the same ``key`` whose time falls in [left_time, left_time +
+    horizon) — "purchase joined to the clicks that followed it, live".
+
+    The two watermarks plus the time-bound condition are what make the
+    state finite: Spark keeps only left rows newer than (watermark)
+    and right rows newer than (watermark − horizon), so state is
+    O(arrival rate × horizon) per key — the stream-stream join shape
+    that survives unbounded streams. Without the time bound the state
+    store would grow forever (Spark refuses unbounded stream-stream
+    inner joins on watermarked inputs for exactly this reason).
+
+    On batch inputs the same expression degrades to an ordinary
+    non-equi inner join, so backfills share the definition.
+    """
+    lt, rt = F.col(left_time), F.col(right_time)
+    lout = left.withColumn(left_time, lt.cast("timestamp"))
+    rout = right.withColumn(right_time, rt.cast("timestamp"))
+    if left.isStreaming:
+        lout = lout.withWatermark(left_time, watermark_delay)
+    if right.isStreaming:
+        rout = rout.withWatermark(right_time, watermark_delay)
+    cond = (
+        (lout[key] == rout[key])
+        & (rout[right_time] >= lout[left_time])
+        & (rout[right_time] < lout[left_time] + F.expr(f"INTERVAL {horizon}"))
+    )
+    return lout.join(rout, cond, "inner").drop(rout[key])
