@@ -111,23 +111,38 @@ def make_clustered_corpus(
     return emb, docs
 
 
-def ensure_clustered_fixture(sf: float) -> str:
+def ensure_clustered_fixture(sf: float, n_files: int = 16) -> str:
     """Write the clustered corpus (sized to the SF: sf0.1 ≈ the driver
-    tables' row counts) under /tmp once and reuse it across runs."""
+    tables' row counts) under /tmp once and reuse it across runs.
+
+    Each table is written as ``n_files`` parquet files — a single small
+    file is ONE input split, which serializes the whole scan+shingle/
+    hash stage onto one core (observed 9.8 s single-threaded for what
+    is a 0.6 s parallel stage) and benchmarks the file layout, not the
+    operator. Real lakes are many-file; the fixture must be too."""
     import pyarrow.parquet as pq
 
     scale = sf / 0.1 if sf > 0 else 0.1
-    dest = f"/tmp/spark_graft_clustered_sf{sf}"
-    emb_path = os.path.join(dest, "embeddings.parquet")
-    doc_path = os.path.join(dest, "documents.parquet")
-    if not (os.path.exists(emb_path) and os.path.exists(doc_path)):
-        os.makedirs(dest, exist_ok=True)
+    dest = f"/tmp/spark_graft_clustered_v2_sf{sf}"
+    emb_dir = os.path.join(dest, "embeddings")
+    doc_dir = os.path.join(dest, "documents")
+    marker = os.path.join(dest, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(emb_dir, exist_ok=True)
+        os.makedirs(doc_dir, exist_ok=True)
         emb, docs = make_clustered_corpus(
             n_bg_e=int(1600 * scale), n_pl_e=int(200 * scale),
             n_bg_d=int(4000 * scale), n_pl_d=int(500 * scale),
         )
-        pq.write_table(emb, emb_path)
-        pq.write_table(docs, doc_path)
+        for tbl, d in ((emb, emb_dir), (docs, doc_dir)):
+            step = max(1, (tbl.num_rows + n_files - 1) // n_files)
+            for i in range(0, tbl.num_rows, step):
+                pq.write_table(
+                    tbl.slice(i, step),
+                    os.path.join(d, f"part-{i // step:04d}.parquet"),
+                )
+        with open(marker, "w") as fh:
+            fh.write("ok")
     return dest
 
 
@@ -139,8 +154,8 @@ def clustered_queries(spark, fixture_dir: str) -> dict:
     from kubernetes_logs_datalake_spark.operators.dedup import minhash_lsh_candidates
     from kubernetes_logs_datalake_spark.operators.similarity import lsh_bucketed_pairs
 
-    emb = spark.read.parquet(f"{fixture_dir}/embeddings.parquet")
-    docs = spark.read.parquet(f"{fixture_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{fixture_dir}/embeddings")
+    docs = spark.read.parquet(f"{fixture_dir}/documents")
     return {
         "dedup_embedding_lsh_clustered": lambda: lsh_bucketed_pairs(
             emb, "vec_id", "embedding", threshold=0.8, bits=8, tables=8, dim=64
