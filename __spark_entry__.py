@@ -1658,6 +1658,18 @@ def _docs_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _docs_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination over the corpus: every 50th document
+    plays the held-out eval set; training docs sharing any word 5-gram
+    with it are flagged."""
+    from kubernetes_logs_datalake_spark.operators.scrub import decontaminate
+
+    d = _t(spark, sf, "documents")
+    eval_df = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(train, eval_df, "doc_id", "text", n=5)
+
+
 def _embedding_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     """Per-label embedding centroids (class prototypes / IVF training
     step) — element-exact decimal sums, assembled distributed. The
@@ -1787,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_pack_sequences": _docs_pack_sequences,
         "events_session_windows": _events_session_windows,
         "embedding_label_centroids": _embedding_label_centroids,
+        "docs_decontaminate": _docs_decontaminate,
     }
 
 
@@ -2530,6 +2543,28 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_suppkey, s_name
             ORDER BY numwait DESC, s_name
             LIMIT 100
+        """,
+        "docs_decontaminate": f"""
+            WITH wls AS (SELECT doc_id, {w} AS wl FROM documents),
+            g AS (
+                SELECT doc_id, md5(gram) AS h FROM (
+                    SELECT doc_id,
+                           unnest(CASE WHEN len(wl) >= 5
+                               THEN list_transform(range(1, len(wl) - 3),
+                                    i -> array_to_string(wl[i:i+4], ' '))
+                               ELSE [] END) AS gram
+                    FROM wls)),
+            gd AS (SELECT DISTINCT doc_id, h FROM g),
+            ev AS (SELECT DISTINCT h FROM gd WHERE doc_id % 50 = 0),
+            hits AS (
+                SELECT doc_id, count(*) AS n_hits
+                FROM gd
+                WHERE doc_id % 50 <> 0 AND h IN (SELECT h FROM ev)
+                GROUP BY doc_id)
+            SELECT d.doc_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+                   coalesce(n_hits, 0) >= 1 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+            LEFT JOIN hits ON d.doc_id = hits.doc_id
         """,
         "embedding_label_centroids": """
             WITH pv AS (

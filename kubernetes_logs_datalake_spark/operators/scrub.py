@@ -59,6 +59,58 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with an evaluation set — the overlap filter every
+    pretraining pipeline runs before training so eval questions aren't
+    memorized verbatim. Output: (id, n_hits, contaminated) for every
+    training doc, ``contaminated = n_hits >= min_hits`` where n_hits is
+    the count of DISTINCT shared n-grams.
+
+    Plan: both corpora explode to distinct (doc, md5(gram)) rows; eval
+    grams dedupe to a gram set (eval sets are small — Spark broadcasts
+    the build side of the hash join on its own, and at 100 TB the train
+    side streams through it without shuffling); one partial-agg count
+    per train doc; a left join fills n_hits=0 for clean docs. The md5
+    keeps join keys fixed-width (engine-portable, no long-string
+    comparison skew).
+    """
+    from kubernetes_logs_datalake_spark.functions.text import shingles
+
+    def grams(df: DataFrame, with_id: bool):
+        cols = [F.col(id_col)] if with_id else []
+        g = df.select(
+            *cols, F.explode(shingles(text_col, n)).alias("_g")
+        ).select(*cols, F.md5("_g").alias("_h"))
+        return g.distinct()
+
+    eval_grams = grams(eval_df, with_id=False)
+    hits = (
+        grams(train, with_id=True)
+        .join(eval_grams, "_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def word_repetition_profile(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

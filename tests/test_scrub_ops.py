@@ -99,3 +99,38 @@ def test_pack_sequences_shards_independent(spark):
            pack_sequences(df, "id", "text", budget=4, shards=2).collect()}
     assert out[0].shard != out[1].shard
     assert out[0].bin == 0 and out[1].bin == 0
+
+
+def test_decontaminate_flags_overlap(spark):
+    """A train doc sharing an n-gram with eval is flagged; distinct
+    shared grams are counted once each; clean docs get 0."""
+    from kubernetes_logs_datalake_spark.operators.scrub import decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "here the quick brown fox jumps again"),  # shares 3-grams
+            (2, "completely different words entirely now"),
+            (3, "the quick brown fox jumps the quick brown fox jumps"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           decontaminate(train, eval_df, "doc_id", "text", n=3).collect()}
+    assert out[1].contaminated and out[1].n_hits == 3
+    assert not out[2].contaminated and out[2].n_hits == 0
+    # doc 3 repeats the eval text twice but shares the same 3 distinct
+    # grams — counted once each
+    assert out[3].n_hits == 3
+
+
+def test_decontaminate_short_docs(spark):
+    """Docs shorter than n grams produce no grams and are clean."""
+    from kubernetes_logs_datalake_spark.operators.scrub import decontaminate
+
+    eval_df = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+    train = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    r = decontaminate(train, eval_df, "doc_id", "text", n=5).collect()[0]
+    assert (r.n_hits, r.contaminated) == (0, False)
