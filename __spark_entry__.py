@@ -1658,6 +1658,41 @@ def _docs_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+ZORDER_BITS = 12
+
+
+def _zorder_orders_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Morton/Z-order key over (custkey, orderkey) — the clustering key
+    behind `operators/layout.py write_zordered` (OPTIMIZE ZORDER BY
+    analog), checked as pure integer math."""
+    from kubernetes_logs_datalake_spark.operators.layout import zorder_key
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") <= 2000)
+    z = zorder_key(
+        [
+            F.pmod(F.col("o_custkey"), F.lit(4096)),
+            F.pmod(F.col("o_orderkey"), F.lit(4096)),
+        ],
+        bits=ZORDER_BITS,
+    )
+    return o.select("o_orderkey", "o_custkey", z.alias("zkey"))
+
+
+def _ddb_zorder_sql() -> str:
+    """DuckDB Z-order formula generated from the SAME bit layout as
+    operators/layout.zorder_key (bit i of col j → position i·k+j)."""
+    x, y = "(o_custkey % 4096)", "(o_orderkey % 4096)"
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    z = " | ".join(terms)
+    return (
+        f"SELECT o_orderkey, o_custkey, CAST({z} AS BIGINT) AS zkey "
+        f"FROM orders WHERE o_orderkey <= 2000"
+    )
+
+
 def _docs_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination over the corpus: every 50th document
     plays the held-out eval set; training docs sharing any word 5-gram
@@ -1800,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_windows": _events_session_windows,
         "embedding_label_centroids": _embedding_label_centroids,
         "docs_decontaminate": _docs_decontaminate,
+        "zorder_orders_key": _zorder_orders_key,
     }
 
 
@@ -2544,6 +2580,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY numwait DESC, s_name
             LIMIT 100
         """,
+        "zorder_orders_key": _ddb_zorder_sql(),
         "docs_decontaminate": f"""
             WITH wls AS (SELECT doc_id, {w} AS wl FROM documents),
             g AS (
