@@ -1658,6 +1658,21 @@ def _docs_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _docs_curation_verdicts(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end curation pass: per-doc verdicts for the composed
+    lang/quality/repetition/dedup/decontamination filter — every 50th
+    doc is the held-out eval set, the rest are curated."""
+    from kubernetes_logs_datalake_spark.operators.curate import curate
+
+    d = _t(spark, sf, "documents")
+    eval_df = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return curate(
+        train, eval_df, "doc_id", "text",
+        lang_col="lang", langs=("en",), quality_min=0.5, ngram=5,
+    )
+
+
 ZORDER_BITS = 12
 
 
@@ -1836,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_centroids": _embedding_label_centroids,
         "docs_decontaminate": _docs_decontaminate,
         "zorder_orders_key": _zorder_orders_key,
+        "docs_curation_verdicts": _docs_curation_verdicts,
     }
 
 
@@ -2581,6 +2597,100 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 100
         """,
         "zorder_orders_key": _ddb_zorder_sql(),
+        "docs_curation_verdicts": f"""
+            WITH q AS (
+                SELECT doc_id, lang,
+                       round(least(sw_ratio * 4, 1.0) * 0.4
+                             + (CASE WHEN mwl >= 3 AND mwl <= 10
+                                     THEN 1.0 ELSE 0.0 END) * 0.3
+                             + (CASE WHEN p_ratio < 0.1 THEN 1.0
+                                     ELSE greatest(0.0, 1 - p_ratio * 5)
+                                END) * 0.3, 4) AS quality,
+                       md5({norm}) AS f
+                FROM (
+                    SELECT doc_id, lang, text,
+                           CASE WHEN len({w}) > 0
+                                THEN len(list_filter({w},
+                                         x -> list_contains({stop}, x)))
+                                     * 1.0 / len({w})
+                                ELSE 0.0 END AS sw_ratio,
+                           CASE WHEN length(text) > 0
+                                THEN length(regexp_replace(text,
+                                         '[^!-/:-@\\[-`{{-~]', '', 'g'))
+                                     * 1.0 / length(text)
+                                ELSE 0.0 END AS p_ratio,
+                           CASE WHEN len({w}) > 0
+                                THEN list_sum(list_transform({w},
+                                         x -> length(x))) * 1.0 / len({w})
+                                ELSE 0.0 END AS mwl
+                    FROM documents WHERE doc_id % 50 <> 0)),
+            canon AS (
+                SELECT doc_id,
+                       doc_id = min(doc_id) OVER (PARTITION BY f)
+                           AS pass_dedup
+                FROM q),
+            wl AS (
+                SELECT doc_id, list_filter({w}, x -> x <> '') AS wlist
+                FROM documents WHERE doc_id % 50 <> 0),
+            wc AS (
+                SELECT doc_id, g, count(*) AS c
+                FROM (SELECT doc_id, unnest(wlist) AS g FROM wl)
+                GROUP BY doc_id, g),
+            ws AS (
+                SELECT doc_id, sum(c) AS n_w, max(c) AS top_w
+                FROM wc GROUP BY doc_id),
+            bl AS (
+                SELECT doc_id,
+                       CASE WHEN len(wlist) >= 2
+                            THEN list_transform(range(1, len(wlist)),
+                                 i -> wlist[i] || ' ' || wlist[i+1])
+                            ELSE [] END AS bg
+                FROM wl),
+            bc AS (
+                SELECT doc_id, g, count(*) AS c
+                FROM (SELECT doc_id, unnest(bg) AS g FROM bl)
+                GROUP BY doc_id, g),
+            bs AS (
+                SELECT doc_id, sum(c) AS n_b, max(c) AS top_b
+                FROM bc GROUP BY doc_id),
+            rep AS (
+                SELECT ws.doc_id,
+                       NOT (round(CAST(top_w AS DOUBLE)
+                                  / CAST(n_w AS DOUBLE), 6) > 0.2
+                            OR coalesce(round(CAST(top_b AS DOUBLE)
+                                        / CAST(n_b AS DOUBLE), 6), 0.0)
+                               > 0.2) AS pass_repetition
+                FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id),
+            awl AS (SELECT doc_id, {w} AS wlist FROM documents),
+            gg AS (
+                SELECT doc_id, md5(gram) AS h FROM (
+                    SELECT doc_id,
+                           unnest(CASE WHEN len(wlist) >= 5
+                               THEN list_transform(range(1, len(wlist) - 3),
+                                    i -> array_to_string(wlist[i:i+4], ' '))
+                               ELSE [] END) AS gram
+                    FROM awl)),
+            gd AS (SELECT DISTINCT doc_id, h FROM gg),
+            ev AS (SELECT DISTINCT h FROM gd WHERE doc_id % 50 = 0),
+            dec AS (
+                SELECT doc_id, count(*) AS n_hits
+                FROM gd
+                WHERE doc_id % 50 <> 0 AND h IN (SELECT h FROM ev)
+                GROUP BY doc_id)
+            SELECT q.doc_id,
+                   q.lang = 'en' AS pass_lang,
+                   q.quality >= 0.5 AS pass_quality,
+                   rep.pass_repetition,
+                   canon.pass_dedup,
+                   coalesce(dec.n_hits, 0) = 0 AS pass_decontam,
+                   (q.lang = 'en' AND q.quality >= 0.5
+                    AND rep.pass_repetition AND canon.pass_dedup
+                    AND coalesce(dec.n_hits, 0) = 0) AS kept
+            FROM q
+            JOIN canon ON q.doc_id = canon.doc_id
+            JOIN rep ON q.doc_id = rep.doc_id
+            LEFT JOIN dec ON q.doc_id = dec.doc_id
+        """,
         "docs_decontaminate": f"""
             WITH wls AS (SELECT doc_id, {w} AS wl FROM documents),
             g AS (

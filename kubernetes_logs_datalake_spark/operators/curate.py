@@ -1,0 +1,112 @@
+"""End-to-end corpus curation: the composed filter pass a pretraining
+pipeline runs over raw documents — language allowlist, quality score,
+repetition filter, exact dedup, and eval-set decontamination — emitting
+one verdict row per document with per-stage flags (so drop reasons are
+attributable, not just a surviving subset).
+
+Composition stays one lazy plan: the map-only flags (lang, quality,
+fingerprint) ride the base scan; repetition and decontamination each
+contribute their own aggregation subtrees joined back on the id. Every
+stage reuses the already-oracle-checked operator/function it fronts, so
+the composite inherits their engine parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def curate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str | None = None,
+    langs: tuple[str, ...] = ("en",),
+    quality_min: float = 0.5,
+    ngram: int = 5,
+) -> DataFrame:
+    """Per-document curation verdicts: (id, pass_lang, pass_quality,
+    pass_repetition, pass_dedup, pass_decontam, kept).
+
+    - ``pass_lang``: declared ``lang_col`` (or every doc if None) in the
+      allowlist — language *detection* is a separate operator
+      (``functions.text.lang_id``).
+    - ``pass_quality``: 4-dp-rounded ``quality_score`` ≥ ``quality_min``
+      (rounded so the engine-parity boundary is exact).
+    - ``pass_repetition``: not flagged by the Gopher top-word/top-bigram
+      thresholds (``scrub.word_repetition_profile``).
+    - ``pass_dedup``: the document is its fingerprint group's canonical
+      (minimum-id) member.
+    - ``pass_decontam``: shares no word ``ngram``-gram with ``eval_df``
+      (``scrub.decontaminate``).
+    - ``kept``: all of the above.
+    """
+    from kubernetes_logs_datalake_spark.functions.text import (
+        fingerprint,
+        quality_score,
+    )
+    from kubernetes_logs_datalake_spark.operators.scrub import (
+        decontaminate,
+        word_repetition_profile,
+    )
+
+    pass_lang = (
+        F.col(lang_col).isin(*langs) if lang_col is not None else F.lit(True)
+    )
+    base = df.select(
+        F.col(id_col),
+        pass_lang.alias("pass_lang"),
+        (F.round(quality_score(text_col), 4) >= quality_min).alias(
+            "pass_quality"
+        ),
+        fingerprint(text_col).alias("_fp"),
+    )
+    keep = base.groupBy("_fp").agg(F.min(id_col).alias("_keep_id"))
+    with_dedup = base.join(keep, "_fp").select(
+        id_col,
+        "pass_lang",
+        "pass_quality",
+        (F.col(id_col) == F.col("_keep_id")).alias("pass_dedup"),
+    )
+    rep = word_repetition_profile(df, id_col, text_col).select(
+        F.col(id_col), (~F.col("repetitive")).alias("pass_repetition")
+    )
+    dec = decontaminate(df, eval_df, id_col, text_col, n=ngram).select(
+        F.col(id_col), (~F.col("contaminated")).alias("pass_decontam")
+    )
+    return (
+        with_dedup.join(rep, id_col)
+        .join(dec, id_col)
+        .select(
+            id_col,
+            "pass_lang",
+            "pass_quality",
+            "pass_repetition",
+            "pass_dedup",
+            "pass_decontam",
+            (
+                F.col("pass_lang")
+                & F.col("pass_quality")
+                & F.col("pass_repetition")
+                & F.col("pass_dedup")
+                & F.col("pass_decontam")
+            ).alias("kept"),
+        )
+    )
+
+
+def curation_summary(verdicts: DataFrame) -> DataFrame:
+    """Stage-attribution rollup of :func:`curate` output: one row per
+    flag column with how many documents fail it, plus total/kept — the
+    numbers a pipeline report prints. One partial-agg over booleans."""
+    flags = [c for c in verdicts.columns if c.startswith("pass_")] + ["kept"]
+    agg = verdicts.agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum((~F.col(c)).cast("long")).alias(f"fail_{c}")
+            for c in flags
+        ],
+    )
+    return agg

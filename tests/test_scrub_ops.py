@@ -134,3 +134,45 @@ def test_decontaminate_short_docs(spark):
     train = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     r = decontaminate(train, eval_df, "doc_id", "text", n=5).collect()[0]
     assert (r.n_hits, r.contaminated) == (0, False)
+
+
+def test_curate_stage_attribution(spark):
+    """Each failing stage is attributed: dup doc fails only dedup,
+    contaminated doc fails only decontam, wrong-lang only lang."""
+    from kubernetes_logs_datalake_spark.operators.curate import (
+        curate,
+        curation_summary,
+    )
+
+    good = "quick brown foxes jump over lazy dogs near the quiet river bank"
+    eval_df = spark.createDataFrame(
+        [(99, "unique eval phrase nobody else has anywhere", "en")],
+        "doc_id long, text string, lang string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, good, "en"),                                   # kept
+            (2, good, "en"),                                   # dup of 1
+            (3, good, "de"),                                   # wrong lang (also dup!)
+            (4, "unique eval phrase nobody else has anywhere today it is", "en"),  # contaminated
+            (5, "spam spam spam spam spam spam", "en"),        # repetitive
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in
+           curate(train, eval_df, "doc_id", "text", lang_col="lang",
+                  langs=("en",), quality_min=0.3, ngram=5).collect()}
+    assert out[1].kept
+    assert not out[2].pass_dedup and out[2].pass_lang
+    assert not out[3].pass_lang
+    assert not out[4].pass_decontam and out[4].pass_lang
+    assert not out[5].pass_repetition
+    assert not any(out[i].kept for i in (2, 3, 4, 5))
+
+    s = curation_summary(
+        curate(train, eval_df, "doc_id", "text", lang_col="lang",
+               langs=("en",), quality_min=0.3, ngram=5)
+    ).collect()[0]
+    assert s.n_docs == 5
+    assert s.fail_pass_lang == 1
+    assert s.fail_kept == 4
