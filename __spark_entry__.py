@@ -1673,6 +1673,57 @@ def _docs_curation_verdicts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _docs_segment_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level duplicated-segment removal (CCNet-style line dedup
+    over 10-word segments): per-doc segment counts + md5 of the
+    cleaned text (hashing the full reassembled string keeps the value
+    compare exact without multi-KB cells)."""
+    from kubernetes_logs_datalake_spark.operators.scrub import segment_dedup
+
+    r = segment_dedup(_t(spark, sf, "documents"), "doc_id", "text", seg_words=10)
+    return r.select(
+        "doc_id", "n_segs", "n_dup_segs", F.md5("clean_text").alias("clean_md5")
+    )
+
+
+def _text_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc word-distribution Shannon entropy + type-token ratio
+    (quality signal; decimal-summed Σ c·log2 c for order-independence)."""
+    from kubernetes_logs_datalake_spark.operators.textstats import token_entropy
+
+    return token_entropy(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def _text_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Out-of-vocabulary rate per doc against the corpus top-20 vocab
+    (tokenizer-coverage check; vocab side broadcast)."""
+    from kubernetes_logs_datalake_spark.operators.sampling import vocab_topk
+    from kubernetes_logs_datalake_spark.operators.textstats import oov_rate
+
+    d = _t(spark, sf, "documents")
+    return oov_rate(d, "doc_id", "text", vocab_topk(d, "text", 20))
+
+
+def _embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization with auditable error
+    stats; the qvec is reduced to exact integer aggregates (sum/min/
+    max) so the hash compare covers every element without array cells."""
+    from kubernetes_logs_datalake_spark.operators.vectors import quantize_int8
+
+    q = quantize_int8(_t(spark, sf, "embeddings"), "vec_id", "embedding")
+    return q.select(
+        "vec_id",
+        "scale",
+        F.aggregate("qvec", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "q_sum"
+        ),
+        F.array_min("qvec").alias("q_min"),
+        F.array_max("qvec").alias("q_max"),
+        "max_abs_err",
+        "mse",
+    )
+
+
 ZORDER_BITS = 12
 
 
@@ -1852,6 +1903,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontaminate": _docs_decontaminate,
         "zorder_orders_key": _zorder_orders_key,
         "docs_curation_verdicts": _docs_curation_verdicts,
+        "docs_segment_dedup": _docs_segment_dedup,
+        "text_entropy": _text_entropy,
+        "text_oov_rate": _text_oov_rate,
+        "embedding_quantize_int8": _embedding_quantize_int8,
     }
 
 
@@ -2597,6 +2652,122 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 100
         """,
         "zorder_orders_key": _ddb_zorder_sql(),
+        "docs_segment_dedup": f"""
+            WITH wl AS (
+                SELECT doc_id, list_filter({w}, x -> x <> '') AS wlist
+                FROM documents),
+            sl AS (
+                SELECT doc_id,
+                       CASE WHEN len(wlist) = 0 THEN []
+                       ELSE list_transform(
+                           range(0, CAST(ceil(len(wlist) / 10.0)
+                                         AS BIGINT)),
+                           i -> struct_pack(
+                               pos := i,
+                               seg := array_to_string(
+                                   wlist[i*10+1 : i*10+10], ' ')))
+                       END AS seglist
+                FROM wl),
+            segs AS (
+                SELECT doc_id, u.pos AS pos, u.seg AS seg
+                FROM sl, unnest(seglist) AS t(u)),
+            ranked AS (
+                SELECT doc_id, pos, seg,
+                       row_number() OVER (PARTITION BY md5(seg)
+                                          ORDER BY doc_id, pos) = 1
+                           AS first
+                FROM segs),
+            per AS (
+                SELECT doc_id,
+                       count(*) AS n_segs,
+                       CAST(sum(CASE WHEN first THEN 0 ELSE 1 END)
+                            AS BIGINT) AS n_dup_segs,
+                       md5(coalesce(string_agg(
+                           CASE WHEN first THEN seg END, ' '
+                           ORDER BY pos), '')) AS clean_md5
+                FROM ranked GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(per.n_segs, 0) AS n_segs,
+                   coalesce(per.n_dup_segs, 0) AS n_dup_segs,
+                   coalesce(per.clean_md5, md5('')) AS clean_md5
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
+        "text_entropy": f"""
+            WITH tok AS (
+                SELECT doc_id, word FROM (
+                    SELECT doc_id, unnest({w}) AS word FROM documents)
+                WHERE word <> ''),
+            wc AS (
+                SELECT doc_id, word, count(*) AS c
+                FROM tok GROUP BY doc_id, word),
+            per AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_tokens,
+                       count(*) AS n_types,
+                       sum(CAST(c * log2(c) AS DECIMAL(25,12))) AS clogc
+                FROM wc GROUP BY doc_id)
+            SELECT d.doc_id, per.n_tokens, per.n_types,
+                   round(log2(CAST(per.n_tokens AS DOUBLE))
+                         - CAST(per.clogc AS DOUBLE) / per.n_tokens,
+                         6) AS entropy,
+                   round(CAST(per.n_types AS DOUBLE) / per.n_tokens, 6)
+                       AS ttr
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        """,
+        "text_oov_rate": f"""
+            WITH tok AS (
+                SELECT doc_id, word FROM (
+                    SELECT doc_id, unnest({w}) AS word FROM documents)
+                WHERE word <> ''),
+            voc AS (
+                SELECT word FROM (
+                    SELECT word, count(*) AS n FROM tok GROUP BY word)
+                ORDER BY n DESC, word LIMIT 20),
+            per AS (
+                SELECT doc_id, count(*) AS n_tokens,
+                       CAST(sum(CASE WHEN word IN (SELECT word FROM voc)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+                FROM tok GROUP BY doc_id)
+            SELECT doc_id, n_tokens, n_oov,
+                   round(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate
+            FROM per
+        """,
+        "embedding_quantize_int8": """
+            WITH v AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings),
+            a AS (
+                SELECT vec_id, e,
+                       list_max(list_transform(e, x -> abs(x))) AS amax
+                FROM v),
+            s AS (
+                SELECT vec_id, e,
+                       CASE WHEN amax = 0.0 THEN 1.0
+                            ELSE amax / 127.0 END AS sc
+                FROM a),
+            q AS (
+                SELECT vec_id, e, sc,
+                       list_transform(
+                           e, x -> CAST(round(x / sc) AS INTEGER)) AS qs
+                FROM s),
+            er AS (
+                SELECT vec_id, sc, qs,
+                       list_transform(range(1, len(e) + 1),
+                                      i -> e[i] - qs[i] * sc) AS err
+                FROM q)
+            SELECT vec_id,
+                   round(sc, 8) AS scale,
+                   CAST(list_sum(qs) AS BIGINT) AS q_sum,
+                   CAST(list_min(qs) AS INTEGER) AS q_min,
+                   CAST(list_max(qs) AS INTEGER) AS q_max,
+                   round(list_max(list_transform(err, x -> abs(x))), 8)
+                       AS max_abs_err,
+                   round(list_sum(list_transform(err, x -> x * x))
+                         / len(err), 8) AS mse
+            FROM er
+        """,
         "docs_curation_verdicts": f"""
             WITH q AS (
                 SELECT doc_id, lang,

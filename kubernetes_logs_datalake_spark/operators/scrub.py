@@ -172,3 +172,69 @@ def word_repetition_profile(
             (F.col("top_word_frac") > 0.2) | (F.col("top_bigram_frac") > 0.2),
         )
     )
+
+
+def segment_dedup(
+    df: DataFrame, id_col: str, text_col: str, seg_words: int = 10
+) -> DataFrame:
+    """Corpus-level duplicated-segment removal — the CCNet/RefinedWeb
+    "line dedup" pass generalized to fixed-width word segments (the
+    reference corpus stores flat word streams, not newline-delimited
+    paragraphs). Every ``seg_words``-word segment that already occurred
+    anywhere earlier in the corpus (ordered by (id, position) — a
+    deterministic total order both engines share) is dropped; only its
+    first occurrence survives. Output per document:
+    (id, n_segs, n_dup_segs, clean_text).
+
+    Plan: one map-side chunking (``transform(sequence(...))`` — no
+    per-character work), one shuffle on the segment hash for the
+    first-occurrence window, one shuffle back on the id for reassembly.
+    The window partitions by segment hash — cardinality ≈ corpus
+    segments, perfectly spread — never a global window. At 100 TB the
+    boilerplate segments (headers, footers, license blocks) are the hot
+    keys; their groups are large but each holds only (id, pos) pairs,
+    and only min survives the rank.
+    """
+    from kubernetes_logs_datalake_spark.functions.text import words
+    from pyspark.sql import Window
+
+    w = F.filter(words(text_col), lambda x: x != "")
+    n_segs = F.ceil(F.size(w) / F.lit(seg_words)).cast("int")
+    segs = F.when(F.size(w) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda i: F.array_join(
+                F.slice(w, i * seg_words + 1, seg_words), " "
+            ),
+        )
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode_outer(segs).alias("_pos", "_seg")
+    )
+    win = Window.partitionBy(F.md5(F.col("_seg"))).orderBy(id_col, "_pos")
+    ranked = exploded.withColumn(
+        "_first",
+        F.when(F.col("_seg").isNull(), F.lit(True)).otherwise(
+            F.row_number().over(win) == 1
+        ),
+    )
+    return ranked.groupBy(id_col).agg(
+        F.count("_pos").cast("int").alias("n_segs"),
+        F.sum(F.when(~F.col("_first"), 1).otherwise(0))
+        .cast("int")
+        .alias("n_dup_segs"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("_first") & F.col("_seg").isNotNull(),
+                            F.struct(F.col("_pos"), F.col("_seg")),
+                        )
+                    )
+                ),
+                lambda s: s["_seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

@@ -59,3 +59,54 @@ def label_centroids(
             F.transform(F.col("_pairs"), lambda p: p["_avg"]).alias("centroid"),
         )
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str, vec_col: str, scale_digits: int = 8
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an ``array<float>``
+    embedding column — the storage/serving compression step of an
+    embedding lake (4× smaller than float32, dot products stay in
+    integer SIMD). Per vector: ``q_i = round(x_i / s)`` with
+    ``s = max|x| / 127`` (zero vectors get s = 1 so they quantize to
+    zeros instead of dividing by zero). Output:
+    (id, scale, qvec: array<int>, max_abs_err, mse) — the error stats
+    make the quantization loss auditable per row (|err| ≤ s/2 by
+    construction).
+
+    Everything is per-row array HOF math (transform/zip_with/aggregate)
+    inside whole-stage codegen — zero shuffles, zero UDFs; the operator
+    is a pure map at any scale. Element order in the error reduction is
+    the array order, so results are bit-deterministic.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    df2 = df.withColumn("_v", v).withColumn(
+        "_amax", F.array_max(F.transform(F.col("_v"), F.abs))
+    )
+    s = F.when(F.col("_amax") == 0.0, F.lit(1.0)).otherwise(
+        F.col("_amax") / 127.0
+    )
+    df3 = df2.withColumn("_s", s).withColumn(
+        "_q",
+        F.transform(
+            F.col("_v"), lambda x: F.round(x / F.col("_s")).cast("int")
+        ),
+    )
+    err = F.zip_with(
+        F.col("_v"), F.col("_q"), lambda x, q: x - q * F.col("_s")
+    )
+    return df3.select(
+        F.col(id_col),
+        F.round(F.col("_s"), scale_digits).alias("scale"),
+        F.col("_q").alias("qvec"),
+        F.round(
+            F.array_max(F.transform(err, F.abs)), scale_digits
+        ).alias("max_abs_err"),
+        F.round(
+            F.aggregate(
+                err, F.lit(0.0), lambda a, e: a + e * e
+            )
+            / F.size(F.col("_v")),
+            scale_digits,
+        ).alias("mse"),
+    )

@@ -1,0 +1,118 @@
+"""Text-statistics operators: token entropy, OOV rate, segment dedup,
+int8 embedding quantization."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kubernetes_logs_datalake_spark.operators.scrub import segment_dedup
+from kubernetes_logs_datalake_spark.operators.textstats import (
+    oov_rate,
+    token_entropy,
+)
+from kubernetes_logs_datalake_spark.operators.vectors import quantize_int8
+
+
+def test_token_entropy_hand_computed(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "a a b b"),            # uniform 2 words -> H = 1 bit
+            (2, "a a a a"),            # single word -> H = 0
+            (3, "a b c d"),            # uniform 4 -> H = 2 bits
+            (4, ""),                   # empty -> nulls
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in token_entropy(d, "doc_id", "text").collect()}
+    assert out[1].entropy == 1.0 and out[1].ttr == 0.5
+    assert out[2].entropy == 0.0 and out[2].n_types == 1
+    assert out[3].entropy == 2.0 and out[3].ttr == 1.0
+    assert out[4].entropy is None and out[4].n_tokens is None
+    # mixed distribution: p = (1/2, 1/4, 1/4)
+    d2 = spark.createDataFrame([(1, "x x y z")], "doc_id long, text string")
+    h = token_entropy(d2, "doc_id", "text").collect()[0].entropy
+    expect = -(0.5 * math.log2(0.5) + 2 * 0.25 * math.log2(0.25))
+    assert abs(h - expect) < 1e-6
+
+
+def test_oov_rate_against_vocab(spark):
+    docs = spark.createDataFrame(
+        [(1, "cat dog cat bird"), (2, "cat cat cat cat")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame([("cat",), ("dog",)], "word string")
+    out = {r.doc_id: r for r in
+           oov_rate(docs, "doc_id", "text", vocab).collect()}
+    assert out[1].n_tokens == 4 and out[1].n_oov == 1
+    assert out[1].oov_rate == 0.25
+    assert out[2].n_oov == 0 and out[2].oov_rate == 0.0
+
+
+def test_segment_dedup_drops_repeats_keeps_first(spark):
+    boiler = "alpha beta gamma"  # 3-word boilerplate segment
+    d = spark.createDataFrame(
+        [
+            (1, f"{boiler} one two three"),
+            (2, f"{boiler} four five six"),   # repeats doc 1's segment
+            (3, "seven eight nine"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           segment_dedup(d, "doc_id", "text", seg_words=3).collect()}
+    assert out[1].n_segs == 2 and out[1].n_dup_segs == 0
+    assert out[1].clean_text == f"{boiler} one two three"
+    # doc 2 loses the boilerplate but keeps its unique tail
+    assert out[2].n_dup_segs == 1
+    assert out[2].clean_text == "four five six"
+    assert out[3].n_dup_segs == 0 and out[3].clean_text == "seven eight nine"
+    assert out[4].n_segs == 0 and out[4].clean_text == ""
+
+
+def test_segment_dedup_intra_doc_repeat(spark):
+    d = spark.createDataFrame(
+        [(1, "a b c a b c x y z")], "doc_id long, text string"
+    )
+    r = segment_dedup(d, "doc_id", "text", seg_words=3).collect()[0]
+    assert r.n_segs == 3 and r.n_dup_segs == 1
+    assert r.clean_text == "a b c x y z"
+
+
+def test_quantize_int8_error_bound_and_reconstruction(spark):
+    d = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),     # zero vector -> scale 1, q=0
+            (3, [127.0]),                  # exact max -> q = 127
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in
+           quantize_int8(d, "vec_id", "embedding").collect()}
+    # |err| <= scale/2 by construction
+    for vid, r in out.items():
+        assert r.max_abs_err <= r.scale / 2 + 1e-6, vid
+    assert out[1].qvec[1] == -127  # amax element quantizes to +/-127
+    assert out[2].scale == 1.0 and out[2].qvec == [0, 0, 0, 0]
+    assert out[2].mse == 0.0
+    assert out[3].qvec == [127]
+    # round-trip: dequantized values close to originals
+    r1 = out[1]
+    deq = [q * r1.scale for q in r1.qvec]
+    for orig, back in zip([0.5, -1.0, 0.25, 0.0], deq):
+        assert abs(orig - back) <= r1.scale / 2 + 1e-6
+
+
+def test_entropy_flags_low_diversity(spark):
+    """Repetitive spam has lower entropy than natural-ish text of the
+    same length."""
+    d = spark.createDataFrame(
+        [(1, "buy now buy now buy now buy now"),
+         (2, "the quick brown fox jumps over a lazy dog")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in token_entropy(d, "doc_id", "text").collect()}
+    assert out[1].entropy < out[2].entropy
