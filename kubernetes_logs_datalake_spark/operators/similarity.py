@@ -120,6 +120,51 @@ def lsh_signature(vec_col, planes: list[list[float]]):
     return acc
 
 
+def lsh_signatures_packed(
+    vec_col, dim: int, bits: int, tables: int, seed: int = 42
+):
+    """``array<long>`` of all ``tables`` sign-bit buckets in ONE
+    expression: every hyperplane lives in a single packed literal
+    (tables·bits·dim doubles) and the (table, bit) loops run as HOF
+    ``transform``/``aggregate`` over index sequences, with the per-bit
+    dot product folding ``zip_with(vec, slice(H, offset, dim))``.
+
+    Equivalent to ``[lsh_signature(vec, _hyperplanes(dim, bits,
+    seed + 7919·t)) for t in range(tables)]`` up to a fixed bijection of
+    bucket ids (bit order is Horner-reversed), so collision sets — the
+    only thing buckets are used for — are identical (pytest-asserted).
+    The point is ANALYSIS cost: the unrolled form puts tables·bits dot
+    subtrees in the plan (×2 under a self-join) and Catalyst analysis
+    dominated the whole query; this form is ~20 nodes regardless of
+    (bits, tables), moving the loop from the expression tree into data.
+    """
+    flat: list[float] = []
+    for t in range(tables):
+        for p in _hyperplanes(dim, bits, seed + 7919 * t):
+            flat.extend(p)
+    H = literal_vector(flat)
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+
+    def dot_slice(off):
+        prod = F.zip_with(
+            vec, F.slice(H, off, dim), lambda x, y: x.cast("double") * y
+        )
+        return F.aggregate(prod, F.lit(0.0), lambda a, x: a + x)
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(tables - 1)),
+        lambda t: F.aggregate(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc * 2
+            + F.when(
+                dot_slice((t * F.lit(bits) + b) * dim + 1) >= 0,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     vec_col: str,
@@ -253,13 +298,11 @@ def lsh_bucketed_pairs(
                 "empty or null-vector input; pass dim= explicitly"
             )
         dim = probe[0]
-    sigs = [
-        lsh_signature(F.col(vec_col), _hyperplanes(dim, bits, seed + 7919 * t))
-        for t in range(tables)
-    ]
     banded = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.array(*sigs)).alias("tbl", "bucket"),
+        F.posexplode(
+            lsh_signatures_packed(vec_col, dim, bits, tables, seed)
+        ).alias("tbl", "bucket"),
     )
     if max_bucket is not None:
         counts = banded.groupBy("tbl", "bucket").agg(F.count("*").alias("_bn"))

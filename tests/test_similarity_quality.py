@@ -245,3 +245,39 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark):
     assert exact, "fixture produced no similar pairs; test is vacuous"
     recall = len(exact & candidates) / len(exact)
     assert recall >= 0.8, f"LSH recall {recall:.2f} below 0.8 ({len(exact)} true pairs)"
+
+
+def test_packed_signatures_bijective_to_unrolled(spark):
+    """The packed nested-HOF signature path must induce the SAME
+    bucketing as the unrolled per-plane form — per table, the mapping
+    old-sig → new-sig is a bijection, so collision sets (the only
+    semantics buckets carry) are identical."""
+    from pyspark.sql import functions as F
+
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_signature,
+        lsh_signatures_packed,
+    )
+
+    dim, bits, tables, seed = 64, 4, 3, 42
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    old_cols = F.array(
+        *[
+            lsh_signature(
+                F.col("embedding"), _hyperplanes(dim, bits, seed + 7919 * t)
+            )
+            for t in range(tables)
+        ]
+    )
+    new_cols = lsh_signatures_packed("embedding", dim, bits, tables, seed)
+    rows = emb.select(
+        old_cols.alias("old"), new_cols.alias("new")
+    ).collect()
+    for t in range(tables):
+        fwd: dict[int, int] = {}
+        rev: dict[int, int] = {}
+        for r in rows:
+            o, n = r.old[t], r.new[t]
+            assert fwd.setdefault(o, n) == n, "old sig maps to two new sigs"
+            assert rev.setdefault(n, o) == o, "two old sigs collide in new"
