@@ -129,14 +129,34 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, n: int = 3
 ) -> DataFrame:
     """(id, array<long> signature): one explode of shingles, then
-    ``num_hashes`` seeded-xxhash64 min-aggregations in a single groupBy —
-    the whole signature costs one shuffle regardless of k."""
-    sh = shingle_sets(df, id_col, text_col, n)
+    ``num_hashes`` min-aggregations in a single groupBy — the whole
+    signature costs one shuffle regardless of k.
+
+    Two deliberate scale choices:
+
+    - **no per-doc distinct**: ``min`` is idempotent over duplicate
+      shingles, so the set-semantics shuffle ``shingle_sets`` pays
+      (needed there for Jaccard set sizes) is pure waste here — raw
+      exploded rows feed the partial aggregation directly, and the
+      only shuffle is the map-side-combined (id → 64 mins) one.
+    - **derived hash family**: each shingle is string-hashed ONCE
+      (``xxhash64(shingle)``); the k functions are
+      ``xxhash64(base, seed)`` over the fixed-width long — ~¼ the
+      hashing cost of k independent variable-length string hashes, the
+      same construction datasketch-style MinHash uses (k permutations
+      of one base hash). Recall is gated by
+      ``tests/test_similarity_quality.py``.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(text_col, n)).alias("shingle"),
+    )
+    hb = F.xxhash64(F.col("shingle"))
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+        F.min(F.xxhash64(hb, F.lit(seed))).alias(f"h{seed}")
         for seed in range(num_hashes)
     ]
-    agg = sh.groupBy("_id").agg(*mins)
+    agg = base.groupBy("_id").agg(*mins)
     return agg.select(
         "_id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("signature")
     )
@@ -157,14 +177,15 @@ def minhash_lsh_candidates(
     Pair generation is a self-join on (band, bucket_hash) — each band is
     a narrow equi-join on a 64-bit key, no all-pairs blowup. Callers
     re-rank candidates with ``ngram_jaccard_pairs`` semantics on the
-    (small) candidate set.
+    (small) candidate set. Band buckets hash the row longs directly
+    (``xxhash64(h_0, …, h_r)``) — no per-row string materialization.
     """
     rows = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
     band_arr = F.array(
         *[
             F.xxhash64(
-                F.concat_ws(",", *[F.element_at("signature", b * rows + r + 1) for r in range(rows)])
+                *[F.element_at("signature", b * rows + r + 1) for r in range(rows)]
             )
             for b in range(bands)
         ]
