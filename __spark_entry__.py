@@ -1724,6 +1724,51 @@ def _embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _docs_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-ingest exact dedup: every 10th doc plays the
+    incoming batch, the rest the existing corpus; per-batch-doc verdict
+    flags (dup_of_corpus / dup_in_batch / novel)."""
+    from kubernetes_logs_datalake_spark.operators.dedup import dedup_incremental
+
+    d = _t(spark, sf, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    return dedup_incremental(new, corpus, "doc_id", "text")
+
+
+BM25_TERMS = ("table", "spark", "query")
+
+
+def _text_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 top-20 keyword search over documents (rounded score
+    doubles as the deterministic sort key)."""
+    from kubernetes_logs_datalake_spark.functions.text import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf, "documents"), "doc_id", "text", list(BM25_TERMS), k=20
+    )
+
+
+RP_OUT_DIM = 8
+
+
+def _embedding_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """JL random projection 64→8 dims (packed-literal fold); the proj
+    array re-explodes to (pos, val) scalars for exact value hashing."""
+    from kubernetes_logs_datalake_spark.operators.vectors import random_project
+
+    p = random_project(
+        _t(spark, sf, "embeddings"), "vec_id", "embedding",
+        out_dim=RP_OUT_DIM, dim=EMBEDDING_DIM,
+    )
+    return p.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("proj", lambda v: F.round(v, 6))
+        ).alias("pos", "val"),
+    )
+
+
 ZORDER_BITS = 12
 
 
@@ -1907,6 +1952,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_entropy": _text_entropy,
         "text_oov_rate": _text_oov_rate,
         "embedding_quantize_int8": _embedding_quantize_int8,
+        "docs_dedup_incremental": _docs_dedup_incremental,
+        "text_bm25_search": _text_bm25_search,
+        "embedding_random_projection": _embedding_random_projection,
     }
 
 
@@ -2732,6 +2780,27 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate
             FROM per
         """,
+        "docs_dedup_incremental": f"""
+            WITH nf AS (
+                SELECT doc_id, md5({norm}) AS f FROM documents
+                WHERE doc_id % 10 = 0),
+            cf AS (
+                SELECT DISTINCT md5({norm}) AS f FROM documents
+                WHERE doc_id % 10 <> 0),
+            canon AS (
+                SELECT f, min(doc_id) AS keep_id FROM nf GROUP BY f)
+            SELECT nf.doc_id,
+                   cf.f IS NOT NULL AS dup_of_corpus,
+                   nf.doc_id <> canon.keep_id AS dup_in_batch,
+                   (cf.f IS NULL AND nf.doc_id = canon.keep_id) AS novel
+            FROM nf
+            LEFT JOIN cf ON nf.f = cf.f
+            JOIN canon ON nf.f = canon.f
+        """,
+        "text_bm25_search": _bm25_oracle_sql(BM25_TERMS, k=20),
+        "embedding_random_projection": _random_projection_oracle_sql(
+            EMBEDDING_DIM, RP_OUT_DIM
+        ),
         "embedding_quantize_int8": """
             WITH v AS (
                 SELECT vec_id,
@@ -3268,4 +3337,62 @@ def _lang_id_oracle_sql() -> str:
     return f"""
         SELECT doc_id, lang, {case_sql} AS detected_lang
         FROM (SELECT doc_id, lang, {', '.join(score_defs)} FROM documents)
+    """
+
+
+def _bm25_oracle_sql(
+    terms: tuple[str, ...], k: int = 20, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """DuckDB mirror of functions.text.bm25_topk — identical expression
+    order so every IEEE double op matches bit-for-bit before the 6dp
+    round; float params are emitted with repr() so both engines parse
+    the same doubles."""
+    w = _DDB_WORDS.format(t="text")
+    terms_sql = ",".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, word FROM (
+                SELECT doc_id, unnest({w}) AS word FROM documents)
+            WHERE word <> ''),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        st AS (SELECT count(*) AS n_docs,
+                      CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+               WHERE word IN ({terms_sql}) GROUP BY doc_id, word),
+        dfr AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        sc AS (SELECT tf.doc_id,
+                      ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+                      * (tf.tf * {k1 + 1.0!r})
+                      / (tf.tf + {k1!r}
+                         * ({1.0 - b!r} + {b!r} * dl.dl / st.avgdl)) AS s
+               FROM tf JOIN dfr ON tf.word = dfr.word
+                       JOIN dl ON tf.doc_id = dl.doc_id
+                       CROSS JOIN st),
+        per AS (SELECT doc_id, round(sum(s), 6) AS score,
+                       count(*) AS n_terms_matched
+                FROM sc GROUP BY doc_id)
+        SELECT doc_id, score, n_terms_matched FROM per
+        ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
+def _random_projection_oracle_sql(
+    dim: int, out_dim: int, seed: int = 42
+) -> str:
+    """DuckDB mirror of operators.vectors.random_project: the same LCG
+    hyperplanes emitted as unrolled left-associative dot sums (the fold
+    order Spark's aggregate() uses), rounded to 6dp."""
+    from kubernetes_logs_datalake_spark.operators.similarity import _hyperplanes
+
+    coords = []
+    for p in _hyperplanes(dim, out_dim, seed):
+        dot = "(" + " + ".join(
+            f"(embedding[{i + 1}])::DOUBLE * ({v!r})" for i, v in enumerate(p)
+        ) + ")"
+        coords.append(f"round({dot}, 6)")
+    arr = "[" + ", ".join(coords) + "]"
+    return f"""
+        WITH p AS (SELECT vec_id, {arr} AS proj FROM embeddings)
+        SELECT vec_id, t.range AS pos, proj[t.range + 1] AS val
+        FROM p, range({out_dim}) t
     """

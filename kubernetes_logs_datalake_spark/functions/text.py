@@ -239,3 +239,83 @@ def tfidf_topk(df, id_col: str, text_col: str, k: int = 3):
             "rank",
         )
     )
+
+
+# ------------------------------------------------------------- BM25 search
+
+
+def bm25_topk(
+    df,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 keyword search over the corpus: top-``k`` documents
+    for a bag of query terms — the retrieval primitive behind corpus
+    inspection tooling ("show me docs about X") and hard-negative
+    mining. Output: (id, score, n_terms_matched), score rounded to 6dp
+    (the rounded score is also the sort key so the top-k cut is
+    engine-deterministic).
+
+    idf = ln(1 + (N − df + ½)/(df + ½)); score per (doc, term) =
+    idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+
+    Plan shape: the exploded token stream filters to the query terms
+    *first* (a handful of words — the filter is pushed into the scan
+    projection and the surviving row count is tiny), so the expensive
+    aggregations run on query-relevant rows only. Document lengths and
+    the (N, avgdl) scalars come from one extra aggregate each — the
+    scalars join back via a broadcast cross join, never a collect. Term
+    document-frequencies aggregate to ≤ |query| rows, broadcast back.
+    """
+    from pyspark.sql import Window
+
+    qt = sorted({t.lower() for t in query_terms})
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(words(text_col)).alias("word")
+    ).filter(F.col("word") != "")
+    dl = toks.groupBy("_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("word").isin(qt))
+        .groupBy("_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy("_id").agg(
+        F.round(F.sum("_s"), 6).alias("score"),
+        F.count("*").alias("n_terms_matched"),
+    )
+    return (
+        per_doc.orderBy(F.desc("score"), F.col("_id"))
+        .limit(k)
+        .select(F.col("_id").alias(id_col), "score", "n_terms_matched")
+    )

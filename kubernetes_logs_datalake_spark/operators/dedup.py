@@ -436,3 +436,54 @@ def embedding_dedup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+# -------------------------------------------------- incremental dedup
+
+
+def dedup_incremental(
+    new_df: DataFrame, corpus_df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact dedup of an incoming batch against an existing corpus —
+    the per-ingest pass a continuously-growing training lake runs so
+    recrawled/reposted documents never enter twice. Output, one row per
+    new-batch document: (id, dup_of_corpus, dup_in_batch, novel) where
+    ``novel`` = not seen in the corpus AND first occurrence (min id)
+    within the batch.
+
+    Plan: both sides reduce to normalized-text fingerprints; the corpus
+    side aggregates to DISTINCT fingerprints before the join, so the
+    join input is the corpus's unique-content cardinality, not its row
+    count; the batch side shuffles once on the fingerprint for the
+    within-batch canonical min. Both shuffles key on md5 — uniformly
+    spread at any scale. (At steady state a real deployment keeps the
+    corpus-fingerprint table materialized and bucketed by fingerprint,
+    making the anti-join co-located and shuffle-free on the corpus
+    side; the operator's join keys are chosen so that layout applies.)
+    """
+    from kubernetes_logs_datalake_spark.functions.text import fingerprint
+
+    new_fp = new_df.select(
+        F.col(id_col), fingerprint(text_col).alias("_fp")
+    )
+    corpus_fp = (
+        corpus_df.select(fingerprint(text_col).alias("_fp"))
+        .distinct()
+        .withColumn("_in_corpus", F.lit(True))
+    )
+    joined = new_fp.join(corpus_fp, "_fp", "left")
+    canon = new_fp.groupBy("_fp").agg(F.min(id_col).alias("_keep_id"))
+    return (
+        joined.join(canon, "_fp")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_in_corpus"), F.lit(False)).alias(
+                "dup_of_corpus"
+            ),
+            (F.col(id_col) != F.col("_keep_id")).alias("dup_in_batch"),
+            (
+                F.coalesce(F.col("_in_corpus"), F.lit(False)).eqNullSafe(False)
+                & (F.col(id_col) == F.col("_keep_id"))
+            ).alias("novel"),
+        )
+    )

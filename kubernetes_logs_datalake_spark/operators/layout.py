@@ -88,3 +88,35 @@ def file_stat_ranges(path: str, column: str) -> list[tuple[int, int]]:
         if lo is not None:
             out.append((lo, hi))
     return out
+
+
+def export_training_shards(
+    df: DataFrame,
+    id_col: str,
+    path: str,
+    n_shards: int = 16,
+) -> None:
+    """Export a curated corpus as ``n_shards`` training shards with a
+    deterministic global pseudo-shuffle — the final step before a
+    tokenizer/training job consumes the data. Every row lands in shard
+    ``xxhash64(id) mod n_shards`` and shards are internally ordered by
+    ``md5(id)``, so (a) the shard assignment and intra-shard order are
+    identical on any cluster size/partitioning (re-exports are
+    byte-stable), (b) adjacent source rows scatter across shards — the
+    training-time "shuffled corpus" property — and (c) any single shard
+    is a valid uniform 1/n sample of the corpus.
+
+    Plan: one hash repartition into exactly ``n_shards`` tasks, an
+    intra-partition sort (never global), one file per shard directory
+    (`shard=NNN/`). At 100 TB raise ``n_shards`` until shards fit the
+    downstream reader's memory — the shape is unchanged.
+    """
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    (
+        df.withColumn("shard", shard)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions(F.col("shard"), F.md5(F.col(id_col).cast("string")))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -110,3 +110,47 @@ def quantize_int8(
             scale_digits,
         ).alias("mse"),
     )
+
+
+def random_project(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_dim: int,
+    dim: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection of an ``array<float>``
+    embedding column to ``out_dim`` dimensions — the cheap dimension
+    reduction in front of clustering / visualization / coarse ANN when
+    the full embedding is overkill. Output: (id, proj: array<double>).
+
+    The projection matrix is the repo's deterministic LCG unit
+    hyperplanes (same generator as the LSH family), packed into ONE
+    literal; each output coordinate folds
+    ``zip_with(vec, slice(H, j·dim+1, dim))`` — the whole operator is a
+    single map-stage expression, no shuffle, no UDF, analysis cost
+    independent of ``out_dim``.
+    """
+    from kubernetes_logs_datalake_spark.functions.vectors import literal_vector
+    from kubernetes_logs_datalake_spark.operators.similarity import _hyperplanes
+
+    flat: list[float] = []
+    for p in _hyperplanes(dim, out_dim, seed):
+        flat.extend(p)
+    H = literal_vector(flat)
+    vec = F.col(vec_col)
+
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(out_dim - 1)),
+        lambda j: F.aggregate(
+            F.zip_with(
+                vec,
+                F.slice(H, j * dim + 1, dim),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+    return df.select(F.col(id_col), proj.alias("proj"))
