@@ -1736,6 +1736,24 @@ def _docs_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_incremental(new, corpus, "doc_id", "text")
 
 
+def _docs_corpus_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot diff: the 'old' corpus drops every 7th doc and rewrites
+    every 5th (uppercased text normalizes away → unchanged; appended
+    token → modified), the 'new' corpus is the full table."""
+    from kubernetes_logs_datalake_spark.operators.dedup import corpus_diff
+
+    d = _t(spark, sf, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" edited"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus_diff(old, d, "doc_id", "text")
+
+
 BM25_TERMS = ("table", "spark", "query")
 
 
@@ -1955,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dedup_incremental": _docs_dedup_incremental,
         "text_bm25_search": _text_bm25_search,
         "embedding_random_projection": _embedding_random_projection,
+        "docs_corpus_diff": _docs_corpus_diff,
     }
 
 
@@ -2798,6 +2817,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN canon ON nf.f = canon.f
         """,
         "text_bm25_search": _bm25_oracle_sql(BM25_TERMS, k=20),
+        "docs_corpus_diff": f"""
+            WITH old AS (
+                SELECT doc_id,
+                       md5({{normo}}) AS f
+                FROM (
+                    SELECT doc_id,
+                           CASE WHEN doc_id % 5 = 0
+                                THEN text || ' edited' ELSE text END AS text
+                    FROM documents WHERE doc_id % 7 <> 0)),
+            new AS (SELECT doc_id, md5({norm}) AS f FROM documents)
+            SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+                   CASE WHEN old.f IS NULL THEN 'added'
+                        WHEN new.f IS NULL THEN 'removed'
+                        WHEN old.f <> new.f THEN 'modified'
+                        ELSE 'unchanged' END AS status
+            FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+        """.replace("{normo}", _DDB_NORM.format(t="text")),
         "embedding_random_projection": _random_projection_oracle_sql(
             EMBEDDING_DIM, RP_OUT_DIM
         ),

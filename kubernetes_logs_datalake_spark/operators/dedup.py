@@ -487,3 +487,35 @@ def dedup_incremental(
             ).alias("novel"),
         )
     )
+
+
+def corpus_diff(
+    old_df: DataFrame, new_df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Content-level diff between two corpus snapshots — the "what
+    changed since the last release" audit for versioned training data.
+    One row per id present in either snapshot:
+    (id, status ∈ {added, removed, modified, unchanged}).
+
+    ``modified`` compares normalized-text fingerprints, so whitespace/
+    case-only churn reads as ``unchanged`` (the same normalization the
+    dedup family keys on). Plan: two fingerprint scans, one full outer
+    join on the id — at 100 TB both sides shuffle once on the id; with
+    both snapshots bucketed by id (the natural lake layout for
+    versioned corpora) the join is co-located and shuffle-free.
+    """
+    from kubernetes_logs_datalake_spark.functions.text import fingerprint
+
+    o = old_df.select(F.col(id_col), fingerprint(text_col).alias("_fo"))
+    n = new_df.select(F.col(id_col), fingerprint(text_col).alias("_fn"))
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_fo").isNull(), F.lit("added"))
+            .when(F.col("_fn").isNull(), F.lit("removed"))
+            .when(F.col("_fo") != F.col("_fn"), F.lit("modified"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )

@@ -118,3 +118,24 @@ def test_export_training_shards_deterministic(spark, tmp_path):
         ids1 = [i for f in f1 for i in pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()]
         ids2 = [i for f in f2 for i in pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()]
         assert ids1 == ids2 and len(ids1) > 0
+
+
+def test_corpus_diff_statuses(spark):
+    from kubernetes_logs_datalake_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will be removed")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "SAME   text"), (2, "has changed"), (4, "fresh doc")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.status for r in
+           corpus_diff(old, new, "doc_id", "text").collect()}
+    assert out == {
+        1: "unchanged",   # case/whitespace normalizes away
+        2: "modified",
+        3: "removed",
+        4: "added",
+    }
