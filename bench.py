@@ -55,6 +55,11 @@ HEADLINE = [
     "docs_pii_scrub",
     "docs_repetition_profile",
     "docs_pack_sequences",
+    "docs_segment_dedup",
+    "docs_dedup_incremental",
+    "docs_curation_verdicts",
+    "text_bm25_search",
+    "embedding_quantize_int8",
 ]
 
 

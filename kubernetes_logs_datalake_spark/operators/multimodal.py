@@ -461,3 +461,128 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))).alias("frame_idx"),
     ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+
+
+# ---------------------------------------------------------------- video: AVI
+
+
+def _decode_avi(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Stdlib decoder for uncompressed RGB24 AVI (BI_RGB — the 'DIB '
+    raw-frame container Fluent-Bit-era capture tooling emits): walks the
+    RIFF chunk tree for the ``strf`` BITMAPINFOHEADER (dims, bit depth)
+    and the ``movi`` frame chunks. Returns (width, height,
+    [grayscale frame bytes…]) with the same integer Rec.601 luminance
+    as the image decoders. Raises ValueError for compressed codecs or
+    malformed containers (callers fall back to the digest fake).
+    """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    width: int | None = None
+    height = 0
+    frames: list[bytes] = []
+
+    def walk(off: int, end: int) -> None:
+        nonlocal width, height
+        while off + 8 <= end:
+            cid = payload[off:off + 4]
+            (sz,) = struct.unpack("<I", payload[off + 4:off + 8])
+            body0, body1 = off + 8, off + 8 + sz
+            if body1 > end:
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST":
+                walk(body0 + 4, body1)
+            elif cid == b"strf" and width is None and sz >= 20:
+                w, h = struct.unpack("<ii", payload[body0 + 4:body0 + 12])
+                bits, = struct.unpack("<H", payload[body0 + 14:body0 + 16])
+                comp, = struct.unpack("<I", payload[body0 + 16:body0 + 20])
+                if comp != 0 or bits != 24:
+                    raise ValueError("only uncompressed RGB24 AVI supported")
+                width, height = w, h
+            elif cid[2:4] in (b"db", b"dc") and sz > 0:
+                frames.append(payload[body0:body1])
+            off = body1 + (sz & 1)  # RIFF chunks are word-aligned
+
+    walk(12, len(payload))
+    if width is None or not frames:
+        raise ValueError("no uncompressed video stream in AVI")
+    flip = height > 0  # positive biHeight = bottom-up row order
+    h = abs(height)
+    stride = ((width * 3 + 3) // 4) * 4
+    grays = []
+    for fr in frames:
+        if len(fr) < stride * h:
+            raise ValueError("truncated AVI frame")
+        a = (
+            np.frombuffer(fr[: stride * h], dtype=np.uint8)
+            .reshape(h, stride)[:, : width * 3]
+            .reshape(h, width, 3)
+        )
+        if flip:
+            a = a[::-1]
+        bgr = a.astype(np.int32)
+        gray = (
+            (299 * bgr[..., 2] + 587 * bgr[..., 1] + 114 * bgr[..., 0]) // 1000
+        ).astype(np.uint8)
+        grays.append(gray.tobytes())
+    return width, h, grays
+
+
+FRAME_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("decoded_ok", T.BooleanType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """Video frame sampling with REAL decode for uncompressed AVI: each
+    (media_id, payload) row yields one row per sampled frame with the
+    4×4 pooled-luminance features of the actual pixels — the decode
+    stage :func:`frame_sample_plan` sketches the explode shape for.
+    Payloads no stdlib decoder handles (compressed codecs) fall back to
+    a single digest-fake row with ``decoded_ok=false``, keeping the
+    schema and batch shape identical.
+
+    Arrow-batched ``mapInPandas``; only (media_id, payload) cross the
+    language boundary, and frames never materialize outside their
+    task.
+    """
+    import pandas as pd
+
+    def rows_for(media_id, payload):
+        try:
+            w, h, grays = _decode_avi(payload)
+            return [
+                (media_id, i, w, h, image_features(w, h, grays[i]), True)
+                for i in range(0, len(grays), max(every_n, 1))
+            ]
+        except (ValueError, TypeError):
+            return [(media_id, 0, 0, 0, _fake_decode(payload), False)]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [
+                r
+                for mid, pl in zip(pdf["media_id"], pdf["payload"])
+                for r in rows_for(mid, pl)
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "width", "height",
+                    "feature", "decoded_ok",
+                ],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run, FRAME_FEATURES_SCHEMA
+    )

@@ -139,3 +139,87 @@ def test_corpus_diff_statuses(spark):
         3: "removed",
         4: "added",
     }
+
+
+def _avi_rgb24(w, h, frames):
+    """Minimal uncompressed RGB24 AVI: frames = list of h*w lists of
+    (r, g, b) rows top-down."""
+    import struct
+
+    stride = ((w * 3 + 3) // 4) * 4
+    payloads = []
+    for fr in frames:
+        rows = []
+        for y in range(h - 1, -1, -1):          # bottom-up
+            row = bytearray()
+            for x in range(w):
+                r, g, b = fr[y][x]
+                row += bytes((b, g, r))          # BGR
+            row += b"\0" * (stride - len(row))
+            rows.append(bytes(row))
+        payloads.append(b"".join(rows))
+
+    def chunk(cid, body):
+        pad = b"\0" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    bih = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
+    )
+    strh = chunk(b"strh", b"vids" + b"DIB " + b"\0" * 48)
+    strl = lst(b"strl", strh + chunk(b"strf", bih))
+    avih = chunk(b"avih", struct.pack("<14I", 40000, 0, 0, 0, len(frames),
+                                      0, 1, 0, w, h, 0, 0, 0, 0))
+    hdrl = lst(b"hdrl", avih + strl)
+    movi = lst(b"movi", b"".join(chunk(b"00db", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_sample_frames_real_avi_decode(spark):
+    from kubernetes_logs_datalake_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    white = [[(255, 255, 255)] * 2] * 2
+    black = [[(0, 0, 0)] * 2] * 2
+    avi = _avi_rgb24(2, 2, [white, black, white, black])
+    df = spark.createDataFrame(
+        [(1, avi), (2, b"not a video")], "media_id long, payload binary"
+    )
+    out = sample_frames(df, every_n=2).collect()
+    mine = sorted(
+        (r.frame_idx for r in out if r.media_id == 1)
+    )
+    assert mine == [0, 2], "every_n=2 samples frames 0 and 2"
+    for r in out:
+        if r.media_id == 1:
+            assert r.decoded_ok and (r.width, r.height) == (2, 2)
+            assert all(abs(v - 1.0) < 1e-6 for v in r.feature), \
+                "white frames pool to 1.0 luminance"
+    fallback = [r for r in out if r.media_id == 2]
+    assert len(fallback) == 1 and not fallback[0].decoded_ok
+
+
+def test_sample_frames_rejects_compressed(spark):
+    """A non-RGB24 strf falls back to the digest fake, schema intact."""
+    import struct
+
+    from kubernetes_logs_datalake_spark.operators.multimodal import (
+        _decode_avi,
+    )
+
+    import pytest
+
+    good = _avi_rgb24(2, 2, [[[(9, 9, 9)] * 2] * 2])
+    w, h, grays = _decode_avi(good)
+    assert (w, h, len(grays)) == (2, 2, 1)
+    assert grays[0] == bytes([9, 9, 9, 9])
+    bad = good.replace(
+        struct.pack("<HHI", 1, 24, 0), struct.pack("<HHI", 1, 24, 1), 1
+    )
+    with pytest.raises(ValueError):
+        _decode_avi(bad)
