@@ -1849,6 +1849,108 @@ def _embedding_label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _cri_multiline_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """CRI partial-line reassembly round-trip: synthesize P-chunked CRI
+    lines from events.props (48-char pieces, terminating F tag), then
+    reassemble with sources.cri.join_partial_lines — the reassembled
+    message must equal the original string. Keys (pod=user,
+    container=event_type) pack many consecutive records per key, so the
+    record-boundary cumsum (not just the concat) is exercised."""
+    from kubernetes_logs_datalake_spark.sources.cri import join_partial_lines
+
+    ev = (
+        _t(spark, sf, "events")
+        .filter(F.col("props").isNotNull())
+        .select(
+            "event_id",
+            F.concat(F.lit("u"), F.col("user_id")).alias("pod"),
+            F.col("event_type").alias("container"),
+            "props",
+            F.greatest(
+                F.expr("(length(props) + 47) div 48"), F.lit(1)
+            ).cast("int").alias("_n"),
+        )
+    )
+    lines = ev.select(
+        "event_id",
+        "pod",
+        "container",
+        "_n",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_n") - 1),
+                lambda i: F.col("props").substr(i * 48 + 1, F.lit(48)),
+            )
+        ).alias("_idx", "message"),
+    ).select(
+        F.lit("default").alias("namespace"),
+        "pod",
+        "container",
+        F.lit("stdout").alias("stream"),
+        (F.col("event_id") * 1000 + F.col("_idx")).alias("time_ns"),
+        F.when(F.col("_idx") == F.col("_n") - 1, F.lit("F"))
+        .otherwise(F.lit("P"))
+        .alias("logtag"),
+        "message",
+    )
+    rec = join_partial_lines(lines)
+    return rec.select(
+        "pod",
+        "container",
+        "time_ns",
+        "message",
+        "logtag",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+    )
+
+
+def _docs_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
+    """fastText-style quality-classifier inference: hashed bag-of-words
+    linear score per document — the curation-gate scoring pass, as a
+    pure map-only column expression (weights ride the plan as one
+    packed literal)."""
+    from kubernetes_logs_datalake_spark.operators.classify import (
+        hashed_linear_score,
+    )
+
+    d = _t(spark, sf, "documents")
+    return hashed_linear_score(
+        d, "doc_id", "text", dim=256, bias=0.01, threshold=0.0
+    )
+
+
+def _docs_decontaminate_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space decontamination: every 37th embedding plays the
+    benchmark/eval set (broadcast side); corpus rows within 0.35 cosine
+    of any benchmark vector are flagged with match count + max
+    similarity. Complements the n-gram docs_decontaminate (paraphrase
+    leakage shares no exact n-gram but stays close in embedding
+    space)."""
+    from kubernetes_logs_datalake_spark.operators.curate import (
+        decontaminate_semantic,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 37 == 0)
+    corpus = emb.filter(F.col("vec_id") % 37 != 0)
+    return decontaminate_semantic(
+        corpus, bench, "vec_id", "embedding", threshold=0.35
+    )
+
+
+def _embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus (k=8,
+    3 iterations, deterministic md5-order init + exact-decimal centroid
+    updates). Iterative algorithm — no single SQL oracle; the driver
+    records the rows-only check and tests/test_vectors_and_stream_join.py
+    gates convergence (non-increasing inertia) and determinism."""
+    from kubernetes_logs_datalake_spark.operators.vectors import kmeans_fit
+
+    emb = _t(spark, sf, "embeddings")
+    _, assigned = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=3)
+    return assigned.select("vec_id", "cluster", "dist")
+
+
 # ================================================================ registry
 
 
@@ -1974,6 +2076,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_search": _text_bm25_search,
         "embedding_random_projection": _embedding_random_projection,
         "docs_corpus_diff": _docs_corpus_diff,
+        "cri_multiline_roundtrip": _cri_multiline_roundtrip,
+        "docs_classifier_score": _docs_classifier_score,
+        "docs_decontaminate_semantic": _docs_decontaminate_semantic,
+        "embedding_kmeans": _embedding_kmeans,
     }
 
 
@@ -3299,10 +3405,72 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(count(*) AS DOUBLE), 4) AS avg_gap
             FROM g WHERE gap IS NOT NULL GROUP BY user_id
         """,
+        "cri_multiline_roundtrip": """
+            WITH ev AS (
+                SELECT event_id,
+                       concat('u', CAST(user_id AS VARCHAR)) AS pod,
+                       event_type AS container, props,
+                       greatest((length(props) + 47) // 48, 1) AS n
+                FROM events WHERE props IS NOT NULL
+            ), lines AS (
+                SELECT pod, container,
+                       event_id * 1000 + (u.i - 1) AS time_ns,
+                       CASE WHEN u.i = n THEN 'F' ELSE 'P' END AS logtag,
+                       substr(props, (u.i - 1) * 48 + 1, 48) AS message
+                FROM ev, unnest(range(1, n + 1)) AS u(i)
+            ), recs AS (
+                SELECT *,
+                       sum(CASE WHEN logtag = 'F' THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY pod, container
+                           ORDER BY time_ns, message
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - CASE WHEN logtag = 'F' THEN 1 ELSE 0 END AS rec
+                FROM lines
+            )
+            SELECT pod, container, min(time_ns) AS time_ns,
+                   string_agg(message, '' ORDER BY time_ns, message) AS message,
+                   CASE WHEN max(CASE WHEN logtag = 'F' THEN 1 ELSE 0 END) = 1
+                        THEN 'F' ELSE 'P' END AS logtag,
+                   CAST(count(*) AS BIGINT) AS n_chunks
+            FROM recs GROUP BY pod, container, rec
+        """,
+        "docs_classifier_score": _classifier_oracle_sql(),
+        "docs_decontaminate_semantic": f"""
+            WITH bench AS (
+                SELECT embedding FROM embeddings WHERE vec_id % 37 = 0),
+            corpus AS (
+                SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id % 37 <> 0)
+            SELECT c.vec_id AS vec_id, CAST(count(*) AS BIGINT) AS n_matches,
+                   round(max({_ddb_cos("c.embedding", "b.embedding")}), 6)
+                       AS max_cos
+            FROM corpus c, bench b
+            WHERE {_ddb_cos("c.embedding", "b.embedding")} >= 0.35
+            GROUP BY c.vec_id
+        """,
         # dedup_minhash_lsh, dedup_simhash, ann_topk_lsh, ann_topk_ivf,
-        # approx_distinct_users: approximate/hash-seeded operators →
-        # rows-only check (no SQL oracle).
+        # approx_distinct_users, embedding_kmeans (iterative):
+        # approximate/hash-seeded/iterative operators → rows-only check
+        # (no SQL oracle).
     }
+
+
+def _classifier_oracle_sql() -> str:
+    """Generated from the SAME weights/dim/bias as _docs_classifier_score
+    (single source of truth, mirroring the lsh/bm25 pattern)."""
+    from kubernetes_logs_datalake_spark.operators.classify import (
+        hashed_linear_oracle_sql,
+    )
+
+    return hashed_linear_oracle_sql(
+        "documents",
+        "doc_id",
+        norm_sql=_DDB_NORM.format(t="text"),
+        words_sql=_DDB_WORDS.format(t="text"),
+        dim=256,
+        bias=0.01,
+        threshold=0.0,
+    )
 
 
 def _lsh_pairs_oracle_sql(

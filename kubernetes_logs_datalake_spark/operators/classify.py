@@ -1,0 +1,138 @@
+"""Hashed bag-of-words linear text classifier (fastText-style scoring).
+
+The quality-classifier stage of an LLM data pipeline (CCNet / GPT-3
+style: a linear model over hashed word features scores every document,
+and the score gates curation). Training happens offline; what must run
+at 100 TB is *inference*, and that is a pure per-row column expression
+here: tokenize once, hash each word into one of ``dim`` buckets, look
+its weight up in a plan-time-constant weight vector, average, add bias.
+No shuffle, no UDF, no join — a map-only stage inside whole-stage
+codegen.
+
+The bucket hash is the repo's engine-portable md5 recipe (first 8 hex
+chars as an integer, mod dim) so a DuckDB oracle can replicate scores
+bit-for-bit: every arithmetic step is IEEE-double add/mul in array
+order on both engines (no exp/log — callers wanting a probability can
+sigmoid downstream; the decision boundary score>0 is identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kubernetes_logs_datalake_spark.functions.text import words
+from kubernetes_logs_datalake_spark.functions.vectors import literal_vector
+
+
+def default_weights(dim: int, seed: int = 7) -> list[float]:
+    """Deterministic LCG weight vector in [-0.5, 0.5) — the stand-in
+    for offline-trained weights (same generator family as the LSH
+    hyperplanes; any trained ``list[float]`` drops in unchanged)."""
+    state = (seed * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+    out = []
+    for _ in range(dim):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        out.append((state >> 11) / float(1 << 53) - 0.5)
+    return out
+
+
+def _bucket(word: Column, dim: int) -> Column:
+    """md5-prefix bucket in [0, dim) — exact in any engine with md5."""
+    return F.conv(F.substring(F.md5(word), 1, 8), 16, 10).cast("long") % dim
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    dim: int = 256,
+    weights: list[float] | None = None,
+    bias: float = 0.0,
+    threshold: float = 0.0,
+    scale: int = 9,
+) -> DataFrame:
+    """(id, n_words, score, keep) — mean hashed-bucket weight + bias.
+
+    ``score = bias + (Σ_w weights[bucket(w)]) / n_words`` over the
+    normalized words of ``text_col``; ``keep = score > threshold``.
+    Empty documents score exactly ``bias``. The weight table rides the
+    plan as ONE packed literal (see ``literal_vector``), so ``dim`` can
+    be 1e5+ without analysis cost; per-row work is O(n_words).
+    """
+    if weights is None:
+        weights = default_weights(dim)
+    if len(weights) != dim:
+        raise ValueError(f"weights length {len(weights)} != dim {dim}")
+    wtab = literal_vector(weights)
+    ws = words(F.col(text_col))
+    total = F.aggregate(
+        F.transform(ws, lambda w: F.element_at(wtab, (_bucket(w, dim) + 1).cast("int"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = F.size(ws)
+    score = F.lit(float(bias)) + F.when(n > 0, total / n).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.round(score, scale).alias("score"),
+        (score > F.lit(float(threshold))).alias("keep"),
+    )
+
+
+# DuckDB-side md5-prefix bucket: DuckDB has no conv(hex), so parse the
+# 8 hex chars arithmetically — each digit is exact in doubles up to
+# 16^7, summed as BIGINT (per-element CAST avoids the list_sum→HUGEINT
+# widening). Bit-identical to Spark's conv(substr(md5,1,8),16,10).
+_DDB_BUCKET = (
+    "(CAST(list_sum(list_transform(range(1, 9), i ->"
+    " CAST((strpos('0123456789abcdef', substr(md5(w), i, 1)) - 1)"
+    " * CAST(power(16, 8 - i) AS BIGINT) AS BIGINT))) AS BIGINT) % {dim})"
+)
+
+
+def hashed_linear_oracle_sql(
+    table: str,
+    id_col: str,
+    *,
+    norm_sql: str,
+    words_sql: str,
+    dim: int = 256,
+    weights: list[float] | None = None,
+    bias: float = 0.0,
+    threshold: float = 0.0,
+    scale: int = 9,
+) -> str:
+    """DuckDB SQL generated from the SAME weights/dim/bias as the Spark
+    path (single source of truth — the two cannot drift). ``repr``
+    round-trips every IEEE double exactly, so the literal weight list is
+    bit-identical to the packed Spark literal. ``norm_sql``/``words_sql``
+    are the caller's engine-portable normalization/tokenizer SQL (the
+    `_DDB_NORM`/`_DDB_WORDS` templates, already formatted)."""
+    if weights is None:
+        weights = default_weights(dim)
+    wlist = "[" + ",".join(repr(float(v)) for v in weights) + "]"
+    bucket = _DDB_BUCKET.format(dim=dim)
+    mean = (
+        "CASE WHEN {norm} = '' THEN 0.0 ELSE "
+        "list_sum(list_transform({w}, w -> {wl}[{bucket} + 1])) / len({w}) "
+        "END"
+    ).format(norm=norm_sql, w=words_sql, wl=wlist, bucket=bucket)
+    return """
+        SELECT {idc},
+               CAST(CASE WHEN {norm} = '' THEN 0 ELSE len({w}) END AS BIGINT) AS n_words,
+               round({bias} + {mean}, {scale}) AS score,
+               ({bias} + {mean}) > {thr} AS keep
+        FROM {table}
+    """.format(
+        idc=id_col,
+        norm=norm_sql,
+        w=words_sql,
+        mean=mean,
+        bias=repr(float(bias)),
+        thr=repr(float(threshold)),
+        scale=scale,
+        table=table,
+    )

@@ -110,3 +110,49 @@ def curation_summary(verdicts: DataFrame) -> DataFrame:
         ],
     )
     return agg
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    scale: int = 6,
+) -> DataFrame:
+    """Embedding-space decontamination: corpus rows whose embedding is
+    within ``threshold`` cosine of ANY benchmark vector — the semantic
+    complement of the n-gram :func:`~kubernetes_logs_datalake_spark.operators.scrub.decontaminate`
+    (catches paraphrased eval leakage that shares no exact n-gram).
+    Output: (id, n_matches, max_cos) per contaminated corpus row.
+
+    Scale shape: the benchmark side (eval sets — thousands of rows, not
+    billions) is broadcast with prenormed vectors; the corpus never
+    shuffles and is scanned exactly once, so the plan is a map-side
+    threshold join + one partial aggregation on the corpus id. This is
+    the one similarity shape where broadcast-nested-loop IS the 100 TB
+    plan — the small side is genuinely small and the big side streams.
+    For benchmark sets too big to broadcast, bucket both sides with
+    ``similarity.lsh_bucketed_pairs`` instead.
+    """
+    from kubernetes_logs_datalake_spark.functions.vectors import (
+        cosine_prenorm,
+        norm,
+    )
+
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("_cv"), norm(vec_col).alias("_cn")
+    )
+    b = F.broadcast(
+        benchmark.select(
+            F.col(vec_col).alias("_bv"), norm(vec_col).alias("_bn")
+        )
+    )
+    cos = cosine_prenorm("_cv", "_bv", "_cn", "_bn")
+    return (
+        c.join(b, cos >= F.lit(float(threshold)))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.round(F.max(cos), scale).alias("max_cos"),
+        )
+    )

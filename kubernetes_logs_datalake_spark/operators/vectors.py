@@ -154,3 +154,101 @@ def random_project(
         ),
     )
     return df.select(F.col(id_col), proj.alias("proj"))
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    scale: int = 6,
+) -> DataFrame:
+    """(id, cluster, dist) — nearest-centroid assignment against a
+    plan-time-constant centroid set. The centroid matrix is ONE packed
+    literal; per row the k squared distances are HOF folds and the
+    argmin is array_position of the min — a pure map stage, no shuffle,
+    no UDF. Ties break to the lowest cluster index."""
+    from kubernetes_logs_datalake_spark.functions.vectors import literal_vector
+
+    k = len(centroids)
+    dim = len(centroids[0])
+    flat: list[float] = []
+    for c in centroids:
+        if len(c) != dim:
+            raise ValueError("ragged centroid matrix")
+        flat.extend(float(v) for v in c)
+    C = literal_vector(flat)
+    vec = F.col(vec_col)
+    d2 = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.aggregate(
+            F.zip_with(
+                vec,
+                F.slice(C, j * dim + 1, dim),
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        vec.alias("_v"),
+        d2.alias("_d2"),
+    ).select(
+        F.col(id_col),
+        (F.array_position(F.col("_d2"), F.array_min(F.col("_d2"))) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.round(F.sqrt(F.array_min(F.col("_d2"))), scale).alias("dist"),
+        F.col("_v").alias(vec_col),
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 4,
+    scale: int = 6,
+) -> tuple[list[list[float]], DataFrame]:
+    """Deterministic distributed Lloyd's k-means over an
+    ``array<float>`` column. Returns (centroids, assignments) where
+    assignments is (id, cluster, dist).
+
+    - **Init**: the k rows with the smallest ``md5(id)`` — the repo's
+      engine-portable pseudo-random pick (no rand(), stable run to run).
+    - **Iterate**: assignment is the map-only :func:`kmeans_assign`
+      against broadcast-literal centroids; the update is
+      :func:`label_centroids`'s exact-DECIMAL element-wise mean (one
+      (cluster, pos)-keyed partial-agg shuffle, perfectly balanced at
+      k·dim keys regardless of skew), rounded to ``scale`` so every
+      iteration's centroids — and therefore the final assignment — are
+      bit-deterministic across partitionings.
+    - **Driver traffic**: k·dim doubles per iteration (the new
+      centroids), never the data. Empty clusters keep their previous
+      centroid.
+
+    An iterative algorithm by nature (each Lloyd step is a fixpoint
+    round); the per-iteration plan is shuffle-minimal, so cost is
+    iters × (one scan + one k·dim-key shuffle).
+    """
+    seeds = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(v) for v in r[1]] for r in seeds]
+    if len(centroids) < k:
+        raise ValueError(f"need at least k={k} rows, got {len(centroids)}")
+    for _ in range(iters):
+        assigned = kmeans_assign(df, id_col, vec_col, centroids, scale=scale)
+        new = {
+            int(r[0]): [float(v) for v in r[2]]
+            for r in label_centroids(assigned, "cluster", vec_col, scale=scale)
+            .select("cluster", "n_vectors", "centroid")
+            .collect()
+        }
+        centroids = [new.get(j, centroids[j]) for j in range(k)]
+    return centroids, kmeans_assign(df, id_col, vec_col, centroids, scale=scale)

@@ -15,7 +15,7 @@ Structured Streaming (the plan is the same; only the source differs).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kubernetes_logs_datalake_spark.functions.time_ns import cri_ts_to_ns, ns_to_timestamp
@@ -81,3 +81,68 @@ def parse_cri_lines(
     if path_col is not None:
         keep += ["namespace", "pod", "container"]
     return out.select(*keep)
+
+def join_partial_lines(
+    df: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("namespace", "pod", "container", "stream"),
+    order_cols: tuple[str, ...] = ("time_ns",),
+    logtag_col: str = "logtag",
+    message_col: str = "message",
+) -> DataFrame:
+    """Reassemble CRI partial lines into logical records.
+
+    Container runtimes split log lines longer than their line buffer
+    (16 KiB for containerd) into ``P``-tagged chunks terminated by an
+    ``F`` line; Fluent Bit's ``multiline.parser cri`` mode joins them
+    (the reference's plain ``Parser cri`` keeps chunks as rows, which
+    :func:`parse_cri_lines` mirrors — this operator is the optional
+    reassembly pass on top).
+
+    A logical record is a maximal ``P… F`` run within
+    (key_cols, ordered by order_cols): the record id is the running
+    count of ``F`` tags over strictly-preceding rows, so chunks share
+    the id of their terminating ``F`` line. Output per record:
+    key_cols, the first chunk's order columns, the concatenated
+    ``message``, ``logtag`` ('F', or 'P' for an unterminated trailing
+    run), and ``n_chunks``.
+
+    Scale: the window and the groupBy cluster on the same ``key_cols``
+    (the groupBy key is a superset, so the exchange introduced for the
+    window satisfies the aggregation's clustering — ONE shuffle total),
+    and those keys are exactly the lake's partition layout
+    (namespace/pod/container), so per-key ordered runs are file-local.
+    Chunk order inside a record is pinned with array_sort over
+    (order_cols, message) structs — deterministic under ties.
+    """
+    is_f = (F.col(logtag_col) == "F").cast("long")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*[F.col(c) for c in order_cols], message_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rec = (F.sum(is_f).over(w) - is_f).alias("_rec")
+    chunk = F.struct(
+        *[F.col(c) for c in order_cols],
+        F.col(message_col).alias("_m"),
+    )
+    grouped = (
+        df.select(*key_cols, rec, F.col(logtag_col), chunk.alias("_chunk"))
+        .groupBy(*key_cols, "_rec")
+        .agg(
+            F.array_sort(F.collect_list("_chunk")).alias("_chunks"),
+            F.max(is_f).alias("_terminated"),
+        )
+    )
+    first = F.element_at(F.col("_chunks"), 1)
+    return grouped.select(
+        *key_cols,
+        *[first[c].alias(c) for c in order_cols],
+        F.array_join(
+            F.transform(F.col("_chunks"), lambda s: s["_m"]), ""
+        ).alias(message_col),
+        F.when(F.col("_terminated") == 1, F.lit("F"))
+        .otherwise(F.lit("P"))
+        .alias(logtag_col),
+        F.size(F.col("_chunks")).alias("n_chunks"),
+    )
