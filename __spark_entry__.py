@@ -1951,6 +1951,39 @@ def _embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     return assigned.select("vec_id", "cluster", "dist")
 
 
+def _docs_char_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality filter: char-bigram model trained on the
+    doc_id%10==0 'trusted' partition, every document scored by average
+    negative log2 transition probability (bits/char). Model is tiny
+    (≤37² rows) and broadcast; scores use 12-dp-rounded decimal sums so
+    both engines agree bit-for-bit."""
+    from kubernetes_logs_datalake_spark.operators.textstats import (
+        char_bigram_lm_score,
+    )
+
+    d = _t(spark, sf, "documents")
+    train = d.filter(F.col("doc_id") % 10 == 0)
+    return char_bigram_lm_score(train, d, "doc_id", "text")
+
+
+def _docs_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level exact dedup (Lee et al. 2022 semantics over word
+    8-grams): maximal runs of windows whose gram occurs in ≥2 distinct
+    documents, merged into (start, end) word spans."""
+    from kubernetes_logs_datalake_spark.operators.textstats import (
+        duplicate_spans,
+    )
+
+    d = _t(spark, sf, "documents")
+    out = duplicate_spans(d, "doc_id", "text", n=8, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "n_windows",
+    )
+
+
 # ================================================================ registry
 
 
@@ -2080,6 +2113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_classifier_score": _docs_classifier_score,
         "docs_decontaminate_semantic": _docs_decontaminate_semantic,
         "embedding_kmeans": _embedding_kmeans,
+        "docs_char_lm_score": _docs_char_lm_score,
+        "docs_duplicate_spans": _docs_duplicate_spans,
     }
 
 
@@ -3447,6 +3482,71 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus c, bench b
             WHERE {_ddb_cos("c.embedding", "b.embedding")} >= 0.35
             GROUP BY c.vec_id
+        """,
+        "docs_char_lm_score": f"""
+            WITH norm_t AS (
+                SELECT doc_id, {norm} AS nm FROM documents
+                WHERE doc_id % 10 = 0),
+            tr AS (
+                SELECT substr(nm, u.i, 2) AS bg
+                FROM norm_t, unnest(range(1, length(nm))) AS u(i)),
+            model AS (SELECT bg, count(*) AS c FROM tr GROUP BY bg),
+            ctx AS (
+                SELECT substr(bg, 1, 1) AS c1,
+                       CAST(sum(c) AS BIGINT) AS cc
+                FROM model GROUP BY substr(bg, 1, 1)),
+            norm_s AS (SELECT doc_id, {norm} AS nm FROM documents),
+            sc AS (
+                SELECT doc_id, substr(nm, u.i, 2) AS bg
+                FROM norm_s, unnest(range(1, length(nm))) AS u(i)),
+            j AS (
+                SELECT sc.doc_id,
+                       CAST(round(-log2(
+                           (COALESCE(model.c, 0) + 1)::DOUBLE
+                           / (COALESCE(ctx.cc, 0) + 37)), 12)
+                           AS DECIMAL(25,12)) AS nll
+                FROM sc LEFT JOIN model ON sc.bg = model.bg
+                        LEFT JOIN ctx ON substr(sc.bg, 1, 1) = ctx.c1)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+                   round(CAST(sum(nll) AS DOUBLE) / count(*), 6)
+                       AS avg_nll_bits
+            FROM j GROUP BY doc_id
+        """,
+        "docs_duplicate_spans": f"""
+            WITH wl AS (SELECT doc_id, {w} AS wl FROM documents),
+            wins AS (
+                SELECT doc_id, u.i - 1 AS pos,
+                       md5(array_to_string(wl[u.i:u.i + 7], ' ')) AS h
+                FROM wl, unnest(range(1, greatest(len(wl) - 6, 1))) AS u(i)),
+            hot AS (
+                SELECT h FROM wins GROUP BY h
+                HAVING count(DISTINCT doc_id) >= 2),
+            fl AS (
+                SELECT doc_id, pos FROM wins
+                WHERE h IN (SELECT h FROM hot)),
+            isl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN max(pos + 8) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+                            OR pos > max(pos + 8) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING)
+                            THEN 1 ELSE 0 END AS newi
+                FROM fl),
+            isl2 AS (
+                SELECT doc_id, pos,
+                       sum(newi) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS island
+                FROM isl)
+            SELECT doc_id, min(pos) AS span_start,
+                   max(pos) + 8 AS span_end,
+                   CAST(count(*) AS BIGINT) AS n_windows
+            FROM isl2 GROUP BY doc_id, island
         """,
         # dedup_minhash_lsh, dedup_simhash, ann_topk_lsh, ann_topk_ivf,
         # approx_distinct_users, embedding_kmeans (iterative):

@@ -97,3 +97,151 @@ def oov_rate(
             F.col("n_oov").cast("double") / F.col("n_tokens"), scale
         ).alias("oov_rate"),
     )
+
+# 36 alphanumerics + space: the alphabet of normalize_text output.
+LM_VOCAB_SIZE = 37
+
+
+def char_bigram_lm_score(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str,
+    text_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """CCNet-style language-model quality filter: train a character
+    bigram LM on a trusted corpus partition, score every document by
+    its average negative log2 conditional probability per transition
+    (bits/char — low = natural text under the model, high = junk).
+    Output: (id, n_transitions, avg_nll_bits).
+
+    Model: Laplace-smoothed P(c2|c1) = (count(c1c2)+1) /
+    (count(c1·)+37) over the 37-symbol normalized alphabet. The model
+    is two tiny aggregates (≤ 37² bigram rows) built from one scan of
+    the training partition and **broadcast** into the scoring join, so
+    the corpus-side plan is: scan → explode bigrams → broadcast join →
+    one partial-agg shuffle on the doc id. Per-transition logprobs are
+    rounded to 12 dp and summed as DECIMAL (order-independent — the
+    repo's exact-sum recipe), giving bit-deterministic scores any
+    engine can replicate.
+    """
+    from kubernetes_logs_datalake_spark.functions.text import normalize_text
+
+    def bigrams(df: DataFrame) -> DataFrame:
+        norm = normalize_text(F.col(text_col))
+        n = F.length(norm)
+        arr = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: norm.substr(i, F.lit(2)),
+            )
+        )
+        return df.select(
+            F.col(id_col), F.explode(arr).alias("_bg")
+        )
+
+    tr = bigrams(train)
+    model = tr.groupBy("_bg").agg(F.count("*").alias("_c"))
+    ctx = (
+        model.groupBy(F.substring("_bg", 1, 1).alias("_c1"))
+        .agg(F.sum("_c").alias("_ctx"))
+    )
+    sc = bigrams(score)
+    joined = (
+        sc.join(F.broadcast(model), "_bg", "left")
+        .join(
+            F.broadcast(ctx),
+            F.substring(F.col("_bg"), 1, 1) == F.col("_c1"),
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.round(
+                -F.log2(
+                    (F.coalesce(F.col("_c"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("_ctx"), F.lit(0)) + LM_VOCAB_SIZE)
+                ),
+                12,
+            ).cast("decimal(25,12)").alias("_nll"),
+        )
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.sum("_nll").alias("_sum"),
+        )
+        .select(
+            F.col(id_col),
+            "n_transitions",
+            F.round(
+                F.col("_sum").cast("double") / F.col("n_transitions"), scale
+            ).alias("avg_nll_bits"),
+        )
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact repeated-substring detection (the span-level dedup of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022, done with word n-grams instead of a suffix array): every
+    maximal run of word-``n``-gram windows whose gram occurs in ≥
+    ``min_docs`` distinct documents is reported as one span. Output:
+    (id, span_start, span_end, n_windows) with word positions,
+    span_end exclusive.
+
+    Plan: posexplode the shingle array → count DISTINCT docs per gram
+    hash (one shuffle on the md5 hash, perfectly spread) → semi join the
+    windows back to hot grams (hash-partitioned equi join — never a
+    broadcast assumption on the hot set) → per-doc island merge with one
+    window over (id, pos): a window starts a new span when its start
+    exceeds the running max end of preceding windows. All integer/string
+    ops — bit-deterministic, ANSI-expressible.
+    """
+    from pyspark.sql import Window
+
+    from kubernetes_logs_datalake_spark.functions.text import shingles
+
+    win = df.select(
+        F.col(id_col),
+        F.posexplode(shingles(text_col, n=n)).alias("_pos", "_gram"),
+    ).select(F.col(id_col), "_pos", F.md5(F.col("_gram")).alias("_h"))
+    hot = (
+        win.groupBy("_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    flagged = win.join(hot, "_h").select(F.col(id_col), "_pos")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("_pos") + n).over(w)
+    isl = flagged.withColumn(
+        "_new", F.when(
+            prev_end.isNull() | (F.col("_pos") > prev_end), 1
+        ).otherwise(0)
+    )
+    w2 = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = isl.withColumn("_island", F.sum("_new").over(w2))
+    return (
+        isl.groupBy(id_col, "_island")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            (F.max("_pos") + n).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .drop("_island")
+    )

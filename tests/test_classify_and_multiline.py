@@ -164,3 +164,56 @@ def test_kmeans_requires_k_rows(spark):
     )
     with pytest.raises(ValueError):
         kmeans_fit(df, "vec_id", "embedding", k=3, iters=1)
+
+
+def test_char_lm_scores_junk_higher(spark):
+    from kubernetes_logs_datalake_spark.operators.textstats import (
+        char_bigram_lm_score,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),   # in-distribution
+            (2, "zxq vjw qqz xjzv kqx"),  # junk under the model
+            (3, "x"),                     # 1 char → no transitions
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in char_bigram_lm_score(train, score, "doc_id", "text").collect()
+    }
+    assert 3 not in out, "docs without transitions are excluded"
+    assert out[2].avg_nll_bits > out[1].avg_nll_bits, (
+        "junk text must score higher NLL than in-distribution text"
+    )
+    assert out[1].n_transitions == len("the quick brown fox") - 1
+
+
+def test_duplicate_spans_merges_islands(spark):
+    from kubernetes_logs_datalake_spark.operators.textstats import (
+        duplicate_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, "unique one two three " + shared + " tail words here"),
+            (2, shared),
+            (3, "completely different text with no overlap at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r for r in duplicate_spans(df, "doc_id", "text", n=8).collect()
+    }
+    assert 3 not in out
+    # doc 2 is exactly the shared run: 10 words → windows at 0,1,2 merge
+    # into one span [0, 10)
+    assert (out[2].span_start, out[2].span_end, out[2].n_windows) == (0, 10, 3)
+    # doc 1 has the shared run offset by 4 leading words
+    assert (out[1].span_start, out[1].span_end) == (4, 14)
