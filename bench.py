@@ -60,6 +60,12 @@ HEADLINE = [
     "docs_curation_verdicts",
     "text_bm25_search",
     "embedding_quantize_int8",
+    "cri_multiline_roundtrip",
+    "docs_classifier_score",
+    "docs_char_lm_score",
+    "docs_duplicate_spans",
+    "docs_decontaminate_semantic",
+    "embedding_kmeans",
 ]
 
 

@@ -149,3 +149,27 @@ def test_asof_join_single_window_shuffle(spark):
     assert "WindowExec" in p or "Window" in p
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "NestedLoop"):
         assert bad not in p, f"asof join introduced {bad}"
+
+
+def test_classifier_is_map_only(spark):
+    """Classifier inference must be a pure map stage: zero exchanges,
+    zero joins — the weight table rides the plan as a literal."""
+    p = plan_of(spark, "docs_classifier_score")
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
+def test_char_lm_broadcasts_model(spark):
+    """The char-LM scoring join must broadcast the (≤37²-row) model —
+    the corpus side must never shuffle for the join."""
+    p = plan_of(spark, "docs_char_lm_score")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_multiline_reassembly_single_shuffle_at_contract(spark):
+    """The full contract query (explode + window + groupBy) must keep
+    the one-shuffle property: the record groupBy reuses the window's
+    hash partitioning (its key is a superset)."""
+    p = plan_of(spark, "cri_multiline_roundtrip")
+    assert p.count("Exchange") == 1
