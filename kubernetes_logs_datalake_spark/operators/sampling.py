@@ -256,3 +256,56 @@ def pack_sequences(
     return toks.withColumn(
         "bin", F.floor(before / F.lit(budget)).cast("long")
     )
+
+
+def chunk_passages(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Overlapping passage chunking (the RAG/retrieval indexing step):
+    split each document into word windows of ``size`` tokens advancing
+    by ``size - overlap``, so consecutive chunks share ``overlap``
+    tokens and no token is lost. Output: (id, chunk_idx, start_word,
+    n_words, chunk_text); empty documents yield no chunks, documents
+    shorter than ``size`` yield exactly one.
+
+    A pure map stage: the window arithmetic and slicing are array HOFs
+    over one ``words()`` pass, then a single posexplode — no shuffle,
+    no UDF; chunk count per row is O(n_tokens/stride).
+    """
+    from kubernetes_logs_datalake_spark.functions.text import words
+
+    if not 0 <= overlap < size:
+        raise ValueError("require 0 <= overlap < size")
+    stride = size - overlap
+    w = words(F.col(text_col))
+    n = F.size(w)
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        (F.lit(1) + F.floor((n - size + stride - 1) / F.lit(stride)))
+        .cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.struct(
+            (k * stride).alias("start_word"),
+            F.slice(w, k * stride + 1, size).alias("_ws"),
+        ),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(n == 0, F.array().cast(
+                "array<struct<start_word:int,_ws:array<string>>>"
+            )).otherwise(chunks)
+        ).alias("chunk_idx", "_c"),
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.col("_c.start_word").cast("long").alias("start_word"),
+        F.size("_c._ws").cast("long").alias("n_words"),
+        F.array_join("_c._ws", " ").alias("chunk_text"),
+    )
