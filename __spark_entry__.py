@@ -34,7 +34,7 @@ from kubernetes_logs_datalake_spark.functions.text import (
     stopword_ratio,
     token_count,
 )
-from kubernetes_logs_datalake_spark.functions.time_ns import fmt_ns_iso
+from kubernetes_logs_datalake_spark.functions.time_ns import epoch_us_col, fmt_ns_iso
 from kubernetes_logs_datalake_spark.operators.dedup import (
     embedding_dedup_pairs,
     exact_dedup,
@@ -73,11 +73,14 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
-def _ts_us(col: str = "ts") -> F.Column:
-    """events.ts (ns long in Spark) truncated to epoch-µs — the exact
-    value DuckDB sees for its µs TIMESTAMP."""
-    c = F.col(col)
-    return ((c - F.pmod(c, 1000)).cast("decimal(38,0)") / 1000).cast("long")
+def _ts_us(df: DataFrame, col: str = "ts") -> F.Column:
+    """events time column as epoch-µs long — the exact value DuckDB
+    sees for its µs TIMESTAMP. Schema-adaptive (probes df.dtypes):
+    handles both an ns long (reference-style parquet TIMESTAMP(NANOS)
+    via nanosAsLong) and a µs timestamp/timestamp_ntz (stock writers).
+    Never hard-assume a column's physical type — the reference infers
+    schema at query time (y-logcli:267-273)."""
+    return epoch_us_col(df, col)
 
 
 # --- exact-decimal aggregation helpers ------------------------------------
@@ -440,8 +443,8 @@ def _events_type_stats(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "events")
     return e.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.min(_ts_us()).alias("min_ts_us"),
-        F.max(_ts_us()).alias("max_ts_us"),
+        F.min(_ts_us(e)).alias("min_ts_us"),
+        F.max(_ts_us(e)).alias("max_ts_us"),
         _dsum(_dprice("value")).alias("sum_value"),
         F.count_distinct("user_id").alias("n_users"),
     )
@@ -449,7 +452,8 @@ def _events_type_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 def _events_sessions(spark: SparkSession, sf: str) -> DataFrame:
     """Sessionization: a >30 min gap starts a new session."""
-    e = _t(spark, sf, "events").select("user_id", "event_id", _ts_us().alias("ts_us"))
+    e = _t(spark, sf, "events")
+    e = e.select("user_id", "event_id", _ts_us(e).alias("ts_us"))
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     gap_new = F.when(
         F.lag("ts_us").over(w).isNull()
@@ -477,7 +481,7 @@ def _events_iso_ns_format(spark: SparkSession, sf: str) -> DataFrame:
     """ns-ISO formatting parity (reference y-logcli:175 formatter) —
     emitted at µs truncation so both engines see identical instants."""
     e = _t(spark, sf, "events").filter(F.col("event_id") < 1000)
-    return e.select("event_id", fmt_ns_iso(_ts_us() * 1000).alias("iso_time"))
+    return e.select("event_id", fmt_ns_iso(_ts_us(e) * 1000).alias("iso_time"))
 
 
 # -- document operators: dedup, text analysis ------------------------------
@@ -684,7 +688,8 @@ def _asof_purchase_click(spark: SparkSession, sf: str) -> DataFrame:
     prior-or-simultaneous click (point-in-time lookup)."""
     from kubernetes_logs_datalake_spark.operators.asof import as_of_join
 
-    e = _t(spark, sf, "events").select("user_id", "event_id", "event_type", _ts_us().alias("ts_us"))
+    e = _t(spark, sf, "events")
+    e = e.select("user_id", "event_id", "event_type", _ts_us(e).alias("ts_us"))
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("event_id").alias("purchase_id"), "ts_us"
     )
@@ -703,7 +708,8 @@ def _range_join_error_context(spark: SparkSession, sf: str) -> DataFrame:
     within ±60 s (bucketized range join — no per-key cross product)."""
     from kubernetes_logs_datalake_spark.operators.rangejoin import range_join
 
-    e = _t(spark, sf, "events").select("user_id", "event_id", _ts_us().alias("ts_us"))
+    e = _t(spark, sf, "events")
+    e = e.select("user_id", "event_id", _ts_us(e).alias("ts_us"))
     errors = e.filter(F.col("event_id") % 7 == 0).select(
         "user_id", F.col("event_id").alias("err_id"), F.col("ts_us").alias("err_ts")
     )
@@ -1576,7 +1582,8 @@ def _events_interarrival(spark: SparkSession, sf: str) -> DataFrame:
     ns timestamps as µs TIMESTAMP; the `_ts_us` recipe)."""
     from kubernetes_logs_datalake_spark.operators.funnel import interarrival_stats
 
-    e = _t(spark, sf, "events").select("user_id", _ts_us().alias("ts_us"))
+    e = _t(spark, sf, "events")
+    e = e.select("user_id", _ts_us(e).alias("ts_us"))
     return interarrival_stats(e, "user_id", "ts_us")
 
 
@@ -1591,9 +1598,8 @@ def _events_session_windows(spark: SparkSession, sf: str) -> DataFrame:
     starts a NEW session (window is [start, last+gap)), which the
     oracle mirrors with ``diff >= gap``.
     """
-    e = _t(spark, sf, "events").select(
-        "user_id", F.timestamp_micros(_ts_us()).alias("ts")
-    )
+    e = _t(spark, sf, "events")
+    e = e.select("user_id", F.timestamp_micros(_ts_us(e)).alias("ts"))
     sw = e.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
         F.count("*").alias("n_events")
     )

@@ -20,10 +20,14 @@ Golden values (reference ``test_compact_columns.c:290-325``)::
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 NS_PER_SEC = 1_000_000_000
+
+#: dtypes that carry epoch-ns longs (parquet TIMESTAMP(NANOS) read via
+#: spark.sql.legacy.parquet.nanosAsLong)
+_LONG_DTYPES = frozenset({"bigint", "long", "int"})
 
 # ISO-8601 UTC with optional 1-9 fractional digits, as produced by CRI
 # runtimes. Anything else (missing Z, >9 digits, garbage) parses to null,
@@ -91,6 +95,39 @@ def fmt_ns_iso(ns: Column | str) -> Column:
     return F.concat(
         F.date_format(secs, "yyyy-MM-dd'T'HH:mm:ss"), F.lit("."), frac, F.lit("Z")
     )
+
+
+def epoch_ns_col(df: DataFrame, col: str) -> Column:
+    """Schema-adaptive epoch-ns long from a time column.
+
+    Never hard-assume the physical type of an input column — the
+    reference infers schema at query time (``y-logcli:267-273``). A lake
+    written by the reference's Fluent Bit plugin carries parquet
+    TIMESTAMP(NANOS), which Spark surfaces as an ns long (nanosAsLong);
+    a lake written by stock Spark/pyarrow carries µs ``timestamp`` /
+    ``timestamp_ntz``. Both normalize to the same epoch-ns long (the µs
+    path is ×1000, sub-µs digits zero; session tz is pinned UTC so the
+    timestamp cast is exact).
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype is None:
+        raise ValueError(f"column {col!r} not in {df.columns}")
+    c = F.col(col)
+    if dtype in _LONG_DTYPES:
+        return c.cast("long")
+    return F.unix_micros(c.cast("timestamp")) * F.lit(1000)
+
+
+def epoch_us_col(df: DataFrame, col: str) -> Column:
+    """Schema-adaptive epoch-µs long (truncating ns → µs, the exact
+    value DuckDB's µs TIMESTAMP sees). See :func:`epoch_ns_col`."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype is None:
+        raise ValueError(f"column {col!r} not in {df.columns}")
+    c = F.col(col)
+    if dtype in _LONG_DTYPES:
+        return _floordiv(c.cast("long"), 1000)
+    return F.unix_micros(c.cast("timestamp"))
 
 
 _UNIT_NAMES = {"s": "seconds", "m": "minutes", "h": "hours", "d": "days"}

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kubernetes_logs_datalake_spark.functions.time_ns import epoch_ns_col
+
 NS_PER_DAY = 86_400 * 1_000_000_000
 
 
@@ -95,12 +97,16 @@ def retention_cohorts(
 
     Returns (cohort_day, day_offset, n_users) with epoch-day ints —
     integer outputs, so the oracle comparison is exact. Day math is
-    integer division on the raw ns epoch (no timezone dependence).
+    integer division on the epoch-ns long (no timezone dependence);
+    the time column is normalized schema-adaptively (ns long or µs
+    timestamp input both work).
     Two shuffles: first-day per user, then the distinct
     (cohort, offset, user) count.
     """
-    day = F.expr(f"CAST({ts_col} DIV {NS_PER_DAY} AS LONG)").alias("_day")
-    events = df.select(F.col(user_col).alias("_u"), day)
+    events = df.select(
+        F.col(user_col).alias("_u"), epoch_ns_col(df, ts_col).alias("_ns")
+    ).withColumn("_day", F.expr(f"CAST(_ns DIV {NS_PER_DAY} AS LONG)"))
+    events = events.select("_u", "_day")
     firsts = events.groupBy("_u").agg(F.min("_day").alias("cohort_day"))
     return (
         events.join(firsts, "_u")

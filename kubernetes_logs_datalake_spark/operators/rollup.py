@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kubernetes_logs_datalake_spark.functions.time_ns import epoch_ns_col
+
 NS = {"second": 10**9, "minute": 60 * 10**9, "hour": 3600 * 10**9, "day": 86400 * 10**9}
 
 
@@ -30,7 +32,12 @@ def rollup_events(
     keys: list[str] | None = None,
     aggs: list[Column] | None = None,
 ) -> DataFrame:
-    """Continuous-aggregate rollup: (bucket, *keys) → aggregates."""
+    """Continuous-aggregate rollup: (bucket, *keys) → aggregates.
+
+    Schema-adaptive on the time column (ns long or µs timestamp —
+    never hard-assume the input's physical type; the reference infers
+    schema at query time, y-logcli:267-273)."""
     aggs = aggs or [F.count("*").alias("n")]
-    group_cols = [bucket_ns(ts_col, every)] + [F.col(k) for k in (keys or [])]
+    ts_ns = epoch_ns_col(df, ts_col)
+    group_cols = [bucket_ns(ts_ns, every)] + [F.col(k) for k in (keys or [])]
     return df.groupBy(*group_cols).agg(*aggs)
