@@ -1992,8 +1992,81 @@ def _docs_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
 
 # ================================================================ registry
 
+# The driver's correctness gate checks the FIRST 50 entries of queries()
+# per round; 119 are registered, so the window is rotated each round to
+# cycle coverage through every query. Round 4 window: a few always-on
+# green sentinels, the nine events/time queries repaired this round, the
+# two newly-oracled LSH families, and 34 queries that have never had a
+# driver correctness row (all remaining TPC-H shapes + the big pipeline
+# operators). Everything else keeps its relative order after the window.
+_R4_WINDOW = [
+    # sentinels (green in r3)
+    "q1_pricing_summary",
+    "q10_returned_items",
+    "dedup_ngram_jaccard",
+    "knn_join",
+    "window_top_orders_per_customer",
+    # repaired this round (schema-adaptive event time)
+    "events_hourly_rollup",
+    "events_type_stats",
+    "events_sessions",
+    "events_iso_ns_format",
+    "asof_purchase_click",
+    "range_join_error_context",
+    "events_retention",
+    "events_interarrival",
+    "events_session_windows",
+    # newly-oracled hash families
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    # never driver-checked: remaining TPC-H shapes
+    "q2_cheapest_supplier",
+    "q4_late_shipping_priority",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q11_important_parts",
+    "q12_priority_by_linestatus",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filters",
+    "q20_volume_suppliers",
+    "q21_waiting_suppliers",
+    "q22_inactive_rich_customers",
+    # never driver-checked: relational/function coverage
+    "stringagg_region_nations",
+    "cube_order_counts",
+    "regex_source_extract",
+    "monthly_order_trend",
+    "array_stats_embeddings",
+    "full_outer_nation_counts",
+    "cross_join_region_pairs",
+    "date_functions_showcase",
+    "grouping_sets_orders",
+    "fuzzy_name_match",
+    "array_functions_showcase",
+    "scalar_null_handling",
+    # never driver-checked: pipeline operators
+    "text_bm25_search",
+    "docs_curation_verdicts",
+    "docs_classifier_score",
+    "embedding_kmeans",
+    "docs_char_lm_score",
+]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _all_queries()
+    ordered = {name: base[name] for name in _R4_WINDOW}
+    ordered.update((n, f) for n, f in base.items() if n not in ordered)
+    return ordered
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational core
         "q1_pricing_summary": _q1_pricing_summary,
