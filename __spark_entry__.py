@@ -223,7 +223,7 @@ def _q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(_dsum(_rev_dec()).alias("revenue"))
         .select(
@@ -298,7 +298,7 @@ def _brand_revenue(spark: SparkSession, sf: str) -> DataFrame:
     p = _t(spark, sf, "part")
     l = _t(spark, sf, "lineitem")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_lines"),
@@ -894,7 +894,7 @@ def _q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
     rev = _rev_dec()
     zero = F.lit(0.0).cast("decimal(8,4)") * F.lit(0.0).cast("decimal(12,4)")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -994,7 +994,7 @@ def _q17_small_quantity_revenue(spark: SparkSession, sf: str) -> DataFrame:
     average as one window pass, exact-sum recipe."""
     p = _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
     l = _t(spark, sf, "lineitem").join(
-        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+        p, F.col("l_partkey") == F.col("p_partkey")
     )
     w = Window.partitionBy("l_partkey")
     avg_qty = (
@@ -1024,7 +1024,7 @@ def _q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
     c = _t(spark, sf, "customer")
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -1042,7 +1042,7 @@ def _q19_disjunctive_filters(spark: SparkSession, sf: str) -> DataFrame:
     predicates — exercises disjunctive predicate handling."""
     p = _t(spark, sf, "part")
     l = _t(spark, sf, "lineitem")
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    j = l.join(p, l.l_partkey == p.p_partkey)
     q = F.col("l_quantity")
     sz = F.col("p_size")
     cond = (
@@ -1109,7 +1109,7 @@ def _q2_cheapest_supplier(spark: SparkSession, sf: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     cand = bridge.join(
-        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+        p, F.col("l_partkey") == F.col("p_partkey")
     ).join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
     w = Window.partitionBy("p_partkey")
     return (
@@ -1143,7 +1143,7 @@ def _q9_nation_profit(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
     l = _t(spark, sf, "lineitem")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, l.l_orderkey == o.o_orderkey)
@@ -1215,7 +1215,7 @@ def _q16_supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        bridge.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        bridge.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(
             F.broadcast(bad),
             F.col("l_suppkey") == F.col("s_suppkey"),
@@ -1240,7 +1240,7 @@ def _q20_volume_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
     )
     shipped = (
-        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(_dprice("l_quantity")).alias("_qty"))
         .filter(F.col("_qty") > 400.0)

@@ -92,6 +92,28 @@ def test_q7_q8_broadcast_dims_no_cartesian(spark):
         assert "NestedLoop" not in p, name
 
 
+def test_no_forced_broadcast_of_fact_tables():
+    """No query may force-broadcast a fact-scaled table (customer, part,
+    orders, lineitem). A forced hint bypasses AQE's size threshold: fine
+    at sf0.1, executor OOM at 100x. Dims (region/nation/supplier) may be
+    hinted; fact tables must leave the choice to AQE, which still picks
+    broadcast at runtime when the filtered side is actually small.
+
+    Source-level gate because a plan-level one can't distinguish an
+    explicit hint from AQE's own (legitimate) size-based broadcast."""
+    import inspect
+
+    fact_tables = {"customer", "part", "orders", "lineitem", "events", "documents"}
+    for name, fn in entrymod.queries().items():
+        src = inspect.getsource(fn)
+        binds = re.findall(r'(\w+)\s*=\s*_t\(spark,\s*sf,\s*"(\w+)"\)', src)
+        for var, tbl in binds:
+            if tbl in fact_tables:
+                assert f"F.broadcast({var})" not in src, (
+                    f"{name} force-broadcasts fact-scaled table {tbl!r} (var {var})"
+                )
+
+
 def test_embedding_lsh_no_nested_loop(spark):
     """The LSH embedding-dedup scale path must be banded equi-joins —
     never the all-pairs BroadcastNestedLoopJoin that the brute-force
