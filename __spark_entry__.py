@@ -498,13 +498,23 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded MinHash LSH with the *portable* hash family (md5-based
+    affine family, exact in both engines) so the full candidate-pair
+    set is DuckDB-hash-checkable; scale users keep the default xxh64
+    family (same algebra, faster hashing)."""
     d = _t(spark, sf, "documents")
-    return minhash_lsh_candidates(d, "doc_id", "text", num_hashes=64, bands=8, n=1)
+    return minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=64, bands=8, n=1, hash_family="portable"
+    )
 
 
 def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash chunk-blocked candidates with the portable hash family
+    (60-bit md5 base), oracle-checkable like dedup_minhash_lsh."""
     d = _t(spark, sf, "documents")
-    return simhash_candidates(d, "doc_id", "text", max_hamming=12, chunks=4)
+    return simhash_candidates(
+        d, "doc_id", "text", max_hamming=12, chunks=4, hash_family="portable"
+    )
 
 
 def _dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
@@ -1813,6 +1823,95 @@ def _zorder_orders_key(spark: SparkSession, sf: str) -> DataFrame:
     return o.select("o_orderkey", "o_custkey", z.alias("zkey"))
 
 
+def _ddb_md5_60(col: str) -> str:
+    """DuckDB mirror of operators/dedup.portable_base_hash: 60-bit long
+    from the first 15 hex chars of md5."""
+    return (
+        "list_reduce(list_transform(generate_series(1, 15), "
+        f"i -> CAST(strpos('0123456789abcdef', substr(md5({col}), i, 1)) - 1 AS BIGINT)), "
+        "(a, b) -> a * 16 + b)"
+    )
+
+
+def _ddb_minhash_lsh_sql(num_hashes: int = 64, bands: int = 8) -> str:
+    """Generated from the SAME affine coefficients and band layout as
+    minhash_lsh_candidates(hash_family='portable') — one source of
+    truth, so the engines cannot silently diverge."""
+    from kubernetes_logs_datalake_spark.operators.dedup import (
+        PORTABLE_M,
+        PORTABLE_P,
+        minhash_affine_coeffs,
+    )
+
+    w = _DDB_WORDS.format(t="text")
+    rows = num_hashes // bands
+    mins = ",\n                   ".join(
+        f"min(CAST((CAST({a} AS HUGEINT) * base + {b}) % {PORTABLE_P} AS BIGINT)) AS h{k}"
+        for k, (a, b) in enumerate(minhash_affine_coeffs(num_hashes))
+    )
+    band_rows = []
+    for b in range(bands):
+        acc = f"CAST(h{b * rows} AS HUGEINT)"
+        for r in range(1, rows):
+            acc = f"(({acc}) * {PORTABLE_M} + h{b * rows + r}) % {PORTABLE_P}"
+        band_rows.append(
+            f"SELECT _id, {b} AS band, CAST({acc} AS BIGINT) AS bucket FROM sig"
+        )
+    banded = "\n                UNION ALL ".join(band_rows)
+    return f"""
+            WITH ws AS (
+                SELECT doc_id AS _id, unnest({w}) AS shingle FROM documents
+            ), hb AS (
+                SELECT _id, {_ddb_md5_60("shingle")} AS base FROM ws
+            ), sig AS (
+                SELECT _id, {mins}
+                FROM hb GROUP BY _id
+            ), banded AS (
+                {banded}
+            )
+            SELECT DISTINCT a._id AS id_a, b._id AS id_b
+            FROM banded a JOIN banded b USING (band, bucket)
+            WHERE a._id < b._id
+        """
+
+
+def _ddb_simhash_sql(bits: int = 60, chunks: int = 4, max_hamming: int = 12) -> str:
+    """Generated from the SAME bit/chunk layout as
+    simhash_candidates(hash_family='portable')."""
+    w = _DDB_WORDS.format(t="text")
+    width = bits // chunks
+    mask = (1 << width) - 1
+    bit_sums = ",\n                   ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits)
+    )
+    acc = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"""
+            WITH tok AS (
+                SELECT doc_id AS _id, unnest({w}) AS wd FROM documents
+            ), hw AS (
+                SELECT _id, {_ddb_md5_60("wd")} AS h FROM tok
+            ), bitsum AS (
+                SELECT _id, {bit_sums}
+                FROM hw GROUP BY _id
+            ), sh AS (
+                SELECT _id, {acc} AS simhash FROM bitsum
+            ), pieces AS (
+                SELECT _id, simhash, i AS chunk_idx,
+                       (simhash >> (i * {width})) & {mask} AS chunk
+                FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {chunks - 1})) AS i)
+            )
+            SELECT DISTINCT a._id AS id_a, b._id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM pieces a JOIN pieces b USING (chunk_idx, chunk)
+            WHERE a._id < b._id
+              AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        """
+
+
 def _ddb_zorder_sql() -> str:
     """DuckDB Z-order formula generated from the SAME bit layout as
     operators/layout.zorder_key (bit i of col j → position i·k+j)."""
@@ -2412,6 +2511,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb._id = id_b
             WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.6
         """,
+        "dedup_minhash_lsh": _ddb_minhash_lsh_sql(),
+        "dedup_simhash": _ddb_simhash_sql(),
         "dedup_embedding": f"""
             SELECT id_a, id_b, round(cos, 4) AS cos FROM (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos_ab} AS cos

@@ -15,17 +15,52 @@ Five families, each a different cost/recall point for 100 TB dedup:
   few bits. Candidates via band equality on bit-chunks.
 - **embedding cosine**: semantic near-dup over `array<float>` vectors.
 
-All hashing uses ``xxhash64`` with fixed seeds — deterministic across
-runs and executors, which the correctness harness depends on.
+Hashing comes in two families:
+
+- ``xxh64`` (default): ``xxhash64`` with fixed seeds — the fast scale
+  path (single JVM-side hash per shingle, derived k-family over the
+  fixed-width long). Deterministic across runs and executors.
+- ``portable``: a 60-bit base hash from md5 (the one hash both Spark
+  and DuckDB implement identically) + a Carter-Wegman affine family
+  ``(a_k·base + b_k) mod 2^61-1`` in exact decimal arithmetic. Slower
+  (md5 + decimal ops), but every value is reproducible in ANSI SQL, so
+  the driver's DuckDB oracle can hash-check the full candidate-pair
+  output. Contract queries use this family; large-scale dedup keeps
+  the default.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import random
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kubernetes_logs_datalake_spark.functions.text import fingerprint, shingles
 from kubernetes_logs_datalake_spark.functions.vectors import cosine
+
+# Mersenne prime 2^61-1: modulus of the portable affine hash family.
+PORTABLE_P = (1 << 61) - 1
+# multiplier for chaining band-row values into one bucket key
+PORTABLE_M = 1_000_003
+_PORTABLE_SEED = 20260814
+
+
+def portable_base_hash(c: Column | str) -> Column:
+    """60-bit long from the first 15 hex chars of md5 — bit-identical
+    in Spark and DuckDB (conv/list_reduce respectively)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def minhash_affine_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """The portable family's (a_k, b_k) pairs — seeded, so the Spark
+    operator and the generated DuckDB oracle share one source of truth."""
+    rng = random.Random(_PORTABLE_SEED)
+    return [
+        (rng.randrange(1, PORTABLE_P), rng.randrange(PORTABLE_P))
+        for _ in range(num_hashes)
+    ]
 
 # ------------------------------------------------------------------ exact
 
@@ -126,7 +161,12 @@ def _set_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    n: int = 3,
+    hash_family: str = "xxh64",
 ) -> DataFrame:
     """(id, array<long> signature): one explode of shingles, then
     ``num_hashes`` min-aggregations in a single groupBy — the whole
@@ -151,11 +191,18 @@ def minhash_signatures(
         F.col(id_col).alias("_id"),
         F.explode(shingles(text_col, n)).alias("shingle"),
     )
-    hb = F.xxhash64(F.col("shingle"))
-    mins = [
-        F.min(F.xxhash64(hb, F.lit(seed))).alias(f"h{seed}")
-        for seed in range(num_hashes)
-    ]
+    if hash_family == "portable":
+        hb = portable_base_hash("shingle").cast("decimal(38,0)")
+        mins = [
+            F.min(((F.lit(a).cast("decimal(38,0)") * hb + F.lit(b)) % F.lit(PORTABLE_P)).cast("long")).alias(f"h{k}")
+            for k, (a, b) in enumerate(minhash_affine_coeffs(num_hashes))
+        ]
+    else:
+        hb = F.xxhash64(F.col("shingle"))
+        mins = [
+            F.min(F.xxhash64(hb, F.lit(seed))).alias(f"h{seed}")
+            for seed in range(num_hashes)
+        ]
     agg = base.groupBy("_id").agg(*mins)
     return agg.select(
         "_id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("signature")
@@ -169,6 +216,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     n: int = 3,
+    hash_family: str = "xxh64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -181,15 +229,26 @@ def minhash_lsh_candidates(
     (``xxhash64(h_0, …, h_r)``) — no per-row string materialization.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
-    band_arr = F.array(
-        *[
-            F.xxhash64(
-                *[F.element_at("signature", b * rows + r + 1) for r in range(rows)]
-            )
-            for b in range(bands)
-        ]
-    )
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n, hash_family)
+    if hash_family == "portable":
+        # chain the band's row values into one exact 61-bit bucket key:
+        # ((h0·M + h1)·M + …) mod 2^61-1, reproducible in DuckDB HUGEINT
+        def bucket_of(b: int) -> Column:
+            acc = F.element_at("signature", b * rows + 1).cast("decimal(38,0)")
+            for r in range(1, rows):
+                acc = (acc * F.lit(PORTABLE_M) + F.element_at("signature", b * rows + r + 1)) % F.lit(PORTABLE_P)
+            return acc.cast("long")
+
+        band_arr = F.array(*[bucket_of(b) for b in range(bands)])
+    else:
+        band_arr = F.array(
+            *[
+                F.xxhash64(
+                    *[F.element_at("signature", b * rows + r + 1) for r in range(rows)]
+                )
+                for b in range(bands)
+            ]
+        )
     banded = sig.select("_id", F.posexplode(band_arr).alias("band", "bucket"))
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -203,15 +262,25 @@ def minhash_lsh_candidates(
 # ----------------------------------------------------------------- SimHash
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document: hash each word, sum ±1 per bit
-    position weighted by presence, take sign bits. Pure column algebra
-    over one explode; returns (id, simhash long)."""
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    hash_family: str = "xxh64",
+) -> DataFrame:
+    """SimHash per document: hash each word, sum ±1 per bit position
+    weighted by presence, take sign bits. Pure column algebra over one
+    explode; returns (id, simhash long). The portable family's base
+    hash is 60-bit, so pass bits<=60 with it."""
     from kubernetes_logs_datalake_spark.functions.text import words
 
+    word_hash = (
+        portable_base_hash("w") if hash_family == "portable" else F.xxhash64("w")
+    )
     exploded = df.select(
         F.col(id_col).alias("_id"), F.explode(words(text_col)).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
+    ).withColumn("h", word_hash)
     bit_sums = exploded.groupBy("_id").agg(
         *[
             F.sum(
@@ -231,13 +300,21 @@ def hamming64(a, b):
 
 
 def simhash_candidates(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, chunks: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    bits: int = 64,
+    hash_family: str = "xxh64",
 ) -> DataFrame:
-    """Near-dup candidates: by pigeonhole, two 64-bit simhashes within
-    ``max_hamming`` ≤ chunks-1 bits share at least one identical 16-bit
-    chunk → equi-join per chunk, then exact hamming filter."""
-    sh = simhash(df, id_col, text_col)
-    width = 64 // chunks
+    """Near-dup candidates: by pigeonhole, two simhashes within
+    ``max_hamming`` ≤ chunks-1 bits share at least one identical
+    bit-chunk → equi-join per chunk, then exact hamming filter."""
+    if hash_family == "portable":
+        bits = min(bits, 60)
+    sh = simhash(df, id_col, text_col, bits, hash_family)
+    width = bits // chunks
     chunk_arr = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit((1 << width) - 1))
