@@ -25,6 +25,43 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def s3a_conf(
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    path_style: bool = True,
+    ssl: bool | None = None,
+) -> dict[str, str]:
+    """S3A connection conf for an S3-compatible object store — the Spark
+    mirror of the reference CLI's DuckDB httpfs pragmas (endpoint, key
+    id, secret, url_style=path, use_ssl; ``y-logcli:145-152``).
+
+    Arguments default from the same environment variables the reference
+    uses (``S3_ENDPOINT``, ``AWS_ACCESS_KEY_ID``,
+    ``AWS_SECRET_ACCESS_KEY``). Pass the returned dict to
+    :func:`get_spark`'s ``extra_conf`` — hadoop confs must be set before
+    the JVM filesystem is first touched. ``path_style=True`` is the
+    right default for MinIO/versitygw-style endpoints (the reference
+    targets versitygw on a NodePort, ``y-logcli:13``).
+    """
+    endpoint = endpoint or os.environ.get("S3_ENDPOINT")
+    access_key = access_key or os.environ.get("AWS_ACCESS_KEY_ID")
+    secret_key = secret_key or os.environ.get("AWS_SECRET_ACCESS_KEY")
+    if ssl is None:
+        ssl = bool(endpoint) and endpoint.startswith("https://")
+    conf: dict[str, str] = {
+        "spark.hadoop.fs.s3a.path.style.access": str(path_style).lower(),
+        "spark.hadoop.fs.s3a.connection.ssl.enabled": str(ssl).lower(),
+    }
+    if endpoint:
+        conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+    if access_key:
+        conf["spark.hadoop.fs.s3a.access.key"] = access_key
+    if secret_key:
+        conf["spark.hadoop.fs.s3a.secret.key"] = secret_key
+    return conf
+
+
 def get_spark(
     app_name: str = "kubernetes-logs-datalake-spark",
     master: str | None = None,
