@@ -18,6 +18,16 @@ Everything is gated behind :func:`delta_available`; the engine never
 hard-imports ``delta``. The write layout mirrors ``LogLake`` exactly
 (hive partitioning on NATIVE_PARTITIONING, time-clustered files) so a
 lake can be migrated table-format-only.
+
+**Documented substitution where delta-spark is absent** (this build
+environment has no delta-spark and no network to fetch the jars, so
+the OPTIMIZE path cannot execute here): the plain-parquet ``LogLake``
+plus ``streaming.ingest.compact_lake`` provide the same write layout
+and compaction behavior minus transactional atomicity — the rename
+window and its consequences are documented on ``compact_lake``. Every
+Delta API in this module maps 1:1 onto that fallback (write_batch ↔
+write_batch, compact ↔ compact_lake, read_stream ↔ LogLake.read_stream)
+so code written against either surface migrates mechanically.
 """
 
 from __future__ import annotations
