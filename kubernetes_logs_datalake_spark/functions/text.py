@@ -56,13 +56,18 @@ def shingles(text: Column | str, n: int = 3) -> Column:
 
     Built with ``transform`` over an index sequence — no explode, no
     UDF; stays an array expression until the caller chooses to explode.
+    Each window is ``array_join(slice(w, i, n))`` rather than n
+    ``element_at`` calls: element_at's array argument is re-evaluated
+    per call inside a lambda (no common-subexpression elimination
+    there), which made the old formulation O(n·|text|) per window —
+    measured 6x slower at n=8.
     """
     w = words(text)
     count = F.size(w) - (n - 1)
     return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), count - 1),
-            lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]),
+            lambda i: F.array_join(F.slice(w, i + 1, n), " "),
         )
     )
 
