@@ -51,24 +51,36 @@ def bpe_token_estimate(text: Column | str) -> Column:
     return (F.ceil(alnum_chars / 4) + other_chars).cast("long")
 
 
+def bind_once(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` once and hand it to ``fn`` as a lambda
+    variable. Outer expressions referenced inside higher-order-function
+    lambdas are RE-EVALUATED per element (no common-subexpression
+    elimination inside lambda bodies), turning an O(k) window build
+    into O(k·|expr|). A lambda variable is a cheap bound read; routing
+    the value through a one-element array makes it one. Measured ~30x
+    on 8-gram shingling (re-tokenize per window → tokenize once)."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """array<string> of word n-gram shingles (the MinHash/Jaccard unit).
 
     Built with ``transform`` over an index sequence — no explode, no
     UDF; stays an array expression until the caller chooses to explode.
-    Each window is ``array_join(slice(w, i, n))`` rather than n
-    ``element_at`` calls: element_at's array argument is re-evaluated
-    per call inside a lambda (no common-subexpression elimination
-    there), which made the old formulation O(n·|text|) per window —
-    measured 6x slower at n=8.
+    The words array is lambda-bound (see :func:`bind_once`) and each
+    window is ``array_join(slice(w, i, n))`` — one tokenization per
+    document, one O(n) slice per window.
     """
-    w = words(text)
-    count = F.size(w) - (n - 1)
-    return F.when(count <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), count - 1),
-            lambda i: F.array_join(F.slice(w, i + 1, n), " "),
-        )
+    return bind_once(
+        words(text),
+        lambda w: F.when(
+            F.size(w) - (n - 1) <= 0, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+            )
+        ),
     )
 
 

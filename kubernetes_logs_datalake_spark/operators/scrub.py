@@ -198,7 +198,13 @@ def segment_dedup(
     from kubernetes_logs_datalake_spark.functions.text import words
     from pyspark.sql import Window
 
-    w = F.filter(words(text_col), lambda x: x != "")
+    # bind the words array to a column BEFORE the transform — an outer
+    # expression referenced inside a lambda re-evaluates per element
+    # (one full tokenization per segment); a column ref is a cheap read
+    with_w = df.select(
+        F.col(id_col), F.filter(words(text_col), lambda x: x != "").alias("_wl")
+    )
+    w = F.col("_wl")
     n_segs = F.ceil(F.size(w) / F.lit(seg_words)).cast("int")
     segs = F.when(F.size(w) == 0, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -208,7 +214,7 @@ def segment_dedup(
             ),
         )
     )
-    exploded = df.select(
+    exploded = with_w.select(
         F.col(id_col), F.posexplode_outer(segs).alias("_pos", "_seg")
     )
     win = Window.partitionBy(F.md5(F.col("_seg"))).orderBy(id_col, "_pos")

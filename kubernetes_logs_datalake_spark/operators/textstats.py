@@ -128,7 +128,14 @@ def char_bigram_lm_score(
     from kubernetes_logs_datalake_spark.functions.text import normalize_text
 
     def bigrams(df: DataFrame) -> DataFrame:
-        norm = normalize_text(F.col(text_col))
+        # bind the normalized text to a column BEFORE the transform:
+        # an outer expression referenced inside a lambda is re-evaluated
+        # per element (here: one regexp_replace per character, O(len²)
+        # per doc); a bound column reference is a cheap attribute read
+        bound = df.select(
+            F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
+        )
+        norm = F.col("_norm")
         n = F.length(norm)
         arr = F.when(n < 2, F.array().cast("array<string>")).otherwise(
             F.transform(
@@ -136,9 +143,7 @@ def char_bigram_lm_score(
                 lambda i: norm.substr(i, F.lit(2)),
             )
         )
-        return df.select(
-            F.col(id_col), F.explode(arr).alias("_bg")
-        )
+        return bound.select(F.col(id_col), F.explode(arr).alias("_bg"))
 
     tr = bigrams(train)
     model = tr.groupBy("_bg").agg(F.count("*").alias("_c"))
