@@ -2653,6 +2653,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_lang_id": _lang_id_oracle_sql(),
         "dedup_embedding_lsh": _lsh_pairs_oracle_sql(dim=EMBEDDING_DIM),
+        "ann_topk_lsh": _ann_lsh_oracle_sql(dim=EMBEDDING_DIM),
         "asof_purchase_click": """
             -- equal-ts clicks pre-collapsed to max(click_id): mirrors the
             -- Spark operator's tiebreak=click_id (largest wins), removing
@@ -3751,6 +3752,41 @@ def _classifier_oracle_sql() -> str:
         bias=0.01,
         threshold=0.0,
     )
+
+
+def _ann_lsh_oracle_sql(dim: int, planes: int = 6, k: int = 10) -> str:
+    """DuckDB mirror of ``lsh_topk`` (probes=2): the probed bucket set
+    {qsig} ∪ {qsig with one bit flipped} is exactly the signatures at
+    Hamming distance ≤ 1, so membership is ``bit_count(xor(sig, qsig))
+    <= 1``. Signatures/dots use the same sequential-double recipe as
+    _lsh_pairs_oracle_sql; the query signature is computed in SQL from
+    the same vec_id=0 row the Spark query reads."""
+    from kubernetes_logs_datalake_spark.operators.similarity import _hyperplanes
+
+    hp = _hyperplanes(dim, planes)
+
+    def dot_sql(tbl: str, plane: list[float]) -> str:
+        return "(" + " + ".join(
+            f"({tbl}.embedding[{i + 1}])::DOUBLE * ({v!r})" for i, v in enumerate(plane)
+        ) + ")"
+
+    def sig_sql(tbl: str) -> str:
+        return "CAST(" + " + ".join(
+            f"(CASE WHEN {dot_sql(tbl, p)} >= 0 THEN {2**i} ELSE 0 END)"
+            for i, p in enumerate(hp)
+        ) + " AS BIGINT)"
+
+    cos = _ddb_cos("e.embedding", "q.embedding")
+    return f"""
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        qs AS (SELECT {sig_sql("q")} AS sig FROM q)
+        SELECT vec_id, round(cos, 4) AS cos FROM (
+            SELECT e.vec_id, {cos} AS cos
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> 0
+              AND bit_count(xor({sig_sql("e")}, (SELECT sig FROM qs))) <= 1
+            ORDER BY cos DESC, e.vec_id LIMIT {k})
+    """
 
 
 def _lsh_pairs_oracle_sql(

