@@ -276,30 +276,36 @@ def chunk_passages(
     over one ``words()`` pass, then a single posexplode — no shuffle,
     no UDF; chunk count per row is O(n_tokens/stride).
     """
-    from kubernetes_logs_datalake_spark.functions.text import words
+    from kubernetes_logs_datalake_spark.functions.text import bind_once, words
 
     if not 0 <= overlap < size:
         raise ValueError("require 0 <= overlap < size")
     stride = size - overlap
-    w = words(F.col(text_col))
-    n = F.size(w)
-    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
-        (F.lit(1) + F.floor((n - size + stride - 1) / F.lit(stride)))
-        .cast("int")
-    )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda k: F.struct(
-            (k * stride).alias("start_word"),
-            F.slice(w, k * stride + 1, size).alias("_ws"),
-        ),
-    )
+
+    def chunks_of(w):
+        # w is a lambda-bound variable (bind_once): referencing the
+        # words() expression directly here would re-tokenize per chunk
+        n = F.size(w)
+        n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+            (F.lit(1) + F.floor((n - size + stride - 1) / F.lit(stride)))
+            .cast("int")
+        )
+        return F.when(n == 0, F.array().cast(
+            "array<struct<start_word:int,_ws:array<string>>>"
+        )).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda k: F.struct(
+                    (k * stride).alias("start_word"),
+                    F.slice(w, k * stride + 1, size).alias("_ws"),
+                ),
+            )
+        )
+
     out = df.select(
         F.col(id_col),
         F.posexplode(
-            F.when(n == 0, F.array().cast(
-                "array<struct<start_word:int,_ws:array<string>>>"
-            )).otherwise(chunks)
+            bind_once(words(F.col(text_col)), chunks_of)
         ).alias("chunk_idx", "_c"),
     )
     return out.select(
