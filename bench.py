@@ -309,6 +309,7 @@ def main() -> None:
                 f"{REPEATS}, warmed)",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
+                "n_queries": len(timings),
                 "queries": timings,
                 "spread": spread,
                 "errors": errors,
