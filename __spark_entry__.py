@@ -2071,6 +2071,26 @@ def _docs_char_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     return char_bigram_lm_score(train, d, "doc_id", "text")
 
 
+def _dedup_quality_keep(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end quality-aware dedup: near-dup clusters (unigram
+    Jaccard >= 0.8) -> connected components -> each cluster keeps its
+    highest-token-count member (ties to lowest id) instead of the
+    arbitrary min-id representative."""
+    from kubernetes_logs_datalake_spark.operators.dedup import quality_keep
+
+    d = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=0.8)
+    return quality_keep(d, pairs, "doc_id", token_count("text"))
+
+
+def _docs_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-novelty signal: fraction of each doc's distinct 5-grams
+    occurring in no other document."""
+    from kubernetes_logs_datalake_spark.operators.textstats import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf, "documents"), "doc_id", "text", n=5)
+
+
 def _docs_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Span-level exact dedup (Lee et al. 2022 semantics over word
     8-grams): maximal runs of windows whose gram occurs in ≥2 distinct
@@ -2293,6 +2313,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_kmeans": _embedding_kmeans,
         "docs_char_lm_score": _docs_char_lm_score,
         "docs_duplicate_spans": _docs_duplicate_spans,
+        "dedup_quality_keep": _dedup_quality_keep,
+        "docs_ngram_novelty": _docs_ngram_novelty,
     }
 
 
@@ -2544,6 +2566,52 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
             )
             SELECT node AS doc_id, min(r) AS keep_id FROM reach GROUP BY node
+        """,
+        "dedup_quality_keep": f"""
+            WITH RECURSIVE ws AS (
+                SELECT DISTINCT doc_id AS _id, unnest({_DDB_WORDS.format(t="text")}) AS shingle
+                FROM documents
+            ), sizes AS (
+                SELECT _id, count(*) AS sz FROM ws GROUP BY _id
+            ), inter AS (
+                SELECT a._id AS id_a, b._id AS id_b, count(*) AS i
+                FROM ws a JOIN ws b USING (shingle)
+                WHERE a._id < b._id GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa._id = id_a
+                JOIN sizes sb ON sb._id = id_b
+                WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8
+            ), edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(node, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+            ),
+            comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+            q AS (SELECT doc_id, len({_DDB_WORDS.format(t="text")}) AS qual FROM documents)
+            SELECT comp.component, comp.node AS doc_id, CAST(q.qual AS BIGINT) AS quality,
+                   (row_number() OVER (PARTITION BY comp.component
+                                       ORDER BY q.qual DESC, comp.node) = 1) AS keep
+            FROM comp JOIN q ON q.doc_id = comp.node
+        """,
+        "docs_ngram_novelty": f"""
+            WITH wls AS (SELECT doc_id, {_DDB_WORDS.format(t="text")} AS wl FROM documents),
+            sh AS (SELECT DISTINCT doc_id, gram FROM (
+                    SELECT doc_id, unnest(CASE WHEN len(wl) >= 5
+                        THEN list_transform(range(1, len(wl) - 3),
+                             i -> array_to_string(wl[i:i+4], ' '))
+                        ELSE [] END) AS gram FROM wls)),
+            dfreq AS (SELECT gram, count(*) AS _df FROM sh GROUP BY gram)
+            SELECT doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN _df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                   round(CAST(sum(CASE WHEN _df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS novelty
+            FROM sh JOIN dfreq USING (gram)
+            GROUP BY doc_id
         """,
         "text_token_stats": f"""
             -- CAST sum: avoid HUGEINT (see events_sessions); avg via the

@@ -415,6 +415,42 @@ def winnow_pairs(
 # ------------------------------------------------- component resolution
 
 
+def quality_keep(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    quality: Column,
+) -> DataFrame:
+    """Quality-aware canonical selection: resolve near-dup ``pairs``
+    into clusters (connected components) and keep each cluster's
+    highest-``quality`` member (ties to the lowest id) instead of the
+    arbitrary min-id representative — the end-to-end shape of corpus
+    dedup when duplicates differ in cleanliness (boilerplate stripped
+    vs not, truncated vs full).
+
+    Output: (component, id, quality, keep) for every document that has
+    at least one near-duplicate. One window per component — component
+    cardinality ≈ duplicate clusters, perfectly spread; never global.
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs)
+    q = df.select(F.col(id_col), quality.alias("_q"))
+    memb = comp.join(q, comp["node"] == q[id_col]).select(
+        F.col("component"), F.col(id_col), F.col("_q")
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("_q"), id_col)
+    return (
+        memb.withColumn("_rk", F.row_number().over(w))
+        .select(
+            "component",
+            F.col(id_col),
+            F.col("_q").alias("quality"),
+            (F.col("_rk") == 1).alias("keep"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -257,3 +257,34 @@ def duplicate_spans(
         )
         .drop("_island")
     )
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Corpus-novelty curation signal: the fraction of a document's
+    DISTINCT word n-grams that occur in no other document. Boilerplate
+    and template docs score near 0; original content near 1.
+
+    Plan: distinct (id, shingle) explode → document-frequency count on
+    the shingle (one map-side-combined shuffle, key cardinality ≈
+    corpus n-grams — perfectly spread) → equi join back → per-doc
+    aggregate. No windows, no broadcast assumptions on the gram table.
+    Output: (id, n_grams, n_novel, novelty).
+    """
+    from kubernetes_logs_datalake_spark.operators.dedup import shingle_sets
+
+    sh = shingle_sets(df, id_col, text_col, n=n)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.col("n_novel").cast("double") / F.col("n_grams"), 6),
+        )
+    )

@@ -116,3 +116,49 @@ def test_entropy_flags_low_diversity(spark):
     )
     out = {r.doc_id: r for r in token_entropy(d, "doc_id", "text").collect()}
     assert out[1].entropy < out[2].entropy
+
+
+def test_ngram_novelty_shared_vs_unique(spark):
+    """Doc 1 and 2 share their entire text (every 2-gram df=2 → novelty
+    0); doc 3 is disjoint (novelty 1)."""
+    from kubernetes_logs_datalake_spark.operators.textstats import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "epsilon zeta eta theta"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in ngram_novelty(df, "doc_id", "text", n=2).collect()}
+    assert rows[1].n_grams == 3 and rows[1].n_novel == 0 and rows[1].novelty == 0.0
+    assert rows[2].novelty == 0.0
+    assert rows[3].n_grams == 3 and rows[3].n_novel == 3 and rows[3].novelty == 1.0
+
+
+def test_quality_keep_prefers_longest_member(spark):
+    """Cluster {1,2,3} (chained near-dups): the longest doc wins keep;
+    singleton non-dup docs don't appear."""
+    from kubernetes_logs_datalake_spark.operators.dedup import quality_keep
+    from kubernetes_logs_datalake_spark.functions.text import token_count
+
+    base = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " eleven"),           # superset: highest quality
+            (3, base),
+            (9, "totally different content here"),
+        ],
+        ["doc_id", "text"],
+    )
+    from kubernetes_logs_datalake_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", n=1, threshold=0.8)
+    out = quality_keep(df, pairs, "doc_id", token_count("text"))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2].keep is True and rows[2].quality == 11
+    assert rows[1].keep is False and rows[3].keep is False
+    assert all(r.component == 1 for r in rows.values())
