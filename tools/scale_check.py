@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""10x scale validation: replicate the sf0.1 tables to sf~1 with
+key-offset copies (join cardinalities preserved: every fact copy
+references its own dimension copy; region/nation stay shared dims) and
+run the headline relational/events/ANN queries end-to-end.
+
+This is the round's evidence that the plans hold at a scale step, not
+just at the bench SF: same code path as ``queries()``, real shuffles
+(6M-row lineitem), AQE making the same strategy choices it would make
+on a cluster. Text-similarity queries whose cost is dominated by the
+synthetic corpus's adversarial vocabulary are excluded (they are
+benched on the clustered fixture in bench.py instead).
+
+Usage: python tools/scale_check.py [copies] — default 10.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from kubernetes_logs_datalake_spark import get_spark
+
+SRC = "/root/testdata/sf0.1"
+
+# per-table key columns to offset per copy (column -> stride table).
+# strides exceed each table's max key so copies never collide.
+OFFSETS = {
+    "customer": {"c_custkey": "customer"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+    "part": {"p_partkey": "part"},
+    "supplier": {"s_suppkey": "supplier"},
+    "events": {"event_id": "events", "user_id": "users"},
+    "documents": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
+    "region": {},
+    "nation": {},
+}
+
+QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q9_nation_profit",
+    "q10_returned_items",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    "window_running_total",
+    "events_hourly_rollup",
+    "events_sessions",
+    "events_session_windows",
+    "asof_purchase_click",
+    "events_funnel",
+    "dedup_exact",
+    "text_quality",
+    "docs_classifier_score",
+    "ann_topk_bruteforce",
+    "knn_join",
+]
+
+
+def build(spark, dest: str, copies: int) -> None:
+    from pyspark.sql import functions as F
+
+    strides: dict[str, int] = {}
+    for t in ("customer", "orders", "part", "supplier", "events", "documents", "embeddings"):
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        key = {
+            "customer": "c_custkey", "orders": "o_orderkey", "part": "p_partkey",
+            "supplier": "s_suppkey", "events": "event_id", "documents": "doc_id",
+            "embeddings": "vec_id",
+        }[t]
+        strides[t] = int(df.agg(F.max(key)).first()[0]) + 1
+    strides["users"] = int(
+        spark.read.parquet(f"{SRC}/events.parquet").agg(F.max("user_id")).first()[0]
+    ) + 1
+
+    for t, offs in OFFSETS.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        if not offs:
+            df.write.mode("overwrite").parquet(f"{dest}/{t}.parquet")
+            continue
+        parts = []
+        for k in range(copies):
+            c = df
+            for col, stride_of in offs.items():
+                c = c.withColumn(col, F.col(col) + F.lit(k * strides[stride_of]))
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{dest}/{t}.parquet")
+
+
+def main() -> None:
+    copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    dest = f"/tmp/spark_graft_scale_x{copies}"
+    spark = get_spark("kld-scale-check")
+    marker = os.path.join(dest, "_COMPLETE")
+    if not os.path.exists(marker):
+        t0 = time.time()
+        build(spark, dest, copies)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+        print(f"built x{copies} dataset in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    rows: dict[str, int] = {}
+    for name in QUERIES:
+        try:
+            t0 = time.time()
+            df = qs[name](spark, dest)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+            rows[name] = df.count()
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+    print(json.dumps({
+        "metric": f"scale-check x{copies} (sf~{0.1 * copies:g}) suite",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "errors": errors,
+    }))
+
+
+if __name__ == "__main__":
+    main()
