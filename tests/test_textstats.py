@@ -162,3 +162,23 @@ def test_quality_keep_prefers_longest_member(spark):
     assert rows[2].keep is True and rows[2].quality == 11
     assert rows[1].keep is False and rows[3].keep is False
     assert all(r.component == 1 for r in rows.values())
+
+
+def test_portable_base_hash_matches_python_md5(spark):
+    """portable_base_hash must equal int(md5(s)[:15], 16) — the property
+    all three portable-family oracles (minhash/simhash/ann) rest on.
+    Checked over varied unicode/edge strings in one batch."""
+    import hashlib
+
+    from kubernetes_logs_datalake_spark.operators.dedup import portable_base_hash
+
+    samples = [
+        "", "a", "hello world", "ümlaut ø unicode ✓", "0" * 500,
+        "word1 word2", "ALLCAPS", "\ttab\nnewline", "日本語テキスト",
+        "mixed 123 числа", " leading", "trailing ", "a b c d e f g",
+    ] + [f"doc-{i}-{'x' * (i % 37)}" for i in range(50)]
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got = {r.s: r.h for r in df.select("s", portable_base_hash("s").alias("h")).collect()}
+    for s in samples:
+        expect = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+        assert got[s] == expect, f"mismatch for {s!r}"
