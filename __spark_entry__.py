@@ -2091,6 +2091,53 @@ def _docs_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_novelty(_t(spark, sf, "documents"), "doc_id", "text", n=5)
 
 
+# mixture plan shared by the Spark query and its generated oracle
+_BUDGET_WEIGHTS = {"src0": 5.0, "src1": 3.0, "src2": 2.0, "src3": 1.0}
+_BUDGET_TOKENS = 1_000_000
+
+
+def _docs_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-mix planner: per-source token supply vs target under a
+    weighted token budget — (sample_rate, epochs) per source."""
+    from kubernetes_logs_datalake_spark.operators.sampling import (
+        token_budget_allocation,
+    )
+
+    d = _t(spark, sf, "documents")
+    return token_budget_allocation(
+        d, "source", "text", weights=_BUDGET_WEIGHTS, budget_tokens=_BUDGET_TOKENS
+    )
+
+
+def _ddb_token_budget_sql() -> str:
+    """Generated from the SAME weights/budget as _docs_token_budget —
+    ppm normalization and DIV semantics mirrored exactly."""
+    w = _DDB_WORDS.format(t="text")
+    total = sum(_BUDGET_WEIGHTS.values())
+    ppm = {s: round(v / total * 1_000_000) for s, v in _BUDGET_WEIGHTS.items()}
+    srcs = ", ".join(f"'{s}'" for s in sorted(ppm))
+    case = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {p}" for s, p in sorted(ppm.items())
+    ) + " END"
+    return f"""
+        WITH per AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len({w})) AS BIGINT) AS tokens_available
+            FROM documents WHERE source IN ({srcs}) GROUP BY source
+        ), t AS (
+            SELECT *, CAST(CAST({_BUDGET_TOKENS} AS HUGEINT) * ({case})
+                           / 1000000 AS BIGINT) AS target_tokens
+            FROM per
+        )
+        SELECT source, n_docs, tokens_available, target_tokens,
+               round(least(1.0, CAST(target_tokens AS DOUBLE)
+                                / CAST(tokens_available AS DOUBLE)), 6) AS sample_rate,
+               CAST(ceil(CAST(target_tokens AS DOUBLE)
+                         / CAST(tokens_available AS DOUBLE)) AS INT) AS epochs
+        FROM t
+    """
+
+
 def _docs_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Span-level exact dedup (Lee et al. 2022 semantics over word
     8-grams): maximal runs of windows whose gram occurs in ≥2 distinct
@@ -2315,6 +2362,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_duplicate_spans": _docs_duplicate_spans,
         "dedup_quality_keep": _dedup_quality_keep,
         "docs_ngram_novelty": _docs_ngram_novelty,
+        "docs_token_budget": _docs_token_budget,
     }
 
 
@@ -2598,6 +2646,7 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY q.qual DESC, comp.node) = 1) AS keep
             FROM comp JOIN q ON q.doc_id = comp.node
         """,
+        "docs_token_budget": _ddb_token_budget_sql(),
         "docs_ngram_novelty": f"""
             WITH wls AS (SELECT doc_id, {_DDB_WORDS.format(t="text")} AS wl FROM documents),
             sh AS (SELECT DISTINCT doc_id, gram FROM (

@@ -99,6 +99,67 @@ def mix_datasets(parts: list[tuple[DataFrame, float]], id_col: str) -> DataFrame
     return out
 
 
+def token_budget_allocation(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    weights: dict[str, float],
+    budget_tokens: int,
+) -> DataFrame:
+    """Training-mix planner: given target mixture ``weights`` per source
+    and a total token ``budget``, compute what each source must supply
+    and how to get it. Output per source: (source, n_docs,
+    tokens_available, target_tokens, sample_rate, epochs) where
+    ``sample_rate`` < 1 means downsample, and ``epochs`` > 1 means the
+    source is over-asked and must repeat (the up-sampling factor —
+    surfaced rather than silently clipped, since repeating data has
+    known quality costs).
+
+    One scan + one partial-agg shuffle on the source key (cardinality =
+    number of sources); the allocation arithmetic is exact integer/
+    decimal column math so any engine reproduces it.
+    """
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    from kubernetes_logs_datalake_spark.functions.text import token_count
+
+    per_source = (
+        df.select(F.col(source_col).alias("source"), token_count(text_col).alias("_t"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("_t").alias("tokens_available"))
+    )
+    # normalize weights to integer parts-per-million driver-side, then
+    # target = budget·ppm DIV 1e6 — integer-exact and reproducible in
+    # any engine (float weight division would round differently)
+    ppm = {s: round(w / total_w * 1_000_000) for s, w in weights.items()}
+    target = F.create_map(
+        *[x for s, p in sorted(ppm.items()) for x in (F.lit(s), F.lit(p))]
+    )
+    w_col = F.element_at(target, F.col("source"))
+    # decimal(38,0) × int / 1e6 has ≤6 fractional digits → the scale-6
+    # decimal is exact; cast to long truncates = floor for positives
+    tgt = (
+        (F.lit(budget_tokens).cast("decimal(38,0)") * w_col) / F.lit(1_000_000)
+    ).cast("long")
+    return per_source.filter(w_col.isNotNull()).select(
+        "source",
+        "n_docs",
+        "tokens_available",
+        tgt.alias("target_tokens"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                tgt.cast("double") / F.col("tokens_available").cast("double"),
+            ),
+            6,
+        ).alias("sample_rate"),
+        F.ceil(
+            tgt.cast("double") / F.col("tokens_available").cast("double")
+        ).cast("int").alias("epochs"),
+    )
+
+
 def vocab_topk(
     df: DataFrame, text_col: str, k: int = 100
 ) -> DataFrame:

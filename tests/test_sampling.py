@@ -109,3 +109,26 @@ def test_length_bins_equal_frequency(spark):
     # longer docs land in higher bins
     by_id = {r.doc_id: r.bin for r in rows}
     assert by_id[0] == 1 and by_id[7] == 4
+
+
+def test_token_budget_allocation_math(spark):
+    """Hand-checked allocation: equal weights, one under-supplied source
+    (epochs 2) and one over-supplied (sample_rate < 1)."""
+    from kubernetes_logs_datalake_spark.operators.sampling import (
+        token_budget_allocation,
+    )
+
+    rows = [(i, "big", "w " * 50) for i in range(20)]          # 1000 tokens
+    rows += [(100 + i, "small", "w " * 10) for i in range(5)]  # 50 tokens
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {
+        r.source: r
+        for r in token_budget_allocation(
+            df, "source", "text", {"big": 1.0, "small": 1.0}, 160
+        ).collect()
+    }
+    big, small = out["big"], out["small"]
+    assert big.tokens_available == 1000 and small.tokens_available == 50
+    assert big.target_tokens == 80 and small.target_tokens == 80
+    assert big.sample_rate == 0.08 and big.epochs == 1
+    assert small.sample_rate == 1.0 and small.epochs == 2
