@@ -3428,6 +3428,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
             LEFT JOIN hits ON d.doc_id = hits.doc_id
         """,
+        "embedding_kmeans": _ddb_kmeans_sql(),
         "embedding_label_centroids": """
             WITH pv AS (
                 SELECT label, u.pos, u.val
@@ -3903,6 +3904,70 @@ def _ann_lsh_oracle_sql(dim: int, planes: int = 6, k: int = 10) -> str:
             WHERE e.vec_id <> 0
               AND bit_count(xor({sig_sql("e")}, (SELECT sig FROM qs))) <= 1
             ORDER BY cos DESC, e.vec_id LIMIT {k})
+    """
+
+
+def _ddb_kmeans_sql(k: int = 8, iters: int = 3, dim: int = EMBEDDING_DIM) -> str:
+    """DuckDB mirror of ``vectors.kmeans_fit`` + final assign — the
+    fixed iteration count unrolls into chained CTEs, so even the
+    iterative operator is hash-checkable. Each piece reuses a recipe
+    already proven green elsewhere: seeds = md5-order LIMIT k (the
+    stratified-sample recipe), per-centroid distance = sequential
+    list_sum fold (the _ddb_cos recipe), centroid update = DECIMAL mean
+    rounded to 6 (the embedding_label_centroids recipe); ties in the
+    argmin break to the lowest cluster index in both engines
+    (array_position first-match ≡ ORDER BY d2, j)."""
+
+    def d2(cent: str) -> str:
+        diff = f"(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])"
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), i -> {diff} * {diff}))"
+        )
+
+    def assign(n: int, cent: str) -> str:
+        return f"""
+            a{n} AS (
+                SELECT vec_id, j, d2,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rk
+                FROM (SELECT e.vec_id, c.j, {d2(cent)} AS d2
+                      FROM embeddings e CROSS JOIN {cent} c))"""
+
+    def update(n: int, prev_cent: str) -> str:
+        return f"""
+            upd{n} AS (
+                SELECT cluster AS j, u.pos,
+                       round(CAST(sum(CAST(u.val AS DECIMAL(25,10))) AS DOUBLE)
+                             / count(*), 6) AS val
+                FROM (SELECT a.j AS cluster, e.embedding
+                      FROM a{n} a JOIN embeddings e ON e.vec_id = a.vec_id
+                      WHERE a.rk = 1) x,
+                     unnest(list_transform(range(1, len(x.embedding) + 1),
+                            i -> {{'pos': i - 1, 'val': x.embedding[i]}})) AS t(u)
+                GROUP BY cluster, u.pos),
+            newc{n} AS (SELECT j, list(val ORDER BY pos) AS cvec FROM upd{n} GROUP BY j),
+            cent{n} AS (
+                SELECT c.j, COALESCE(nw.cvec, c.cvec) AS cvec
+                FROM {prev_cent} c LEFT JOIN newc{n} nw ON nw.j = c.j)"""
+
+    parts = [f"""
+            seeds AS (
+                SELECT CAST(row_number() OVER (
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS j,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+                FROM embeddings
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}),
+            cent0 AS (SELECT j, cvec FROM seeds)"""]
+    cent = "cent0"
+    for n in range(1, iters + 1):
+        parts.append(assign(n, cent))
+        parts.append(update(n, cent))
+        cent = f"cent{n}"
+    parts.append(assign(iters + 1, cent))
+    body = ",".join(parts)
+    return f"""
+        WITH {body}
+        SELECT vec_id, CAST(j AS INT) AS cluster, round(sqrt(d2), 6) AS dist
+        FROM a{iters + 1} WHERE rk = 1
     """
 
 
