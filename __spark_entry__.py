@@ -2771,6 +2771,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": _lang_id_oracle_sql(),
         "dedup_embedding_lsh": _lsh_pairs_oracle_sql(dim=EMBEDDING_DIM),
         "ann_topk_lsh": _ann_lsh_oracle_sql(dim=EMBEDDING_DIM),
+        "ann_topk_ivf": _ddb_ivf_oracle_sql(),
         "asof_purchase_click": """
             -- equal-ts clicks pre-collapsed to max(click_id): mirrors the
             -- Spark operator's tiebreak=click_id (largest wins), removing
@@ -3918,19 +3919,30 @@ def _ddb_kmeans_sql(k: int = 8, iters: int = 3, dim: int = EMBEDDING_DIM) -> str
     argmin break to the lowest cluster index in both engines
     (array_position first-match ≡ ORDER BY d2, j)."""
 
-    def d2(cent: str) -> str:
-        diff = f"(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])"
-        return (
-            f"list_sum(list_transform(range(1, {dim + 1}), i -> {diff} * {diff}))"
-        )
+    body = _ddb_kmeans_ctes(k, iters, dim, src="embeddings")
+    return f"""
+        WITH {body}
+        SELECT vec_id, CAST(j AS INT) AS cluster, round(sqrt(d2), 6) AS dist
+        FROM a{iters + 1} WHERE rk = 1
+    """
+
+
+def _ddb_kmeans_ctes(k: int, iters: int, dim: int, src: str) -> str:
+    """CTE chain ``corpus → cent0..cent{iters} → a{iters+1}`` (final
+    assignment with rk=1 = argmin) shared by the k-means and IVF
+    oracles. ``src`` is the corpus relation/subquery."""
+
+    def d2_expr() -> str:
+        diff = "(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])"
+        return f"list_sum(list_transform(range(1, {dim + 1}), i -> {diff} * {diff}))"
 
     def assign(n: int, cent: str) -> str:
         return f"""
             a{n} AS (
                 SELECT vec_id, j, d2,
                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rk
-                FROM (SELECT e.vec_id, c.j, {d2(cent)} AS d2
-                      FROM embeddings e CROSS JOIN {cent} c))"""
+                FROM (SELECT e.vec_id, c.j, {d2_expr()} AS d2
+                      FROM corpus e CROSS JOIN {cent} c))"""
 
     def update(n: int, prev_cent: str) -> str:
         return f"""
@@ -3939,7 +3951,7 @@ def _ddb_kmeans_sql(k: int = 8, iters: int = 3, dim: int = EMBEDDING_DIM) -> str
                        round(CAST(sum(CAST(u.val AS DECIMAL(25,10))) AS DOUBLE)
                              / count(*), 6) AS val
                 FROM (SELECT a.j AS cluster, e.embedding
-                      FROM a{n} a JOIN embeddings e ON e.vec_id = a.vec_id
+                      FROM a{n} a JOIN corpus e ON e.vec_id = a.vec_id
                       WHERE a.rk = 1) x,
                      unnest(list_transform(range(1, len(x.embedding) + 1),
                             i -> {{'pos': i - 1, 'val': x.embedding[i]}})) AS t(u)
@@ -3950,11 +3962,12 @@ def _ddb_kmeans_sql(k: int = 8, iters: int = 3, dim: int = EMBEDDING_DIM) -> str
                 FROM {prev_cent} c LEFT JOIN newc{n} nw ON nw.j = c.j)"""
 
     parts = [f"""
+            corpus AS (SELECT vec_id, embedding FROM {src}),
             seeds AS (
                 SELECT CAST(row_number() OVER (
                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS j,
                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-                FROM embeddings
+                FROM corpus
                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}),
             cent0 AS (SELECT j, cvec FROM seeds)"""]
     cent = "cent0"
@@ -3963,11 +3976,40 @@ def _ddb_kmeans_sql(k: int = 8, iters: int = 3, dim: int = EMBEDDING_DIM) -> str
         parts.append(update(n, cent))
         cent = f"cent{n}"
     parts.append(assign(iters + 1, cent))
-    body = ",".join(parts)
+    return ",".join(parts)
+
+
+def _ddb_ivf_oracle_sql(
+    k: int = 10, n_centroids: int = 8, n_probe: int = 4, iters: int = 3,
+    dim: int = EMBEDDING_DIM,
+) -> str:
+    """DuckDB mirror of ``ivf_topk`` over the deterministic kmeans_fit
+    quantizer: reuse the unrolled k-means CTEs (corpus excludes the
+    query vector, matching the Spark call), pick the n_probe centroids
+    nearest the query (stable tiebreak to lowest j ≡ Python's stable
+    sort), and run the cosine top-k over the probed cells only."""
+    ctes = _ddb_kmeans_ctes(
+        n_centroids, iters, dim, src="(SELECT * FROM embeddings WHERE vec_id <> 0)"
+    )
+    qdiff = "(CAST(q.embedding[i] AS DOUBLE) - c.cvec[i])"
+    cos = _ddb_cos("e.embedding", "q.embedding")
     return f"""
-        WITH {body}
-        SELECT vec_id, CAST(j AS INT) AS cluster, round(sqrt(d2), 6) AS dist
-        FROM a{iters + 1} WHERE rk = 1
+        WITH {ctes},
+        q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        probe AS (
+            SELECT j FROM (
+                SELECT c.j,
+                       list_sum(list_transform(range(1, {dim + 1}),
+                                i -> {qdiff} * {qdiff})) AS qd
+                FROM cent{iters} c CROSS JOIN q)
+            ORDER BY qd, j LIMIT {n_probe})
+        SELECT vec_id, round(cos, 4) AS cos FROM (
+            SELECT e.vec_id, {cos} AS cos
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id IN (
+                SELECT a.vec_id FROM a{iters + 1} a
+                WHERE a.rk = 1 AND a.j IN (SELECT j FROM probe))
+            ORDER BY cos DESC, e.vec_id LIMIT {k})
     """
 
 

@@ -210,20 +210,22 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
-    Train k-means centroids (pyspark.ml, seeded → deterministic), assign
-    every vector to its nearest centroid, then scan only the ``n_probe``
-    centroids nearest the query. The 100 TB shape: training samples the
-    corpus once; assignment is a broadcast of ``n_centroids`` small
-    vectors; the probe scan touches ~n_probe/n_centroids of the data —
-    and the assignment column can be persisted as a partition key so
-    probes become partition pruning.
+    Train k-means centroids with the repo's deterministic
+    :func:`~kubernetes_logs_datalake_spark.operators.vectors.kmeans_fit`
+    (md5-order init, exact-decimal updates — bit-reproducible, so the
+    whole IVF path is SQL-oracle-checkable), assign every vector to its
+    nearest centroid, then scan only the ``n_probe`` centroids nearest
+    the query. The 100 TB shape: training samples the corpus once;
+    assignment is a broadcast of ``n_centroids`` small vectors; the
+    probe scan touches ~n_probe/n_centroids of the data — and the
+    assignment column can be persisted as a partition key so probes
+    become partition pruning.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from kubernetes_logs_datalake_spark.operators.vectors import kmeans_fit
 
-    train = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(train)
-    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    centers, _ = kmeans_fit(
+        df, id_col, vec_col, k=n_centroids, iters=3
+    )
 
     # distance of the driver-side query to each centroid → probe set
     def sqdist(a: list[float], b: list[float]) -> float:
