@@ -158,24 +158,39 @@ def char_bigram_lm_score(
         model.groupBy(F.substring("_bg", 1, 1).alias("_c1"))
         .agg(F.sum("_c").alias("_ctx"))
     )
-    sc = bigrams(score)
-    joined = (
-        sc.join(F.broadcast(model), "_bg", "left")
-        .join(
-            F.broadcast(ctx),
-            F.substring(F.col("_bg"), 1, 1) == F.col("_c1"),
-            "left",
+    # Precompute the COMPLETE nll grid (observed contexts × the fixed
+    # 37-symbol alphabet, ≤ 37² rows) so the 1M-row scoring side pays
+    # ONE broadcast join and no per-transition log2 — unseen bigrams
+    # with a seen context are grid rows with count 0; only transitions
+    # whose context never occurred in training fall to the constant.
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    assert len(alphabet) == LM_VOCAB_SIZE
+    grid = (
+        ctx.select(
+            "_c1",
+            "_ctx",
+            F.explode(F.array(*[F.lit(c) for c in alphabet])).alias("_c2"),
         )
+        .withColumn("_bg", F.concat("_c1", "_c2"))
+        .join(model, "_bg", "left")
         .select(
-            F.col(id_col),
+            "_bg",
             F.round(
                 -F.log2(
                     (F.coalesce(F.col("_c"), F.lit(0)) + 1).cast("double")
-                    / (F.coalesce(F.col("_ctx"), F.lit(0)) + LM_VOCAB_SIZE)
+                    / (F.col("_ctx") + LM_VOCAB_SIZE)
                 ),
                 12,
             ).cast("decimal(25,12)").alias("_nll"),
         )
+    )
+    unseen_ctx_nll = F.round(
+        -F.log2(F.lit(1.0) / F.lit(float(LM_VOCAB_SIZE))), 12
+    ).cast("decimal(25,12)")
+    sc = bigrams(score)
+    joined = sc.join(F.broadcast(grid), "_bg", "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("_nll"), unseen_ctx_nll).alias("_nll"),
     )
     return (
         joined.groupBy(id_col)

@@ -233,22 +233,34 @@ def kmeans_fit(
     round); the per-iteration plan is shuffle-minimal, so cost is
     iters × (one scan + one k·dim-key shuffle).
     """
-    seeds = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(k)
-        .collect()
+    # The iterations re-read the working set iters+1 times — cache the
+    # two needed columns for their duration (the standard Spark shape
+    # for Lloyd's; MEMORY_AND_DISK so a huge corpus spills instead of
+    # OOMing). The returned assignment is built on the uncached input
+    # so it stays valid after unpersist.
+    from pyspark import StorageLevel
+
+    work = df.select(F.col(id_col), F.col(vec_col)).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    centroids = [[float(v) for v in r[1]] for r in seeds]
-    if len(centroids) < k:
-        raise ValueError(f"need at least k={k} rows, got {len(centroids)}")
-    for _ in range(iters):
-        assigned = kmeans_assign(df, id_col, vec_col, centroids, scale=scale)
-        new = {
-            int(r[0]): [float(v) for v in r[2]]
-            for r in label_centroids(assigned, "cluster", vec_col, scale=scale)
-            .select("cluster", "n_vectors", "centroid")
+    try:
+        seeds = (
+            work.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(k)
             .collect()
-        }
-        centroids = [new.get(j, centroids[j]) for j in range(k)]
+        )
+        centroids = [[float(v) for v in r[1]] for r in seeds]
+        if len(centroids) < k:
+            raise ValueError(f"need at least k={k} rows, got {len(centroids)}")
+        for _ in range(iters):
+            assigned = kmeans_assign(work, id_col, vec_col, centroids, scale=scale)
+            new = {
+                int(r[0]): [float(v) for v in r[2]]
+                for r in label_centroids(assigned, "cluster", vec_col, scale=scale)
+                .select("cluster", "n_vectors", "centroid")
+                .collect()
+            }
+            centroids = [new.get(j, centroids[j]) for j in range(k)]
+    finally:
+        work.unpersist()
     return centroids, kmeans_assign(df, id_col, vec_col, centroids, scale=scale)
