@@ -497,6 +497,13 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+# tuning literals shared by the Spark queries AND their generated
+# oracles (single source of truth — editing one side cannot silently
+# break hash parity)
+_MINHASH_NUM_HASHES, _MINHASH_BANDS, _MINHASH_N = 64, 8, 1
+_SIMHASH_MAX_HAMMING, _SIMHASH_CHUNKS, _SIMHASH_BITS = 12, 4, 60
+
+
 def _dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Banded MinHash LSH with the *portable* hash family (md5-based
     affine family, exact in both engines) so the full candidate-pair
@@ -504,7 +511,9 @@ def _dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     family (same algebra, faster hashing)."""
     d = _t(spark, sf, "documents")
     return minhash_lsh_candidates(
-        d, "doc_id", "text", num_hashes=64, bands=8, n=1, hash_family="portable"
+        d, "doc_id", "text",
+        num_hashes=_MINHASH_NUM_HASHES, bands=_MINHASH_BANDS, n=_MINHASH_N,
+        hash_family="portable",
     )
 
 
@@ -513,7 +522,9 @@ def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     (60-bit md5 base), oracle-checkable like dedup_minhash_lsh."""
     d = _t(spark, sf, "documents")
     return simhash_candidates(
-        d, "doc_id", "text", max_hamming=12, chunks=4, hash_family="portable"
+        d, "doc_id", "text",
+        max_hamming=_SIMHASH_MAX_HAMMING, chunks=_SIMHASH_CHUNKS,
+        hash_family="portable",
     )
 
 
@@ -1833,7 +1844,9 @@ def _ddb_md5_60(col: str) -> str:
     )
 
 
-def _ddb_minhash_lsh_sql(num_hashes: int = 64, bands: int = 8) -> str:
+def _ddb_minhash_lsh_sql(
+    num_hashes: int = _MINHASH_NUM_HASHES, bands: int = _MINHASH_BANDS
+) -> str:
     """Generated from the SAME affine coefficients and band layout as
     minhash_lsh_candidates(hash_family='portable') — one source of
     truth, so the engines cannot silently diverge."""
@@ -1875,7 +1888,11 @@ def _ddb_minhash_lsh_sql(num_hashes: int = 64, bands: int = 8) -> str:
         """
 
 
-def _ddb_simhash_sql(bits: int = 60, chunks: int = 4, max_hamming: int = 12) -> str:
+def _ddb_simhash_sql(
+    bits: int = _SIMHASH_BITS,
+    chunks: int = _SIMHASH_CHUNKS,
+    max_hamming: int = _SIMHASH_MAX_HAMMING,
+) -> str:
     """Generated from the SAME bit/chunk layout as
     simhash_candidates(hash_family='portable')."""
     w = _DDB_WORDS.format(t="text")
@@ -2130,10 +2147,14 @@ def _ddb_token_budget_sql() -> str:
             FROM per
         )
         SELECT source, n_docs, tokens_available, target_tokens,
-               round(least(1.0, CAST(target_tokens AS DOUBLE)
-                                / CAST(tokens_available AS DOUBLE)), 6) AS sample_rate,
-               CAST(ceil(CAST(target_tokens AS DOUBLE)
-                         / CAST(tokens_available AS DOUBLE)) AS INT) AS epochs
+               CASE WHEN tokens_available > 0
+                    THEN round(least(1.0, CAST(target_tokens AS DOUBLE)
+                                     / CAST(tokens_available AS DOUBLE)), 6)
+                    ELSE 0.0 END AS sample_rate,
+               CASE WHEN tokens_available > 0
+                    THEN CAST(ceil(CAST(target_tokens AS DOUBLE)
+                              / CAST(tokens_available AS DOUBLE)) AS INT)
+                    ELSE 0 END AS epochs
         FROM t
     """
 

@@ -26,8 +26,10 @@ from pyspark.sql import functions as F
 NS_PER_SEC = 1_000_000_000
 
 #: dtypes that carry epoch-ns longs (parquet TIMESTAMP(NANOS) read via
-#: spark.sql.legacy.parquet.nanosAsLong)
-_LONG_DTYPES = frozenset({"bigint", "long", "int"})
+#: spark.sql.legacy.parquet.nanosAsLong). 32-bit ints are deliberately
+#: NOT here: an int can never hold epoch-ns, and int→timestamp casts
+#: interpret epoch-seconds correctly on the timestamp branch.
+_LONG_DTYPES = frozenset({"bigint", "long"})
 
 # ISO-8601 UTC with optional 1-9 fractional digits, as produced by CRI
 # runtimes. Anything else (missing Z, >9 digits, garbage) parses to null,

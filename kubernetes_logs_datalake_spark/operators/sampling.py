@@ -142,21 +142,21 @@ def token_budget_allocation(
     tgt = (
         (F.lit(budget_tokens).cast("decimal(38,0)") * w_col) / F.lit(1_000_000)
     ).cast("long")
+    has_tokens = F.col("tokens_available") > 0
+    ratio = tgt.cast("double") / F.col("tokens_available").cast("double")
     return per_source.filter(w_col.isNotNull()).select(
         "source",
         "n_docs",
         "tokens_available",
         tgt.alias("target_tokens"),
-        F.round(
-            F.least(
-                F.lit(1.0),
-                tgt.cast("double") / F.col("tokens_available").cast("double"),
-            ),
-            6,
-        ).alias("sample_rate"),
-        F.ceil(
-            tgt.cast("double") / F.col("tokens_available").cast("double")
-        ).cast("int").alias("epochs"),
+        # a source with zero tokens can supply nothing: rate 0/epochs 0
+        # (not the Infinity-derived garbage a bare division would give)
+        F.when(has_tokens, F.round(F.least(F.lit(1.0), ratio), 6))
+        .otherwise(F.lit(0.0))
+        .alias("sample_rate"),
+        F.when(has_tokens, F.ceil(ratio).cast("int"))
+        .otherwise(F.lit(0))
+        .alias("epochs"),
     )
 
 

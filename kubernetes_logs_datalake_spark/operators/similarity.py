@@ -206,7 +206,6 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     id_col: str = "vec_id",
-    seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 

@@ -47,12 +47,19 @@ def s3a_conf(
     endpoint = endpoint or os.environ.get("S3_ENDPOINT")
     access_key = access_key or os.environ.get("AWS_ACCESS_KEY_ID")
     secret_key = secret_key or os.environ.get("AWS_SECRET_ACCESS_KEY")
-    if ssl is None:
-        ssl = bool(endpoint) and endpoint.startswith("https://")
     conf: dict[str, str] = {
         "spark.hadoop.fs.s3a.path.style.access": str(path_style).lower(),
-        "spark.hadoop.fs.s3a.connection.ssl.enabled": str(ssl).lower(),
     }
+    # SSL: only override Hadoop's secure default (true) when the caller
+    # says so explicitly or the endpoint scheme makes it unambiguous —
+    # never silently downgrade plain AWS S3 to HTTP.
+    if ssl is None and endpoint:
+        if endpoint.startswith("http://"):
+            ssl = False
+        elif endpoint.startswith("https://"):
+            ssl = True
+    if ssl is not None:
+        conf["spark.hadoop.fs.s3a.connection.ssl.enabled"] = str(ssl).lower()
     if endpoint:
         conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
     if access_key:

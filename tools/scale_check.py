@@ -72,14 +72,16 @@ QUERIES = [
 def build(spark, dest: str, copies: int) -> None:
     from pyspark.sql import functions as F
 
+    # each table's primary key is its OFFSETS entry that references
+    # itself — derived, not duplicated, so the two maps can't drift
+    pk = {
+        t: next(col for col, stride_of in offs.items() if stride_of == t)
+        for t, offs in OFFSETS.items()
+        if any(stride_of == t for stride_of in offs.values())
+    }
     strides: dict[str, int] = {}
-    for t in ("customer", "orders", "part", "supplier", "events", "documents", "embeddings"):
+    for t, key in pk.items():
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
-        key = {
-            "customer": "c_custkey", "orders": "o_orderkey", "part": "p_partkey",
-            "supplier": "s_suppkey", "events": "event_id", "documents": "doc_id",
-            "embeddings": "vec_id",
-        }[t]
         strides[t] = int(df.agg(F.max(key)).first()[0]) + 1
     strides["users"] = int(
         spark.read.parquet(f"{SRC}/events.parquet").agg(F.max("user_id")).first()[0]
