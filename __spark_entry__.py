@@ -2180,12 +2180,26 @@ def _docs_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
 # ================================================================ registry
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
-# per round; 119 are registered, so the window is rotated each round to
+# per round; 122 are registered, so the window is rotated each round to
 # cycle coverage through every query. Round 4 window: a few always-on
 # green sentinels, the nine events/time queries repaired this round, the
 # two newly-oracled LSH families, and 34 queries that have never had a
 # driver correctness row (all remaining TPC-H shapes + the big pipeline
 # operators). Everything else keeps its relative order after the window.
+#
+# Round-5 rotation TODO: the still-never-driver-checked set is the tail
+# beyond this window — lead the next window with (among others)
+# approx_distinct_users, stratified_sample_docs, mix_datasets_by_lang,
+# vocab_top50, doc_length_bins(+_approx), approx_distinct_kmv,
+# events_funnel, text_tfidf_topk, events_value_outliers,
+# histogram_order_price, corr_quantity_price, groupingsets/pivot/
+# unpivot/quantiles, docs_pii_scrub, docs_repetition_profile,
+# docs_pack_sequences, embedding_label_centroids, docs_decontaminate,
+# zorder_orders_key, docs_segment_dedup, text_entropy, text_oov_rate,
+# embedding_quantize_int8, docs_dedup_incremental, embedding_random_
+# projection, docs_corpus_diff, cri_multiline_roundtrip, ann_topk_ivf
+# (newly oracled), embedding_kmeans (newly oracled), dedup_quality_keep,
+# docs_ngram_novelty, docs_token_budget (new in r4).
 _R4_WINDOW = [
     # sentinels (green in r3)
     "q1_pricing_summary",

@@ -84,3 +84,21 @@ def test_events_query_identical_across_time_layouts(spark, dual_layout_dirs, nam
     rows_us = sorted(map(tuple, q(spark, d_us).collect()))
     assert rows_ns == rows_us, f"{name} diverges between ns-long and µs-timestamp input"
     assert rows_ns, f"{name} returned no rows on the synthetic events table"
+
+
+def test_epoch_ns_col_int_seconds_layout(spark):
+    """A 32-bit int time column (epoch seconds — common in minimal
+    lakes) must route through the timestamp branch: int→timestamp casts
+    interpret seconds, never raw ns."""
+    from pyspark.sql import functions as F
+
+    from kubernetes_logs_datalake_spark.functions.time_ns import (
+        epoch_ns_col,
+        epoch_us_col,
+    )
+
+    df = spark.createDataFrame([(1_705_314_645,)], "ts int")
+    ns = df.select(epoch_ns_col(df, "ts").alias("v")).first().v
+    us = df.select(epoch_us_col(df, "ts").alias("v")).first().v
+    assert ns == 1_705_314_645 * 1_000_000_000
+    assert us == 1_705_314_645 * 1_000_000
