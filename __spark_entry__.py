@@ -2132,19 +2132,20 @@ def _ddb_token_budget_sql() -> str:
     w = _DDB_WORDS.format(t="text")
     total = sum(_BUDGET_WEIGHTS.values())
     ppm = {s: round(v / total * 1_000_000) for s, v in _BUDGET_WEIGHTS.items()}
-    srcs = ", ".join(f"'{s}'" for s in sorted(ppm))
-    case = "CASE source " + " ".join(
-        f"WHEN '{s}' THEN {p}" for s, p in sorted(ppm.items())
-    ) + " END"
+    values = ", ".join(f"('{s}', {p})" for s, p in sorted(ppm.items()))
     return f"""
-        WITH per AS (
-            SELECT source, count(*) AS n_docs,
-                   CAST(sum(len({w})) AS BIGINT) AS tokens_available
-            FROM documents WHERE source IN ({srcs}) GROUP BY source
+        WITH wts(source, ppm) AS (VALUES {values}),
+        per AS (
+            SELECT source, count(*) AS _n_docs,
+                   CAST(sum(len({w})) AS BIGINT) AS _tokens
+            FROM documents GROUP BY source
         ), t AS (
-            SELECT *, CAST(CAST({_BUDGET_TOKENS} AS HUGEINT) * ({case})
-                           / 1000000 AS BIGINT) AS target_tokens
-            FROM per
+            SELECT wts.source,
+                   CAST(coalesce(_n_docs, 0) AS BIGINT) AS n_docs,
+                   CAST(coalesce(_tokens, 0) AS BIGINT) AS tokens_available,
+                   CAST(CAST({_BUDGET_TOKENS} AS HUGEINT) * ppm
+                        / 1000000 AS BIGINT) AS target_tokens
+            FROM wts LEFT JOIN per ON per.source = wts.source
         )
         SELECT source, n_docs, tokens_available, target_tokens,
                CASE WHEN tokens_available > 0
@@ -3431,15 +3432,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT q.doc_id,
                    q.lang = 'en' AS pass_lang,
                    q.quality >= 0.5 AS pass_quality,
-                   rep.pass_repetition,
+                   coalesce(rep.pass_repetition, TRUE) AS pass_repetition,
                    canon.pass_dedup,
                    coalesce(dec.n_hits, 0) = 0 AS pass_decontam,
                    (q.lang = 'en' AND q.quality >= 0.5
-                    AND rep.pass_repetition AND canon.pass_dedup
+                    AND coalesce(rep.pass_repetition, TRUE) AND canon.pass_dedup
                     AND coalesce(dec.n_hits, 0) = 0) AS kept
             FROM q
             JOIN canon ON q.doc_id = canon.doc_id
-            JOIN rep ON q.doc_id = rep.doc_id
+            LEFT JOIN rep ON q.doc_id = rep.doc_id
             LEFT JOIN dec ON q.doc_id = dec.doc_id
         """,
         "docs_decontaminate": f"""
@@ -3657,10 +3658,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM events GROUP BY event_type
             )
             SELECT event_id, event_type, value,
-                   round((value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)), 4)
-                       AS z_score
+                   round(CASE WHEN sxx / n - (sx / n) * (sx / n) > 0
+                         THEN (value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n))
+                         END, 4) AS z_score
             FROM events JOIN stats USING (event_type)
-            WHERE abs((value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n))) > 3.0
+            WHERE abs(CASE WHEN sxx / n - (sx / n) * (sx / n) > 0
+                      THEN (value - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n))
+                      END) > 3.0
         """,
         "histogram_order_price": """
             WITH b AS (
@@ -3683,9 +3687,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corr_quantity_price": """
             SELECT l_returnflag,
-                   round((n * sxy - sx * sy)
-                         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4)
-                       AS corr,
+                   round(CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0
+                         THEN (n * sxy - sx * sy)
+                              / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                         END, 4) AS corr,
                    round((n * sxy - sx * sy) / (n * n), 4) AS covar_pop
             FROM (
                 -- DECIMAL(19,4): forces DuckDB onto int128 arithmetic

@@ -46,16 +46,22 @@ def as_of_join(
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
-    l_tagged = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
-    for c in value_cols:
-        l_tagged = l_tagged.withColumn(f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType))
+    # ONE struct carries all right-side values through a single last():
+    # per-column last(ignorenulls) would skip a right row whose value is
+    # null in that column — carrying a STALE value forward and, with
+    # nulls in different columns, mixing columns from different right
+    # rows into a combination that never existed. The struct itself is
+    # non-null on every right row, so last() always picks whole rows.
     r_tagged = right.select(
         F.col(on),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *([F.col(tiebreak).alias("_tb")] if tiebreak else []),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_vals"),
     )
+    l_tagged = left.withColumn("_ts", F.col(left_ts)).withColumn(
+        "_side", F.lit(1)
+    ).withColumn("_vals", F.lit(None).cast(r_tagged.schema["_vals"].dataType))
     # right rows sort before left rows at equal ts (_side 0 < 1), so a
     # right row at exactly left_ts matches (<= semantics, like ASOF JOIN)
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
@@ -68,14 +74,10 @@ def as_of_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}_filled")
-            for c in value_cols
-        ],
+    filled = unioned.withColumn(
+        "_vals_filled", F.last("_vals", ignorenulls=True).over(w)
     )
     out = filled.filter(F.col("_side") == 1)
     for c in value_cols:
-        out = out.drop(f"{c}{suffix}").withColumnRenamed(f"{c}{suffix}_filled", f"{c}{suffix}")
-    return out.drop("_ts", "_side", *(["_tb"] if tiebreak else []))
+        out = out.withColumn(f"{c}{suffix}", F.col(f"_vals_filled.{c}"))
+    return out.drop("_ts", "_side", "_vals", "_vals_filled", *(["_tb"] if tiebreak else []))

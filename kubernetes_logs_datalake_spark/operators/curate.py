@@ -76,9 +76,15 @@ def curate(
     dec = decontaminate(df, eval_df, id_col, text_col, n=ngram).select(
         F.col(id_col), (~F.col("contaminated")).alias("pass_decontam")
     )
+    # LEFT joins: a document whose normalized text is empty has no
+    # repetition-profile row (nothing to repeat → passes) — an inner
+    # join would silently drop it from the verdict table, violating the
+    # one-verdict-row-per-document contract
     return (
-        with_dedup.join(rep, id_col)
-        .join(dec, id_col)
+        with_dedup.join(rep, id_col, "left")
+        .join(dec, id_col, "left")
+        .withColumn("pass_repetition", F.coalesce("pass_repetition", F.lit(True)))
+        .withColumn("pass_decontam", F.coalesce("pass_decontam", F.lit(True)))
         .select(
             id_col,
             "pass_lang",

@@ -138,19 +138,24 @@ def _set_jaccard_pairs(
             .select(key)
         )
         sets = sets.join(keep, key, "left_semi")
-    sets = sets.cache()
-    sizes = sets.groupBy("_id").agg(F.count("*").alias("sz"))
+    # carry each document's set size on the set rows via one window
+    # (cardinality = docs, perfectly spread) instead of a separate
+    # sizes relation — no session-lifetime cache() leak, and the two
+    # post-aggregation size joins disappear
+    from pyspark.sql import Window
+
+    sets = sets.withColumn("sz", F.count("*").over(Window.partitionBy("_id")))
     a = sets.alias("a")
     b = sets.alias("b")
-    inter = (
+    return (
         a.join(b, key)
         .filter(F.col("a._id") < F.col("b._id"))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .agg(
+            F.count("*").alias("inter"),
+            F.min("a.sz").alias("sz_a"),
+            F.min("b.sz").alias("sz_b"),
+        )
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -475,6 +480,7 @@ def connected_components(
     labels = (
         sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -498,7 +504,15 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silently returning would SPLIT long-diameter duplicate chains
+        # into multiple components — duplicates would leak undetected
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(component diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

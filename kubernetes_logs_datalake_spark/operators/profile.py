@@ -48,7 +48,11 @@ def zscore_outliers(
     n = F.col("_n").cast("double")
     mean = F.col("_sx").cast("double") / n
     var = F.col("_sxx").cast("double") / n - mean * mean
-    zs = (F.col(value_col) - mean) / F.sqrt(var)
+    # degenerate groups (single row / constant value) have var <= 0 —
+    # no deviation is definable, so the z-score is null (which the
+    # |z| > threshold filter drops); an unguarded division would raise
+    # DIVIDE_BY_ZERO under Spark 4's default ANSI mode
+    zs = F.when(var > 0, (F.col(value_col) - mean) / F.sqrt(var))
     return (
         df.join(F.broadcast(stats), group_col)
         .withColumn("z_score", zs)
@@ -151,9 +155,10 @@ def exact_corr(
     syy = F.sum(_dec(y_col) * _dec(y_col)).cast("double")
     sxy = F.sum(_dec(x_col) * _dec(y_col)).cast("double")
     n = F.count(F.lit(1)).cast("double")
-    corr = (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
-    )
+    # constant x, constant y, or a single row → zero denominator →
+    # correlation undefined: null, not an ANSI DIVIDE_BY_ZERO abort
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    corr = F.when(den > 0, (n * sxy - sx * sy) / den)
     covar = (n * sxy - sx * sy) / (n * n)
     return df.groupBy(group_col).agg(
         F.round(corr, 4).alias("corr"),

@@ -133,18 +133,27 @@ def token_budget_allocation(
     # target = budget·ppm DIV 1e6 — integer-exact and reproducible in
     # any engine (float weight division would round differently)
     ppm = {s: round(w / total_w * 1_000_000) for s, w in weights.items()}
-    target = F.create_map(
-        *[x for s, p in sorted(ppm.items()) for x in (F.lit(s), F.lit(p))]
+    # the weighted-source list drives the output (LEFT join): a source
+    # with NO rows in df still gets its allocation row (0 available,
+    # rate 0) — silently dropping it would under-allocate the budget
+    # with no signal, the worst possible failure for a mix plan
+    src_df = df.sparkSession.createDataFrame(
+        sorted(ppm.items()), "source string, _ppm int"
     )
-    w_col = F.element_at(target, F.col("source"))
+    alloc = src_df.join(per_source, "source", "left").select(
+        "source",
+        "_ppm",
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        F.coalesce("tokens_available", F.lit(0)).alias("tokens_available"),
+    )
     # decimal(38,0) × int / 1e6 has ≤6 fractional digits → the scale-6
     # decimal is exact; cast to long truncates = floor for positives
     tgt = (
-        (F.lit(budget_tokens).cast("decimal(38,0)") * w_col) / F.lit(1_000_000)
+        (F.lit(budget_tokens).cast("decimal(38,0)") * F.col("_ppm")) / F.lit(1_000_000)
     ).cast("long")
     has_tokens = F.col("tokens_available") > 0
     ratio = tgt.cast("double") / F.col("tokens_available").cast("double")
-    return per_source.filter(w_col.isNotNull()).select(
+    return alloc.select(
         "source",
         "n_docs",
         "tokens_available",
@@ -213,9 +222,15 @@ def length_bins(
     nparts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    part = with_len.repartitionByRange(
-        nparts, F.col("n_tokens"), F.col(id_col)
-    ).withColumn("_pid", F.spark_partition_id())
+    # localCheckpoint pins the range partitioning: the counts job and
+    # the rank job must see the SAME partition assignment, but
+    # RangePartitioner samples with a nondeterministic seed, so a
+    # recomputation could draw different bounds and corrupt the offsets
+    part = (
+        with_len.repartitionByRange(nparts, F.col("n_tokens"), F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
 
     # tiny driver-side collect: one (pid, count) row per partition
     counts = sorted(

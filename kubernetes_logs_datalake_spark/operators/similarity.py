@@ -220,7 +220,10 @@ def ivf_topk(
     assignment column can be persisted as a partition key so probes
     become partition pruning.
     """
-    from kubernetes_logs_datalake_spark.operators.vectors import kmeans_fit
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        kmeans_assign,
+        kmeans_fit,
+    )
 
     centers, _ = kmeans_fit(
         df, id_col, vec_col, k=n_centroids, iters=3
@@ -232,26 +235,14 @@ def ivf_topk(
 
     probe = sorted(range(len(centers)), key=lambda i: sqdist(query, centers[i]))[:n_probe]
 
-    # executor-side assignment: argmin over broadcast centroid literals
-    # (pure column math — no model UDF in the scan)
-    dists = [
-        F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                literal_vector(c),
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        for c in centers
-    ]
-    assign = F.array_position(F.array(*dists), F.array_min(F.array(*dists))) - 1
-
+    # executor-side assignment: kmeans_assign's single PACKED centroid
+    # literal (one ~k·dim literal in the plan) — per-centroid
+    # literal_vector subtrees would make Catalyst analysis the dominant
+    # cost at large k (the lsh_signatures_packed lesson)
     q = literal_vector(query)
     return (
-        df.withColumn("_cell", assign)
-        .filter(F.col("_cell").isin(probe))
+        kmeans_assign(df, id_col, vec_col, centers)
+        .filter(F.col("cluster").isin(probe))
         .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos"))
         .orderBy(F.desc("cos"), F.col(id_col))
         .limit(k)

@@ -103,10 +103,11 @@ def quantize_int8(
             F.array_max(F.transform(err, F.abs)), scale_digits
         ).alias("max_abs_err"),
         F.round(
-            F.aggregate(
-                err, F.lit(0.0), lambda a, e: a + e * e
-            )
-            / F.size(F.col("_v")),
+            F.when(
+                F.size(F.col("_v")) > 0,
+                F.aggregate(err, F.lit(0.0), lambda a, e: a + e * e)
+                / F.size(F.col("_v")),
+            ),
             scale_digits,
         ).alias("mse"),
     )

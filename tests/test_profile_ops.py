@@ -145,3 +145,28 @@ def test_tfidf_topk(spark):
     assert all(len(v) <= 2 for v in by_doc.values())
     # 'common' appears in every doc → idf = ln(1) = 0
     assert all(s == 0.0 for d in by_doc.values() for rk, w, s in d if w == "common")
+
+
+def test_zscore_degenerate_groups_no_ansi_crash(spark):
+    """Constant-value and single-row groups have no definable deviation:
+    they must yield zero outliers, not an ANSI DIVIDE_BY_ZERO abort."""
+    from kubernetes_logs_datalake_spark.operators.profile import zscore_outliers
+
+    df = spark.createDataFrame(
+        [(1, "const", 5.0), (2, "const", 5.0), (3, "solo", 9.0)],
+        ["id", "g", "v"],
+    )
+    assert zscore_outliers(df, "g", "v", "id").count() == 0
+
+
+def test_exact_corr_degenerate_groups_null_not_crash(spark):
+    """Constant x / single-row groups: corr is undefined → null."""
+    from kubernetes_logs_datalake_spark.operators.profile import exact_corr
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("b", 3.0, 1.0), ("b", 3.0, 5.0)],
+        ["g", "x", "y"],
+    )
+    rows = {r.g: r for r in exact_corr(df, "g", "x", "y").collect()}
+    assert rows["a"].corr is None      # single row
+    assert rows["b"].corr is None      # constant x

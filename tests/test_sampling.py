@@ -132,3 +132,28 @@ def test_token_budget_allocation_math(spark):
     assert big.target_tokens == 80 and small.target_tokens == 80
     assert big.sample_rate == 0.08 and big.epochs == 1
     assert small.sample_rate == 1.0 and small.epochs == 2
+
+
+def test_token_budget_missing_and_empty_sources(spark):
+    """A weighted source with no rows still gets its allocation row
+    (0 available, rate 0, epochs 0) — silent under-allocation is the
+    worst mix-plan failure; empty-text sources don't divide by zero."""
+    from kubernetes_logs_datalake_spark.operators.sampling import (
+        token_budget_allocation,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "web", "some words here"), (2, "junk", "!!! ...")],
+        ["doc_id", "source", "text"],
+    )
+    out = {
+        r.source: r
+        for r in token_budget_allocation(
+            df, "source", "text", {"web": 1.0, "code": 1.0, "junk": 1.0}, 300
+        ).collect()
+    }
+    assert set(out) == {"web", "code", "junk"}
+    assert out["code"].n_docs == 0 and out["code"].tokens_available == 0
+    assert out["code"].sample_rate == 0.0 and out["code"].epochs == 0
+    assert out["junk"].tokens_available == 0 and out["junk"].epochs == 0
+    assert out["web"].epochs >= 1

@@ -176,3 +176,20 @@ def test_curate_stage_attribution(spark):
     assert s.n_docs == 5
     assert s.fail_pass_lang == 1
     assert s.fail_kept == 4
+
+
+def test_curate_keeps_empty_document_row(spark):
+    """Punctuation-only documents have no repetition-profile row but
+    must still appear in the verdict table (one row per document)."""
+    from kubernetes_logs_datalake_spark.operators.curate import curate
+
+    df = spark.createDataFrame(
+        [(1, "normal words in a document", "en"), (2, "!!! ...", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    eval_df = spark.createDataFrame([(99, "held out eval text", "en")],
+                                    ["doc_id", "text", "lang"])
+    out = curate(df, eval_df, "doc_id", "text", lang_col="lang", langs=("en",))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2].pass_repetition is True

@@ -182,3 +182,16 @@ def test_portable_base_hash_matches_python_md5(spark):
     for s in samples:
         expect = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
         assert got[s] == expect, f"mismatch for {s!r}"
+
+
+def test_quantize_int8_empty_vector_no_crash(spark):
+    """A zero-length embedding must quantize to nulls, not raise
+    DIVIDE_BY_ZERO in the mse denominator under ANSI mode."""
+    from kubernetes_logs_datalake_spark.operators.vectors import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25]), (2, [])], "id long, vec array<float>"
+    )
+    rows = {r.id: r for r in quantize_int8(df, "id", "vec").collect()}
+    assert rows[1].qvec == [127, -64]
+    assert rows[2].mse is None and rows[2].qvec == []
