@@ -13,8 +13,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def _col(c: Column | str) -> Column:
-    return F.col(c) if isinstance(c, str) else c
+from kubernetes_logs_datalake_spark.functions.time_ns import _col  # noqa: E402 — canonical helper
 
 
 # ------------------------------------------------------------- tokenization

@@ -68,12 +68,16 @@ def cri_ts_to_ns(ts: Column | str) -> Column:
     sec_ts = F.try_to_timestamp(
         F.when(sec_str != "", sec_str), F.lit("yyyy-MM-dd'T'HH:mm:ss")
     )
-    sec_ns = F.unix_timestamp(sec_ts) * F.lit(NS_PER_SEC)
+    # try_multiply/try_add: a valid-format timestamp past 2262 overflows
+    # long ns — the contract is null on anything unrepresentable, and
+    # under Spark 4's default ANSI mode an unguarded overflow would be
+    # a streaming poison pill (batch fails → checkpoint replays → loop)
+    sec_ns = F.try_multiply(F.unix_timestamp(sec_ts), F.lit(NS_PER_SEC))
     # Right-pad the 1..9 fractional digits to 9 → exact nanos.
     frac_ns = F.when(frac_str == "", F.lit(0)).otherwise(
         F.rpad(frac_str, 9, "0").cast("long")
     )
-    return (sec_ns + frac_ns).alias("time_ns")
+    return F.try_add(sec_ns, frac_ns).alias("time_ns")
 
 
 def ns_to_timestamp(ns: Column | str) -> Column:
@@ -117,7 +121,10 @@ def epoch_ns_col(df: DataFrame, col: str) -> Column:
     c = F.col(col)
     if dtype in _LONG_DTYPES:
         return c.cast("long")
-    return F.unix_micros(c.cast("timestamp")) * F.lit(1000)
+    # try_multiply: a corrupt far-future µs timestamp (year 9999 is
+    # µs-representable but not ns) nulls instead of aborting the whole
+    # query under default-ANSI arithmetic
+    return F.try_multiply(F.unix_micros(c.cast("timestamp")), F.lit(1000))
 
 
 def epoch_us_col(df: DataFrame, col: str) -> Column:

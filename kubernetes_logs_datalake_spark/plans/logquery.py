@@ -16,6 +16,7 @@ DataFrame API so Catalyst performs what the CLI does manually:
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,6 +41,22 @@ FULL_COLUMNS = [
 ]
 OUTPUT_MODES = ("table", "raw", "lines", "columns")
 FORMATS = ("parquet", "arrow", "both")
+
+# error signatures that mean "this format simply has no files here" —
+# anything else propagating out of a scan is a real failure
+_MISSING_FORMAT_SIGNATURES = (
+    "PATH_NOT_FOUND",
+    "UNABLE_TO_INFER_SCHEMA",
+    "Path does not exist",
+    "no .arrow files match",
+)
+
+
+def _is_missing_format_error(e: Exception) -> bool:
+    if isinstance(e, FileNotFoundError):
+        return True
+    msg = str(e)
+    return any(sig in msg for sig in _MISSING_FORMAT_SIGNATURES)
 
 
 @dataclass
@@ -74,7 +91,10 @@ class LogQuery:
         ``-f both`` tolerates a single-format lake (the reference always
         writes both formats, so its UNION never sees a missing side; our
         lake may legitimately hold only parquet) — but at least one
-        format must exist.
+        format must exist. Reference-parity caveat carried over from the
+        CLI (default FORMAT="both", ``y-logcli:45``): a dual-format lake
+        stores every record in BOTH formats, so ``both`` returns each
+        record twice — pick one format for deduplicated counts.
         """
         if self.fmt == "both":
             scans = []
@@ -82,7 +102,16 @@ class LogQuery:
             for fmt in ("arrow", "parquet"):
                 try:
                     scans.append(self._scan(spark, fmt))
-                except Exception as e:  # missing format → skip side
+                except Exception as e:
+                    # ONLY a genuinely absent format side may be skipped;
+                    # corrupt files / auth failures must surface, never
+                    # silently shrink results to one format
+                    if not _is_missing_format_error(e):
+                        raise
+                    warnings.warn(
+                        f"lake has no {fmt} side; querying the rest ({e})",
+                        stacklevel=2,
+                    )
                     errors.append(e)
             if not scans:
                 raise errors[0]
@@ -119,7 +148,9 @@ class LogQuery:
     def describe(self, spark: SparkSession) -> list[tuple[str, str]]:
         """(column, type) pairs of the projected result — the schema
         pre-pass the reference prints for table mode (``y-logcli:267-273``)."""
-        return [(f.name, f.dataType.simpleString()) for f in self.projected(spark).schema.fields]
+        from kubernetes_logs_datalake_spark.sources.metadata import describe
+
+        return describe(self.projected(spark))
 
     def explain_str(self, spark: SparkSession) -> str:
         """The executed-plan echo (reference prints its generated SQL,

@@ -70,6 +70,13 @@ def parse_cri_lines(
     )
     if not keep_unparsed:
         parsed = parsed.filter(F.col("stream") != "")
+    else:
+        # an unparsed row's content must survive in message (null time,
+        # empty stream/logtag mark it unparsed) — keeping the row but
+        # discarding its text would defeat the option's purpose
+        parsed = parsed.withColumn(
+            "message", F.when(F.col("stream") == "", line).otherwise(F.col("message"))
+        )
     out = parsed.withColumn("time_ns", cri_ts_to_ns("_ts")).withColumn(
         "time", ns_to_timestamp("time_ns")
     )

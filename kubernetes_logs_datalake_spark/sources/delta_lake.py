@@ -91,6 +91,9 @@ class DeltaLogLake:
         the parquet lake: range-partitioned and sorted on (partition
         cols, time_ns) → disjoint-time files, zone-map skipping."""
         self._require()
+        from kubernetes_logs_datalake_spark.sources.logs import _ensure_date
+
+        df = _ensure_date(df)
         cols = [F.col(c) for c in NATIVE_PARTITIONING] + [F.col("time_ns")]
         (
             df.repartitionByRange(*cols)

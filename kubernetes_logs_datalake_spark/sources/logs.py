@@ -51,14 +51,20 @@ def _normalize_time(df: DataFrame) -> DataFrame:
         if "time" not in df.columns:
             df = df.withColumn("time", ns_to_timestamp("time_ns"))
         return df
-    time_field = next(f for f in df.schema.fields if f.name == "time")
+    time_field = next((f for f in df.schema.fields if f.name == "time"), None)
+    if time_field is None:
+        raise ValueError(
+            f"lake data has neither 'time_ns' nor 'time' columns "
+            f"(found: {df.columns}) — is the root pointed at a log lake?"
+        )
     if time_field.dataType.simpleString() == "bigint":
         return (
             df.withColumnRenamed("time", "time_ns")
             .withColumn("time", ns_to_timestamp("time_ns"))
         )
     return df.withColumn(
-        "time_ns", (F.unix_micros(F.col("time").cast("timestamp")) * 1000)
+        "time_ns",
+        F.try_multiply(F.unix_micros(F.col("time").cast("timestamp")), F.lit(1000)),
     )
 
 
@@ -108,6 +114,13 @@ class LogLake:
         elif fmt == "arrow":
             from kubernetes_logs_datalake_spark.sources.arrow_ipc import write_arrow_partitioned
 
+            if mode != "append":
+                # the uuid-file arrow sink has no overwrite semantics;
+                # silently appending under mode='overwrite' would leave
+                # old+new rows side by side
+                raise ValueError(
+                    f"arrow format supports mode='append' only, got {mode!r}"
+                )
             write_arrow_partitioned(out, self.root, partition_cols=NATIVE_PARTITIONING)
         else:
             raise ValueError(f"unknown format {fmt!r}")

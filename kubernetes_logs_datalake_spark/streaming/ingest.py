@@ -90,9 +90,16 @@ class IngestJob:
         formats = self.formats
 
         def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-            if not batch_df.isEmpty():
-                for fmt in formats:
-                    lake.write_batch(batch_df, fmt=fmt)
+            # persist: isEmpty + one write per format would otherwise
+            # re-read and re-parse every input file per sink (3x the
+            # ingest hot path with the default dual-format config)
+            batch_df.persist()
+            try:
+                if not batch_df.isEmpty():
+                    for fmt in formats:
+                        lake.write_batch(batch_df, fmt=fmt)
+            finally:
+                batch_df.unpersist()
 
         # checkpoint lives OUTSIDE the lake root so compaction's
         # directory swap can never clobber stream offsets

@@ -86,3 +86,34 @@ def test_since_cutoff_predicate(spark):
     ).select(F.to_timestamp_ntz("s").alias("time"))
     kept = df.filter(since_cutoff_predicate("time", "5m", now=now)).count()
     assert kept == 1
+
+
+def test_cri_ts_beyond_ns_range_is_null_not_overflow(spark):
+    """Valid-format timestamps past 2262 are unrepresentable in ns
+    longs: the contract is null, never an ANSI ARITHMETIC_OVERFLOW
+    poison pill that would crash-loop the ingest stream."""
+    from kubernetes_logs_datalake_spark.functions.time_ns import cri_ts_to_ns
+
+    df = spark.createDataFrame(
+        [("2263-01-01T00:00:00.000000000Z",), ("2024-01-15T10:30:45.123456789Z",)],
+        ["ts"],
+    )
+    rows = [r.time_ns for r in df.select(cri_ts_to_ns("ts")).collect()]
+    assert rows[0] is None
+    assert rows[1] == 1705314645123456789
+
+
+def test_epoch_ns_col_far_future_timestamp_is_null(spark):
+    """A µs timestamp past the ns-long range (year 9999) nulls instead
+    of aborting the whole query under default-ANSI arithmetic."""
+    import datetime
+
+    from kubernetes_logs_datalake_spark.functions.time_ns import epoch_ns_col
+
+    df = spark.createDataFrame(
+        [(datetime.datetime(9999, 1, 1),), (datetime.datetime(2024, 1, 15, 10, 30, 45),)],
+        "ts timestamp",
+    )
+    rows = [r.v for r in df.select(epoch_ns_col(df, "ts").alias("v")).collect()]
+    assert rows[0] is None
+    assert rows[1] == 1705314645 * 10**9
