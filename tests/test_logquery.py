@@ -130,9 +130,14 @@ def test_oracle_duckdb_same_result(spark, lake):
 
 
 def test_both_formats_tolerates_parquet_only_lake(spark, lake):
-    """-f both on a parquet-only lake degrades to the available format."""
+    """-f both on a parquet-only lake degrades to the available format —
+    loudly (a warning names the skipped side; silent shrink is banned)."""
+    import pytest
+
     q = LogQuery(lake, cluster="dev", selectors={"namespace": "qa"}, fmt="both", output="raw")
-    msgs = [r.message for r in q.projected(spark).collect()]
+    with pytest.warns(UserWarning, match="no arrow side"):
+        df = q.projected(spark)
+    msgs = [r.message for r in df.collect()]
     assert msgs == ["hello from qa 1", "partial line", "hello from qa 2"]
 
 
