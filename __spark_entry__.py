@@ -140,7 +140,7 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
 
 
 # DuckDB-side sequential-double cosine between two list<float> columns.
-def _ddb_cos(a: str, b: str, dim: int = 64) -> str:
+def _ddb_cos(a: str, b: str, dim: int = EMBEDDING_DIM) -> str:
     dp = f"list_sum(list_transform(range(1,{dim + 1}), i -> ({a}[i])::DOUBLE * ({b}[i])::DOUBLE))"
     na = f"list_sum(list_transform(range(1,{dim + 1}), i -> ({a}[i])::DOUBLE * ({a}[i])::DOUBLE))"
     nb = f"list_sum(list_transform(range(1,{dim + 1}), i -> ({b}[i])::DOUBLE * ({b}[i])::DOUBLE))"
@@ -1487,12 +1487,16 @@ def _approx_distinct_kmv(spark: SparkSession, sf: str) -> DataFrame:
 
 def _events_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Strict-order first-touch conversion funnel signup→view→click→
-    purchase: per-stage converted-user counts."""
+    purchase: per-stage converted-user counts. Timestamps go through
+    _ts_us: the funnel's strict `>` stage comparisons must see the same
+    µs instants DuckDB sees, or two stage-firsts inside one µs would
+    order differently across engines."""
     from kubernetes_logs_datalake_spark.operators.funnel import funnel_counts
 
     e = _t(spark, sf, "events")
+    e = e.select("user_id", "event_type", _ts_us(e).alias("ts_us"))
     return funnel_counts(
-        e, "user_id", "event_type", "ts", ["signup", "view", "click", "purchase"]
+        e, "user_id", "event_type", "ts_us", ["signup", "view", "click", "purchase"]
     )
 
 
@@ -3888,10 +3892,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_windows
             FROM isl2 GROUP BY doc_id, island
         """,
-        # dedup_minhash_lsh, dedup_simhash, ann_topk_lsh, ann_topk_ivf,
-        # approx_distinct_users, embedding_kmeans (iterative):
-        # approximate/hash-seeded/iterative operators → rows-only check
-        # (no SQL oracle).
+        # Rows-only (no SQL oracle): ann_topk_arrow (numpy pairwise
+        # summation), approx_distinct_users (engine-native HLL),
+        # doc_length_bins_approx (GK sketch cutpoints). Everything else
+        # — including MinHash/SimHash (portable family), the LSH/IVF ANN
+        # probes, and iterative k-means (unrolled CTEs) — is registered
+        # above with a generated oracle.
     }
 
 

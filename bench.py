@@ -225,12 +225,16 @@ def bench_ingest(spark, sf: float) -> dict:
         trigger_seconds=1,
     )
     t0 = time.time()
-    job.start(spark)
-    job.process_available()
-    job.stop_gracefully()
-    elapsed = time.time() - t0
-    shutil.rmtree(lake_root, ignore_errors=True)
-    shutil.rmtree(lake_root + "_checkpoint", ignore_errors=True)
+    try:
+        job.start(spark)
+        job.process_available()
+    finally:
+        # always stop the stream and clean the temp lake — a failed
+        # batch must not leave a running query or orphaned /tmp trees
+        job.stop_gracefully()
+        elapsed = time.time() - t0
+        shutil.rmtree(lake_root, ignore_errors=True)
+        shutil.rmtree(lake_root + "_checkpoint", ignore_errors=True)
     return {
         "ingest_lines": total_lines,
         "ingest_sec": round(elapsed, 3),
@@ -240,7 +244,10 @@ def bench_ingest(spark, sf: float) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0  # non-sfN path (e.g. 'sf' as a substring) — unknown SF
     spark = get_spark("kld-bench")
     qs = entrymod.queries()
     try:
@@ -288,7 +295,9 @@ def main() -> None:
             if t is not None:
                 samples[name].append(t)
     timings = {
-        name: round(sorted(ts)[len(ts) // 2], 3)
+        # lower median: for even sample counts (a repeat errored out)
+        # take the smaller middle value rather than biasing upward
+        name: round(sorted(ts)[(len(ts) - 1) // 2], 3)
         for name, ts in samples.items()
         if ts
     }

@@ -63,7 +63,10 @@ def main(argv: list[str] | None = None) -> int:
         df = q.projected(spark)
         for line in render(df, args.output):
             print(line)
-    except ValueError as e:
+    except Exception as e:  # noqa: BLE001 — CLI boundary: every query
+        # failure (bad selector, absent lake root, unreadable files)
+        # renders as the handled 'error:' + exit-2 contract, never a
+        # raw Py4J traceback
         print(f"error: {e}", file=sys.stderr)
         return 2
     if args.explain:

@@ -38,11 +38,17 @@ def norm_cell(v):
     return str(v)
 
 
-def value_hash(cols: list[str], rows: list[tuple]) -> str:
+def norm_lines(cols: list[str], rows: list[tuple]) -> list[str]:
+    """The ONE normalization (sort columns by name, normalize cells,
+    sort rows) shared by the hash and the failure-diff sample — so the
+    printed diff always corresponds to what was hashed."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("\x1f".join(norm_cell(r[i]) for i in order) for r in rows)
+    return sorted("\x1f".join(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
     h = hashlib.sha256()
-    for line in lines:
+    for line in norm_lines(cols, rows):
         h.update(line.encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
@@ -50,6 +56,12 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
 def main() -> int:
     only = set(sys.argv[1:])
+    known = set(entrymod.queries())
+    unknown = only - known
+    if unknown:
+        # a typo'd name must never produce a zero-check green result
+        print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        return 2
     spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -112,11 +124,9 @@ def main() -> int:
             hs, ho = value_hash(cols, rows), value_hash(ocols, orows)
             if hs != ho:
                 problems.append(f"valuehash {hs} != {ho}")
-                # show a diff sample
-                order_s = sorted(range(len(cols)), key=lambda i: cols[i])
-                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
-                ls = sorted("\x1f".join(norm_cell(r[i]) for i in order_s) for r in rows)
-                lo = sorted("\x1f".join(norm_cell(r[i]) for i in order_o) for r in orows)
+                # show a diff sample (same normalization as the hash)
+                ls = norm_lines(cols, rows)
+                lo = norm_lines(ocols, orows)
                 for a, b in zip(ls, lo):
                     if a != b:
                         problems.append(f"  spark : {a[:160]}")
