@@ -117,6 +117,12 @@ def main() -> None:
         print(f"built x{copies} dataset in {time.time() - t0:.1f}s", file=sys.stderr)
 
     qs = entrymod.queries()
+    # one warm-up execution so JVM JIT/codegen/footers aren't billed to
+    # whichever query happens to run first (bench.py does the same)
+    try:
+        qs[QUERIES[0]](spark, dest).write.format("noop").mode("overwrite").save()
+    except Exception:  # noqa: BLE001 — warmup failure surfaces below anyway
+        pass
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     rows: dict[str, int] = {}
