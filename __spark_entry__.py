@@ -1004,7 +1004,9 @@ def _q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
     s = _t(spark, sf, "supplier")
     return (
         rev.join(F.broadcast(mx), rev.total_rev == F.col("_mx"))
-        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        # no broadcast hint on supplier: it scales linearly with SF
+        # (~1B rows at sf100k) — AQE broadcasts it when actually small
+        .join(s, rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
     )
 
@@ -1131,7 +1133,9 @@ def _q2_cheapest_supplier(spark: SparkSession, sf: str) -> DataFrame:
     )
     cand = bridge.join(
         p, F.col("l_partkey") == F.col("p_partkey")
-    ).join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier (even region-filtered) is SF-scaled — no forced
+        # broadcast; AQE decides from runtime size
+    ).join(s, F.col("l_suppkey") == F.col("s_suppkey"))
     w = Window.partitionBy("p_partkey")
     return (
         cand.withColumn("_mn", F.min("s_acctbal").over(w))
@@ -1165,7 +1169,8 @@ def _q9_nation_profit(spark: SparkSession, sf: str) -> DataFrame:
     l = _t(spark, sf, "lineitem")
     return (
         l.join(p, l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        # supplier is SF-scaled: no forced broadcast (AQE handles small SFs)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -1237,8 +1242,11 @@ def _q16_supplier_part_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         bridge.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        # the flagged-supplier set is a constant fraction of the
+        # SF-scaled supplier table — no forced broadcast; AQE picks a
+        # broadcast anti join itself while the set is actually small
         .join(
-            F.broadcast(bad),
+            bad,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -1308,7 +1316,8 @@ def _q21_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     return (
         per_order.groupBy("_late_supp")
         .agg(F.count("*").alias("numwait"))
-        .join(F.broadcast(s), F.col("_late_supp") == F.col("s_suppkey"))
+        # supplier is SF-scaled: no forced broadcast
+        .join(s, F.col("_late_supp") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "numwait")
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
@@ -2186,88 +2195,79 @@ def _docs_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
 # per round; 122 are registered, so the window is rotated each round to
-# cycle coverage through every query. Round 4 window: a few always-on
-# green sentinels, the nine events/time queries repaired this round, the
-# two newly-oracled LSH families, and 34 queries that have never had a
-# driver correctness row (all remaining TPC-H shapes + the big pipeline
-# operators). Everything else keeps its relative order after the window.
+# cycle coverage through every query.  Rounds 1-4 together driver-checked
+# 87 of the 122.
 #
-# Round-5 rotation TODO: the still-never-driver-checked set is the tail
-# beyond this window — lead the next window with (among others)
-# approx_distinct_users, stratified_sample_docs, mix_datasets_by_lang,
-# vocab_top50, doc_length_bins(+_approx), approx_distinct_kmv,
-# events_funnel, text_tfidf_topk, events_value_outliers,
-# histogram_order_price, corr_quantity_price, groupingsets/pivot/
-# unpivot/quantiles, docs_pii_scrub, docs_repetition_profile,
-# docs_pack_sequences, embedding_label_centroids, docs_decontaminate,
-# zorder_orders_key, docs_segment_dedup, text_entropy, text_oov_rate,
-# embedding_quantize_int8, docs_dedup_incremental, embedding_random_
-# projection, docs_corpus_diff, cri_multiline_roundtrip, ann_topk_ivf
-# (newly oracled), embedding_kmeans (newly oracled), dedup_quality_keep,
-# docs_ngram_novelty, docs_token_budget (new in r4).
-_R4_WINDOW = [
-    # sentinels (green in r3)
+# Round-5 window: the 35 queries that never received a driver
+# correctness row in rounds 1-4 lead the window (closing out driver
+# coverage of the full 122-query registry: 87 checked so far), followed
+# by 15 diverse green sentinels from earlier rounds.  After this round
+# every registered query has at least one driver oracle row.
+_R5_WINDOW = [
+    # never driver-checked (35): approximate/statistical
+    "approx_distinct_users",
+    "approx_distinct_kmv",
+    "doc_length_bins",
+    "doc_length_bins_approx",
+    "histogram_order_price",
+    "corr_quantity_price",
+    "quantiles_price_by_flag",
+    "events_value_outliers",
+    # never driver-checked: grouping/reshaping
+    "groupingsets_segment_priority",
+    "pivot_status_priority",
+    "unpivot_lineitem_metrics",
+    # never driver-checked: sampling / mixture / layout
+    "stratified_sample_docs",
+    "mix_datasets_by_lang",
+    "vocab_top50",
+    "zorder_orders_key",
+    # never driver-checked: text pipeline
+    "text_tfidf_topk",
+    "text_entropy",
+    "text_oov_rate",
+    "docs_pii_scrub",
+    "docs_repetition_profile",
+    "docs_pack_sequences",
+    "docs_decontaminate",
+    "docs_decontaminate_semantic",
+    "docs_duplicate_spans",
+    "docs_ngram_novelty",
+    "docs_token_budget",
+    # never driver-checked: dedup variants
+    "docs_segment_dedup",
+    "docs_dedup_incremental",
+    "docs_corpus_diff",
+    "dedup_quality_keep",
+    # never driver-checked: embeddings
+    "embedding_label_centroids",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
+    # never driver-checked: events + sources
+    "events_funnel",
+    "cri_multiline_roundtrip",
+    # sentinels (15, green in r4 driver window, one per family)
     "q1_pricing_summary",
     "q10_returned_items",
-    "dedup_ngram_jaccard",
-    "knn_join",
+    "q9_nation_profit",
+    "q18_large_orders",
     "window_top_orders_per_customer",
-    # repaired this round (schema-adaptive event time)
-    "events_hourly_rollup",
-    "events_type_stats",
-    "events_sessions",
-    "events_iso_ns_format",
-    "asof_purchase_click",
-    "range_join_error_context",
-    "events_retention",
-    "events_interarrival",
-    "events_session_windows",
-    # newly-oracled hash families
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    # never driver-checked: remaining TPC-H shapes
-    "q2_cheapest_supplier",
-    "q4_late_shipping_priority",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_nation_profit",
-    "q11_important_parts",
-    "q12_priority_by_linestatus",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_filters",
-    "q20_volume_suppliers",
-    "q21_waiting_suppliers",
-    "q22_inactive_rich_customers",
-    # never driver-checked: relational/function coverage
-    "stringagg_region_nations",
-    "cube_order_counts",
-    "regex_source_extract",
-    "monthly_order_trend",
-    "array_stats_embeddings",
-    "full_outer_nation_counts",
-    "cross_join_region_pairs",
-    "date_functions_showcase",
-    "grouping_sets_orders",
-    "fuzzy_name_match",
-    "array_functions_showcase",
-    "scalar_null_handling",
-    # never driver-checked: pipeline operators
+    "knn_join",
+    "events_hourly_rollup",
+    "asof_purchase_click",
+    "range_join_error_context",
     "text_bm25_search",
-    "docs_curation_verdicts",
-    "docs_classifier_score",
     "embedding_kmeans",
-    "docs_char_lm_score",
+    "docs_curation_verdicts",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _all_queries()
-    ordered = {name: base[name] for name in _R4_WINDOW}
+    ordered = {name: base[name] for name in _R5_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
     return ordered
 

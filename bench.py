@@ -248,7 +248,11 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = -1.0  # non-sfN path (e.g. 'sf' as a substring) — unknown SF
-    spark = get_spark("kld-bench")
+    # stdout must stay clean for the single JSON result line (see the
+    # tail-window note in main's epilogue) — keep stage progress off.
+    spark = get_spark(
+        "kld-bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     qs = entrymod.queries()
     try:
         extra = clustered_queries(spark, ensure_clustered_fixture(sf))
@@ -311,22 +315,37 @@ def main() -> None:
         errors.setdefault("ingest", f"{type(exc).__name__}: {exc}"[:400])
         ingest = {}
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline query suite wall-clock (median of "
-                f"{REPEATS}, warmed)",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "n_queries": len(timings),
-                "queries": timings,
-                "spread": spread,
-                "errors": errors,
-                **ingest,
-                "sf": sf,
-            }
-        )
-    )
+    # The driver records only the LAST 2000 characters of stdout
+    # (BENCH_r04.json: "tail" len 2000, head of the 4 KB JSON line cut
+    # off -> "parsed": null). So stdout carries exactly ONE compact JSON
+    # line kept under that window; everything verbose (per-query spread,
+    # full error strings) goes to stderr for humans and logs.
+    verbose = {
+        "metric": f"headline query suite wall-clock (median of {REPEATS}, warmed)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": timings,
+        "spread": spread,
+        "errors": errors,
+        **ingest,
+        "sf": sf,
+    }
+    print(json.dumps(verbose), file=sys.stderr)
+
+    compact = dict(verbose)
+    compact.pop("spread", None)
+    compact["errors"] = {k: v[:60] for k, v in errors.items()}
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # many errors: keep the headline parseable
+        compact["errors"] = {k: v[:20] for k, v in list(errors.items())[:5]}
+        compact["n_errors"] = len(errors)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # last resort: slowest queries only
+        slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
+        compact["queries"] = slowest
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

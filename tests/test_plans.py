@@ -93,19 +93,31 @@ def test_q7_q8_broadcast_dims_no_cartesian(spark):
 
 
 def test_no_forced_broadcast_of_fact_tables():
-    """No query may force-broadcast a fact-scaled table (customer, part,
-    orders, lineitem). A forced hint bypasses AQE's size threshold: fine
-    at sf0.1, executor OOM at 100x. Dims (region/nation/supplier) may be
-    hinted; fact tables must leave the choice to AQE, which still picks
-    broadcast at runtime when the filtered side is actually small.
+    """No query may force-broadcast an SF-scaled table (customer, part,
+    orders, lineitem, supplier, events, documents, embeddings). A forced
+    hint bypasses AQE's size threshold: fine at sf0.1, executor OOM at
+    100x. Only the fixed-cardinality dims (region: 5 rows, nation: 25)
+    may be hinted; everything SF-scaled leaves the choice to AQE, which
+    still picks broadcast at runtime when the filtered side is small.
 
     Source-level gate because a plan-level one can't distinguish an
-    explicit hint from AQE's own (legitimate) size-based broadcast."""
+    explicit hint from AQE's own (legitimate) size-based broadcast.
+    Catches hints through a variable binding (possibly rebound through
+    derived frames, matched conservatively by variable name) AND the
+    inline form F.broadcast(_t(spark, sf, "<fact>"))."""
     import inspect
 
-    fact_tables = {"customer", "part", "orders", "lineitem", "events", "documents"}
+    fact_tables = {
+        "customer", "part", "orders", "lineitem", "supplier",
+        "events", "documents", "embeddings",
+    }
     for name, fn in entrymod.queries().items():
         src = inspect.getsource(fn)
+        inline = re.findall(r'F\.broadcast\(\s*_t\(spark,\s*sf,\s*"(\w+)"', src)
+        for tbl in inline:
+            assert tbl not in fact_tables, (
+                f"{name} force-broadcasts fact-scaled table {tbl!r} inline"
+            )
         binds = re.findall(r'(\w+)\s*=\s*_t\(spark,\s*sf,\s*"(\w+)"\)', src)
         for var, tbl in binds:
             if tbl in fact_tables:
