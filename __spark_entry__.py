@@ -502,6 +502,14 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 # break hash parity)
 _MINHASH_NUM_HASHES, _MINHASH_BANDS, _MINHASH_N = 64, 8, 1
 _SIMHASH_MAX_HAMMING, _SIMHASH_CHUNKS, _SIMHASH_BITS = 12, 4, 60
+# the generated DuckDB oracles (_ddb_minhash_lsh_sql/_ddb_simhash_sql)
+# emit unigram words() shingles only — they do not parameterize n, so
+# the single-source-of-truth claim holds only while _MINHASH_N == 1
+if _MINHASH_N != 1:
+    raise AssertionError(
+        "_ddb_minhash_lsh_sql hardcodes unigram shingles; thread n into "
+        "the oracle generator before changing _MINHASH_N"
+    )
 
 
 def _dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:

@@ -277,9 +277,12 @@ def simhash(
     """SimHash per document: hash each word, sum ±1 per bit position
     weighted by presence, take sign bits. Pure column algebra over one
     explode; returns (id, simhash long). The portable family's base
-    hash is 60-bit, so pass bits<=60 with it."""
+    hash is 60-bit, so bits is clamped to 60 with it (sign bits above
+    the base hash's width would be computed over constant zeros)."""
     from kubernetes_logs_datalake_spark.functions.text import words
 
+    if hash_family == "portable":
+        bits = min(bits, 60)
     word_hash = (
         portable_base_hash("w") if hash_family == "portable" else F.xxhash64("w")
     )

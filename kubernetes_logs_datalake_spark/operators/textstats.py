@@ -164,7 +164,11 @@ def char_bigram_lm_score(
     # with a seen context are grid rows with count 0; only transitions
     # whose context never occurred in training fall to the constant.
     alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 "
-    assert len(alphabet) == LM_VOCAB_SIZE
+    if len(alphabet) != LM_VOCAB_SIZE:  # not a bare assert: -O must not
+        # strip the smoothing invariant (grid completeness) check
+        raise ValueError(
+            f"alphabet size {len(alphabet)} != LM_VOCAB_SIZE {LM_VOCAB_SIZE}"
+        )
     grid = (
         ctx.select(
             "_c1",
