@@ -152,6 +152,19 @@ _DDB_NORM = "trim(regexp_replace(lower({t}), '[^a-z0-9]+', ' ', 'g'))"
 _DDB_WORDS = f"string_split({_DDB_NORM}, ' ')"
 
 
+def _ddb_shingle_list(words_expr: str, n: int) -> str:
+    """DuckDB expression: list of word n-gram shingles from a word-list
+    expression — the SQL mirror of functions/text.shingles (space-joined
+    sliding windows; empty list when the document has < n words)."""
+    if n == 1:
+        return words_expr
+    return (
+        f"CASE WHEN len({words_expr}) < {n} THEN [] "
+        f"ELSE list_transform(generate_series(1, len({words_expr}) - {n - 1}), "
+        f"i -> array_to_string(({words_expr})[i:i+{n - 1}], ' ')) END"
+    )
+
+
 def _ddb_stoplist() -> str:
     return "[" + ",".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
 
@@ -502,14 +515,6 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 # break hash parity)
 _MINHASH_NUM_HASHES, _MINHASH_BANDS, _MINHASH_N = 64, 8, 1
 _SIMHASH_MAX_HAMMING, _SIMHASH_CHUNKS, _SIMHASH_BITS = 12, 4, 60
-# the generated DuckDB oracles (_ddb_minhash_lsh_sql/_ddb_simhash_sql)
-# emit unigram words() shingles only — they do not parameterize n, so
-# the single-source-of-truth claim holds only while _MINHASH_N == 1
-if _MINHASH_N != 1:
-    raise AssertionError(
-        "_ddb_minhash_lsh_sql hardcodes unigram shingles; thread n into "
-        "the oracle generator before changing _MINHASH_N"
-    )
 
 
 def _dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -1866,7 +1871,9 @@ def _ddb_md5_60(col: str) -> str:
 
 
 def _ddb_minhash_lsh_sql(
-    num_hashes: int = _MINHASH_NUM_HASHES, bands: int = _MINHASH_BANDS
+    num_hashes: int = _MINHASH_NUM_HASHES,
+    bands: int = _MINHASH_BANDS,
+    n: int = _MINHASH_N,
 ) -> str:
     """Generated from the SAME affine coefficients and band layout as
     minhash_lsh_candidates(hash_family='portable') — one source of
@@ -1877,7 +1884,7 @@ def _ddb_minhash_lsh_sql(
         minhash_affine_coeffs,
     )
 
-    w = _DDB_WORDS.format(t="text")
+    w = _ddb_shingle_list(_DDB_WORDS.format(t="text"), n)
     rows = num_hashes // bands
     mins = ",\n                   ".join(
         f"min(CAST((CAST({a} AS HUGEINT) * base + {b}) % {PORTABLE_P} AS BIGINT)) AS h{k}"

@@ -157,11 +157,18 @@ def ensure_clustered_fixture(sf: float, n_files: int = 16) -> str:
     return dest
 
 
-def clustered_queries(spark, fixture_dir: str) -> dict:
+def clustered_queries(spark, fixture_dir: str, emb_bits: int = 8, emb_tables: int = 8) -> dict:
     """LSH-family bench entries over the clustered fixture. Parameters
     target the planted similarity levels: hyperplane LSH at cos ≥ 0.8
     (bits=8/tables=8), MinHash at Jaccard ≥ 0.8 (r=4 rows × 16 bands →
-    collision prob 0.9998 at j=0.8, ~1e-9 for background)."""
+    collision prob 0.9998 at j=0.8, ~1e-9 for background).
+
+    ``emb_bits`` is the hyperplane signature width and must scale as
+    log2(corpus) for a bigger fixture: the bucket space is 2^bits, so a
+    fixed width means bucket occupancy — and the in-bucket pair join —
+    grows linearly/quadratically with the corpus (measured 149x wall at
+    10x data with bits=8; ~linear with bits=8+log2(10x)≈11). MinHash
+    needs no such scaling: its band buckets live in a 2^61 key space."""
     from kubernetes_logs_datalake_spark.operators.dedup import minhash_lsh_candidates
     from kubernetes_logs_datalake_spark.operators.similarity import lsh_bucketed_pairs
 
@@ -169,7 +176,8 @@ def clustered_queries(spark, fixture_dir: str) -> dict:
     docs = spark.read.parquet(f"{fixture_dir}/documents")
     return {
         "dedup_embedding_lsh_clustered": lambda: lsh_bucketed_pairs(
-            emb, "vec_id", "embedding", threshold=0.8, bits=8, tables=8, dim=64
+            emb, "vec_id", "embedding", threshold=0.8,
+            bits=emb_bits, tables=emb_tables, dim=64,
         ),
         "minhash_lsh_clustered": lambda: minhash_lsh_candidates(
             docs, "doc_id", "text", num_hashes=64, bands=16, n=1
