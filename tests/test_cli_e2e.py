@@ -154,6 +154,46 @@ def test_since_filters_old_rows(spark, lake_root, capsys):
     assert out == ["live new"]
 
 
+def test_native_lake_ingest_to_cli_roundtrip(spark, tmp_path, capsys):
+    """Full lifecycle on OUR writer's native hive layout: CRI lines →
+    parse → partitioned lake write → cli query with selector + output
+    mode. The positional tests above cover reading the REFERENCE
+    writer's layout; this covers the engine's own write→read loop."""
+    from kubernetes_logs_datalake_spark.sources import parse_cri_lines
+    from kubernetes_logs_datalake_spark.sources.logs import LogLake
+
+    raw = spark.createDataFrame(
+        [
+            ("/var/log/pods/qa_pod-a_u1/app/0.log",
+             "2024-01-15T10:30:45.123456789Z stdout F native a1"),
+            ("/var/log/pods/qa_pod-a_u1/app/0.log",
+             "2024-01-15T10:30:46.000000001Z stdout F native a2"),
+            ("/var/log/pods/prod_pod-b_u2/web/0.log",
+             "2024-01-15T10:30:45.5Z stderr F native b1"),
+        ],
+        ["path", "value"],
+    )
+    lake = LogLake(str(tmp_path / "native_lake"))
+    lake.write_batch(parse_cri_lines(raw, path_col="path", cluster="dev"))
+
+    rc, out = _run(
+        capsys, "--context=dev", f"--root={lake.root}", "query",
+        '{namespace="qa"}', "-f", "parquet", "-o", "columns",
+    )
+    assert rc == 0
+    assert out == [
+        "2024-01-15T10:30:45.123456789Z pod-a app stdout native a1",
+        "2024-01-15T10:30:46.000000001Z pod-a app stdout native a2",
+    ]
+
+    rc, out = _run(
+        capsys, "--context=dev", f"--root={lake.root}", "query",
+        '{container="web"}', "-f", "parquet", "-o", "raw",
+    )
+    assert rc == 0
+    assert out == ["native b1"]
+
+
 def test_bad_selector_and_bad_root_exit_2(spark, lake_root, capsys):
     rc = main([
         "--context=dev", f"--root={lake_root}", "query", "not a selector",
