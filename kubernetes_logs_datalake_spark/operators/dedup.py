@@ -192,20 +192,29 @@ def minhash_signatures(
       of one base hash). Recall is gated by
       ``tests/test_similarity_quality.py``.
     """
+    # materialize the per-shingle base hash as a COLUMN before the
+    # aggregation instead of inlining it into every min-expression:
+    # with k agg buffers the aggregate can fall out of whole-stage
+    # codegen, losing common-subexpression elimination — inlined, the
+    # string hash (or the md5 portable base) would then run k times per
+    # row (measured ~20% suite cost for xxh64; far worse for md5)
+    if hash_family == "portable":
+        base_hash = portable_base_hash("shingle").cast("decimal(38,0)")
+    else:
+        base_hash = F.xxhash64(F.col("shingle"))
     base = df.select(
         F.col(id_col).alias("_id"),
         F.explode(shingles(text_col, n)).alias("shingle"),
-    )
+    ).select("_id", base_hash.alias("_hb"))
     if hash_family == "portable":
-        hb = portable_base_hash("shingle").cast("decimal(38,0)")
+        hb = F.col("_hb")
         mins = [
             F.min(((F.lit(a).cast("decimal(38,0)") * hb + F.lit(b)) % F.lit(PORTABLE_P)).cast("long")).alias(f"h{k}")
             for k, (a, b) in enumerate(minhash_affine_coeffs(num_hashes))
         ]
     else:
-        hb = F.xxhash64(F.col("shingle"))
         mins = [
-            F.min(F.xxhash64(hb, F.lit(seed))).alias(f"h{seed}")
+            F.min(F.xxhash64(F.col("_hb"), F.lit(seed))).alias(f"h{seed}")
             for seed in range(num_hashes)
         ]
     agg = base.groupBy("_id").agg(*mins)
