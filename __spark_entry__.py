@@ -2206,6 +2206,87 @@ def _docs_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- round-5 additions
+
+
+def _docs_chunk_passages(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping passage chunking (RAG / retrieval indexing): 64-word
+    windows advancing by 48, so consecutive chunks share 16 words. Pure
+    map stage — array HOFs over one tokenization, one posexplode."""
+    from kubernetes_logs_datalake_spark.operators.sampling import chunk_passages
+
+    d = _t(spark, sf, "documents")
+    return chunk_passages(d, "doc_id", "text", size=64, overlap=16)
+
+
+def _docs_common_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus boilerplate phrase table: top trigrams by document
+    frequency (distinct docs containing the gram)."""
+    from kubernetes_logs_datalake_spark.operators.textstats import common_ngrams
+
+    d = _t(spark, sf, "documents")
+    return common_ngrams(d, "doc_id", "text", n=3, min_df=2, k=25)
+
+
+def _dedup_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase MinHash dedup's verify stage: for each banded-LSH
+    candidate pair, signature-estimated Jaccard vs exact shingle-set
+    Jaccard and the estimator's absolute error (portable hash family so
+    the whole report is DuckDB-hash-checkable)."""
+    from kubernetes_logs_datalake_spark.operators.dedup import minhash_calibration
+
+    d = _t(spark, sf, "documents")
+    return minhash_calibration(
+        d, "doc_id", "text",
+        num_hashes=_MINHASH_NUM_HASHES, bands=_MINHASH_BANDS, n=_MINHASH_N,
+        hash_family="portable",
+    )
+
+
+def _events_hopping_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hopping-window rollup: 10-minute windows sliding every 5 minutes
+    per event type — the overlapping-window analog of the hourly
+    continuous aggregate, in exact integer epoch-µs arithmetic."""
+    from kubernetes_logs_datalake_spark.operators.rollup import hopping_rollup
+
+    e = _t(spark, sf, "events")
+    return hopping_rollup(
+        e,
+        ts_col="ts",
+        window_us=600_000_000,
+        slide_us=300_000_000,
+        keys=["event_type"],
+        aggs=[
+            F.count("*").alias("n"),
+            _dsum(_dprice("value")).alias("sum_value"),
+            _davg(_dprice("value")).alias("avg_value"),
+        ],
+    )
+
+
+def _ann_recall_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN quality eval: recall@10 of the multi-probe hyperplane-LSH
+    top-k against the exact brute-force top-k for the same query vector
+    — the measurement that justifies (or vetoes) trusting the bucketed
+    scan at scale. One row: (k, n_hits, recall).
+
+    On the driver's uniform-random embedding fixture the measured
+    recall is intentionally low — near-random vectors spread the true
+    top-k across buckets, which is exactly what this harness exists to
+    expose. On a clustered (realistic) corpus the same operator clears
+    0.9 recall: tests/test_similarity_quality.py
+    ::test_lsh_recall_on_clustered_corpus."""
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    q = _query_vec(spark, sf)
+    bf = brute_force_topk(emb, "embedding", q, k=10).select("vec_id")
+    ap = lsh_topk(emb, "embedding", q, k=10, planes=6, probes=2).select("vec_id")
+    return bf.join(ap, "vec_id").agg(
+        F.lit(10).alias("k"),
+        F.count("*").alias("n_hits"),
+        (F.count("*") / F.lit(10)).alias("recall"),
+    )
+
+
 # ================================================================ registry
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
@@ -2418,6 +2499,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_quality_keep": _dedup_quality_keep,
         "docs_ngram_novelty": _docs_ngram_novelty,
         "docs_token_budget": _docs_token_budget,
+        # round-5 additions
+        "docs_chunk_passages": _docs_chunk_passages,
+        "docs_common_ngrams": _docs_common_ngrams,
+        "dedup_minhash_calibration": _dedup_minhash_calibration,
+        "events_hopping_rollup": _events_hopping_rollup,
+        "ann_recall_lsh": _ann_recall_lsh,
     }
 
 
@@ -3907,6 +3994,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_windows
             FROM isl2 GROUP BY doc_id, island
         """,
+        # round-5 additions
+        "docs_chunk_passages": _ddb_chunk_passages_sql(size=64, overlap=16),
+        "docs_common_ngrams": f"""
+            WITH sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest({_ddb_shingle_list(_DDB_WORDS.format(t="text"), 3)}) AS ngram
+                FROM documents
+            )
+            SELECT ngram, count(*) AS doc_freq
+            FROM sh GROUP BY ngram HAVING count(*) >= 2
+            ORDER BY doc_freq DESC, ngram LIMIT 25
+        """,
+        "dedup_minhash_calibration": _ddb_minhash_calibration_sql(),
+        "events_hopping_rollup": f"""
+            SELECT CAST(i * 300000000 AS BIGINT) AS window_start_us,
+                   event_type, count(*) AS n,
+                   {_s_dsum("CAST(value AS DECIMAL(12,4))", "sum_value")},
+                   {_s_davg("CAST(value AS DECIMAL(12,4))", "avg_value")}
+            FROM (
+                SELECT event_type, value,
+                       unnest(generate_series(
+                           (epoch_us(ts) - 600000000) // 300000000 + 1,
+                           epoch_us(ts) // 300000000)) AS i
+                FROM events
+            ) GROUP BY 1, 2
+        """,
+        "ann_recall_lsh": _ddb_ann_recall_sql(dim=EMBEDDING_DIM),
         # Rows-only (no SQL oracle): ann_topk_arrow (numpy pairwise
         # summation), approx_distinct_users (engine-native HLL),
         # doc_length_bins_approx (GK sketch cutpoints). Everything else
@@ -3966,6 +4080,137 @@ def _ann_lsh_oracle_sql(dim: int, planes: int = 6, k: int = 10) -> str:
             WHERE e.vec_id <> 0
               AND bit_count(xor({sig_sql("e")}, (SELECT sig FROM qs))) <= 1
             ORDER BY cos DESC, e.vec_id LIMIT {k})
+    """
+
+
+def _ddb_chunk_passages_sql(size: int, overlap: int) -> str:
+    """DuckDB mirror of ``sampling.chunk_passages``: same stride and
+    chunk-count arithmetic, 1-based inclusive list slices ≡ Spark's
+    slice(start, length), clamped at the tail in both engines."""
+    stride = size - overlap
+    w = _DDB_WORDS.format(t="text")
+    return f"""
+        WITH c AS (
+            SELECT doc_id, wl, len(wl) AS nw,
+                   CASE WHEN len(wl) <= {size} THEN 1
+                        ELSE 1 + CAST(ceil((len(wl) - {size}) / {stride}.0) AS BIGINT)
+                   END AS nc
+            FROM (SELECT doc_id, list_filter({w}, x -> x <> '') AS wl
+                  FROM documents)
+            WHERE len(wl) > 0
+        ), e AS (
+            SELECT doc_id, wl,
+                   unnest(generate_series(0, nc - 1)) AS k
+            FROM c
+        )
+        SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+               CAST(k * {stride} AS BIGINT) AS start_word,
+               CAST(len(wl[k*{stride}+1 : k*{stride}+{size}]) AS BIGINT) AS n_words,
+               array_to_string(wl[k*{stride}+1 : k*{stride}+{size}], ' ') AS chunk_text
+        FROM e
+    """
+
+
+def _ddb_minhash_calibration_sql(
+    num_hashes: int = _MINHASH_NUM_HASHES,
+    bands: int = _MINHASH_BANDS,
+    n: int = _MINHASH_N,
+    scale: int = 6,
+) -> str:
+    """DuckDB mirror of ``dedup.minhash_calibration`` — shares the
+    affine coefficients and band layout with _ddb_minhash_lsh_sql (one
+    source of truth), then compares the signature-estimated Jaccard
+    (equal-component fraction) with the exact shingle-set Jaccard on
+    the candidate pairs only."""
+    from kubernetes_logs_datalake_spark.operators.dedup import (
+        PORTABLE_M,
+        PORTABLE_P,
+        minhash_affine_coeffs,
+    )
+
+    w = _ddb_shingle_list(_DDB_WORDS.format(t="text"), n)
+    rows = num_hashes // bands
+    mins = ",\n                   ".join(
+        f"min(CAST((CAST({a} AS HUGEINT) * base + {b}) % {PORTABLE_P} AS BIGINT)) AS h{k}"
+        for k, (a, b) in enumerate(minhash_affine_coeffs(num_hashes))
+    )
+    band_rows = []
+    for b in range(bands):
+        acc = f"CAST(h{b * rows} AS HUGEINT)"
+        for r in range(1, rows):
+            acc = f"(({acc}) * {PORTABLE_M} + h{b * rows + r}) % {PORTABLE_P}"
+        band_rows.append(
+            f"SELECT _id, {b} AS band, CAST({acc} AS BIGINT) AS bucket FROM sig"
+        )
+    banded = "\n                UNION ALL ".join(band_rows)
+    eq_terms = " + ".join(
+        f"(CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END)" for k in range(num_hashes)
+    )
+    return f"""
+            WITH ws AS (
+                SELECT doc_id AS _id, unnest({w}) AS shingle FROM documents
+            ), hb AS (
+                SELECT _id, {_ddb_md5_60("shingle")} AS base FROM ws
+            ), sig AS (
+                SELECT _id, {mins}
+                FROM hb GROUP BY _id
+            ), banded AS (
+                {banded}
+            ), cands AS (
+                SELECT DISTINCT a._id AS id_a, b._id AS id_b
+                FROM banded a JOIN banded b USING (band, bucket)
+                WHERE a._id < b._id
+            ), est AS (
+                SELECT c.id_a, c.id_b,
+                       ({eq_terms}) / {num_hashes}.0 AS est
+                FROM cands c
+                JOIN sig sa ON sa._id = c.id_a
+                JOIN sig sb ON sb._id = c.id_b
+            ), sets AS (
+                SELECT DISTINCT _id, shingle FROM ws
+            ), sz AS (
+                SELECT _id, count(*) AS sz FROM sets GROUP BY _id
+            ), inter AS (
+                SELECT c.id_a, c.id_b, count(*) AS i
+                FROM cands c
+                JOIN sets sa ON sa._id = c.id_a
+                JOIN sets sb ON sb._id = c.id_b AND sb.shingle = sa.shingle
+                GROUP BY c.id_a, c.id_b
+            )
+            SELECT e.id_a, e.id_b,
+                   round(e.est, {scale}) AS est_jaccard,
+                   round(jac, {scale}) AS jaccard,
+                   round(abs(e.est - jac), {scale}) AS abs_err
+            FROM (
+                SELECT e.id_a, e.id_b, e.est,
+                       COALESCE(i.i, 0) / CAST(za.sz + zb.sz - COALESCE(i.i, 0) AS DOUBLE) AS jac
+                FROM est e
+                LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+                JOIN sz za ON za._id = e.id_a
+                JOIN sz zb ON zb._id = e.id_b
+            ) e
+    """
+
+
+def _ddb_ann_recall_sql(dim: int, planes: int = 6, k: int = 10) -> str:
+    """DuckDB mirror of the ANN recall@k eval: exact brute-force top-k
+    ∩ multi-probe LSH top-k (both the same definitions as their
+    individually-oracled queries), over k."""
+    cos = _ddb_cos("e.embedding", "q.embedding", dim)
+    bf = f"""
+        SELECT vec_id FROM (
+            SELECT e.vec_id, {cos} AS cos
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0)
+        ORDER BY cos DESC, vec_id LIMIT {k}
+    """
+    lsh = _ann_lsh_oracle_sql(dim=dim, planes=planes, k=k)
+    return f"""
+        WITH bf AS ({bf}), ap AS ({lsh})
+        SELECT {k} AS k, count(*) AS n_hits,
+               count(*) / {k}.0 AS recall
+        FROM bf JOIN ap USING (vec_id)
     """
 
 

@@ -658,3 +658,75 @@ def corpus_diff(
             .alias("status"),
         )
     )
+
+
+# ----------------------------------------------------- calibration
+
+
+def minhash_calibration(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    hash_family: str = "xxh64",
+    scale: int = 6,
+) -> DataFrame:
+    """The verify/refine stage of two-phase MinHash dedup, doubling as a
+    sketch-calibration report: for every LSH candidate pair, the
+    signature-estimated Jaccard (fraction of equal MinHash components —
+    the datasketch estimator) next to the exact shingle-set Jaccard and
+    their absolute error. Output: (id_a, id_b, est_jaccard, jaccard,
+    abs_err).
+
+    This is the step that makes banded LSH safe to act on at scale:
+    candidates are cheap and over-inclusive; deletions should use the
+    exact (or estimated, at tolerance) similarity computed *only on the
+    candidate set*.
+
+    Plan: the candidate set (banded equi-join, never all-pairs) drives
+    everything — signatures join to it by id (two hash joins), and the
+    exact intersection joins the per-doc DISTINCT shingle rows through
+    the (id, shingle) keys of candidate members only. No all-pairs
+    stage anywhere; cost is |candidates| × avg shingle count.
+    """
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, n, hash_family)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n, hash_family)
+    est = (
+        cands.join(sig.select(F.col("_id").alias("id_a"), F.col("signature").alias("_sa")), "id_a")
+        .join(sig.select(F.col("_id").alias("id_b"), F.col("signature").alias("_sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda v: v))
+                / F.lit(num_hashes)
+            ).alias("_est"),
+        )
+    )
+    sets = shingle_sets(df, id_col, text_col, n)
+    sz = sets.groupBy("_id").agg(F.count("*").alias("_sz"))
+    inter = (
+        cands.join(sets.select(F.col("_id").alias("id_a"), "shingle"), "id_a")
+        .join(sets.select(F.col("_id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    out = (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(sz.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza")), "id_a")
+        .join(sz.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb")), "id_b")
+        .withColumn("_inter", F.coalesce(F.col("_inter"), F.lit(0)))
+        .withColumn(
+            "_jac",
+            F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter")),
+        )
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("_est", scale).alias("est_jaccard"),
+        F.round("_jac", scale).alias("jaccard"),
+        F.round(F.abs(F.col("_est") - F.col("_jac")), scale).alias("abs_err"),
+    )

@@ -307,3 +307,34 @@ def ngram_novelty(
             F.round(F.col("n_novel").cast("double") / F.col("n_grams"), 6),
         )
     )
+
+
+def common_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_df: int = 2,
+    k: int = 25,
+) -> DataFrame:
+    """Corpus-level boilerplate phrase detection: the top-``k`` word
+    ``n``-grams by document frequency (distinct documents containing
+    the gram), the phrase table behind template/boilerplate stripping
+    in web-corpus curation. Output: (ngram, doc_freq), doc_freq desc,
+    gram asc for deterministic ties.
+
+    Plan: distinct (id, gram) explode → one map-side-combined count per
+    gram → TakeOrderedAndProject top-k. Key cardinality is corpus-level
+    n-gram vocabulary — spread, never a hot key; the top-k never
+    shuffles the gram table globally.
+    """
+    from kubernetes_logs_datalake_spark.operators.dedup import shingle_sets
+
+    sh = shingle_sets(df, id_col, text_col, n=n)
+    return (
+        sh.groupBy(F.col("shingle").alias("ngram"))
+        .agg(F.count("*").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_df)
+        .orderBy(F.desc("doc_freq"), F.col("ngram"))
+        .limit(k)
+    )

@@ -1,0 +1,141 @@
+"""Tests: round-5 operators — hopping-window rollup, passage chunking,
+corpus boilerplate n-grams, MinHash calibration, ANN recall eval."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kubernetes_logs_datalake_spark.operators.dedup import (
+    minhash_calibration,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+)
+from kubernetes_logs_datalake_spark.operators.rollup import hopping_rollup
+from kubernetes_logs_datalake_spark.operators.sampling import chunk_passages
+from kubernetes_logs_datalake_spark.operators.textstats import common_ngrams
+
+US = 1_000_000
+
+
+def test_hopping_rollup_window_membership(spark):
+    # window 10 s, slide 5 s: event at t lands in exactly the windows
+    # [start, start+10s) with start ∈ {5s·i}; base far from epoch so the
+    # t-window>0 floor-division fast path is the one exercised
+    base = 1_700_000_000 * US
+    rows = [
+        (1, base + 0),          # windows starting at base-5s and base
+        (2, base + 4 * US),     # same two windows
+        (3, base + 5 * US),     # windows base and base+5s
+        (4, base + 12 * US),    # windows base+5s and base+10s
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts_us long").select(
+        "event_id", F.timestamp_micros(F.col("ts_us")).alias("ts")
+    )
+    out = hopping_rollup(
+        df, ts_col="ts", window_us=10 * US, slide_us=5 * US,
+        aggs=[F.count("*").alias("n")],
+    )
+    got = {r.window_start_us: r.n for r in out.collect()}
+    assert got == {
+        base - 5 * US: 2,   # events 1, 2
+        base: 3,            # events 1, 2, 3
+        base + 5 * US: 2,   # events 3, 4
+        base + 10 * US: 1,  # event 4
+    }
+    # every event appears in exactly window/slide = 2 windows
+    assert sum(got.values()) == 2 * len(rows)
+
+
+def test_hopping_rollup_boundary_exclusive(spark):
+    # an event exactly on a window end (t = start + window) is NOT in
+    # that window but IS the first event of the window starting at t
+    t = 1_700_000_000 * US
+    df = spark.createDataFrame([(1, t)], "event_id long, ts_us long").select(
+        "event_id", F.timestamp_micros(F.col("ts_us")).alias("ts")
+    )
+    out = hopping_rollup(df, ts_col="ts", window_us=10 * US, slide_us=5 * US)
+    starts = sorted(r.window_start_us for r in out.collect())
+    assert starts == [t - 5 * US, t]
+
+
+def test_hopping_rollup_rejects_non_multiple():
+    import pytest
+
+    with pytest.raises(ValueError):
+        hopping_rollup(None, window_us=7, slide_us=3)
+
+
+def test_chunk_passages_boundaries(spark):
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, "")], "doc_id long, text string"
+    )
+    out = chunk_passages(df, "doc_id", "text", size=10, overlap=2)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_idx))
+    d1 = [r for r in rows if r.doc_id == 1]
+    # stride 8: chunks at 0, 8, …, 96 → 13 chunks; last has 4 words
+    assert len(d1) == 13
+    assert d1[0].chunk_text.split() == [f"w{i}" for i in range(10)]
+    assert d1[1].start_word == 8
+    assert d1[-1].start_word == 96 and d1[-1].n_words == 4
+    # consecutive chunks share exactly `overlap` words
+    assert d1[0].chunk_text.split()[-2:] == d1[1].chunk_text.split()[:2]
+    # short doc → one whole-doc chunk; empty doc → no chunks
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].n_words == 3
+    assert not [r for r in rows if r.doc_id == 3]
+
+
+def test_common_ngrams_ranking(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown cat sleeps"),
+            (3, "the quick brown cat purrs"),
+            (4, "unrelated words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = common_ngrams(df, "doc_id", "text", n=3, min_df=2, k=10).collect()
+    by_gram = {r.ngram: r.doc_freq for r in out}
+    assert by_gram["the quick brown"] == 3
+    assert by_gram["quick brown cat"] == 2
+    # min_df excludes singletons entirely
+    assert all(v >= 2 for v in by_gram.values())
+    # ordering: doc_freq desc, gram asc
+    assert [r.ngram for r in out][0] == "the quick brown"
+
+
+def test_minhash_calibration_matches_exact_jaccard(spark):
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),  # near-dup of 1
+        (3, "completely different tokens nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = minhash_calibration(
+        df, "doc_id", "text", num_hashes=64, bands=16, n=1, hash_family="portable"
+    ).collect()
+    pairs = {(r.id_a, r.id_b): r for r in out}
+    assert (1, 2) in pairs  # the planted near-dup must be a candidate
+    r = pairs[(1, 2)]
+    # exact Jaccard of the two 8-word sets: |∩|=7, |∪|=9 (scale-6 rounding)
+    assert abs(r.jaccard - 7 / 9) < 1e-6
+    # estimator/report invariants on every pair
+    for p in out:
+        assert 0.0 <= p.est_jaccard <= 1.0
+        assert 0.0 <= p.jaccard <= 1.0
+        assert abs(p.abs_err - abs(p.est_jaccard - p.jaccard)) < 1e-6
+    # calibration's candidate set IS the LSH candidate set (same params)
+    cands = minhash_lsh_candidates(
+        df, "doc_id", "text", num_hashes=64, bands=16, n=1, hash_family="portable"
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in cands} == set(pairs)
+    # and its exact column agrees with the inverted-index Jaccard op
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", n=1, threshold=0.0).collect()
+    }
+    for (a, b), row in pairs.items():
+        if (a, b) in exact:
+            assert abs(exact[(a, b)] - row.jaccard) < 1e-6
