@@ -66,6 +66,10 @@ HEADLINE = [
     "docs_duplicate_spans",
     "docs_decontaminate_semantic",
     "embedding_kmeans",
+    "docs_chunk_passages",
+    "docs_common_ngrams",
+    "events_hopping_rollup",
+    "ann_recall_lsh",
 ]
 
 
@@ -169,7 +173,10 @@ def clustered_queries(spark, fixture_dir: str, emb_bits: int = 8, emb_tables: in
     grows linearly/quadratically with the corpus (measured 149x wall at
     10x data with bits=8; ~linear with bits=8+log2(10x)≈11). MinHash
     needs no such scaling: its band buckets live in a 2^61 key space."""
-    from kubernetes_logs_datalake_spark.operators.dedup import minhash_lsh_candidates
+    from kubernetes_logs_datalake_spark.operators.dedup import (
+        minhash_calibration,
+        minhash_lsh_candidates,
+    )
     from kubernetes_logs_datalake_spark.operators.similarity import lsh_bucketed_pairs
 
     emb = spark.read.parquet(f"{fixture_dir}/embeddings")
@@ -180,6 +187,11 @@ def clustered_queries(spark, fixture_dir: str, emb_bits: int = 8, emb_tables: in
             bits=emb_bits, tables=emb_tables, dim=64,
         ),
         "minhash_lsh_clustered": lambda: minhash_lsh_candidates(
+            docs, "doc_id", "text", num_hashes=64, bands=16, n=1
+        ),
+        # two-phase dedup end-to-end: banding + est/exact verify on the
+        # candidate set (xxh64 fast path — the scale configuration)
+        "minhash_calibration_clustered": lambda: minhash_calibration(
             docs, "doc_id", "text", num_hashes=64, bands=16, n=1
         ),
     }

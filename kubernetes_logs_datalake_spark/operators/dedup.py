@@ -231,6 +231,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     n: int = 3,
     hash_family: str = "xxh64",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -241,9 +242,17 @@ def minhash_lsh_candidates(
     re-rank candidates with ``ngram_jaccard_pairs`` semantics on the
     (small) candidate set. Band buckets hash the row longs directly
     (``xxhash64(h_0, …, h_r)``) — no per-row string materialization.
+
+    ``signatures`` lets a caller that already built the signature table
+    (e.g. :func:`minhash_calibration`) share one hashing pass instead of
+    recomputing the shingle explode + k-min aggregation.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n, hash_family)
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, id_col, text_col, num_hashes, n, hash_family)
+    )
     if hash_family == "portable":
         # chain the band's row values into one exact 61-bit bucket key:
         # ((h0·M + h1)·M + …) mod 2^61-1, reproducible in DuckDB HUGEINT
@@ -689,10 +698,18 @@ def minhash_calibration(
     everything — signatures join to it by id (two hash joins), and the
     exact intersection joins the per-doc DISTINCT shingle rows through
     the (id, shingle) keys of candidate members only. No all-pairs
-    stage anywhere; cost is |candidates| × avg shingle count.
+    stage anywhere; cost is |candidates| × avg shingle count. The
+    signature table is built ONCE (lazy localCheckpoint: materialized
+    on first action, then shared by the banding join and the two
+    per-side estimate joins — without it the shingle explode + k-min
+    aggregation would re-run for each of its three plan references).
     """
-    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands, n, hash_family)
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n, hash_family)
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes, n, hash_family
+    ).localCheckpoint(eager=False)
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, num_hashes, bands, n, hash_family, signatures=sig
+    )
     est = (
         cands.join(sig.select(F.col("_id").alias("id_a"), F.col("signature").alias("_sa")), "id_a")
         .join(sig.select(F.col("_id").alias("id_b"), F.col("signature").alias("_sb")), "id_b")
