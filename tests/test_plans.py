@@ -207,3 +207,30 @@ def test_multiline_reassembly_single_shuffle_at_contract(spark):
     hash partitioning (its key is a superset)."""
     p = plan_of(spark, "cri_multiline_roundtrip")
     assert p.count("Exchange") == 1
+
+
+def test_hopping_rollup_single_shuffle(spark):
+    """The hopping-window rollup must be: scan → constant-factor explode
+    → map-side partial agg → ONE exchange → final agg. The window
+    expansion must never introduce a second shuffle or a sort."""
+    p = plan_of(spark, "events_hopping_rollup")
+    assert p.count("HashAggregate") >= 2  # partial + final
+    assert p.count("Exchange") == 1
+    assert "explode(sequence" in p  # constant window-index expansion
+
+
+def test_chunk_passages_is_map_only(spark):
+    """Passage chunking is a pure map stage: one tokenization, HOF
+    window arithmetic, one posexplode — no shuffle anywhere."""
+    p = plan_of(spark, "docs_chunk_passages")
+    assert "Exchange" not in p
+    assert "posexplode" in p
+
+
+def test_common_ngrams_topk_take_ordered(spark):
+    """The corpus phrase table's global top-k must compile to
+    TakeOrderedAndProject (per-partition local k + driver merge), never
+    a global sort of the gram table."""
+    p = plan_of(spark, "docs_common_ngrams")
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p  # no global SortExec stage
