@@ -71,6 +71,11 @@ QUERIES = [
     "docs_duplicate_spans",
     "docs_char_lm_score",
     "embedding_kmeans",
+    # round-5 additions: constant-factor explode (hopping), map-only
+    # chunking, distinct+count phrase table
+    "events_hopping_rollup",
+    "docs_chunk_passages",
+    "docs_common_ngrams",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
