@@ -2264,6 +2264,27 @@ def _events_hopping_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _events_sliding_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Trending query: top-3 users by event count per 10-minute window
+    sliding every 5 minutes — hopping rollup composed with a per-window
+    rank (partitioned window, never global)."""
+    from pyspark.sql import Window
+
+    from kubernetes_logs_datalake_spark.operators.rollup import hopping_rollup
+
+    e = _t(spark, sf, "events")
+    counts = hopping_rollup(
+        e, ts_col="ts", window_us=600_000_000, slide_us=300_000_000,
+        keys=["user_id"], aggs=[F.count("*").alias("n")],
+    )
+    w = Window.partitionBy("window_start_us").orderBy(F.desc("n"), "user_id")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("window_start_us", "user_id", "n", "rank")
+    )
+
+
 def _ann_recall_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """ANN quality eval: recall@10 of the multi-probe hyperplane-LSH
     top-k against the exact brute-force top-k for the same query vector
@@ -2504,6 +2525,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_common_ngrams": _docs_common_ngrams,
         "dedup_minhash_calibration": _dedup_minhash_calibration,
         "events_hopping_rollup": _events_hopping_rollup,
+        "events_sliding_topk": _events_sliding_topk,
         "ann_recall_lsh": _ann_recall_lsh,
     }
 
@@ -4019,6 +4041,25 @@ def oracle_sql() -> dict[str, str]:
                            epoch_us(ts) // 300000000)) AS i
                 FROM events
             ) GROUP BY 1, 2
+        """,
+        "events_sliding_topk": """
+            WITH c AS (
+                SELECT CAST(i * 300000000 AS BIGINT) AS window_start_us,
+                       user_id, count(*) AS n
+                FROM (
+                    SELECT user_id,
+                           unnest(generate_series(
+                               (epoch_us(ts) - 600000000) // 300000000 + 1,
+                               epoch_us(ts) // 300000000)) AS i
+                    FROM events
+                ) GROUP BY 1, 2
+            )
+            SELECT window_start_us, user_id, n, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY window_start_us ORDER BY n DESC, user_id) AS rank
+                FROM c
+            ) WHERE rank <= 3
         """,
         "ann_recall_lsh": _ddb_ann_recall_sql(dim=EMBEDDING_DIM),
         # Rows-only (no SQL oracle): ann_topk_arrow (numpy pairwise

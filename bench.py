@@ -69,6 +69,7 @@ HEADLINE = [
     "docs_chunk_passages",
     "docs_common_ngrams",
     "events_hopping_rollup",
+    "events_sliding_topk",
     "ann_recall_lsh",
 ]
 
