@@ -75,6 +75,41 @@ def stream_dedup(
     return out.dropDuplicates(keys)
 
 
+def hopping_counts(
+    records: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark_delay: str = "5 minutes",
+    keys: list[str] | None = None,
+    time_col: str = "time",
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Sliding (hopping) window aggregation — the streaming counterpart
+    of ``operators.rollup.hopping_rollup``. Uses the native
+    ``F.window(time, window, slide)`` so the watermark can finalize and
+    DROP window state (the engine recognizes the window as derived from
+    the watermarked column; an arithmetic surrogate key would keep
+    state forever in append mode). Batch callers wanting the
+    oracle-checkable exact-integer form use ``hopping_rollup``; the two
+    agree — tests/test_operators_misc.py pins it.
+    """
+    keys = keys or []
+    aggs = aggs or [F.count(F.lit(1)).alias("n")]
+    out = records.withColumn(time_col, F.col(time_col).cast("timestamp"))
+    if records.isStreaming:
+        out = out.withWatermark(time_col, watermark_delay)
+    res = out.groupBy(
+        F.window(time_col, window, slide).alias("w"), *[F.col(k) for k in keys]
+    ).agg(*aggs)
+    agg_cols = [c for c in res.columns if c != "w" and c not in keys]
+    return res.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *keys,
+        *agg_cols,
+    )
+
+
 def sessionized_counts(
     records: DataFrame,
     gap: str = "30 minutes",

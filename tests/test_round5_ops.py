@@ -139,3 +139,70 @@ def test_minhash_calibration_matches_exact_jaccard(spark):
     for (a, b), row in pairs.items():
         if (a, b) in exact:
             assert abs(exact[(a, b)] - row.jaccard) < 1e-6
+
+
+def test_hopping_counts_batch_stream_and_rollup_agree(spark, tmp_path):
+    """Three paths, one answer: native-sliding-window batch, the same
+    plan over a file stream (complete mode), and the exact-integer
+    hopping_rollup — all must produce identical (window_start, n)."""
+    from kubernetes_logs_datalake_spark.sources.cri import parse_cri_lines
+    from kubernetes_logs_datalake_spark.streaming.analytics import hopping_counts
+
+    data_dir = tmp_path / "in"
+    data_dir.mkdir()
+    lines = [
+        f"2024-01-15T10:{30 + (i // 30):02d}:{i % 30:02d}.0Z stdout F m{i}"
+        for i in range(90)
+    ]
+    (data_dir / "a.log").write_text("\n".join(lines) + "\n")
+
+    def records_of(df):
+        return parse_cri_lines(
+            df.withColumn("path", F.input_file_name()), path_col=None, cluster="dev"
+        )
+
+    batch = records_of(spark.read.text(str(data_dir)))
+    got_batch = {
+        (str(r.window_start), r.n)
+        for r in hopping_counts(batch, window="1 minute", slide="30 seconds").collect()
+    }
+    # 90 events over 10:30:00-10:32:29; each 1-min window sliding 30 s
+    assert ("2024-01-15 10:30:00", 30) in got_batch
+    assert ("2024-01-15 10:30:30", 30) in got_batch  # straddles 30:30-31:29
+
+    # exact-integer batch form agrees (window_start_us → same instants)
+    rolled = hopping_rollup(
+        batch, ts_col="time", window_us=60 * US, slide_us=30 * US,
+        aggs=[F.count("*").alias("n")],
+    )
+    import datetime as dt
+
+    got_rolled = {
+        (
+            dt.datetime.fromtimestamp(
+                r.window_start_us / US, dt.timezone.utc
+            ).strftime("%Y-%m-%d %H:%M:%S"),
+            r.n,
+        )
+        for r in rolled.collect()
+    }
+    assert got_rolled == got_batch
+
+    stream = records_of(spark.readStream.format("text").load(str(data_dir)))
+    q = (
+        hopping_counts(stream, window="1 minute", slide="30 seconds",
+                       watermark_delay="1 minute")
+        .writeStream.format("memory")
+        .queryName("hop_counts")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got_stream = {
+            (str(r.window_start), r.n)
+            for r in spark.sql("SELECT * FROM hop_counts").collect()
+        }
+        assert got_stream == got_batch
+    finally:
+        q.stop()
