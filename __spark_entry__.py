@@ -2128,6 +2128,21 @@ def _dedup_quality_keep(spark: SparkSession, sf: str) -> DataFrame:
     return quality_keep(d, pairs, "doc_id", token_count("text"))
 
 
+def _dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+    corpus, all-pairs cosine only INSIDE each cell, connected
+    components over cos>=0.35 edges, keep the component member
+    farthest from its centroid. One verdict row per vector. The
+    deterministic k-means + md5 init + rounded decimal arithmetic make
+    even this doubly-iterative pipeline hash-checkable (oracle unrolls
+    the Lloyd iterations and uses a recursive CTE for components)."""
+    from kubernetes_logs_datalake_spark.operators.semdedup import semdedup
+
+    emb = _t(spark, sf, "embeddings")
+    out = semdedup(emb, "vec_id", "embedding", k=8, iters=3, threshold=0.35)
+    return out.select("cluster", "vec_id", "component", "dist", "keep")
+
+
 def _docs_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-novelty signal: fraction of each doc's distinct 5-grams
     occurring in no other document."""
@@ -2518,6 +2533,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_char_lm_score": _docs_char_lm_score,
         "docs_duplicate_spans": _docs_duplicate_spans,
         "dedup_quality_keep": _dedup_quality_keep,
+        "dedup_semantic": _dedup_semantic,
         "docs_ngram_novelty": _docs_ngram_novelty,
         "docs_token_budget": _docs_token_budget,
         # round-5 additions
@@ -3594,6 +3610,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN hits ON d.doc_id = hits.doc_id
         """,
         "embedding_kmeans": _ddb_kmeans_sql(),
+        "dedup_semantic": _ddb_semdedup_sql(),
         "embedding_label_centroids": """
             WITH pv AS (
                 SELECT label, u.pos, u.val
@@ -4252,6 +4269,45 @@ def _ddb_ann_recall_sql(dim: int, planes: int = 6, k: int = 10) -> str:
         SELECT {k} AS k, count(*) AS n_hits,
                count(*) / {k}.0 AS recall
         FROM bf JOIN ap USING (vec_id)
+    """
+
+
+def _ddb_semdedup_sql(
+    k: int = 8, iters: int = 3, dim: int = EMBEDDING_DIM, threshold: float = 0.35
+) -> str:
+    """DuckDB mirror of ``operators.semdedup.semdedup``: the unrolled
+    k-means CTEs give the cluster assignment, cluster-equality joins
+    give the cell-local cosine pairs (same sequential-fold cosine as
+    _ddb_cos), a recursive CTE resolves min-label components, and the
+    keep verdict is the same dist-DESC/id window in both engines."""
+    ctes = _ddb_kmeans_ctes(k, iters, dim, src="embeddings")
+    cos = _ddb_cos("a.embedding", "b.embedding")
+    return f"""
+        WITH RECURSIVE {ctes},
+        asg AS (SELECT vec_id, CAST(j AS INT) AS cluster,
+                       round(sqrt(d2), 6) AS dist
+                FROM a{iters + 1} WHERE rk = 1),
+        prs AS (
+            SELECT id_a, id_b FROM (
+                SELECT x.vec_id AS id_a, y.vec_id AS id_b, {cos} AS cos
+                FROM asg x
+                JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+                JOIN embeddings a ON a.vec_id = x.vec_id
+                JOIN embeddings b ON b.vec_id = y.vec_id)
+            WHERE cos >= {threshold}),
+        edges AS (SELECT id_a AS a, id_b AS b FROM prs
+                  UNION SELECT id_b, id_a FROM prs),
+        reach(node, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+        SELECT asg.cluster, asg.vec_id,
+               COALESCE(comp.component, asg.vec_id) AS component, asg.dist,
+               (row_number() OVER (
+                   PARTITION BY COALESCE(comp.component, asg.vec_id)
+                   ORDER BY asg.dist DESC, asg.vec_id) = 1) AS keep
+        FROM asg LEFT JOIN comp ON comp.node = asg.vec_id
     """
 
 

@@ -1,0 +1,134 @@
+"""SemDeDup-style semantic deduplication: cluster, then prune within
+clusters (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication", arXiv:2303.09540).
+
+The scale story IS the clustering: brute-force semantic dedup is
+O(n²) in the corpus, but k-means first partitions the corpus into k
+cells and all-pairs cosine runs only *inside* each cell — Σ|cᵢ|²
+work, bounded when k grows with the corpus (the paper runs k=50k on
+LAION). In Spark terms: one deterministic k-means fit
+(:func:`~kubernetes_logs_datalake_spark.operators.vectors.kmeans_fit`,
+map-only assignment + k·dim-key centroid shuffles), then a
+cluster-keyed self-join — the shuffle key is the cluster id, so the
+pair explosion never crosses cells — then iterative min-label
+connected components over the surviving edges and a per-component
+window for the keep verdict.
+
+Keep rule (paper §3): within each duplicate group keep the example
+with the LOWEST cosine similarity to its cluster centroid — i.e. the
+greatest assignment distance, the most "atypical" member — ties break
+to the lowest id. Every input row gets a verdict: non-duplicated rows
+are their own singleton component with keep=true.
+
+Every step is deterministic column algebra (md5-order k-means init,
+6-dp-rounded centroids/distances, sequential-fold cosine), so the
+whole pipeline — including the iterative k-means and the iterative
+components — unrolls into a DuckDB oracle and is hash-checked, not
+rows-only (see ``_ddb_semdedup_sql`` in ``__spark_entry__.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kubernetes_logs_datalake_spark.functions.vectors import cosine_prenorm, norm
+from kubernetes_logs_datalake_spark.operators.dedup import connected_components
+from kubernetes_logs_datalake_spark.operators.vectors import kmeans_fit
+
+
+def semdedup_pairs(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    scale: int = 4,
+) -> DataFrame:
+    """Cluster-local near-duplicate pairs from a ``kmeans_assign``/
+    ``kmeans_fit`` assignment frame (``id, cluster, dist, vec``).
+
+    Returns (cluster, id_a, id_b, cos) with ``cos`` rounded to
+    ``scale``; the threshold filter runs on the unrounded value. The
+    join key is ``cluster``, so candidate generation is one
+    cluster-keyed shuffle with Σ|cluster|² bounded pair work — never a
+    cross join (the plan gate in tests/test_plans.py enforces no
+    BroadcastNestedLoopJoin).
+    """
+    base = assigned.select(
+        F.col("cluster"),
+        F.col(id_col),
+        F.col(vec_col),
+        norm(vec_col).alias("_n"),
+    )
+    a = base.select(
+        "cluster",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = base.select(
+        "cluster",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    return (
+        a.join(b, ["cluster"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine_prenorm("_va", "_vb", "_na", "_nb"))
+        .filter(F.col("cos") >= threshold)
+        .select("cluster", "id_a", "id_b", F.round("cos", scale).alias("cos"))
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.35,
+    max_cluster: int = 20_000,
+) -> DataFrame:
+    """End-to-end SemDeDup: one verdict row per input —
+    (cluster, ``id_col``, component, dist, keep).
+
+    - ``cluster``: deterministic k-means cell (``kmeans_fit``).
+    - ``component``: min-id connected-component label over
+      cluster-local cosine≥threshold edges; rows with no near-dup are
+      their own singleton component.
+    - ``dist``: distance to the assigned centroid (6 dp).
+    - ``keep``: true for the component member farthest from its
+      centroid (the paper's low-centroid-similarity keep), ties to the
+      lowest id; exactly one keep per component.
+
+    ``max_cluster`` guards the Σ|cᵢ|² pair stage: if any cell exceeds
+    it the operator raises with the fix (raise ``k`` — SemDeDup's knob
+    for exactly this) instead of silently running a quadratic cell.
+    """
+    _, assigned = kmeans_fit(df, id_col, vec_col, k=k, iters=iters)
+    if max_cluster is not None:
+        biggest = (
+            assigned.groupBy("cluster")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        if biggest and biggest > max_cluster:
+            raise ValueError(
+                f"semdedup: largest k-means cell has {biggest} rows > "
+                f"max_cluster={max_cluster} (≈{biggest * (biggest - 1) // 2:.2g} "
+                f"pairs in one cell). Raise k so cells shrink, or raise "
+                f"max_cluster explicitly if you accept the quadratic cell."
+            )
+    pairs = semdedup_pairs(assigned, id_col, vec_col, threshold)
+    comp = connected_components(pairs, "id_a", "id_b")
+    out = (
+        assigned.join(comp, assigned[id_col] == comp.node, "left")
+        .withColumn("component", F.coalesce("component", F.col(id_col)))
+        .select("cluster", id_col, "component", "dist")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("dist").desc(), F.col(id_col)
+    )
+    return out.withColumn("keep", F.row_number().over(w) == 1)

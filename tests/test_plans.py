@@ -234,3 +234,11 @@ def test_common_ngrams_topk_take_ordered(spark):
     p = plan_of(spark, "docs_common_ngrams")
     assert "TakeOrderedAndProject" in p
     assert "Sort " not in p  # no global SortExec stage
+
+
+def test_semdedup_pair_stage_is_equi_join(spark):
+    """SemDeDup's pair explosion must stay INSIDE k-means cells — a
+    cluster-keyed equi-join, never an all-pairs nested loop (that would
+    be the O(n²) brute force the clustering exists to avoid)."""
+    p = plan_of(spark, "dedup_semantic")
+    assert "NestedLoop" not in p and "CartesianProduct" not in p

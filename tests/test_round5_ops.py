@@ -206,3 +206,80 @@ def test_hopping_counts_batch_stream_and_rollup_agree(spark, tmp_path):
         assert got_stream == got_batch
     finally:
         q.stop()
+
+
+# ------------------------------------------------------------ semdedup
+
+
+def _vec_rows():
+    # two tight groups far apart (so k=2 k-means separates them) plus
+    # one outlier-ish member per group to control the keep verdict
+    return [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),     # near-dup of 1
+        (3, [0.85, 0.45, 0.0, 0.0]),      # same cell, cos<0.95 to both 1 and 2
+        (10, [0.0, 0.0, 1.0, 0.0]),
+        (11, [0.0, 0.0, 0.999, 0.01]),    # near-dup of 10
+        (20, [0.0, 1.0, 0.0, 0.0]),       # same-ish cell as 1/2/3, not a dup
+    ]
+
+
+def test_semdedup_one_keep_per_component(spark):
+    from kubernetes_logs_datalake_spark.operators.semdedup import semdedup
+
+    df = spark.createDataFrame(
+        _vec_rows(), "vec_id long, embedding array<float>"
+    )
+    out = semdedup(df, "vec_id", "embedding", k=2, iters=2, threshold=0.95)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 10, 11, 20}
+    # exactly one keep per component
+    by_comp = {}
+    for r in rows.values():
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        assert sum(m.keep for m in members) == 1, (comp, members)
+    # the two near-dup pairs share a component; the keep is the member
+    # farthest from its centroid (ties impossible here)
+    assert rows[1].component == rows[2].component
+    assert rows[10].component == rows[11].component
+    # non-duplicated rows are singleton keeps
+    assert rows[20].keep and rows[3].keep
+    kept_ab = {m.vec_id for m in by_comp[rows[1].component] if m.keep}
+    drop_ab = {m.vec_id for m in by_comp[rows[1].component] if not m.keep}
+    assert len(kept_ab) == 1 and kept_ab | drop_ab == {1, 2}
+
+
+def test_semdedup_max_cluster_guard(spark):
+    import pytest as _pytest
+
+    from kubernetes_logs_datalake_spark.operators.semdedup import semdedup
+
+    df = spark.createDataFrame(
+        _vec_rows(), "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="max_cluster"):
+        semdedup(df, "vec_id", "embedding", k=1, iters=1, max_cluster=2)
+
+
+def test_semdedup_pairs_stay_within_cluster(spark):
+    from kubernetes_logs_datalake_spark.operators.semdedup import semdedup_pairs
+    from kubernetes_logs_datalake_spark.operators.vectors import kmeans_fit
+
+    df = spark.createDataFrame(
+        _vec_rows(), "vec_id long, embedding array<float>"
+    )
+    _, assigned = kmeans_fit(df, "vec_id", "embedding", k=2, iters=2)
+    pairs = semdedup_pairs(assigned, "vec_id", "embedding", threshold=-1.0)
+    clus = {r.vec_id: r.cluster for r in assigned.collect()}
+    got = pairs.collect()
+    assert got, "threshold=-1 must emit every intra-cell pair"
+    for r in got:
+        assert clus[r.id_a] == clus[r.id_b] == r.cluster
+        assert r.id_a < r.id_b
+    # cross-cell pairs never appear even at threshold=-1
+    cells = {}
+    for v, c in clus.items():
+        cells.setdefault(c, set()).add(v)
+    n_intra = sum(len(s) * (len(s) - 1) // 2 for s in cells.values())
+    assert len(got) == n_intra
