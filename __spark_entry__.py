@@ -1507,6 +1507,26 @@ def _approx_distinct_kmv(spark: SparkSession, sf: str) -> DataFrame:
     return kmv_distinct(e, "user_id", ["event_type"], k=64)
 
 
+_CMS_DEPTH, _CMS_WIDTH, _CMS_K = 4, 256, 20
+
+
+def _events_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over event users: top-20 by CMS
+    estimate with the exact count and collision overestimate alongside.
+    The sketch is ≤ depth·width counters however many users exist —
+    the bounded-state alternative to the exact groupBy at 100 TB; the
+    events fixture is near-uniform, so the est-DESC top-k surfaces the
+    few all-rows-collided keys first — the known CMS selection bias on
+    unskewed data, made measurable by the calibration columns (CMS
+    ranks correctly under the skew it is built for)."""
+    from kubernetes_logs_datalake_spark.operators.sketch import cms_heavy_hitters
+
+    e = _t(spark, sf, "events")
+    return cms_heavy_hitters(
+        e, "user_id", k=_CMS_K, depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+
+
 def _events_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Strict-order first-touch conversion funnel signup→view→click→
     purchase: per-stage converted-user counts. Timestamps go through
@@ -2499,6 +2519,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_bins_approx": _doc_length_bins_approx,
         # sketch / product analytics / profiling
         "approx_distinct_kmv": _approx_distinct_kmv,
+        "events_heavy_hitters": _events_heavy_hitters,
         "events_funnel": _events_funnel,
         "events_retention": _events_retention,
         "text_tfidf_topk": _text_tfidf_topk,
@@ -2544,6 +2565,18 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_topk": _events_sliding_topk,
         "ann_recall_lsh": _ann_recall_lsh,
     }
+
+
+def _cms_oracle() -> str:
+    """Generated from the same (table, key, depth, width, k) constants
+    as the Spark call in _events_heavy_hitters — single source of
+    truth, mirroring the _kmv_oracle pattern."""
+    from kubernetes_logs_datalake_spark.operators.sketch import cms_oracle_sql
+
+    return cms_oracle_sql(
+        "events", "user_id", k=_CMS_K, depth=_CMS_DEPTH, width=_CMS_WIDTH,
+        key_alias="user_id",
+    )
 
 
 def _kmv_oracle() -> str:
@@ -3732,6 +3765,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, len({w}) AS n_tokens FROM documents)
         """,
         "approx_distinct_kmv": _kmv_oracle(),
+        "events_heavy_hitters": _cms_oracle(),
         "events_funnel": """
             WITH firsts AS (
                 SELECT user_id,

@@ -79,3 +79,153 @@ def kmv_oracle_sql(
                     ELSE round({float(k - 1)!r} / max(_h), 4) END AS est_distinct
         FROM topk WHERE _rn <= {k} GROUP BY {groups}
     """
+
+
+# ------------------------------------------------- count-min sketch
+
+
+def cms_bucket(col, j: int, width: int) -> F.Column:
+    """Row j's CMS bucket for a key — engine-portable md5 recipe (the
+    same family as :func:`uniform_hash`, salted with the row index so
+    the depth rows are pairwise-independent-ish)."""
+    c = F.col(col) if isinstance(col, str) else col
+    salted = F.concat(F.lit(f"{j}:"), c.cast("string"))
+    prefix = F.substring(F.md5(salted), 1, 8)
+    return (F.conv(prefix, 16, 10).cast("long") % width).alias(f"_b{j}")
+
+
+def cms_sketch(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Build the depth×width count-min sketch (Cormode & Muthukrishnan
+    2005) of a key column: one row per (row j, bucket) with its
+    collision-summed count.
+
+    This is the bounded-state frequency structure: however many
+    distinct keys the input has, the aggregation state is ≤ depth·width
+    counters per partition (map-side partial agg) and the shuffle moves
+    ≤ depth·width rows per partition — at 100 TB the exact
+    ``groupBy(key)`` alternative shuffles one row per distinct key;
+    this shuffles a few thousand, period.
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    cms_bucket(key_col, j, width).alias("bucket"),
+                )
+                for j in range(depth)
+            ])
+        ).alias("p")
+    ).select("p.j", "p.bucket")
+    return pairs.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_estimate(
+    keys: DataFrame,
+    sketch: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for each key in ``keys`` (one row per
+    key): est = min over the depth rows of the key's bucket count —
+    never an underestimate, overestimates only on collisions.
+
+    The join is (j, bucket)-keyed against a ≤ depth·width-row sketch —
+    always broadcastable, so querying any number of keys is map-side.
+    """
+    from pyspark.sql import functions as _F
+
+    probes = keys.select(
+        _F.col(key_col),
+        *[cms_bucket(key_col, j, width) for j in range(depth)],
+    )
+    melted = probes.select(
+        key_col,
+        _F.explode(
+            _F.array(*[
+                _F.struct(
+                    _F.lit(j).alias("j"), _F.col(f"_b{j}").alias("bucket")
+                )
+                for j in range(depth)
+            ])
+        ).alias("p"),
+    ).select(key_col, "p.j", "p.bucket")
+    return (
+        melted.join(_F.broadcast(sketch), ["j", "bucket"])
+        .groupBy(key_col)
+        .agg(_F.min("cnt").alias("est"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Top-k frequent keys by CMS estimate, with the exact count and
+    the collision overestimate alongside (the calibration report that
+    tells you whether depth×width is adequate for the corpus).
+
+    Returns k rows: (key, est, exact, overestimate), ordered est desc /
+    key asc. The exact count here is the audit column — at 100 TB you
+    would drop it and trust the sketch; it is what makes the operator
+    oracle-checkable end to end.
+    """
+    sketch = cms_sketch(df, key_col, depth, width)
+    exact = df.groupBy(key_col).agg(F.count("*").alias("exact"))
+    est = cms_estimate(exact, sketch, key_col, depth, width)
+    out = est.join(exact, key_col).select(
+        key_col,
+        "est",
+        "exact",
+        (F.col("est") - F.col("exact")).alias("overestimate"),
+    )
+    return out.orderBy(F.col("est").desc(), F.col(key_col)).limit(k)
+
+
+def cms_oracle_sql(
+    table: str,
+    key_expr: str,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 1024,
+    key_alias: str = "key",
+) -> str:
+    """ANSI-SQL mirror of :func:`cms_heavy_hitters`, generated from the
+    same (depth, width, k) so the engines cannot silently diverge."""
+
+    def bucket(j: int, key: str) -> str:
+        return (
+            f"(('0x' || substring(md5('{j}:' || CAST({key} AS VARCHAR)), 1, 8))"
+            f"::BIGINT % {width})"
+        )
+
+    stacked = " UNION ALL ".join(
+        f"SELECT {j} AS j, {bucket(j, key_expr)} AS bucket FROM {table}"
+        for j in range(depth)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT key, {j} AS j, {bucket(j, 'key')} AS bucket FROM exact"
+        for j in range(depth)
+    )
+    return f"""
+        WITH sketch AS (
+            SELECT j, bucket, count(*) AS cnt FROM ({stacked}) GROUP BY j, bucket
+        ), exact AS (
+            SELECT {key_expr} AS key, count(*) AS exact FROM {table} GROUP BY 1
+        ), probes AS ({probes}),
+        est AS (
+            SELECT p.key, min(s.cnt) AS est
+            FROM probes p JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
+            GROUP BY p.key
+        )
+        SELECT est.key AS {key_alias}, est.est, exact.exact,
+               est.est - exact.exact AS overestimate
+        FROM est JOIN exact ON exact.key = est.key
+        ORDER BY est.est DESC, est.key LIMIT {k}
+    """

@@ -170,3 +170,55 @@ def test_exact_corr_degenerate_groups_null_not_crash(spark):
     rows = {r.g: r for r in exact_corr(df, "g", "x", "y").collect()}
     assert rows["a"].corr is None      # single row
     assert rows["b"].corr is None      # constant x
+
+
+# ------------------------------------------------- count-min sketch
+
+
+def test_cms_never_underestimates(spark):
+    """CMS guarantee: est >= exact for every key, always."""
+    from kubernetes_logs_datalake_spark.operators.sketch import cms_heavy_hitters
+
+    rows = [(f"k{i % 37}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string")
+    out = cms_heavy_hitters(df, "k", k=37, depth=4, width=16)  # heavy collisions
+    got = out.collect()
+    assert len(got) == 37
+    assert all(r.est >= r.exact for r in got)
+    assert all(r.overestimate == r.est - r.exact for r in got)
+
+
+def test_cms_exact_when_width_ample(spark):
+    """With width >> distinct keys and depth rows, collisions vanish
+    and the estimate IS the exact count."""
+    from kubernetes_logs_datalake_spark.operators.sketch import cms_heavy_hitters
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    got = {r.k: r for r in cms_heavy_hitters(df, "k", k=3, width=4096).collect()}
+    assert {k: v.est for k, v in got.items()} == {"a": 5, "b": 3, "c": 1}
+    assert all(v.overestimate == 0 for v in got.values())
+
+
+def test_cms_sketch_state_is_bounded(spark):
+    """The sketch table never exceeds depth x width rows regardless of
+    input cardinality — the property that makes it the 100 TB path."""
+    from kubernetes_logs_datalake_spark.operators.sketch import cms_sketch
+
+    rows = [(str(i),) for i in range(5000)]  # 5000 distinct keys
+    df = spark.createDataFrame(rows, "k string")
+    sk = cms_sketch(df, "k", depth=3, width=32)
+    assert sk.count() <= 3 * 32
+    # total mass is conserved: every input row lands in every depth row
+    assert sk.groupBy().sum("cnt").first()[0] == 3 * 5000
+
+
+def test_cms_ranks_true_heavy_hitter_first_under_skew(spark):
+    """The regime CMS is built for: one key with 10x the mass of the
+    rest is ranked first even with a narrow sketch."""
+    from kubernetes_logs_datalake_spark.operators.sketch import cms_heavy_hitters
+
+    rows = [("hot",)] * 500 + [(f"c{i % 50}",) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string")
+    top = cms_heavy_hitters(df, "k", k=5, depth=4, width=64).collect()
+    assert top[0].k == "hot" and top[0].exact == 500
