@@ -2163,6 +2163,41 @@ def _dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("cluster", "vec_id", "component", "dist", "keep")
 
 
+_DSIR_BUCKETS, _DSIR_N, _DSIR_K = 512, 2, 100
+
+
+def _docs_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): every document scored
+    by the hashed-uni+bigram log-likelihood ratio of the English
+    partition (target) vs the whole corpus (raw) — the
+    steer-the-mixture-toward-the-target selection signal. Model is a
+    512-bucket broadcast table; scoring is one explode + broadcast join
+    + doc-keyed partial agg."""
+    from kubernetes_logs_datalake_spark.operators.dsir import dsir_weights
+
+    d = _t(spark, sf, "documents")
+    target = d.filter(F.col("lang") == "en")
+    return dsir_weights(
+        target, d, "doc_id", "text", n=_DSIR_N, buckets=_DSIR_BUCKETS
+    )
+
+
+def _docs_dsir_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR's resample step: Gumbel top-k (k=100) over the importance
+    weights — draws documents with probability ∝ exp(log_weight) using
+    the portable md5-uniform, so the 'random' draw is deterministic
+    and engine-reproducible. One TakeOrderedAndProject."""
+    from kubernetes_logs_datalake_spark.operators.dsir import (
+        dsir_resample,
+        dsir_weights,
+    )
+
+    d = _t(spark, sf, "documents")
+    target = d.filter(F.col("lang") == "en")
+    w = dsir_weights(target, d, "doc_id", "text", n=_DSIR_N, buckets=_DSIR_BUCKETS)
+    return dsir_resample(w, "doc_id", k=_DSIR_K)
+
+
 def _docs_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-novelty signal: fraction of each doc's distinct 5-grams
     occurring in no other document."""
@@ -2557,6 +2592,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _dedup_semantic,
         "docs_ngram_novelty": _docs_ngram_novelty,
         "docs_token_budget": _docs_token_budget,
+        "docs_dsir_weights": _docs_dsir_weights,
+        "docs_dsir_sample": _docs_dsir_sample,
         # round-5 additions
         "docs_chunk_passages": _docs_chunk_passages,
         "docs_common_ngrams": _docs_common_ngrams,
@@ -2860,6 +2897,8 @@ def oracle_sql() -> dict[str, str]:
             FROM comp JOIN q ON q.doc_id = comp.node
         """,
         "docs_token_budget": _ddb_token_budget_sql(),
+        "docs_dsir_weights": _ddb_dsir_weights_sql(_DSIR_BUCKETS, _DSIR_N),
+        "docs_dsir_sample": _ddb_dsir_sample_sql(_DSIR_BUCKETS, _DSIR_N, _DSIR_K),
         "docs_ngram_novelty": f"""
             WITH wls AS (SELECT doc_id, {_DDB_WORDS.format(t="text")} AS wl FROM documents),
             sh AS (SELECT DISTINCT doc_id, gram FROM (
@@ -4303,6 +4342,71 @@ def _ddb_ann_recall_sql(dim: int, planes: int = 6, k: int = 10) -> str:
         SELECT {k} AS k, count(*) AS n_hits,
                count(*) / {k}.0 AS recall
         FROM bf JOIN ap USING (vec_id)
+    """
+
+
+def _ddb_dsir_ctes(buckets: int, n: int) -> str:
+    """Shared CTE chain for the DSIR oracles, generated from the same
+    (buckets, n) constants as the Spark calls: hashed uni..n-gram
+    features, add-1-smoothed bucket distributions on the full grid,
+    DECIMAL log-ratio sums per document."""
+    w = _DDB_WORDS.format(t="text")
+    gram_lists = ["wl"] + [_ddb_shingle_list("wl", k) for k in range(2, n + 1)]
+    grams = gram_lists[0]
+    for g in gram_lists[1:]:
+        grams = f"list_concat({grams}, {g})"
+    bucket = f"(('0x' || substring(md5(g), 1, 8))::BIGINT % {buckets})"
+    return f"""
+        twl AS (SELECT doc_id, {w} AS wl FROM documents WHERE lang = 'en'),
+        rwl AS (SELECT doc_id, {w} AS wl FROM documents),
+        tg AS (SELECT doc_id, {bucket} AS bucket
+               FROM (SELECT doc_id, unnest({grams}) AS g FROM twl)),
+        rg AS (SELECT doc_id, {bucket} AS bucket
+               FROM (SELECT doc_id, unnest({grams}) AS g FROM rwl)),
+        tc AS (SELECT bucket, count(*) AS ct FROM tg GROUP BY bucket),
+        rc AS (SELECT bucket, count(*) AS cr FROM rg GROUP BY bucket),
+        model AS (
+            SELECT gr.range AS bucket,
+                   CAST(round(
+                       ln((COALESCE(tc.ct, 0) + 1)::DOUBLE
+                          / ((SELECT count(*) FROM tg) + {buckets}))
+                     - ln((COALESCE(rc.cr, 0) + 1)::DOUBLE
+                          / ((SELECT count(*) FROM rg) + {buckets})), 12)
+                       AS DECIMAL(25,12)) AS log_ratio
+            FROM range({buckets}) gr
+            LEFT JOIN tc ON tc.bucket = gr.range
+            LEFT JOIN rc ON rc.bucket = gr.range),
+        sc AS (
+            SELECT rg.doc_id, CAST(count(*) AS BIGINT) AS nf,
+                   round(CAST(sum(m.log_ratio) AS DOUBLE), 6) AS wgt
+            FROM rg JOIN model m ON m.bucket = rg.bucket
+            GROUP BY rg.doc_id),
+        wts AS (
+            SELECT d.doc_id, COALESCE(sc.nf, 0) AS n_feats,
+                   COALESCE(sc.wgt, 0.0) AS log_weight
+            FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)"""
+
+
+def _ddb_dsir_weights_sql(buckets: int, n: int) -> str:
+    return f"""
+        WITH {_ddb_dsir_ctes(buckets, n)}
+        SELECT doc_id, n_feats, log_weight FROM wts
+    """
+
+
+def _ddb_dsir_sample_sql(buckets: int, n: int, k: int) -> str:
+    from kubernetes_logs_datalake_spark.operators.sketch import HASH_SPACE
+
+    u = (
+        "((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+        f" + 0.5) / {HASH_SPACE!r})"
+    )
+    return f"""
+        WITH {_ddb_dsir_ctes(buckets, n)}
+        SELECT doc_id, log_weight,
+               round(log_weight - ln(-ln({u})), 6) AS gumbel_key
+        FROM wts
+        ORDER BY gumbel_key DESC, doc_id LIMIT {k}
     """
 
 
