@@ -2387,9 +2387,10 @@ def _ann_recall_lsh(spark: SparkSession, sf: str) -> DataFrame:
 #
 # Round-5 window: the 35 queries that never received a driver
 # correctness row in rounds 1-4 lead the window (closing out driver
-# coverage of the full 122-query registry: 87 checked so far), followed
-# by 15 diverse green sentinels from earlier rounds.  After this round
-# every registered query has at least one driver oracle row.
+# coverage of the 122 queries registered through round 4: 87 checked so
+# far), then the 10 queries newly registered in round 5, then 5 diverse
+# green sentinels from earlier rounds. After this round every
+# registered query has at least one driver oracle row.
 _R5_WINDOW = [
     # never driver-checked (35): approximate/statistical
     "approx_distinct_users",
@@ -2433,22 +2434,23 @@ _R5_WINDOW = [
     # never driver-checked: events + sources
     "events_funnel",
     "cri_multiline_roundtrip",
-    # sentinels (15, green in r4 driver window, one per family)
+    # round-5 additions (never driver-checked, registered this round)
+    "docs_chunk_passages",
+    "docs_common_ngrams",
+    "dedup_minhash_calibration",
+    "events_hopping_rollup",
+    "events_sliding_topk",
+    "ann_recall_lsh",
+    "dedup_semantic",
+    "events_heavy_hitters",
+    "docs_dsir_weights",
+    "docs_dsir_sample",
+    # sentinels (5, green in r4 driver window, one per family)
     "q1_pricing_summary",
-    "q10_returned_items",
     "q9_nation_profit",
-    "q18_large_orders",
-    "window_top_orders_per_customer",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "knn_join",
     "events_hourly_rollup",
-    "asof_purchase_click",
-    "range_join_error_context",
-    "text_bm25_search",
-    "embedding_kmeans",
-    "docs_curation_verdicts",
 ]
 
 
