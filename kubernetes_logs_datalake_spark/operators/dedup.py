@@ -487,13 +487,17 @@ def connected_components(
     labeled with the minimum id reachable in its connected component
     (the canonical representative to keep).
 
-    Iterative min-label propagation — each round, every node takes the
-    min of its own label and its neighbors' labels; converges in
-    O(component diameter) rounds. This is the standard distributed CC
-    shape (GraphFrames/Pregel-style) expressed as plain joins: per round
-    one shuffle join edges⋈labels + one min-aggregate. ``localCheckpoint``
-    truncates the growing lineage. Deterministic; terminates early on
-    convergence.
+    Iterative min-label propagation with pointer doubling — each round
+    every node takes the min of its own, its neighbors', and its
+    *label's* label (one extra self-join that shortcuts chains), so
+    convergence is O(log diameter) rounds instead of O(diameter) — the
+    Pregel-style shape accelerated the pointer-jumping way (the same
+    round-compression idea as the large-star/small-star CC of Kiveris
+    et al. 2014). The fixpoint (min reachable id per component) is
+    unique, so the shortcut changes round count, never the result.
+    Per round: one edges⋈labels shuffle join + one min-aggregate + one
+    labels self-join; ``localCheckpoint`` truncates the growing
+    lineage. Deterministic; terminates early on convergence.
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -508,22 +512,31 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+        prop = labels.join(nbr_min, labels.node == nbr_min.src, "left").select(
+            "node",
+            F.col("label").alias("_old"),
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        # pointer jump: also adopt label(label) — reachability is
+        # transitive, so this halves the remaining chain length
+        lab2 = prop.select(
+            F.col("node").alias("_n2"), F.col("label").alias("_l2")
+        )
+        # carry the previous label through the round so convergence is
+        # a scan of the checkpointed blocks, not another shuffle join
+        jumped = (
+            prop.join(lab2, prop.label == lab2._n2, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                "_old",
+                F.least(F.col("label"), F.coalesce("_l2", "label")).alias("label"),
             )
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            jumped.filter(F.col("label") != F.col("_old")).limit(1).count()
         )
-        labels = new_labels
+        labels = jumped.select("node", "label")
         if changed == 0:
             converged = True
             break
