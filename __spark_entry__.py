@@ -1507,6 +1507,33 @@ def _approx_distinct_kmv(spark: SparkSession, sf: str) -> DataFrame:
     return kmv_distinct(e, "user_id", ["event_type"], k=64)
 
 
+_BLOOM_BITS, _BLOOM_HASHES = 256, 2
+
+
+def _bloom_prune_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter join pruning audit: a 256-bit / 2-hash filter of
+    the EUROPE suppliers' keys pre-filters lineitem map-side (no
+    shuffle of the fact), and the one-row report measures what the
+    filter killed vs what leaked as false positives — the runtime-
+    filter pattern as an explicit, measured operator. The deliberately
+    tiny m keeps the FP columns non-trivial as the key set grows."""
+    from kubernetes_logs_datalake_spark.operators.bloom import bloom_prune_audit
+
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    dim = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf, "lineitem")
+    return bloom_prune_audit(
+        li, dim, "l_suppkey", "s_suppkey",
+        num_bits=_BLOOM_BITS, num_hashes=_BLOOM_HASHES,
+    )
+
+
 _CMS_DEPTH, _CMS_WIDTH, _CMS_K = 4, 256, 20
 
 
@@ -2111,9 +2138,10 @@ def _docs_decontaminate_semantic(spark: SparkSession, sf: str) -> DataFrame:
 def _embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embedding corpus (k=8,
     3 iterations, deterministic md5-order init + exact-decimal centroid
-    updates). Iterative algorithm — no single SQL oracle; the driver
-    records the rows-only check and tests/test_vectors_and_stream_join.py
-    gates convergence (non-increasing inertia) and determinism."""
+    updates). Hash-checked despite being iterative: the fixed iteration
+    count unrolls into _ddb_kmeans_sql's chained CTEs;
+    tests/test_vectors_and_stream_join.py additionally gates
+    convergence (non-increasing inertia) and determinism."""
     from kubernetes_logs_datalake_spark.operators.vectors import kmeans_fit
 
     emb = _t(spark, sf, "embeddings")
@@ -2557,6 +2585,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch / product analytics / profiling
         "approx_distinct_kmv": _approx_distinct_kmv,
         "events_heavy_hitters": _events_heavy_hitters,
+        "bloom_prune_lineitem": _bloom_prune_lineitem,
         "events_funnel": _events_funnel,
         "events_retention": _events_retention,
         "text_tfidf_topk": _text_tfidf_topk,
@@ -2604,6 +2633,58 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_topk": _events_sliding_topk,
         "ann_recall_lsh": _ann_recall_lsh,
     }
+
+
+def _bloom_oracle() -> str:
+    """Generated from the same (num_bits, num_hashes) constants as the
+    Spark call in _bloom_prune_lineitem: identical salted-md5 bit
+    positions, identical bit_or word packing, identical floor-divide
+    membership arithmetic."""
+    m, kh = _BLOOM_BITS, _BLOOM_HASHES
+
+    def pos(j: int, key: str) -> str:
+        return (
+            f"(('0x' || substring(md5('{j}:' || CAST({key} AS VARCHAR)), 1, 8))"
+            f"::BIGINT % {m})"
+        )
+
+    dim_pos = " UNION ALL ".join(
+        f"SELECT {pos(j, 'k')} AS p FROM dimk" for j in range(kh)
+    )
+    fact_pos = " UNION ALL ".join(
+        f"SELECT k, {pos(j, 'k')} AS p FROM fkeys" for j in range(kh)
+    )
+    return f"""
+        WITH dimk AS (
+            SELECT DISTINCT s_suppkey AS k
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'),
+        dpos AS ({dim_pos}),
+        wrds AS (
+            SELECT CAST(floor(p / 32) AS BIGINT) AS w,
+                   bit_or(CAST(power(2, p % 32) AS BIGINT)) AS word
+            FROM dpos GROUP BY 1),
+        fkeys AS (SELECT DISTINCT l_suppkey AS k FROM lineitem),
+        fpos AS ({fact_pos}),
+        chk AS (
+            SELECT f.k,
+                   bool_and(CAST(floor(COALESCE(w.word, 0)
+                                       / power(2, f.p % 32)) AS BIGINT)
+                            % 2 = 1) AS inb
+            FROM fpos f
+            LEFT JOIN wrds w ON w.w = CAST(floor(f.p / 32) AS BIGINT)
+            GROUP BY f.k)
+        SELECT n_fact, n_pass_bloom, n_match,
+               n_pass_bloom - n_match AS n_false_positive
+        FROM (SELECT
+            (SELECT count(*) FROM lineitem) AS n_fact,
+            (SELECT count(*) FROM lineitem l JOIN chk c ON c.k = l.l_suppkey
+             WHERE c.inb) AS n_pass_bloom,
+            (SELECT count(*) FROM lineitem l
+             WHERE l.l_suppkey IN (SELECT k FROM dimk)) AS n_match)
+    """
 
 
 def _cms_oracle() -> str:
@@ -3807,6 +3888,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "approx_distinct_kmv": _kmv_oracle(),
         "events_heavy_hitters": _cms_oracle(),
+        "bloom_prune_lineitem": _bloom_oracle(),
         "events_funnel": """
             WITH firsts AS (
                 SELECT user_id,

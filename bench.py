@@ -71,6 +71,10 @@ HEADLINE = [
     "events_hopping_rollup",
     "events_sliding_topk",
     "ann_recall_lsh",
+    "dedup_semantic",
+    "events_heavy_hitters",
+    "docs_dsir_weights",
+    "docs_dsir_sample",
 ]
 
 

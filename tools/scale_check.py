@@ -76,6 +76,12 @@ QUERIES = [
     "events_hopping_rollup",
     "docs_chunk_passages",
     "docs_common_ngrams",
+    # round-5 additions: cluster-local pair join + iterative CC
+    # (semdedup), bounded-state sketch (CMS), two-scan broadcast-model
+    # scoring (DSIR)
+    "dedup_semantic",
+    "events_heavy_hitters",
+    "docs_dsir_weights",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
