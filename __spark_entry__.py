@@ -2473,12 +2473,12 @@ _R5_WINDOW = [
     "events_heavy_hitters",
     "docs_dsir_weights",
     "docs_dsir_sample",
-    # sentinels (5, green in r4 driver window, one per family)
+    "bloom_prune_lineitem",
+    # sentinels (4, green in r4 driver window, one per family)
     "q1_pricing_summary",
     "q9_nation_profit",
     "dedup_minhash_lsh",
     "knn_join",
-    "events_hourly_rollup",
 ]
 
 

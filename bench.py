@@ -75,6 +75,7 @@ HEADLINE = [
     "events_heavy_hitters",
     "docs_dsir_weights",
     "docs_dsir_sample",
+    "bloom_prune_lineitem",
 ]
 
 
