@@ -1451,6 +1451,19 @@ def _stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     return stratified_sample(d, "lang", "doc_id", k=5)
 
 
+def _weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted per-language sample: 15 docs per lang drawn with
+    probability ∝ token count (Efraimidis-Spirakis A-ES keys over the
+    portable md5-uniform) — longer documents proportionally more
+    likely, the draw still deterministic on any engine/partitioning."""
+    from kubernetes_logs_datalake_spark.operators.sampling import weighted_sample
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    )
+    return weighted_sample(d, "lang", "doc_id", "n_tokens", k=15)
+
+
 def _mix_datasets_by_lang(spark: SparkSession, sf: str) -> DataFrame:
     """Weighted corpus mixture: downsample English to 30%, keep the
     rest — the data-mixture step of a training pipeline, as one
@@ -2578,6 +2591,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": _approx_distinct_users,
         # training-data pipeline: sampling / mixing / vocab / binning
         "stratified_sample_docs": _stratified_sample_docs,
+        "weighted_sample_docs": _weighted_sample_docs,
         "mix_datasets_by_lang": _mix_datasets_by_lang,
         "vocab_top50": _vocab_top50,
         "doc_length_bins": _doc_length_bins,
@@ -3874,6 +3888,23 @@ def oracle_sql() -> dict[str, str]:
                   < '{hash_rate_threshold(0.3)}'
             UNION ALL
             SELECT doc_id, lang FROM documents WHERE lang <> 'en'
+        """,
+        "weighted_sample_docs": f"""
+            -- A-ES weighted sampling: key = u^(1/w), u = md5-uniform
+            SELECT doc_id, lang, n_tokens FROM (
+                SELECT doc_id, lang, n_tokens,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY aes_key DESC, doc_id) AS rk
+                FROM (
+                    SELECT doc_id, lang, CAST(len({w}) AS BIGINT) AS n_tokens,
+                           CASE WHEN len({w}) > 0 THEN
+                               round(power(
+                                   (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                                    + 0.5) / 4294967296.0,
+                                   1.0 / CAST(len({w}) AS DOUBLE)), 9)
+                           ELSE 0.0 END AS aes_key
+                    FROM documents))
+            WHERE rk <= 15
         """,
         "vocab_top50": f"""
             SELECT word, count(*) AS n FROM (

@@ -54,6 +54,48 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    weight_col,
+    k: int,
+    scale: int = 9,
+) -> DataFrame:
+    """Weighted sampling without replacement, per stratum: exactly
+    min(k, |stratum|) rows drawn with probability proportional to
+    ``weight_col`` — Efraimidis & Spirakis (2006) A-ES keys,
+    ``u^(1/w)`` with the portable md5-uniform ``u``, so the draw is
+    deterministic and engine-reproducible (the weighted analog of
+    :func:`stratified_sample`; use it to sample documents ∝ token
+    count, clicks ∝ dwell time, …).
+
+    One narrow shuffle on the stratum key; the rank-limit window
+    rewrites to WindowGroupLimit (≤ k rows per partition survive before
+    the exchange), so per-stratum state is O(k) — a distributed
+    reservoir. Non-positive weights sort last (key 0), entering only
+    when a stratum has fewer than k positive-weight rows. The key is
+    rounded to ``scale`` so cross-engine float parity holds; ties break
+    by id.
+    """
+    from kubernetes_logs_datalake_spark.operators.sketch import uniform_hash
+
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = uniform_hash(id_col)
+    key = F.when(
+        wcol > 0, F.round(F.pow(u, F.lit(1.0) / wcol.cast("double")), scale)
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col("_aes_key").desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("_aes_key", key)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk", "_aes_key")
+    )
+
+
 def hash_rate_threshold(rate: float) -> str:
     """Threshold such that md5-prefix < threshold selects ~``rate`` of
     rows (md5 prefixes are uniform on [0, 16^8)). For rate < 1 the

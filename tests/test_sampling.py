@@ -157,3 +157,47 @@ def test_token_budget_missing_and_empty_sources(spark):
     assert out["code"].sample_rate == 0.0 and out["code"].epochs == 0
     assert out["junk"].tokens_available == 0 and out["junk"].epochs == 0
     assert out["web"].epochs >= 1
+
+
+# --------------------------------------------- weighted (A-ES) sampling
+
+
+def test_weighted_sample_exact_k_per_stratum(spark):
+    from kubernetes_logs_datalake_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "a" if i < 40 else "b", float(1 + i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, s string, w double")
+    out = weighted_sample(df, "s", "id", "w", k=10)
+    got = out.groupBy("s").count().collect()
+    assert {r.s: r["count"] for r in got} == {"a": 10, "b": 10}
+
+
+def test_weighted_sample_small_stratum_returns_all(spark):
+    from kubernetes_logs_datalake_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, "x", 2.0), (2, "x", 1.0)], "id long, s string, w double"
+    )
+    assert weighted_sample(df, "s", "id", "w", k=10).count() == 2
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """With one row weighted 10^6x the others, it is (essentially)
+    always selected: u^(1/w) -> 1 as w grows, for any fixed u."""
+    from kubernetes_logs_datalake_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "s", 1.0) for i in range(100)] + [(999, "s", 1e6)]
+    df = spark.createDataFrame(rows, "id long, s string, w double")
+    picked = {r.id for r in weighted_sample(df, "s", "id", "w", k=5).collect()}
+    assert 999 in picked
+
+
+def test_weighted_sample_deterministic_and_zero_weight_last(spark):
+    from kubernetes_logs_datalake_spark.operators.sampling import weighted_sample
+
+    rows = [(1, "s", 0.0), (2, "s", 0.0), (3, "s", 1.0)]
+    df = spark.createDataFrame(rows, "id long, s string, w double")
+    a = sorted(r.id for r in weighted_sample(df, "s", "id", "w", k=2).collect())
+    b = sorted(r.id for r in weighted_sample(df, "s", "id", "w", k=2).collect())
+    assert a == b
+    assert 3 in a  # the only positive-weight row always wins a slot
