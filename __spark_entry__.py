@@ -2204,6 +2204,42 @@ def _dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("cluster", "vec_id", "component", "dist", "keep")
 
 
+_BPE_MERGES = 20
+
+
+def _docs_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer training on-engine (Sennrich et al. 2016): the
+    first 20 merge rules learned from the documents corpus, in order.
+    The corpus pays ONE word-count shuffle; each merge iterates only
+    the word-frequency table (tiny shuffle + 1-row driver fetch). The
+    data-dependent iterations still unroll into a DuckDB oracle, so
+    even tokenizer training is hash-checked."""
+    from kubernetes_logs_datalake_spark.operators.bpe import bpe_learn
+
+    d = _t(spark, sf, "documents")
+    merges, _ = bpe_learn(d, "text", num_merges=_BPE_MERGES)
+    rows = [
+        (i + 1, a, b, int(f)) for i, (a, b, f) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "merge_rank int, left_sym string, right_sym string, freq long"
+    )
+
+
+def _docs_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document token count under the corpus-trained BPE
+    vocabulary — the apply side: broadcast word→symbol-count join,
+    map-only on the corpus."""
+    from kubernetes_logs_datalake_spark.operators.bpe import (
+        bpe_learn,
+        bpe_token_counts,
+    )
+
+    d = _t(spark, sf, "documents")
+    _, vocab = bpe_learn(d, "text", num_merges=_BPE_MERGES)
+    return bpe_token_counts(d, "doc_id", "text", vocab)
+
+
 _DSIR_BUCKETS, _DSIR_N, _DSIR_K = 512, 2, 100
 
 
@@ -2639,6 +2675,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_budget": _docs_token_budget,
         "docs_dsir_weights": _docs_dsir_weights,
         "docs_dsir_sample": _docs_dsir_sample,
+        "docs_bpe_merges": _docs_bpe_merges,
+        "docs_bpe_tokens": _docs_bpe_tokens,
         # round-5 additions
         "docs_chunk_passages": _docs_chunk_passages,
         "docs_common_ngrams": _docs_common_ngrams,
@@ -2996,6 +3034,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_budget": _ddb_token_budget_sql(),
         "docs_dsir_weights": _ddb_dsir_weights_sql(_DSIR_BUCKETS, _DSIR_N),
         "docs_dsir_sample": _ddb_dsir_sample_sql(_DSIR_BUCKETS, _DSIR_N, _DSIR_K),
+        "docs_bpe_merges": _ddb_bpe_merges_sql(_BPE_MERGES),
+        "docs_bpe_tokens": _ddb_bpe_tokens_sql(_BPE_MERGES),
         "docs_ngram_novelty": f"""
             WITH wls AS (SELECT doc_id, {_DDB_WORDS.format(t="text")} AS wl FROM documents),
             sh AS (SELECT DISTINCT doc_id, gram FROM (
@@ -4457,6 +4497,78 @@ def _ddb_ann_recall_sql(dim: int, planes: int = 6, k: int = 10) -> str:
         SELECT {k} AS k, count(*) AS n_hits,
                count(*) / {k}.0 AS recall
         FROM bf JOIN ap USING (vec_id)
+    """
+
+
+def _ddb_bpe_ctes(num_merges: int) -> str:
+    """Unrolled DuckDB mirror of ``operators.bpe.bpe_learn``: CTE chain
+    v0→v{n} where each step counts weighted adjacent symbol pairs,
+    picks the (freq DESC, a, b) winner, and rewrites the vocabulary
+    with the same greedy left-to-right ``list_reduce`` fold Spark runs
+    via ``aggregate`` (DuckDB slices are INCLUSIVE: ``acc[:-2]`` drops
+    exactly the last element, matching Spark's slice(acc,1,size-1)).
+    The sentinel ('','') row keeps every step single-row when a step
+    has nothing left to merge, mirroring the Spark no-op."""
+    w = _DDB_WORDS.format(t="text")
+    parts = [f"""
+        v0 AS MATERIALIZED (
+            SELECT word, cnt,
+                   list_concat(string_split(word, ''), ['</w>']) AS syms
+            FROM (SELECT word, count(*) AS cnt
+                  FROM (SELECT unnest({w}) AS word FROM documents)
+                  GROUP BY word))"""]
+    for i in range(num_merges):
+        parts.append(f"""
+        p{i} AS MATERIALIZED (
+            SELECT pr[1] AS a, pr[2] AS b, sum(cnt) AS f FROM (
+                SELECT unnest(CASE WHEN len(syms) < 2 THEN []
+                    ELSE list_transform(range(1, len(syms)),
+                                        j -> [syms[j], syms[j+1]]) END) AS pr,
+                       cnt
+                FROM v{i})
+            GROUP BY 1, 2),
+        best{i} AS MATERIALIZED (
+            SELECT a, b FROM (SELECT a, b FROM p{i}
+                              ORDER BY f DESC, a, b LIMIT 1)
+            UNION ALL
+            SELECT '', '' WHERE NOT EXISTS (SELECT 1 FROM p{i})),
+        v{i + 1} AS MATERIALIZED (
+            SELECT word, cnt,
+                CASE WHEN len(syms) < 2 OR bp.a = '' THEN syms ELSE
+                    list_reduce(list_transform(syms, s -> [s]), (acc, x) ->
+                        CASE WHEN acc[-1] = bp.a AND x[1] = bp.b
+                             THEN acc[:-2] || [acc[-1] || x[1]]
+                             ELSE acc || x END)
+                END AS syms
+            FROM v{i}, best{i} bp)""")
+    return ",".join(parts)
+
+
+def _ddb_bpe_merges_sql(num_merges: int) -> str:
+    steps = " UNION ALL ".join(
+        f"SELECT {i + 1} AS merge_rank, bp.a AS left_sym, bp.b AS right_sym, "
+        f"p.f AS freq FROM best{i} bp JOIN p{i} p USING (a, b)"
+        for i in range(num_merges)
+    )
+    return f"""
+        WITH {_ddb_bpe_ctes(num_merges)}
+        SELECT CAST(merge_rank AS INT) AS merge_rank, left_sym, right_sym,
+               CAST(freq AS BIGINT) AS freq
+        FROM ({steps}) ORDER BY merge_rank
+    """
+
+
+def _ddb_bpe_tokens_sql(num_merges: int) -> str:
+    w = _DDB_WORDS.format(t="text")
+    return f"""
+        WITH {_ddb_bpe_ctes(num_merges)},
+        wl AS (SELECT doc_id, unnest({w}) AS word FROM documents),
+        vf AS (SELECT word, len(syms) AS ns FROM v{num_merges})
+        SELECT doc_id,
+               CAST(sum(COALESCE(ns, length(word) + 1)) AS BIGINT)
+                   AS n_tokens_bpe
+        FROM wl LEFT JOIN vf USING (word)
+        GROUP BY doc_id
     """
 
 
