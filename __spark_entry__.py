@@ -2465,9 +2465,9 @@ def _ann_recall_lsh(spark: SparkSession, sf: str) -> DataFrame:
 # Round-5 window: the 35 queries that never received a driver
 # correctness row in rounds 1-4 lead the window (closing out driver
 # coverage of the 122 queries registered through round 4: 87 checked so
-# far), then the 10 queries newly registered in round 5, then 5 diverse
-# green sentinels from earlier rounds. After this round every
-# registered query has at least one driver oracle row.
+# far), then the 14 queries newly registered in round 5, then one green
+# sentinel. After this round every registered query has at least one
+# driver oracle row.
 _R5_WINDOW = [
     # never driver-checked (35): approximate/statistical
     "approx_distinct_users",
@@ -2523,11 +2523,11 @@ _R5_WINDOW = [
     "docs_dsir_weights",
     "docs_dsir_sample",
     "bloom_prune_lineitem",
-    # sentinels (4, green in r4 driver window, one per family)
+    "weighted_sample_docs",
+    "docs_bpe_merges",
+    "docs_bpe_tokens",
+    # sentinel (green in r4 driver window)
     "q1_pricing_summary",
-    "q9_nation_profit",
-    "dedup_minhash_lsh",
-    "knn_join",
 ]
 
 
