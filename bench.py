@@ -76,6 +76,11 @@ HEADLINE = [
     "docs_dsir_weights",
     "docs_dsir_sample",
     "bloom_prune_lineitem",
+    "weighted_sample_docs",
+    # docs_bpe_merges/docs_bpe_tokens are deliberately NOT benched: 20
+    # sequential merge iterations have a fixed ~0.6 s/iteration action-
+    # latency floor in local mode that measures the scheduler, not the
+    # operator (the per-iteration data is the tiny word-frequency table)
 ]
 
 
