@@ -160,6 +160,22 @@ def main() -> None:
         pass_err = f"{type(exc).__name__}: {exc}"[:300]
         clustered = None
 
+    # SemDeDup's scale knob is k: cells must stay constant-size as the
+    # corpus grows or the cell-local pair stage grows quadratically
+    # (measured: fixed k=8 at 10x data = 10x wall from 25M in-cell
+    # pairs). Scaling k with the corpus (8 -> 8*copies here) holds
+    # cell size — the paper's own large-corpus regime (k=50k on LAION).
+    def _semdedup_scaled(copies=copies):
+        from pyspark.sql import functions as F  # noqa: F401
+        from kubernetes_logs_datalake_spark.operators.semdedup import semdedup
+
+        emb = spark.read.parquet(f"{dest}/embeddings.parquet")
+        return semdedup(
+            emb, "vec_id", "embedding", k=8 * copies, iters=3, threshold=0.35
+        ).select("cluster", "vec_id", "component", "dist", "keep")
+
+    thunks["dedup_semantic"] = _semdedup_scaled
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {} if clustered is not None else {"clustered_fixture": pass_err}
     rows: dict[str, int] = {}
