@@ -2189,6 +2189,28 @@ def _dedup_quality_keep(spark: SparkSession, sf: str) -> DataFrame:
     return quality_keep(d, pairs, "doc_id", token_count("text"))
 
 
+def _docs_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit over the (lang, source) quasi-identifier:
+    equivalence classes with fewer than 5 members — the
+    re-identification risk report a dataset release runs before
+    publishing. One partial-agg shuffle at class cardinality."""
+    from kubernetes_logs_datalake_spark.operators.scrub import k_anonymity_audit
+
+    d = _t(spark, sf, "documents")
+    return k_anonymity_audit(d, ["lang", "source"], k=5)
+
+
+def _docs_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric trigram-containment near-dup pairs (|A∩B|/|A| ≥ 0.9
+    in either direction) — catches a short document quoted whole
+    inside a longer one, which symmetric Jaccard under-scores
+    (Broder's resemblance-vs-containment distinction)."""
+    from kubernetes_logs_datalake_spark.operators.dedup import containment_pairs
+
+    d = _t(spark, sf, "documents")
+    return containment_pairs(d, "doc_id", "text", n=3, threshold=0.9)
+
+
 def _dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
     corpus, all-pairs cosine only INSIDE each cell, connected
@@ -2671,6 +2693,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_duplicate_spans": _docs_duplicate_spans,
         "dedup_quality_keep": _dedup_quality_keep,
         "dedup_semantic": _dedup_semantic,
+        "docs_containment_pairs": _docs_containment_pairs,
+        "docs_k_anonymity": _docs_k_anonymity,
         "docs_ngram_novelty": _docs_ngram_novelty,
         "docs_token_budget": _docs_token_budget,
         "docs_dsir_weights": _docs_dsir_weights,
@@ -2965,6 +2989,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa._id = id_a
             JOIN sizes sb ON sb._id = id_b
             WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.6
+        """,
+        "docs_k_anonymity": """
+            SELECT lang, source, count(*) AS n_rows,
+                   5 - count(*) AS deficit
+            FROM documents GROUP BY lang, source
+            HAVING count(*) < 5
+        """,
+        "docs_containment_pairs": f"""
+            WITH ws AS (
+                SELECT DISTINCT doc_id AS _id, unnest({_ddb_shingle_list(w, 3)}) AS shingle
+                FROM documents
+            ), sizes AS (
+                SELECT _id, count(*) AS sz FROM ws GROUP BY _id
+            ), inter AS (
+                SELECT a._id AS id_a, b._id AS id_b, count(*) AS i
+                FROM ws a JOIN ws b USING (shingle)
+                WHERE a._id < b._id GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(i * 1.0 / sa.sz, 6) AS cont_a,
+                   round(i * 1.0 / sb.sz, 6) AS cont_b
+            FROM inter
+            JOIN sizes sa ON sa._id = id_a
+            JOIN sizes sb ON sb._id = id_b
+            WHERE greatest(i * 1.0 / sa.sz, i * 1.0 / sb.sz) >= 0.9
         """,
         "dedup_minhash_lsh": _ddb_minhash_lsh_sql(),
         "dedup_simhash": _ddb_simhash_sql(),

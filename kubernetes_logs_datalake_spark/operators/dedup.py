@@ -122,6 +122,69 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram *containment*:
+    C(A in B) = |A∩B| / |A|. Jaccard misses subset duplication — a
+    short document quoted whole inside a long one scores low Jaccard
+    (union is large) but containment 1.0; this is the quote/excerpt
+    detector complementing :func:`ngram_jaccard_pairs` (cf. Broder's
+    resemblance-vs-containment distinction, 1997).
+
+    Returns pairs where EITHER direction's containment ≥ threshold:
+    (id_a, id_b, cont_a, cont_b) — cont_a is how much of A lies inside
+    B and vice versa, both rounded to ``scale``. Same inverted-index
+    join + ``max_df`` hot-shingle guard as the Jaccard kernel: one
+    equi-join on the shingle, Σ min(df, max_df)² bounded, never
+    all-pairs.
+    """
+    sets = shingle_sets(df, id_col, text_col, n)
+    if max_df is not None:
+        keep = (
+            sets.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sets = sets.join(keep, "shingle", "left_semi")
+    from pyspark.sql import Window
+
+    sets = sets.withColumn("sz", F.count("*").over(Window.partitionBy("_id")))
+    a = sets.alias("a")
+    b = sets.alias("b")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(
+            F.count("*").alias("inter"),
+            F.min("a.sz").alias("sz_a"),
+            F.min("b.sz").alias("sz_b"),
+        )
+    )
+    return (
+        pairs.filter(
+            F.greatest(
+                F.col("inter") / F.col("sz_a"), F.col("inter") / F.col("sz_b")
+            )
+            >= threshold
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter") / F.col("sz_a"), scale).alias("cont_a"),
+            F.round(F.col("inter") / F.col("sz_b"), scale).alias("cont_b"),
+        )
+    )
+
+
 def _set_jaccard_pairs(
     sets: DataFrame, key: str, threshold: float, max_df: int | None
 ) -> DataFrame:

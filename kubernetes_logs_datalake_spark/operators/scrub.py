@@ -244,3 +244,57 @@ def segment_dedup(
             " ",
         ).alias("clean_text"),
     )
+
+
+# ------------------------------------------------------- k-anonymity
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Re-identification risk report (Sweeney 2002 k-anonymity): the
+    quasi-identifier equivalence classes with fewer than ``k`` members
+    — each such class is a privacy leak (its members are identifiable
+    to within n_rows < k candidates). Output: (*quasi_cols, n_rows,
+    deficit) for violating classes only; empty result == the release
+    is k-anonymous over these columns.
+
+    One partial-agg shuffle at quasi-class cardinality — the audit is
+    as cheap as a groupBy however large the table."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").alias("n_rows"))
+        .filter(F.col("n_rows") < k)
+        .select(
+            *quasi_cols,
+            "n_rows",
+            (F.lit(k) - F.col("n_rows")).alias("deficit"),
+        )
+    )
+
+
+def k_anonymize_suppress(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Enforce k-anonymity by suppression: rows whose quasi-identifier
+    class has fewer than ``k`` members get those columns nulled (the
+    class collapses into the suppressed pool); all other rows pass
+    through unchanged. Broadcast anti-pattern avoided: the violating
+    classes (small by definition of the audit) join back via a
+    broadcast left-semi-style mark, so the big table is touched by one
+    map-side join, not a second shuffle."""
+    small = k_anonymity_audit(df, quasi_cols, k).select(
+        *[F.col(c).alias(f"_q_{c}") for c in quasi_cols]
+    ).withColumn("_violates", F.lit(True))
+    cond = None
+    for c in quasi_cols:
+        eq = df[c].eqNullSafe(F.col(f"_q_{c}"))
+        cond = eq if cond is None else cond & eq
+    marked = df.join(F.broadcast(small), cond, "left")
+    keep_cols = [
+        F.when(F.col("_violates"), F.lit(None)).otherwise(df[c]).alias(c)
+        if c in quasi_cols
+        else df[c]
+        for c in df.columns
+    ]
+    return marked.select(*keep_cols)

@@ -283,3 +283,43 @@ def test_semdedup_pairs_stay_within_cluster(spark):
         cells.setdefault(c, set()).add(v)
     n_intra = sum(len(s) * (len(s) - 1) // 2 for s in cells.values())
     assert len(got) == n_intra
+
+
+# ----------------------------------------------------- containment dedup
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc quoted whole inside a long one: containment 1.0,
+    Jaccard well below any dedup threshold."""
+    from kubernetes_logs_datalake_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    long_doc = quote + " " + " ".join(f"filler{i} word{i} extra{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, quote), (2, long_doc)], "doc_id long, text string"
+    )
+    cont = containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.cont_a == 1.0  # all of doc 1's trigrams are inside doc 2
+    assert r.cont_b < 0.5
+    # symmetric Jaccard misses the same pair at the same threshold
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    assert jac == []
+
+
+def test_containment_max_df_guard_drops_hot_shingles(spark):
+    from kubernetes_logs_datalake_spark.operators.dedup import containment_pairs
+
+    # every doc shares one hot trigram; capping df removes it from the
+    # index so unrelated docs produce no pair at all
+    docs = [(i, f"alpha beta gamma unique{i} token{i} word{i}") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    with_guard = containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.2, max_df=2
+    ).collect()
+    assert with_guard == []

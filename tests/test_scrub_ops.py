@@ -193,3 +193,40 @@ def test_curate_keeps_empty_document_row(spark):
     rows = {r.doc_id: r for r in out.collect()}
     assert set(rows) == {1, 2}
     assert rows[2].pass_repetition is True
+
+
+# ------------------------------------------------------- k-anonymity
+
+
+def test_k_anonymity_audit_flags_only_small_classes(spark):
+    from kubernetes_logs_datalake_spark.operators.scrub import k_anonymity_audit
+
+    rows = [(i, "en", "a") for i in range(10)] + [
+        (10, "de", "a"), (11, "de", "a"), (12, "fr", "b")
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string, src string")
+    got = {(r.lang, r.src): r for r in
+           k_anonymity_audit(df, ["lang", "src"], k=5).collect()}
+    assert set(got) == {("de", "a"), ("fr", "b")}
+    assert got[("de", "a")].n_rows == 2 and got[("de", "a")].deficit == 3
+    assert got[("fr", "b")].n_rows == 1 and got[("fr", "b")].deficit == 4
+
+
+def test_k_anonymize_suppress_nulls_violating_rows_only(spark):
+    from kubernetes_logs_datalake_spark.operators.scrub import (
+        k_anonymize_suppress,
+    )
+
+    rows = [(i, "en", "a") for i in range(10)] + [(10, "de", "b")]
+    df = spark.createDataFrame(rows, "id long, lang string, src string")
+    out = {r.id: r for r in
+           k_anonymize_suppress(df, ["lang", "src"], k=5).collect()}
+    assert len(out) == 11  # row count preserved
+    assert out[10].lang is None and out[10].src is None
+    assert out[0].lang == "en" and out[0].src == "a"
+    # result is now k-anonymous: suppressed rows form their own class
+    from kubernetes_logs_datalake_spark.operators.scrub import k_anonymity_audit
+    df2 = spark.createDataFrame(list(out.values()), df.schema)
+    viol = k_anonymity_audit(df2.filter("lang IS NOT NULL"),
+                             ["lang", "src"], k=5).count()
+    assert viol == 0
