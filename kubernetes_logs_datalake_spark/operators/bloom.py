@@ -139,21 +139,35 @@ def bloom_prune_audit(
     n_pass_bloom − n_match is the shuffle volume the filter failed to
     remove (false-positive rows); n_fact − n_pass_bloom is the volume
     it killed map-side before any exchange.
+
+    One scan of the fact: the bloom test is a map-side column, the
+    exact-match flag a broadcast left join, and all four counts come
+    out of a single aggregation.
     """
     words = bloom_build(dim_keys, dim_key, num_bits, num_hashes)
-    passed = bloom_semi_filter(fact, fact_key, words, num_hashes, num_bits)
     keys = dim_keys.select(F.col(dim_key).alias("_k")).distinct()
-    true_match = fact.join(
-        F.broadcast(keys), fact[fact_key] == F.col("_k"), "left_semi"
-    )
-    return (
-        fact.agg(F.count("*").alias("n_fact"))
-        .crossJoin(passed.agg(F.count("*").alias("n_pass_bloom")))
-        .crossJoin(true_match.agg(F.count("*").alias("n_match")))
-        .select(
-            "n_fact",
-            "n_pass_bloom",
-            "n_match",
-            (F.col("n_pass_bloom") - F.col("n_match")).alias("n_false_positive"),
+    marked = (
+        fact.select(
+            F.col(fact_key),
+            bloom_might_contain(
+                F.col(fact_key), words, num_hashes, num_bits
+            ).alias("_pass"),
         )
+        .join(
+            F.broadcast(keys.withColumn("_m", F.lit(True))),
+            F.col(fact_key) == F.col("_k"),
+            "left",
+        )
+    )
+    return marked.agg(
+        F.count("*").alias("n_fact"),
+        F.sum(F.col("_pass").cast("long")).alias("n_pass_bloom"),
+        F.sum(F.coalesce(F.col("_m"), F.lit(False)).cast("long")).alias(
+            "n_match"
+        ),
+    ).select(
+        "n_fact",
+        "n_pass_bloom",
+        "n_match",
+        (F.col("n_pass_bloom") - F.col("n_match")).alias("n_false_positive"),
     )
