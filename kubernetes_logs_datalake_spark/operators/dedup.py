@@ -586,7 +586,9 @@ def connected_components(
             F.col("node").alias("_n2"), F.col("label").alias("_l2")
         )
         # carry the previous label through the round so convergence is
-        # a scan of the checkpointed blocks, not another shuffle join
+        # a scan of the checkpointed blocks, not another shuffle join;
+        # lazy checkpoint: the convergence count below is the action
+        # that materializes it — one job per round instead of two
         jumped = (
             prop.join(lab2, prop.label == lab2._n2, "left")
             .select(
@@ -594,7 +596,7 @@ def connected_components(
                 "_old",
                 F.least(F.col("label"), F.coalesce("_l2", "label")).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             jumped.filter(F.col("label") != F.col("_old")).limit(1).count()
