@@ -3979,19 +3979,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents WHERE lang <> 'en'
         """,
         "weighted_sample_docs": f"""
-            -- A-ES weighted sampling: key = u^(1/w), u = md5-uniform
+            -- A-ES weighted sampling, log form: key = ln(u)/w (same
+            -- ordering as u^(1/w), no underflow), u = md5-uniform
             SELECT doc_id, lang, n_tokens FROM (
                 SELECT doc_id, lang, n_tokens,
                        row_number() OVER (PARTITION BY lang
-                           ORDER BY aes_key DESC, doc_id) AS rk
+                           ORDER BY aes_key DESC NULLS LAST, doc_id) AS rk
                 FROM (
                     SELECT doc_id, lang, CAST(len({w}) AS BIGINT) AS n_tokens,
                            CASE WHEN len({w}) > 0 THEN
-                               round(power(
+                               round(ln(
                                    (('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                                    + 0.5) / 4294967296.0,
-                                   1.0 / CAST(len({w}) AS DOUBLE)), 9)
-                           ELSE 0.0 END AS aes_key
+                                    + 0.5) / 4294967296.0)
+                                   / CAST(len({w}) AS DOUBLE), 12)
+                           ELSE NULL END AS aes_key
                     FROM documents))
             WHERE rk <= 15
         """,

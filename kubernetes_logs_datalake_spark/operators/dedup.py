@@ -145,29 +145,8 @@ def containment_pairs(
     equi-join on the shingle, Σ min(df, max_df)² bounded, never
     all-pairs.
     """
-    sets = shingle_sets(df, id_col, text_col, n)
-    if max_df is not None:
-        keep = (
-            sets.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= max_df)
-            .select("shingle")
-        )
-        sets = sets.join(keep, "shingle", "left_semi")
-    from pyspark.sql import Window
-
-    sets = sets.withColumn("sz", F.count("*").over(Window.partitionBy("_id")))
-    a = sets.alias("a")
-    b = sets.alias("b")
-    pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("a._id") < F.col("b._id"))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(
-            F.count("*").alias("inter"),
-            F.min("a.sz").alias("sz_a"),
-            F.min("b.sz").alias("sz_b"),
-        )
+    pairs = _pair_intersections(
+        shingle_sets(df, id_col, text_col, n), "shingle", max_df
     )
     return (
         pairs.filter(
@@ -185,12 +164,13 @@ def containment_pairs(
     )
 
 
-def _set_jaccard_pairs(
-    sets: DataFrame, key: str, threshold: float, max_df: int | None
+def _pair_intersections(
+    sets: DataFrame, key: str, max_df: int | None
 ) -> DataFrame:
-    """Inverted-index Jaccard join over distinct ``(_id, key)`` set
-    rows — the shared kernel behind :func:`ngram_jaccard_pairs`
-    (key=shingle) and :func:`winnow_pairs` (key=fingerprint). One
+    """Inverted-index pair-count kernel over distinct ``(_id, key)``
+    set rows: (id_a, id_b, inter, sz_a, sz_b) for every pair sharing
+    ≥1 key — shared by :func:`_set_jaccard_pairs` (Jaccard) and
+    :func:`containment_pairs` (asymmetric containment). One
     self-equi-join on the key, never all-pairs; ``max_df`` bounds the
     quadratic contribution of corpus-frequency keys."""
     if max_df is not None:
@@ -219,7 +199,21 @@ def _set_jaccard_pairs(
             F.min("a.sz").alias("sz_a"),
             F.min("b.sz").alias("sz_b"),
         )
-        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+    )
+
+
+def _set_jaccard_pairs(
+    sets: DataFrame, key: str, threshold: float, max_df: int | None
+) -> DataFrame:
+    """Jaccard over the :func:`_pair_intersections` kernel — used by
+    :func:`ngram_jaccard_pairs` (key=shingle) and :func:`winnow_pairs`
+    (key=fingerprint)."""
+    return (
+        _pair_intersections(sets, key, max_df)
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -60,7 +60,7 @@ def weighted_sample(
     id_col: str,
     weight_col,
     k: int,
-    scale: int = 9,
+    scale: int = 12,
 ) -> DataFrame:
     """Weighted sampling without replacement, per stratum: exactly
     min(k, |stratum|) rows drawn with probability proportional to
@@ -73,20 +73,24 @@ def weighted_sample(
     One narrow shuffle on the stratum key; the rank-limit window
     rewrites to WindowGroupLimit (≤ k rows per partition survive before
     the exchange), so per-stratum state is O(k) — a distributed
-    reservoir. Non-positive weights sort last (key 0), entering only
-    when a stratum has fewer than k positive-weight rows. The key is
-    rounded to ``scale`` so cross-engine float parity holds; ties break
-    by id.
+    reservoir. The key is A-ES in LOG form, ``ln(u)/w`` (same ordering
+    as ``u^(1/w)``; ln is monotone and ln u < 0): the naive power form
+    underflows to 0.0 for small weights and saturates toward 1.0 for
+    large ones once rounded, collapsing the draw — the log form stays
+    spread across the whole weight range. Non-positive weights get a
+    NULL key and sort last (``desc_nulls_last``), entering only when a
+    stratum has fewer than k positive-weight rows. The key is rounded
+    to ``scale`` so cross-engine float parity holds; ties break by id.
     """
     from kubernetes_logs_datalake_spark.operators.sketch import uniform_hash
 
     wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     u = uniform_hash(id_col)
     key = F.when(
-        wcol > 0, F.round(F.pow(u, F.lit(1.0) / wcol.cast("double")), scale)
-    ).otherwise(F.lit(0.0))
+        wcol > 0, F.round(F.log(u) / wcol.cast("double"), scale)
+    ).otherwise(F.lit(None))
     w = Window.partitionBy(stratum_col).orderBy(
-        F.col("_aes_key").desc(), F.col(id_col)
+        F.col("_aes_key").desc_nulls_last(), F.col(id_col)
     )
     return (
         df.withColumn("_aes_key", key)

@@ -279,10 +279,12 @@ def k_anonymize_suppress(
     """Enforce k-anonymity by suppression: rows whose quasi-identifier
     class has fewer than ``k`` members get those columns nulled (the
     class collapses into the suppressed pool); all other rows pass
-    through unchanged. Broadcast anti-pattern avoided: the violating
-    classes (small by definition of the audit) join back via a
-    broadcast left-semi-style mark, so the big table is touched by one
-    map-side join, not a second shuffle."""
+    through unchanged. The violating-class set is left to AQE's join
+    planning rather than force-broadcast: on a mostly-anonymous table
+    it is tiny (broadcast wins), but on a high-cardinality
+    quasi-identifier — the very case k-anonymity exists for — it
+    approaches one row per input row, and a forced broadcast would OOM
+    exactly at scale."""
     small = k_anonymity_audit(df, quasi_cols, k).select(
         *[F.col(c).alias(f"_q_{c}") for c in quasi_cols]
     ).withColumn("_violates", F.lit(True))
@@ -290,7 +292,7 @@ def k_anonymize_suppress(
     for c in quasi_cols:
         eq = df[c].eqNullSafe(F.col(f"_q_{c}"))
         cond = eq if cond is None else cond & eq
-    marked = df.join(F.broadcast(small), cond, "left")
+    marked = df.join(small, cond, "left")
     keep_cols = [
         F.when(F.col("_violates"), F.lit(None)).otherwise(df[c]).alias(c)
         if c in quasi_cols

@@ -107,6 +107,11 @@ def semdedup(
     for exactly this) instead of silently running a quadratic cell.
     """
     _, assigned = kmeans_fit(df, id_col, vec_col, k=k, iters=iters)
+    # the assignment feeds three consumers (guard, both pair sides, the
+    # final verdict join) — materialize it once instead of re-scanning
+    # and re-assigning the corpus per consumer; lazy so the guard count
+    # (or the caller's first action) is the job that pays for it
+    assigned = assigned.localCheckpoint(eager=False)
     if max_cluster is not None:
         biggest = (
             assigned.groupBy("cluster")

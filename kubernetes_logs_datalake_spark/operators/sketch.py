@@ -153,10 +153,14 @@ def cms_estimate(
             ])
         ).alias("p"),
     ).select(key_col, "p.j", "p.bucket")
+    # LEFT join: a (j, bucket) row absent from the sketch is an empty
+    # counter — its count is 0 and it caps the min, so keys never seen
+    # at build time estimate 0 instead of being dropped or inflated by
+    # whatever collision counts their other rows happen to hit
     return (
-        melted.join(_F.broadcast(sketch), ["j", "bucket"])
+        melted.join(_F.broadcast(sketch), ["j", "bucket"], "left")
         .groupBy(key_col)
-        .agg(_F.min("cnt").alias("est"))
+        .agg(_F.min(_F.coalesce("cnt", _F.lit(0))).alias("est"))
     )
 
 
@@ -220,8 +224,9 @@ def cms_oracle_sql(
             SELECT {key_expr} AS key, count(*) AS exact FROM {table} GROUP BY 1
         ), probes AS ({probes}),
         est AS (
-            SELECT p.key, min(s.cnt) AS est
-            FROM probes p JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
+            SELECT p.key, min(COALESCE(s.cnt, 0)) AS est
+            FROM probes p LEFT JOIN sketch s
+              ON s.j = p.j AND s.bucket = p.bucket
             GROUP BY p.key
         )
         SELECT est.key AS {key_alias}, est.est, exact.exact,

@@ -222,3 +222,18 @@ def test_cms_ranks_true_heavy_hitter_first_under_skew(spark):
     df = spark.createDataFrame(rows, "k string")
     top = cms_heavy_hitters(df, "k", k=5, depth=4, width=64).collect()
     assert top[0].k == "hot" and top[0].exact == 500
+
+
+def test_cms_estimate_zero_for_unseen_keys(spark):
+    """A key absent from the build corpus must estimate 0 (its empty
+    counters cap the min), and must not vanish from the output."""
+    from kubernetes_logs_datalake_spark.operators.sketch import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    built = spark.createDataFrame([("a",)] * 7 + [("b",)] * 2, "k string")
+    sk = cms_sketch(built, "k", depth=4, width=4096)
+    probes = spark.createDataFrame([("a",), ("never-seen",)], "k string")
+    got = {r.k: r.est for r in cms_estimate(probes, sk, "k", 4, 4096).collect()}
+    assert got == {"a": 7, "never-seen": 0}
