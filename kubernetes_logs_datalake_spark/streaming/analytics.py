@@ -173,3 +173,38 @@ def stream_interval_join(
         & (rout[right_time] < lout[left_time] + F.expr(f"INTERVAL {horizon}"))
     )
     return lout.join(rout, cond, "inner").drop(rout[key])
+
+
+def sketch_counts(
+    records: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Streaming count-min sketch: maintain the depth×width counter
+    table over an unbounded stream — frequency estimation whose state
+    NEVER grows with key cardinality, the property that makes it the
+    streaming answer where an exact per-key count would accumulate
+    state forever.
+
+    Same plan batch or stream (the 3-way agreement is tested); on a
+    stream run with ``outputMode("update")`` (or "complete" for small
+    widths) and point-query the sink table with
+    :func:`operators.sketch.cms_estimate` — build and query compose
+    across the batch/stream boundary because the bucket hash is the
+    same portable recipe.
+    """
+    from kubernetes_logs_datalake_spark.operators.sketch import cms_bucket
+
+    pairs = records.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    cms_bucket(key_col, j, width).alias("bucket"),
+                )
+                for j in range(depth)
+            ])
+        ).alias("p")
+    ).select("p.j", "p.bucket")
+    return pairs.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))

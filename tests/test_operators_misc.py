@@ -532,3 +532,52 @@ def test_sessionized_counts_batch(spark):
         for r in sessionized_counts(rec, gap="10 seconds").collect()
     )
     assert got == [("2024-01-15 10:30:00", 2), ("2024-01-15 10:31:00", 1)]
+
+
+def test_streaming_sketch_counts_agree_with_batch(spark, tmp_path):
+    """3-way agreement: the streaming CMS sketch (complete mode over a
+    file stream), the same plan on the batch frame, and the batch
+    operators.sketch.cms_sketch all produce identical counter tables —
+    and point queries against the streamed sketch return exact counts."""
+    from kubernetes_logs_datalake_spark.operators.sketch import (
+        cms_estimate,
+        cms_sketch,
+    )
+    from kubernetes_logs_datalake_spark.streaming.analytics import sketch_counts
+
+    data_dir = tmp_path / "in"
+    data_dir.mkdir()
+    lines = [f"2024-01-15T10:30:{i % 10:02d}.0Z stdout F key{i % 7}" for i in range(70)]
+    (data_dir / "a.log").write_text("\n".join(lines) + "\n")
+
+    def records_of(df):
+        return parse_cri_lines(df.withColumn("path", F.input_file_name()),
+                               path_col=None, cluster="dev")
+
+    batch_records = records_of(spark.read.text(str(data_dir)))
+    want = {(r.j, r.bucket): r.cnt for r in
+            sketch_counts(batch_records, "message", depth=3, width=256).collect()}
+    also = {(r.j, r.bucket): r.cnt for r in
+            cms_sketch(batch_records, "message", depth=3, width=256).collect()}
+    assert want == also  # streaming plan == batch operator
+
+    stream = records_of(spark.readStream.format("text").load(str(data_dir)))
+    q = (
+        sketch_counts(stream, "message", depth=3, width=256)
+        .writeStream.format("memory")
+        .queryName("cms_out")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r.j, r.bucket): r.cnt for r in
+               spark.sql("SELECT * FROM cms_out").collect()}
+        assert got == want
+        # point-query the STREAMED sketch with the batch estimator
+        probes = spark.createDataFrame([(f"key{i}",) for i in range(7)], "k string")
+        est = {r.k: r.est for r in
+               cms_estimate(probes, spark.table("cms_out"), "k", 3, 256).collect()}
+        assert est == {f"key{i}": 10 for i in range(7)}
+    finally:
+        q.stop()
