@@ -2275,9 +2275,9 @@ def _docs_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     from kubernetes_logs_datalake_spark.operators.dsir import dsir_weights
 
     d = _t(spark, sf, "documents")
-    target = d.filter(F.col("lang") == "en")
     return dsir_weights(
-        target, d, "doc_id", "text", n=_DSIR_N, buckets=_DSIR_BUCKETS
+        None, d, "doc_id", "text", n=_DSIR_N, buckets=_DSIR_BUCKETS,
+        target_condition=F.col("lang") == "en",
     )
 
 
@@ -2292,8 +2292,10 @@ def _docs_dsir_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     d = _t(spark, sf, "documents")
-    target = d.filter(F.col("lang") == "en")
-    w = dsir_weights(target, d, "doc_id", "text", n=_DSIR_N, buckets=_DSIR_BUCKETS)
+    w = dsir_weights(
+        None, d, "doc_id", "text", n=_DSIR_N, buckets=_DSIR_BUCKETS,
+        target_condition=F.col("lang") == "en",
+    )
     return dsir_resample(w, "doc_id", k=_DSIR_K)
 
 

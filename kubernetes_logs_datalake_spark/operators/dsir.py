@@ -38,20 +38,29 @@ from kubernetes_logs_datalake_spark.operators.sketch import uniform_hash
 
 
 def hashed_grams(
-    df: DataFrame, id_col: str, text_col: str, n: int = 2, buckets: int = 512
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    buckets: int = 512,
+    keep: list[str] | None = None,
 ) -> DataFrame:
-    """One row per gram occurrence: (``id_col``, bucket) with word
-    1..n-grams hashed to ``buckets`` ids (portable md5 mod recipe)."""
+    """One row per gram occurrence: (``id_col``, bucket[, *keep]) with
+    word 1..n-grams hashed to ``buckets`` ids (portable md5 mod
+    recipe); ``keep`` columns ride along unchanged."""
+    keep = keep or []
     gram_lists = [words(F.col(text_col))] + [
         shingles(F.col(text_col), k) for k in range(2, n + 1)
     ]
     grams = F.concat(*gram_lists) if len(gram_lists) > 1 else gram_lists[0]
-    exploded = df.select(F.col(id_col), F.explode(grams).alias("_gram"))
+    exploded = df.select(
+        F.col(id_col), F.explode(grams).alias("_gram"), *keep
+    )
     bucket = (
         F.conv(F.substring(F.md5(F.col("_gram")), 1, 8), 16, 10).cast("long")
         % buckets
     )
-    return exploded.select(F.col(id_col), bucket.alias("bucket"))
+    return exploded.select(F.col(id_col), bucket.alias("bucket"), *keep)
 
 
 def dsir_log_ratio_model(
@@ -60,9 +69,17 @@ def dsir_log_ratio_model(
     """Per-bucket importance log-ratio table (≤ ``buckets`` rows):
     round12(ln p_target(b) − ln p_raw(b)) as DECIMAL(25,12), with add-1
     smoothing over the full bucket grid so unseen buckets score too."""
-    spark = target_grams.sparkSession
     tc = target_grams.groupBy("bucket").agg(F.count("*").alias("_ct"))
     rc = raw_grams.groupBy("bucket").agg(F.count("*").alias("_cr"))
+    return _log_ratio_from_counts(target_grams.sparkSession, tc, rc, buckets)
+
+
+def _log_ratio_from_counts(
+    spark, tc: DataFrame, rc: DataFrame, buckets: int
+) -> DataFrame:
+    """(bucket, log_ratio) from per-bucket target/raw occurrence
+    counts — the shared model-fit tail of :func:`dsir_log_ratio_model`
+    and the one-pass flagged path in :func:`dsir_weights`."""
     tot_t = tc.agg(F.sum("_ct").alias("_nt"))
     tot_r = rc.agg(F.sum("_cr").alias("_nr"))
     grid = spark.range(buckets).select(F.col("id").alias("bucket"))
@@ -98,14 +115,35 @@ def dsir_weights(
     n: int = 2,
     buckets: int = 512,
     scale: int = 6,
+    target_condition=None,
 ) -> DataFrame:
     """Importance log-weight per raw-corpus document:
     (``id_col``, n_feats, log_weight). Positive = more target-like.
     Documents with no grams (empty text) get weight 0.0.
+
+    When the target is a filter of the raw corpus (the common case —
+    "more like the wiki partition"), pass ``target_condition`` (a
+    boolean Column over ``raw``) instead of relying on ``target``: the
+    model's two bucket distributions then come from ONE flagged
+    tokenization pass (``count`` + ``sum(flag)`` in the same shuffle)
+    instead of tokenizing the target subset a second time — the
+    identical counts, one less corpus scan. ``target`` is ignored when
+    the condition is given (pass None).
     """
-    tg = hashed_grams(target, id_col, text_col, n, buckets)
-    rg = hashed_grams(raw, id_col, text_col, n, buckets)
-    model = dsir_log_ratio_model(tg, rg, buckets)
+    if target_condition is not None:
+        flagged = raw.withColumn("_is_t", target_condition.cast("long"))
+        fg = hashed_grams(flagged, id_col, text_col, n, buckets, keep=["_is_t"])
+        counts = fg.groupBy("bucket").agg(
+            F.count("*").alias("_cr"), F.sum("_is_t").alias("_ct")
+        )
+        tc = counts.select("bucket", "_ct").filter(F.col("_ct") > 0)
+        rc = counts.select("bucket", "_cr")
+        model = _log_ratio_from_counts(raw.sparkSession, tc, rc, buckets)
+        rg = fg.select(id_col, "bucket")
+    else:
+        tg = hashed_grams(target, id_col, text_col, n, buckets)
+        rg = hashed_grams(raw, id_col, text_col, n, buckets)
+        model = dsir_log_ratio_model(tg, rg, buckets)
     scored = (
         rg.join(F.broadcast(model), "bucket")
         .groupBy(id_col)

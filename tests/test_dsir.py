@@ -68,3 +68,17 @@ def test_dsir_model_is_broadcast_and_scoring_has_no_wide_shuffle(spark):
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_condition_path_matches_two_corpus_path(spark):
+    """The one-pass target_condition path must produce byte-identical
+    weights to the explicit (target, raw) path."""
+    d = _corpus(spark)
+    two = dsir_weights(
+        d.filter(F.col("lang") == "en"), d, "doc_id", "text", buckets=128
+    ).collect()
+    one = dsir_weights(
+        None, d, "doc_id", "text", buckets=128,
+        target_condition=F.col("lang") == "en",
+    ).collect()
+    assert sorted(map(tuple, two)) == sorted(map(tuple, one))
