@@ -33,6 +33,7 @@ from kubernetes_logs_datalake_spark.functions.text import (
     punct_ratio,
     stopword_ratio,
     token_count,
+    words,
 )
 from kubernetes_logs_datalake_spark.functions.time_ns import epoch_us_col, fmt_ns_iso
 from kubernetes_logs_datalake_spark.operators.dedup import (
@@ -2189,6 +2190,25 @@ def _dedup_quality_keep(spark: SparkSession, sf: str) -> DataFrame:
     return quality_keep(d, pairs, "doc_id", token_count("text"))
 
 
+def _docs_snippet_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-table fuzzy join (record linkage): every 20th document's
+    first-10-word snippet is looked up against the full corpus by
+    trigram containment ≥ 0.8 — "which document did this quote come
+    from", as one shingle inverted-index equi-join, no cross join.
+    Each snippet must at minimum hit its own source at score 1.0."""
+    from kubernetes_logs_datalake_spark.operators.dedup import fuzzy_text_join
+
+    d = _t(spark, sf, "documents")
+    snips = d.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("snippet_id"),
+        F.array_join(F.slice(words("text"), 1, 10), " ").alias("snippet"),
+    )
+    return fuzzy_text_join(
+        snips, d, "snippet_id", "doc_id", "snippet", "text",
+        n=3, threshold=0.8, metric="containment",
+    )
+
+
 def _docs_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     """k-anonymity audit over the (lang, source) quasi-identifier:
     equivalence classes with fewer than 5 members — the
@@ -2697,6 +2717,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _dedup_semantic,
         "docs_containment_pairs": _docs_containment_pairs,
         "docs_k_anonymity": _docs_k_anonymity,
+        "docs_snippet_lookup": _docs_snippet_lookup,
         "docs_ngram_novelty": _docs_ngram_novelty,
         "docs_token_budget": _docs_token_budget,
         "docs_dsir_weights": _docs_dsir_weights,
@@ -2991,6 +3012,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa._id = id_a
             JOIN sizes sb ON sb._id = id_b
             WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.6
+        """,
+        "docs_snippet_lookup": f"""
+            WITH sn AS (
+                SELECT doc_id AS snippet_id,
+                       array_to_string(({w})[1:10], ' ') AS snippet
+                FROM documents WHERE doc_id % 20 = 0),
+            ls AS (SELECT DISTINCT snippet_id AS lid,
+                          unnest({_ddb_shingle_list(_DDB_WORDS.format(t="snippet"), 3)}) AS shingle
+                   FROM sn),
+            rs AS (SELECT DISTINCT doc_id AS rid,
+                          unnest({_ddb_shingle_list(w, 3)}) AS shingle
+                   FROM documents),
+            lsz AS (SELECT lid, count(*) AS szl FROM ls GROUP BY lid),
+            inter AS (SELECT lid, rid, count(*) AS i
+                      FROM ls JOIN rs USING (shingle) GROUP BY 1, 2)
+            SELECT lid AS snippet_id, rid AS doc_id,
+                   round(i * 1.0 / szl, 6) AS score
+            FROM inter JOIN lsz USING (lid)
+            WHERE i * 1.0 / szl >= 0.8
         """,
         "docs_k_anonymity": """
             SELECT lang, source, count(*) AS n_rows,

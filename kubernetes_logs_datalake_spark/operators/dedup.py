@@ -819,3 +819,84 @@ def minhash_calibration(
         F.round("_jac", scale).alias("jaccard"),
         F.round(F.abs(F.col("_est") - F.col("_jac")), scale).alias("abs_err"),
     )
+
+
+def fuzzy_text_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_text: str,
+    right_text: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    metric: str = "containment",
+    max_df: int | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """Cross-table fuzzy join on text similarity — record linkage /
+    entity resolution / snippet-to-source lookup as one inverted-index
+    equi-join, never a cross join.
+
+    Matches every ``left`` row to the ``right`` rows whose word-n-gram
+    sets overlap enough: ``metric="containment"`` scores
+    |L∩R| / |L| (how much of the left text appears in the right —
+    the snippet-lookup / quote-attribution semantics),
+    ``metric="jaccard"`` scores symmetric overlap. Output:
+    (left_id, right_id, score ≥ threshold).
+
+    Scale shape: both sides explode to (id, shingle) sets, join ON THE
+    SHINGLE (cost Σ df_L·df_R per shingle), aggregate per pair. The
+    ``max_df`` guard drops corpus-frequency shingles from BOTH sides
+    and both set sizes, bounding the join exactly as in
+    :func:`ngram_jaccard_pairs`.
+    """
+    if metric not in ("containment", "jaccard"):
+        raise ValueError(f"unknown metric {metric!r}")
+    sa = shingle_sets(left, left_id, left_text, n)
+    sb = shingle_sets(right, right_id, right_text, n)
+    if max_df is not None:
+        df_counts = (
+            sa.select("shingle")
+            .unionAll(sb.select("shingle"))
+            .groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sa = sa.join(df_counts, "shingle", "left_semi")
+        sb = sb.join(df_counts, "shingle", "left_semi")
+    from pyspark.sql import Window
+
+    sa = sa.withColumn("sz_l", F.count("*").over(Window.partitionBy("_id")))
+    sb = sb.withColumn("sz_r", F.count("*").over(Window.partitionBy("_id")))
+    a = sa.select(
+        F.col("_id").alias("_lid"), F.col("shingle"), F.col("sz_l")
+    )
+    b = sb.select(
+        F.col("_id").alias("_rid"), F.col("shingle"), F.col("sz_r")
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .groupBy("_lid", "_rid")
+        .agg(
+            F.count("*").alias("inter"),
+            F.min("sz_l").alias("sz_l"),
+            F.min("sz_r").alias("sz_r"),
+        )
+    )
+    if metric == "containment":
+        score = F.col("inter") / F.col("sz_l")
+    else:
+        score = F.col("inter") / (
+            F.col("sz_l") + F.col("sz_r") - F.col("inter")
+        )
+    return (
+        pairs.withColumn("_score", score)
+        .filter(F.col("_score") >= threshold)
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias(right_id),
+            F.round("_score", scale).alias("score"),
+        )
+    )

@@ -323,3 +323,58 @@ def test_containment_max_df_guard_drops_hot_shingles(spark):
         df, "doc_id", "text", n=3, threshold=0.2, max_df=2
     ).collect()
     assert with_guard == []
+
+
+# ------------------------------------------------------ fuzzy text join
+
+
+def test_fuzzy_join_finds_snippet_source(spark):
+    from kubernetes_logs_datalake_spark.operators.dedup import fuzzy_text_join
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog every day"),
+            (2, "completely different content with other words inside"),
+        ],
+        "doc_id long, text string",
+    )
+    snips = spark.createDataFrame(
+        [(100, "quick brown fox jumps over")], "snippet_id long, snippet string"
+    )
+    out = fuzzy_text_join(
+        snips, docs, "snippet_id", "doc_id", "snippet", "text",
+        n=3, threshold=0.8, metric="containment",
+    ).collect()
+    assert [(r.snippet_id, r.doc_id, r.score) for r in out] == [(100, 1, 1.0)]
+
+
+def test_fuzzy_join_jaccard_metric_and_bad_metric(spark):
+    import pytest as _pytest
+
+    from kubernetes_logs_datalake_spark.operators.dedup import fuzzy_text_join
+
+    a = spark.createDataFrame([(1, "alpha beta gamma delta")], "id long, t string")
+    b = spark.createDataFrame([(9, "alpha beta gamma delta")], "rid long, t2 string")
+    out = fuzzy_text_join(a, b, "id", "rid", "t", "t2", n=2,
+                          threshold=0.99, metric="jaccard").collect()
+    assert [(r.id, r.rid, r.score) for r in out] == [(1, 9, 1.0)]
+    with _pytest.raises(ValueError):
+        fuzzy_text_join(a, b, "id", "rid", "t", "t2", metric="cosine")
+
+
+def test_fuzzy_join_max_df_drops_hot_shingles_both_sides(spark):
+    from kubernetes_logs_datalake_spark.operators.dedup import fuzzy_text_join
+
+    # the shared trigram appears in every row of both sides; with the
+    # cap it leaves the index entirely -> no pairs at all
+    a = spark.createDataFrame(
+        [(i, f"common shared phrase plus left{i} extra{i}") for i in range(4)],
+        "id long, t string",
+    )
+    b = spark.createDataFrame(
+        [(i, f"common shared phrase plus right{i} other{i}") for i in range(4)],
+        "rid long, t2 string",
+    )
+    got = fuzzy_text_join(a, b, "id", "rid", "t", "t2", n=3,
+                          threshold=0.1, max_df=1).collect()
+    assert got == []
