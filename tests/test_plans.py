@@ -242,3 +242,10 @@ def test_semdedup_pair_stage_is_equi_join(spark):
     be the O(n²) brute force the clustering exists to avoid)."""
     p = plan_of(spark, "dedup_semantic")
     assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_fuzzy_join_no_cross_join(spark):
+    """The cross-table fuzzy join must stay a shingle equi-join — the
+    inverted index exists precisely to avoid the |L|x|R| cross join."""
+    p = plan_of(spark, "docs_snippet_lookup")
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
