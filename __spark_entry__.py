@@ -1568,6 +1568,34 @@ def _events_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _events_gapfill_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-filled hourly rollup (time_bucket_gapfill + locf analog):
+    every event type's hourly series densified over its own span —
+    missing hours appear zero-count with is_gap=true and the last
+    observed sum carried forward. Grid generation is sequence+explode
+    from one row per key; no driver loop, no raw-event rescan."""
+    from kubernetes_logs_datalake_spark.operators.rollup import gapfill_rollup
+
+    e = _t(spark, sf, "events")
+    out = gapfill_rollup(
+        e,
+        ts_col="ts",
+        every="hour",
+        keys=["event_type"],
+        aggs=[F.count("*").alias("n"), _dsum(_dprice("value")).alias("sum_value")],
+        locf_cols=["sum_value"],
+    )
+    return out.select(
+        "event_type",
+        ((F.col("bucket_ns") - F.pmod(F.col("bucket_ns"), 1000))
+         .cast("decimal(38,0)") / 1000).cast("long").alias("bucket_us"),
+        "n",
+        "sum_value",
+        "is_gap",
+        "sum_value_locf",
+    )
+
+
 def _events_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Strict-order first-touch conversion funnel signup→view→click→
     purchase: per-stage converted-user counts. Timestamps go through
@@ -2679,6 +2707,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch / product analytics / profiling
         "approx_distinct_kmv": _approx_distinct_kmv,
         "events_heavy_hitters": _events_heavy_hitters,
+        "events_gapfill_hourly": _events_gapfill_hourly,
         "bloom_prune_lineitem": _bloom_prune_lineitem,
         "events_funnel": _events_funnel,
         "events_retention": _events_retention,
@@ -2957,6 +2986,30 @@ def oracle_sql() -> dict[str, str]:
                    {_s_dsum("CAST(value AS DECIMAL(12,4))", "sum_value")},
                    {_s_davg("CAST(value AS DECIMAL(12,4))", "avg_value")}
             FROM events GROUP BY 1, 2
+        """,
+        "events_gapfill_hourly": f"""
+            WITH rolled AS (
+                SELECT event_type,
+                       (epoch_us(ts) - epoch_us(ts) % 3600000000) AS bucket_us,
+                       count(*) AS n,
+                       {_s_dsum("CAST(value AS DECIMAL(12,4))", "sum_value")}
+                FROM events GROUP BY 1, 2),
+            span AS (SELECT event_type, min(bucket_us) AS mn, max(bucket_us) AS mx
+                     FROM rolled GROUP BY 1),
+            grid AS (SELECT event_type,
+                            unnest(generate_series(mn, mx, 3600000000)) AS bucket_us
+                     FROM span),
+            j AS (SELECT g.event_type, g.bucket_us,
+                         COALESCE(r.n, 0) AS n, r.sum_value,
+                         r.n IS NULL AS is_gap
+                  FROM grid g LEFT JOIN rolled r
+                    ON r.event_type = g.event_type AND r.bucket_us = g.bucket_us)
+            SELECT event_type, bucket_us, n, sum_value, is_gap,
+                   last_value(sum_value IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY bucket_us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sum_value_locf
+            FROM j
         """,
         "events_type_stats": f"""
             SELECT event_type, count(*) AS n,

@@ -86,3 +86,61 @@ def hopping_rollup(
     start = (F.col("_wi") * F.lit(slide_us)).cast("long").alias("window_start_us")
     group_cols = [start] + [F.col(k) for k in (keys or [])]
     return exploded.groupBy(*group_cols).agg(*aggs)
+
+
+def gapfill_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    every: str = "hour",
+    keys: list[str] | None = None,
+    aggs: list[Column] | None = None,
+    locf_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gap-filled continuous aggregate (the `time_bucket_gapfill` +
+    `locf` shape of hypertable stores): roll up per (bucket, *keys),
+    then densify each key's series over its own [min, max] bucket span
+    — missing buckets appear with ``is_gap=true``, count-like agg
+    columns zero-filled, and each column in ``locf_cols`` also emitted
+    as ``<col>_locf`` carrying the last observed value forward.
+
+    Scale shape: the grid generates from ONE row per key
+    (``sequence(min, max, step)`` + explode — span/width rows per key,
+    no driver loop), the join back to the rollup is (key, bucket)-keyed
+    on already-aggregated rows, and LOCF is a partitioned running
+    window — nothing touches raw events twice.
+    """
+    keys = keys or []
+    aggs = aggs or [F.count("*").alias("n")]
+    locf_cols = locf_cols or []
+    width = NS[every]
+    rolled = rollup_events(df, ts_col=ts_col, every=every, keys=keys, aggs=aggs)
+    span = rolled.groupBy(*keys).agg(
+        F.min("bucket_ns").alias("_mn"), F.max("bucket_ns").alias("_mx")
+    )
+    grid = span.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("_mn"), F.col("_mx"), F.lit(width))
+        ).alias("bucket_ns"),
+    )
+    agg_names = [c for c in rolled.columns if c != "bucket_ns" and c not in keys]
+    joined = grid.join(rolled, [*keys, "bucket_ns"], "left")
+    n_cols = [
+        F.coalesce(F.col("n"), F.lit(0)).alias("n") if c == "n" else F.col(c)
+        for c in agg_names
+    ]
+    out = joined.select(
+        *keys, "bucket_ns", *n_cols, F.col(agg_names[0]).isNull().alias("is_gap")
+        if "n" not in agg_names
+        else (F.col("n").isNull()).alias("is_gap"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_ns")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in locf_cols:
+        out = out.withColumn(f"{c}_locf", F.last(c, ignorenulls=True).over(w))
+    return out

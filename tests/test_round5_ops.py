@@ -378,3 +378,37 @@ def test_fuzzy_join_max_df_drops_hot_shingles_both_sides(spark):
     got = fuzzy_text_join(a, b, "id", "rid", "t", "t2", n=3,
                           threshold=0.1, max_df=1).collect()
     assert got == []
+
+
+# ------------------------------------------------------------ gap fill
+
+
+def test_gapfill_rollup_densifies_and_locf(spark):
+    from kubernetes_logs_datalake_spark.operators.rollup import gapfill_rollup
+
+    HOUR_US = 3600 * US
+    base = 1_700_000_000 * US - (1_700_000_000 * US) % HOUR_US
+    rows = [  # key "a": hours 0, 1, 3 (hour 2 missing); key "b": hour 0 only
+        (1, "a", base + 0, 10.0),
+        (2, "a", base + HOUR_US + 1, 20.0),
+        (3, "a", base + 3 * HOUR_US + 2, 40.0),
+        (4, "b", base + 0, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, k string, ts_us long, value double"
+    ).select("event_id", "k", F.timestamp_micros(F.col("ts_us")).alias("ts"), "value")
+    out = gapfill_rollup(
+        df, ts_col="ts", every="hour", keys=["k"],
+        aggs=[F.count("*").alias("n"), F.sum("value").alias("sv")],
+        locf_cols=["sv"],
+    )
+    got = {(r.k, r.bucket_ns): r for r in out.collect()}
+    a_buckets = sorted(b for (k, b) in got if k == "a")
+    assert len(a_buckets) == 4  # hours 0..3 densified
+    gap = got[("a", a_buckets[2])]
+    assert gap.is_gap and gap.n == 0 and gap.sv is None
+    assert gap.sv_locf == 20.0  # carried forward from hour 1
+    assert not got[("a", a_buckets[3])].is_gap
+    assert got[("a", a_buckets[3])].sv_locf == 40.0
+    # key "b" has a single-bucket span: no gaps generated
+    assert [k for (k, _) in got if k == "b"] == ["b"]
