@@ -77,6 +77,10 @@ HEADLINE = [
     "docs_dsir_sample",
     "bloom_prune_lineitem",
     "weighted_sample_docs",
+    "events_gapfill_hourly",
+    "docs_snippet_lookup",
+    "docs_containment_pairs",
+    "docs_k_anonymity",
     # docs_bpe_merges/docs_bpe_tokens are deliberately NOT benched: 20
     # sequential merge iterations have a fixed ~0.6 s/iteration action-
     # latency floor in local mode that measures the scheduler, not the
