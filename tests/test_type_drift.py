@@ -32,6 +32,11 @@ EVENTS_QUERIES = [
     "events_session_windows",
     "percentile_event_value",
     "pivot_event_counts",
+    # round-5 additions reading only events
+    "events_hopping_rollup",
+    "events_sliding_topk",
+    "events_heavy_hitters",
+    "events_gapfill_hourly",
 ]
 
 
