@@ -1596,6 +1596,28 @@ def _events_gapfill_hourly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_KMV_OVERLAP_K = 64
+
+
+def _events_audience_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Audience overlap in bounded state: clickers vs purchasers as
+    KMV set algebra (theta-sketch-style) — distinct-count estimates
+    for each set, their union (merged sketch), intersection by
+    inclusion-exclusion, and Jaccard; never materializes either
+    distinct user set. k=64 < |users| so the estimator path (not the
+    exact small-set path) is what gets hash-checked."""
+    from kubernetes_logs_datalake_spark.operators.sketch import kmv_overlap
+
+    e = _t(spark, sf, "events")
+    return kmv_overlap(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+        "user_id",
+        "user_id",
+        k=_KMV_OVERLAP_K,
+    )
+
+
 def _events_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Strict-order first-touch conversion funnel signup→view→click→
     purchase: per-stage converted-user counts. Timestamps go through
@@ -2708,6 +2730,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_kmv": _approx_distinct_kmv,
         "events_heavy_hitters": _events_heavy_hitters,
         "events_gapfill_hourly": _events_gapfill_hourly,
+        "events_audience_overlap": _events_audience_overlap,
         "bloom_prune_lineitem": _bloom_prune_lineitem,
         "events_funnel": _events_funnel,
         "events_retention": _events_retention,
@@ -2812,6 +2835,44 @@ def _bloom_oracle() -> str:
              WHERE c.inb) AS n_pass_bloom,
             (SELECT count(*) FROM lineitem l
              WHERE l.l_suppkey IN (SELECT k FROM dimk)) AS n_match)
+    """
+
+
+def _kmv_overlap_oracle() -> str:
+    """Generated from the same k as _events_audience_overlap; the
+    estimator CASE matches kmv_distinct's (exact under k)."""
+    from kubernetes_logs_datalake_spark.operators.sketch import HASH_SPACE
+
+    k = _KMV_OVERLAP_K
+    h = (
+        "(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT"
+        f" + 0.5) / {HASH_SPACE!r}"
+    )
+
+    def est(src: str, name: str) -> str:
+        return f"""
+        {name} AS (
+            SELECT CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                        ELSE round({float(k - 1)!r} / max(_h), 4) END AS {name}
+            FROM (SELECT _h FROM {src} ORDER BY _h LIMIT {k}))"""
+
+    inter = "greatest(0.0, round(est_a + est_b - est_union, 4))"
+    return f"""
+        WITH ha AS (SELECT DISTINCT {h} AS _h FROM events
+                    WHERE event_type = 'click'),
+        hb AS (SELECT DISTINCT {h} AS _h FROM events
+               WHERE event_type = 'purchase'),
+        hu AS (SELECT DISTINCT _h FROM
+               (SELECT _h FROM ha UNION ALL SELECT _h FROM hb)),
+        {est("ha", "est_a")},
+        {est("hb", "est_b")},
+        {est("hu", "est_union")}
+        SELECT est_a, est_b, est_union,
+               {inter} AS est_intersection,
+               CASE WHEN est_union > 0
+                    THEN round({inter} / est_union, 4)
+                    ELSE 0.0 END AS est_jaccard
+        FROM est_a, est_b, est_union
     """
 
 
@@ -4104,6 +4165,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "approx_distinct_kmv": _kmv_oracle(),
         "events_heavy_hitters": _cms_oracle(),
+        "events_audience_overlap": _kmv_overlap_oracle(),
         "bloom_prune_lineitem": _bloom_oracle(),
         "events_funnel": """
             WITH firsts AS (

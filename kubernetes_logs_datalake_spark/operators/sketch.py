@@ -234,3 +234,65 @@ def cms_oracle_sql(
         FROM est JOIN exact ON exact.key = est.key
         ORDER BY est.est DESC, est.key LIMIT {k}
     """
+
+
+# ------------------------------------------------- KMV set algebra
+
+
+def kmv_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: str,
+    key_b: str,
+    k: int = 256,
+    scale: int = 4,
+) -> DataFrame:
+    """Set-overlap estimation from two KMV sketches (theta-sketch-style
+    set algebra over the deterministic md5 hash space): one row with
+    (est_a, est_b, est_union, est_intersection, est_jaccard) for the
+    two key sets — the audience-overlap / cross-corpus-cardinality
+    question answered in bounded state, never materializing either
+    distinct set.
+
+    Union comes from the k smallest distinct hashes of the COMBINED
+    stream (a KMV sketch is mergeable by construction); intersection
+    by inclusion-exclusion, clamped at 0; Jaccard from the two. Every
+    estimate is the same deterministic (k-1)/h_(k) estimator as
+    :func:`kmv_distinct` (exact below k), so the whole report is
+    engine-reproducible.
+    """
+
+    def hashes(df: DataFrame, key: str) -> DataFrame:
+        return df.select(uniform_hash(key).alias("_h")).distinct()
+
+    def est(hdf: DataFrame, name: str) -> DataFrame:
+        topk = hdf.orderBy("_h").limit(k)
+        return topk.agg(
+            F.when(F.count("*") < k, F.count("*").cast("double"))
+            .otherwise(F.round(F.lit(float(k - 1)) / F.max("_h"), scale))
+            .alias(name)
+        )
+
+    ha = hashes(a, key_a)
+    hb = hashes(b, key_b)
+    hu = ha.unionAll(hb).distinct()
+    out = (
+        est(ha, "est_a")
+        .crossJoin(est(hb, "est_b"))
+        .crossJoin(est(hu, "est_union"))
+    )
+    inter = F.greatest(
+        F.lit(0.0), F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), scale)
+    )
+    return out.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        inter.alias("est_intersection"),
+        F.when(
+            F.col("est_union") > 0,
+            F.round(inter / F.col("est_union"), scale),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("est_jaccard"),
+    )

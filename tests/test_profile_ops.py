@@ -237,3 +237,23 @@ def test_cms_estimate_zero_for_unseen_keys(spark):
     probes = spark.createDataFrame([("a",), ("never-seen",)], "k string")
     got = {r.k: r.est for r in cms_estimate(probes, sk, "k", 4, 4096).collect()}
     assert got == {"a": 7, "never-seen": 0}
+
+
+def test_kmv_overlap_exact_below_k_and_accurate_above(spark):
+    from kubernetes_logs_datalake_spark.operators.sketch import kmv_overlap
+
+    # |A|=30, |B|=20, |A∩B|=10 -> exact path (all under k)
+    a = spark.createDataFrame([(i,) for i in range(30)], "k long")
+    b = spark.createDataFrame([(i,) for i in range(20, 40)], "k long")
+    r = kmv_overlap(a, b, "k", "k", k=256).first()
+    assert (r.est_a, r.est_b, r.est_union) == (30.0, 20.0, 40.0)
+    assert r.est_intersection == 10.0
+    assert abs(r.est_jaccard - 0.25) < 1e-9
+    # estimator path: 2000/1000 keys with 500 shared, k=256
+    big_a = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    big_b = spark.createDataFrame([(i,) for i in range(1500, 2500)], "k long")
+    r2 = kmv_overlap(big_a, big_b, "k", "k", k=256).first()
+    assert abs(r2.est_a - 2000) / 2000 < 0.2
+    assert abs(r2.est_union - 2500) / 2500 < 0.2
+    true_j = 500 / 2500
+    assert abs(r2.est_jaccard - true_j) < 0.15
