@@ -1931,6 +1931,27 @@ def _text_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_HYBRID_N, _HYBRID_K = 20, 10
+
+
+def _docs_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval (the RAG stack on-engine): BM25 keyword top-20
+    fused with embedding-cosine top-20 by reciprocal-rank fusion
+    (doc_id and vec_id are the same key space). Both candidate lists
+    are TakeOrdered outputs; fusion joins ≤N rows — the corpus is
+    scanned once per modality, never for the fusion."""
+    from kubernetes_logs_datalake_spark.functions.text import bm25_topk
+    from kubernetes_logs_datalake_spark.operators.similarity import hybrid_topk
+
+    d = _t(spark, sf, "documents")
+    kw = bm25_topk(d, "doc_id", "text", list(BM25_TERMS), k=_HYBRID_N)
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    vec = brute_force_topk(emb, "embedding", _query_vec(spark, sf), k=_HYBRID_N)
+    return hybrid_topk(
+        kw, vec, "doc_id", "vec_id", "score", "cos", k=_HYBRID_K
+    )
+
+
 RP_OUT_DIM = 8
 
 
@@ -2731,6 +2752,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_heavy_hitters": _events_heavy_hitters,
         "events_gapfill_hourly": _events_gapfill_hourly,
         "events_audience_overlap": _events_audience_overlap,
+        "docs_hybrid_search": _docs_hybrid_search,
         "bloom_prune_lineitem": _bloom_prune_lineitem,
         "events_funnel": _events_funnel,
         "events_retention": _events_retention,
@@ -3851,6 +3873,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN canon ON nf.f = canon.f
         """,
         "text_bm25_search": _bm25_oracle_sql(BM25_TERMS, k=20),
+        "docs_hybrid_search": f"""
+            WITH kw AS ({_bm25_oracle_sql(BM25_TERMS, k=_HYBRID_N)}),
+            vec AS (
+                SELECT vec_id, cos FROM (
+                    SELECT e.vec_id, {cos_eq} AS cos
+                    FROM embeddings e,
+                         (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+                    WHERE e.vec_id <> 0)
+                ORDER BY cos DESC, vec_id LIMIT {_HYBRID_N}),
+            kr AS (SELECT doc_id, CAST(row_number() OVER (
+                       ORDER BY score DESC, doc_id) AS INT) AS kw_rank FROM kw),
+            vr AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (
+                       ORDER BY cos DESC, vec_id) AS INT) AS vec_rank FROM vec),
+            f AS (SELECT COALESCE(kr.doc_id, vr.doc_id) AS doc_id,
+                         kw_rank, vec_rank
+                  FROM kr FULL JOIN vr ON kr.doc_id = vr.doc_id)
+            SELECT doc_id, kw_rank, vec_rank,
+                   round(COALESCE(1.0 / (60 + kw_rank), 0.0)
+                       + COALESCE(1.0 / (60 + vec_rank), 0.0), 6) AS rrf
+            FROM f ORDER BY rrf DESC, doc_id LIMIT {_HYBRID_K}
+        """,
         "docs_corpus_diff": f"""
             WITH old AS (
                 SELECT doc_id,

@@ -78,6 +78,8 @@ HEADLINE = [
     "bloom_prune_lineitem",
     "weighted_sample_docs",
     "events_gapfill_hourly",
+    "events_audience_overlap",
+    "docs_hybrid_search",
     "docs_snippet_lookup",
     "docs_containment_pairs",
     "docs_k_anonymity",

@@ -372,3 +372,66 @@ def knn_join_bruteforce(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+# -------------------------------------------------- hybrid retrieval
+
+
+def _rank_candidates(df: DataFrame, id_col: str, score_col: str) -> DataFrame:
+    """(id, rank) over a BOUNDED candidate list (a top-N output):
+    rank = 1 + #{rows with (score desc, id asc)-better position} via a
+    self-join count — deliberately NOT a window: an unpartitioned
+    WindowExec single-partitions its input (the plan gate bans it),
+    while an N²-row join over N≤~100 candidates is noise. Ids are
+    unique so the ranking is total and engine-deterministic."""
+    a = df.select(F.col(id_col).alias("_id"), F.col(score_col).alias("_s"))
+    b = df.select(F.col(id_col).alias("_id2"), F.col(score_col).alias("_s2"))
+    better = (F.col("_s2") > F.col("_s")) | (
+        (F.col("_s2") == F.col("_s")) & (F.col("_id2") < F.col("_id"))
+    )
+    return (
+        a.join(b, better, "left")
+        .groupBy("_id")
+        .agg((F.count("_id2") + 1).cast("int").alias("rank"))
+    )
+
+
+def hybrid_topk(
+    keyword_topn: DataFrame,
+    vector_topn: DataFrame,
+    keyword_id: str,
+    vector_id: str,
+    keyword_score: str,
+    vector_score: str,
+    k: int = 10,
+    c: int = 60,
+    scale: int = 6,
+) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009):
+    fuse a keyword top-N (BM25) and a vector top-N (cosine) into one
+    ranking — ``rrf = Σ 1/(c + rank)`` over the lists a document
+    appears in. The standard RAG retrieval stack, entirely on-engine:
+    both inputs are bounded candidate lists (their own
+    TakeOrderedAndProject outputs), so fusion is joins over ≤N rows and
+    the final cut is another TakeOrdered — nothing rescans the corpus.
+
+    Output: (doc_id, kw_rank, vec_rank, rrf) — ranks NULL where a
+    document appears in only one list; top-k by rrf desc, id asc.
+    """
+    kr = _rank_candidates(keyword_topn, keyword_id, keyword_score).select(
+        F.col("_id").alias("doc_id"), F.col("rank").alias("kw_rank")
+    )
+    vr = _rank_candidates(vector_topn, vector_id, vector_score).select(
+        F.col("_id").alias("doc_id"), F.col("rank").alias("vec_rank")
+    )
+    fused = kr.join(vr, "doc_id", "full")
+    rrf = F.round(
+        F.coalesce(1.0 / (F.lit(c) + F.col("kw_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(c) + F.col("vec_rank")), F.lit(0.0)),
+        scale,
+    )
+    return (
+        fused.select("doc_id", "kw_rank", "vec_rank", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id"))
+        .limit(k)
+    )

@@ -412,3 +412,40 @@ def test_gapfill_rollup_densifies_and_locf(spark):
     assert got[("a", a_buckets[3])].sv_locf == 40.0
     # key "b" has a single-bucket span: no gaps generated
     assert [k for (k, _) in got if k == "b"] == ["b"]
+
+
+# ---------------------------------------------------- hybrid retrieval
+
+
+def test_hybrid_rrf_fuses_both_lists(spark):
+    from kubernetes_logs_datalake_spark.operators.similarity import hybrid_topk
+
+    kw = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, score double"
+    )
+    vec = spark.createDataFrame(
+        [(2, 0.99), (4, 0.80)], "vec_id long, cos double"
+    )
+    out = hybrid_topk(kw, vec, "doc_id", "vec_id", "score", "cos", k=10, c=60)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    # doc 2 is in both lists (kw rank 2, vec rank 1) and must win
+    assert rows[2].kw_rank == 2 and rows[2].vec_rank == 1
+    top = out.first()
+    assert top.doc_id == 2
+    assert abs(rows[2].rrf - (1 / 62 + 1 / 61)) < 1e-6
+    # single-list docs carry a NULL rank on the missing side
+    assert rows[1].vec_rank is None and rows[4].kw_rank is None
+    assert abs(rows[1].rrf - 1 / 61) < 1e-6
+
+
+def test_hybrid_rank_ties_break_by_id(spark):
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        _rank_candidates,
+    )
+
+    df = spark.createDataFrame(
+        [(5, 1.0), (3, 1.0), (7, 2.0)], "id long, s double"
+    )
+    got = {r._id: r.rank for r in _rank_candidates(df, "id", "s").collect()}
+    assert got == {7: 1, 3: 2, 5: 3}
