@@ -1596,6 +1596,34 @@ def _events_gapfill_hourly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_CUSUM_SLACK, _CUSUM_THRESHOLD = 1.0, 5.0
+
+
+def _events_cusum_alerts(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM rate-spike detection per event type: the hourly count
+    series monitored against its own mean with the Page (1954)
+    one-sided statistic — expressed via the prefix-min closed form, so
+    the 'sequential' detector is two partitioned running windows, no
+    recursion. Alerts where the cumulative drift exceeds 5 (the ~p99 of the statistic on this corpus, so alerts fire but stay rare)."""
+    from kubernetes_logs_datalake_spark.operators.profile import cusum_alerts
+    from kubernetes_logs_datalake_spark.operators.rollup import rollup_events
+
+    e = _t(spark, sf, "events")
+    rolled = rollup_events(e, ts_col="ts", every="hour", keys=["event_type"])
+    rolled = rolled.select(
+        ((F.col("bucket_ns") - F.pmod(F.col("bucket_ns"), 1000))
+         .cast("decimal(38,0)") / 1000).cast("long").alias("bucket_us"),
+        "event_type",
+        "n",
+    ).withColumn(
+        "mean_n", F.avg("n").over(Window.partitionBy("event_type"))
+    )
+    return cusum_alerts(
+        rolled, ["event_type"], "bucket_us", "n", "mean_n",
+        slack=_CUSUM_SLACK, threshold=_CUSUM_THRESHOLD,
+    )
+
+
 _KMV_OVERLAP_K = 64
 
 
@@ -2753,6 +2781,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill_hourly": _events_gapfill_hourly,
         "events_audience_overlap": _events_audience_overlap,
         "docs_hybrid_search": _docs_hybrid_search,
+        "events_cusum_alerts": _events_cusum_alerts,
         "bloom_prune_lineitem": _bloom_prune_lineitem,
         "events_funnel": _events_funnel,
         "events_retention": _events_retention,
@@ -3069,6 +3098,33 @@ def oracle_sql() -> dict[str, str]:
                    {_s_dsum("CAST(value AS DECIMAL(12,4))", "sum_value")},
                    {_s_davg("CAST(value AS DECIMAL(12,4))", "avg_value")}
             FROM events GROUP BY 1, 2
+        """,
+        "events_cusum_alerts": f"""
+            WITH rolled AS (
+                SELECT event_type,
+                       (epoch_us(ts) - epoch_us(ts) % 3600000000) AS bucket_us,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2),
+            m AS (SELECT *, avg(n) OVER (PARTITION BY event_type) AS mean_n
+                  FROM rolled),
+            c AS (SELECT *,
+                      sum(CAST(round(n - mean_n - {_CUSUM_SLACK!r}, 6)
+                               AS DECIMAL(25,6))) OVER (
+                          PARTITION BY event_type ORDER BY bucket_us
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      ) AS cum
+                  FROM m),
+            f AS (SELECT *,
+                      least(CAST(0 AS DECIMAL(25,6)), min(cum) OVER (
+                          PARTITION BY event_type ORDER BY bucket_us
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      )) AS fl
+                  FROM c)
+            SELECT event_type, bucket_us, n AS value,
+                   round(CAST(cum - fl AS DOUBLE), 6) AS cusum,
+                   round(CAST(cum - fl AS DOUBLE), 6) > {_CUSUM_THRESHOLD!r}
+                       AS alert
+            FROM f
         """,
         "events_gapfill_hourly": f"""
             WITH rolled AS (

@@ -164,3 +164,55 @@ def exact_corr(
         F.round(corr, 4).alias("corr"),
         F.round(covar, 4).alias("covar_pop"),
     )
+
+
+def cusum_alerts(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    target_col,
+    slack: float,
+    threshold: float,
+    scale: int = 6,
+) -> DataFrame:
+    """One-sided CUSUM change detection (Page 1954) over an ordered
+    per-key series: flag the points where the cumulative upward drift
+    of ``value_col`` above ``target + slack`` exceeds ``threshold`` —
+    the sequential change-point detector behind rate-spike alerting.
+
+    The textbook recursion s_i = max(0, s_{i-1} + x_i − target − slack)
+    looks iterative, but has the prefix-min closed form
+    ``s_i = cum_i − min_{j≤i}(cum_j ∪ 0)`` over the running sum of
+    deviations — so the whole detector is two *partitioned* running
+    windows (cumsum + running min), no recursion, no UDF, no driver
+    loop. Deviations accumulate in DECIMAL (exact, order-independent)
+    and the statistic is rounded to ``scale`` for engine parity.
+
+    Output: (*keys, order_col, value, cusum, alert) for every input
+    row; ``alert`` = the statistic crossed ``threshold`` at this point.
+    """
+    from pyspark.sql import Window
+
+    tgt = F.col(target_col) if isinstance(target_col, str) else target_col
+    dev = (
+        F.round(F.col(value_col).cast("double") - tgt - F.lit(slack), scale)
+        .cast("decimal(25,6)")
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("_cum", F.sum(dev).over(w))
+    out = out.withColumn(
+        "_floor", F.least(F.lit(0).cast("decimal(25,6)"), F.min("_cum").over(w))
+    )
+    stat = F.round((F.col("_cum") - F.col("_floor")).cast("double"), scale)
+    return out.select(
+        *keys,
+        order_col,
+        F.col(value_col).alias("value"),
+        stat.alias("cusum"),
+        (stat > threshold).alias("alert"),
+    )

@@ -257,3 +257,27 @@ def test_kmv_overlap_exact_below_k_and_accurate_above(spark):
     assert abs(r2.est_union - 2500) / 2500 < 0.2
     true_j = 500 / 2500
     assert abs(r2.est_jaccard - true_j) < 0.15
+
+
+def test_cusum_matches_textbook_recursion(spark):
+    """The prefix-min closed form must equal the literal
+    s_i = max(0, s_{i-1} + x_i - target - slack) recursion."""
+    from kubernetes_logs_datalake_spark.operators.profile import cusum_alerts
+
+    xs = [5.0, 1.0, 1.0, 9.0, 1.0, 0.0, 0.0, 12.0]
+    target, slack, h = 3.0, 0.5, 4.0
+    rows = [(1, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k long, t long, v double") \
+        .withColumn("tgt", F.lit(target))
+    got = {r.t: r for r in
+           cusum_alerts(df, ["k"], "t", "v", "tgt", slack, h).collect()}
+    s, want = 0.0, {}
+    for i, x in enumerate(xs):
+        s = max(0.0, s + x - target - slack)
+        want[i] = s
+    for i in want:
+        assert abs(got[i].cusum - want[i]) < 1e-9, (i, got[i].cusum, want[i])
+        assert got[i].alert == (round(want[i], 6) > h)
+    # the detector resets after the drain (values below target)
+    assert want[5] == 0.0 and got[5].cusum == 0.0
+    assert got[7].alert  # and re-alerts on the fresh spike
