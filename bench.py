@@ -79,6 +79,7 @@ HEADLINE = [
     "weighted_sample_docs",
     "events_gapfill_hourly",
     "events_audience_overlap",
+    "events_cusum_alerts",
     "docs_hybrid_search",
     "docs_snippet_lookup",
     "docs_containment_pairs",

@@ -37,6 +37,8 @@ EVENTS_QUERIES = [
     "events_sliding_topk",
     "events_heavy_hitters",
     "events_gapfill_hourly",
+    "events_audience_overlap",
+    "events_cusum_alerts",
 ]
 
 
