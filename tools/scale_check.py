@@ -82,6 +82,14 @@ QUERIES = [
     "dedup_semantic",
     "events_heavy_hitters",
     "docs_dsir_weights",
+    # late round-5 additions: windowed detectors, sketch set algebra,
+    # bounded-candidate fusion, cross-table inverted-index join
+    "events_cusum_alerts",
+    "events_gapfill_hourly",
+    "events_audience_overlap",
+    "docs_hybrid_search",
+    "docs_snippet_lookup",
+    "bloom_prune_lineitem",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
