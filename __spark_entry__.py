@@ -140,6 +140,17 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     return _QUERY_VEC_CACHE[sf_dir]
 
 
+def _bucket_ns_to_us(col: F.Column) -> F.Column:
+    """ns bucket -> µs bucket (long) through DECIMAL — ns epochs exceed
+    2^53, so a double division would silently corrupt low digits; the
+    decimal cast is the load-bearing part. Shared by every rollup query
+    that mirrors against DuckDB's µs timestamps."""
+    return (
+        ((col - F.pmod(col, 1000)).cast("decimal(38,0)") / 1000)
+        .cast("long")
+    )
+
+
 # DuckDB-side sequential-double cosine between two list<float> columns.
 def _ddb_cos(a: str, b: str, dim: int = EMBEDDING_DIM) -> str:
     dp = f"list_sum(list_transform(range(1,{dim + 1}), i -> ({a}[i])::DOUBLE * ({b}[i])::DOUBLE))"
@@ -443,9 +454,7 @@ def _events_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
     # bucket in epoch-µs so DuckDB (µs timestamps) can mirror exactly
     return rolled.select(
-        ((F.col("bucket_ns") - F.pmod(F.col("bucket_ns"), 1000)).cast("decimal(38,0)") / 1000)
-        .cast("long")
-        .alias("bucket_us"),
+        _bucket_ns_to_us(F.col("bucket_ns")).alias("bucket_us"),
         "event_type",
         "n",
         "sum_value",
@@ -1587,8 +1596,7 @@ def _events_gapfill_hourly(spark: SparkSession, sf: str) -> DataFrame:
     )
     return out.select(
         "event_type",
-        ((F.col("bucket_ns") - F.pmod(F.col("bucket_ns"), 1000))
-         .cast("decimal(38,0)") / 1000).cast("long").alias("bucket_us"),
+        _bucket_ns_to_us(F.col("bucket_ns")).alias("bucket_us"),
         "n",
         "sum_value",
         "is_gap",
@@ -1611,8 +1619,7 @@ def _events_cusum_alerts(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "events")
     rolled = rollup_events(e, ts_col="ts", every="hour", keys=["event_type"])
     rolled = rolled.select(
-        ((F.col("bucket_ns") - F.pmod(F.col("bucket_ns"), 1000))
-         .cast("decimal(38,0)") / 1000).cast("long").alias("bucket_us"),
+        _bucket_ns_to_us(F.col("bucket_ns")).alias("bucket_us"),
         "event_type",
         "n",
     ).withColumn(
@@ -1959,7 +1966,7 @@ def _text_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_HYBRID_N, _HYBRID_K = 20, 10
+_HYBRID_N, _HYBRID_K, _HYBRID_C = 20, 10, 60
 
 
 def _docs_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
@@ -1976,7 +1983,7 @@ def _docs_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
     vec = brute_force_topk(emb, "embedding", _query_vec(spark, sf), k=_HYBRID_N)
     return hybrid_topk(
-        kw, vec, "doc_id", "vec_id", "score", "cos", k=_HYBRID_K
+        kw, vec, "doc_id", "vec_id", "score", "cos", k=_HYBRID_K, c=_HYBRID_C
     )
 
 
@@ -3946,8 +3953,8 @@ def oracle_sql() -> dict[str, str]:
                          kw_rank, vec_rank
                   FROM kr FULL JOIN vr ON kr.doc_id = vr.doc_id)
             SELECT doc_id, kw_rank, vec_rank,
-                   round(COALESCE(1.0 / (60 + kw_rank), 0.0)
-                       + COALESCE(1.0 / (60 + vec_rank), 0.0), 6) AS rrf
+                   round(COALESCE(1.0 / ({_HYBRID_C} + kw_rank), 0.0)
+                       + COALESCE(1.0 / ({_HYBRID_C} + vec_rank), 0.0), 6) AS rrf
             FROM f ORDER BY rrf DESC, doc_id LIMIT {_HYBRID_K}
         """,
         "docs_corpus_diff": f"""

@@ -95,13 +95,17 @@ def gapfill_rollup(
     keys: list[str] | None = None,
     aggs: list[Column] | None = None,
     locf_cols: list[str] | None = None,
+    zero_fill: list[str] | None = None,
 ) -> DataFrame:
     """Gap-filled continuous aggregate (the `time_bucket_gapfill` +
     `locf` shape of hypertable stores): roll up per (bucket, *keys),
     then densify each key's series over its own [min, max] bucket span
-    — missing buckets appear with ``is_gap=true``, count-like agg
-    columns zero-filled, and each column in ``locf_cols`` also emitted
-    as ``<col>_locf`` carrying the last observed value forward.
+    — missing buckets appear with ``is_gap=true``, columns named in
+    ``zero_fill`` (default: the conventional count column ``n`` when
+    present) coalesced to 0, and each column in ``locf_cols`` also
+    emitted as ``<col>_locf`` carrying the last observed value forward.
+    Gap detection uses an internal presence marker, never the agg
+    values — an all-NULL aggregate over present rows is NOT a gap.
 
     Scale shape: the grid generates from ONE row per key
     (``sequence(min, max, step)`` + explode — span/width rows per key,
@@ -124,15 +128,22 @@ def gapfill_rollup(
         ).alias("bucket_ns"),
     )
     agg_names = [c for c in rolled.columns if c != "bucket_ns" and c not in keys]
-    joined = grid.join(rolled, [*keys, "bucket_ns"], "left")
-    n_cols = [
-        F.coalesce(F.col("n"), F.lit(0)).alias("n") if c == "n" else F.col(c)
+    if zero_fill is None:
+        zero_fill = ["n"] if "n" in agg_names else []
+    missing = [c for c in zero_fill if c not in agg_names]
+    if missing:
+        raise ValueError(f"zero_fill columns not in aggregates: {missing}")
+    joined = grid.join(
+        rolled.withColumn("_present", F.lit(True)),
+        [*keys, "bucket_ns"],
+        "left",
+    )
+    filled = [
+        F.coalesce(F.col(c), F.lit(0)).alias(c) if c in zero_fill else F.col(c)
         for c in agg_names
     ]
     out = joined.select(
-        *keys, "bucket_ns", *n_cols, F.col(agg_names[0]).isNull().alias("is_gap")
-        if "n" not in agg_names
-        else (F.col("n").isNull()).alias("is_gap"),
+        *keys, "bucket_ns", *filled, F.col("_present").isNull().alias("is_gap")
     )
     from pyspark.sql import Window
 

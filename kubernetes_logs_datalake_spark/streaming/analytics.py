@@ -194,17 +194,9 @@ def sketch_counts(
     across the batch/stream boundary because the bucket hash is the
     same portable recipe.
     """
-    from kubernetes_logs_datalake_spark.operators.sketch import cms_bucket
+    from kubernetes_logs_datalake_spark.operators.sketch import cms_sketch
 
-    pairs = records.select(
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("j"),
-                    cms_bucket(key_col, j, width).alias("bucket"),
-                )
-                for j in range(depth)
-            ])
-        ).alias("p")
-    ).select("p.j", "p.bucket")
-    return pairs.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
+    # same plan as the batch operator — delegation (not a copy) is what
+    # guarantees the batch/stream agreement and the cms_estimate
+    # point-query composition can never drift
+    return cms_sketch(records, key_col, depth=depth, width=width)

@@ -449,3 +449,30 @@ def test_hybrid_rank_ties_break_by_id(spark):
     )
     got = {r._id: r.rank for r in _rank_candidates(df, "id", "s").collect()}
     assert got == {7: 1, 3: 2, 5: 3}
+
+
+def test_gapfill_zero_fill_param_and_presence_marker(spark):
+    """An all-NULL aggregate over PRESENT rows is not a gap, and
+    zero_fill applies to named columns regardless of their alias."""
+    from kubernetes_logs_datalake_spark.operators.rollup import gapfill_rollup
+
+    HOUR_US = 3600 * US
+    base = 1_700_000_000 * US - (1_700_000_000 * US) % HOUR_US
+    rows = [(1, "a", base + 0, None), (2, "a", base + 2 * HOUR_US, 5.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, k string, ts_us long, value double"
+    ).select("event_id", "k", F.timestamp_micros(F.col("ts_us")).alias("ts"), "value")
+    out = gapfill_rollup(
+        df, ts_col="ts", every="hour", keys=["k"],
+        aggs=[F.count("*").alias("cnt"), F.sum("value").alias("sv")],
+        zero_fill=["cnt"],
+    )
+    got = sorted(out.collect(), key=lambda r: r.bucket_ns)
+    # hour 0: present with all-NULL sum -> NOT a gap; cnt intact
+    assert not got[0].is_gap and got[0].cnt == 1 and got[0].sv is None
+    # hour 1: a real gap -> cnt zero-filled, sv NULL
+    assert got[1].is_gap and got[1].cnt == 0 and got[1].sv is None
+    # unknown zero_fill name raises
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="zero_fill"):
+        gapfill_rollup(df, ts_col="ts", keys=["k"], zero_fill=["nope"])
