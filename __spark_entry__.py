@@ -1987,6 +1987,90 @@ def _docs_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_MMR_N, _MMR_K, _MMR_LAM = 20, 5, 0.7
+
+
+def _docs_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """MMR diversification of the vector top-20: greedy k=5 selection
+    maximizing λ·relevance − (1−λ)·max-sim-to-picked, so near-duplicate
+    hits don't crowd the list — the re-rank stage after retrieval.
+    Each greedy step is one TakeOrdered over ≤20 rows + a 1-row driver
+    fetch; the unrolled-CTE oracle replays the same greedy path."""
+    from kubernetes_logs_datalake_spark.functions.vectors import (
+        cosine_prenorm,
+        norm,
+    )
+    from kubernetes_logs_datalake_spark.operators.similarity import mmr_rerank
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    cands = brute_force_topk(emb, "embedding", _query_vec(spark, sf), k=_MMR_N)
+    sub = emb.join(F.broadcast(cands.select("vec_id")), "vec_id", "left_semi")
+    base = sub.select("vec_id", "embedding", norm("embedding").alias("_n"))
+    a = base.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    sims = (
+        a.join(b, F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", cosine_prenorm("_va", "_vb", "_na", "_nb").alias("sim"))
+    )
+    return mmr_rerank(cands, sims, "vec_id", "cos", k=_MMR_K, lam=_MMR_LAM)
+
+
+def _ddb_mmr_sql(n: int, k: int, lam: float) -> str:
+    """Unrolled DuckDB mirror of the greedy MMR path — step i picks the
+    round6(λ·rel − (1−λ)·max-sim-to-selected) argmax (ties → lowest id)
+    among the not-yet-selected, exactly the Spark loop's TakeOrdered."""
+    cos_ab = _ddb_cos("a.embedding", "b.embedding")
+    cos_eq = _ddb_cos("e.embedding", "q.embedding")
+    one_m = 1.0 - lam
+    parts = [f"""
+        cands AS MATERIALIZED (
+            SELECT vec_id, cos AS rel FROM (
+                SELECT e.vec_id, {cos_eq} AS cos
+                FROM embeddings e,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+                WHERE e.vec_id <> 0)
+            ORDER BY cos DESC, vec_id LIMIT {n}),
+        ps AS MATERIALIZED (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos_ab} AS sim
+            FROM embeddings a, embeddings b, cands ca, cands cb
+            WHERE a.vec_id = ca.vec_id AND b.vec_id = cb.vec_id
+              AND a.vec_id <> b.vec_id),
+        s1 AS (SELECT vec_id, rel, round({lam!r} * rel, 6) AS score
+               FROM cands ORDER BY round({lam!r} * rel, 6) DESC, vec_id
+               LIMIT 1),
+        sel1 AS (SELECT vec_id FROM s1)"""]
+    for i in range(2, k + 1):
+        parts.append(f"""
+        p{i} AS (
+            SELECT c.vec_id, c.rel,
+                   round({lam!r} * c.rel
+                         - {one_m!r} * COALESCE(m.mx, 0.0), 6) AS score
+            FROM cands c
+            LEFT JOIN (SELECT id_a, max(sim) AS mx FROM ps
+                       WHERE id_b IN (SELECT vec_id FROM sel{i - 1})
+                       GROUP BY id_a) m ON m.id_a = c.vec_id
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})),
+        s{i} AS (SELECT vec_id, rel, score FROM p{i}
+                 ORDER BY score DESC, vec_id LIMIT 1),
+        sel{i} AS (SELECT vec_id FROM sel{i - 1}
+                   UNION ALL SELECT vec_id FROM s{i})""")
+    steps = " UNION ALL ".join(
+        f"SELECT {i} AS rank, vec_id, rel, score AS mmr_score FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+        WITH {",".join(parts)}
+        SELECT CAST(rank AS INT) AS rank, vec_id, rel, mmr_score
+        FROM ({steps}) ORDER BY rank
+    """
+
+
 RP_OUT_DIM = 8
 
 
@@ -2789,6 +2873,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_audience_overlap": _events_audience_overlap,
         "docs_hybrid_search": _docs_hybrid_search,
         "events_cusum_alerts": _events_cusum_alerts,
+        "docs_mmr_rerank": _docs_mmr_rerank,
         "bloom_prune_lineitem": _bloom_prune_lineitem,
         "events_funnel": _events_funnel,
         "events_retention": _events_retention,
@@ -4272,6 +4357,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_kmv": _kmv_oracle(),
         "events_heavy_hitters": _cms_oracle(),
         "events_audience_overlap": _kmv_overlap_oracle(),
+        "docs_mmr_rerank": _ddb_mmr_sql(_MMR_N, _MMR_K, _MMR_LAM),
         "bloom_prune_lineitem": _bloom_oracle(),
         "events_funnel": """
             WITH firsts AS (

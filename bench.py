@@ -81,6 +81,7 @@ HEADLINE = [
     "events_audience_overlap",
     "events_cusum_alerts",
     "docs_hybrid_search",
+    "docs_mmr_rerank",
     "docs_snippet_lookup",
     "docs_containment_pairs",
     "docs_k_anonymity",

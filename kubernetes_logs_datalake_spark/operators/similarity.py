@@ -435,3 +435,69 @@ def hybrid_topk(
         .orderBy(F.col("rrf").desc(), F.col("doc_id"))
         .limit(k)
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    sims: DataFrame,
+    id_col: str,
+    rel_col: str,
+    k: int = 5,
+    lam: float = 0.7,
+    scale: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick k results maximizing
+    ``λ·relevance − (1−λ)·max-similarity-to-already-picked`` — the
+    diversification stage after retrieval/fusion, so near-duplicate
+    hits don't crowd the result list.
+
+    ``candidates`` is a BOUNDED list (a top-N output) with a relevance
+    column; ``sims`` holds symmetric pairwise similarities
+    (id_a, id_b, sim) over those candidates. Greedy selection is
+    inherently sequential: each of the k steps is one TakeOrdered over
+    ≤N rows plus a 1-row driver fetch (the k-means/BPE driver-traffic
+    contract — rows fetched, never the corpus). Scores are rounded to
+    ``scale`` before ordering (ties → lowest id), so the greedy path —
+    and therefore the whole output — is engine-reproducible.
+
+    Output: (rank, id, rel, mmr_score) in selection order, where
+    mmr_score is the criterion value at the moment of selection.
+    """
+    spark = candidates.sparkSession
+    cands = candidates.select(
+        F.col(id_col).alias("_id"), F.col(rel_col).cast("double").alias("_rel")
+    )
+    picked: list = []
+    out_rows = []
+    for rank in range(1, k + 1):
+        pool = cands.filter(~F.col("_id").isin([p for p in picked])) if picked else cands
+        if picked:
+            pen = (
+                sims.filter(F.col("id_b").isin(picked))
+                .groupBy("id_a")
+                .agg(F.max("sim").alias("_pen"))
+            )
+            scored = pool.join(pen, pool._id == pen.id_a, "left").select(
+                "_id",
+                "_rel",
+                F.round(
+                    F.lit(lam) * F.col("_rel")
+                    - F.lit(1.0 - lam) * F.coalesce("_pen", F.lit(0.0)),
+                    scale,
+                ).alias("_score"),
+            )
+        else:
+            scored = pool.select(
+                "_id", "_rel",
+                F.round(F.lit(lam) * F.col("_rel"), scale).alias("_score"),
+            )
+        top = scored.orderBy(F.col("_score").desc(), F.col("_id")).limit(1).collect()
+        if not top:
+            break
+        row = top[0]
+        picked.append(row._id)
+        out_rows.append((rank, row._id, float(row._rel), float(row._score)))
+    return spark.createDataFrame(
+        out_rows, f"rank int, {id_col} long, rel double, mmr_score double"
+    )

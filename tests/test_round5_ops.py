@@ -476,3 +476,46 @@ def test_gapfill_zero_fill_param_and_presence_marker(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="zero_fill"):
         gapfill_rollup(df, ts_col="ts", keys=["k"], zero_fill=["nope"])
+
+
+# ------------------------------------------------------------ MMR
+
+
+def test_mmr_diversifies_against_greedy_relevance(spark):
+    """Three near-identical top candidates + one diverse lower-rel one:
+    pure relevance picks the clones; MMR picks the diverse one second."""
+    from kubernetes_logs_datalake_spark.operators.similarity import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [(1, 0.99), (2, 0.98), (3, 0.97), (9, 0.80)],
+        "vec_id long, cos double",
+    )
+    sims_rows = []
+    clones = [1, 2, 3]
+    for a in [1, 2, 3, 9]:
+        for b in [1, 2, 3, 9]:
+            if a == b:
+                continue
+            sim = 0.99 if a in clones and b in clones else 0.05
+            sims_rows.append((a, b, sim))
+    sims = spark.createDataFrame(sims_rows, "id_a long, id_b long, sim double")
+    out = mmr_rerank(cands, sims, "vec_id", "cos", k=3, lam=0.7)
+    order = [r.vec_id for r in out.orderBy("rank").collect()]
+    assert order[0] == 1           # most relevant first
+    assert order[1] == 9           # the diverse candidate jumps the clones
+    assert order[2] in (2, 3)      # then the best remaining clone
+    rows = {r.rank: r for r in out.collect()}
+    assert abs(rows[1].mmr_score - round(0.7 * 0.99, 6)) < 1e-9
+    # clone penalty: 0.7*0.98 - 0.3*0.99 < 0.7*0.80 - 0.3*0.05
+    assert rows[2].mmr_score > 0.7 * 0.98 - 0.3 * 0.99
+
+
+def test_mmr_handles_k_larger_than_candidates(spark):
+    from kubernetes_logs_datalake_spark.operators.similarity import mmr_rerank
+
+    cands = spark.createDataFrame([(1, 0.9), (2, 0.8)], "vec_id long, cos double")
+    sims = spark.createDataFrame(
+        [(1, 2, 0.1), (2, 1, 0.1)], "id_a long, id_b long, sim double"
+    )
+    out = mmr_rerank(cands, sims, "vec_id", "cos", k=10)
+    assert [r.vec_id for r in out.orderBy("rank").collect()] == [1, 2]
