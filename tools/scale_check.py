@@ -88,6 +88,10 @@ QUERIES = [
     "events_gapfill_hourly",
     "events_audience_overlap",
     "docs_hybrid_search",
+    "docs_mmr_rerank",
+    "docs_containment_pairs",
+    "docs_k_anonymity",
+    "weighted_sample_docs",
     "docs_snippet_lookup",
     "bloom_prune_lineitem",
 ]
