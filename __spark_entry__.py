@@ -2437,6 +2437,20 @@ def _dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _BPE_MERGES = 20
+# learn once per (session, sf): the two BPE queries share the learned
+# state the way _QUERY_VEC_CACHE shares the ANN query vector — the
+# vocab DataFrame is localCheckpoint-backed, so it stays valid for the
+# session lifetime
+_BPE_CACHE: dict[str, tuple] = {}
+
+
+def _bpe_learned(spark: SparkSession, sf: str):
+    if sf not in _BPE_CACHE:
+        from kubernetes_logs_datalake_spark.operators.bpe import bpe_learn
+
+        d = _t(spark, sf, "documents")
+        _BPE_CACHE[sf] = bpe_learn(d, "text", num_merges=_BPE_MERGES)
+    return _BPE_CACHE[sf]
 
 
 def _docs_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
@@ -2446,10 +2460,7 @@ def _docs_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     the word-frequency table (tiny shuffle + 1-row driver fetch). The
     data-dependent iterations still unroll into a DuckDB oracle, so
     even tokenizer training is hash-checked."""
-    from kubernetes_logs_datalake_spark.operators.bpe import bpe_learn
-
-    d = _t(spark, sf, "documents")
-    merges, _ = bpe_learn(d, "text", num_merges=_BPE_MERGES)
+    merges, _ = _bpe_learned(spark, sf)
     rows = [
         (i + 1, a, b, int(f)) for i, (a, b, f) in enumerate(merges)
     ]
@@ -2462,13 +2473,10 @@ def _docs_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document token count under the corpus-trained BPE
     vocabulary — the apply side: broadcast word→symbol-count join,
     map-only on the corpus."""
-    from kubernetes_logs_datalake_spark.operators.bpe import (
-        bpe_learn,
-        bpe_token_counts,
-    )
+    from kubernetes_logs_datalake_spark.operators.bpe import bpe_token_counts
 
     d = _t(spark, sf, "documents")
-    _, vocab = bpe_learn(d, "text", num_merges=_BPE_MERGES)
+    _, vocab = _bpe_learned(spark, sf)
     return bpe_token_counts(d, "doc_id", "text", vocab)
 
 
