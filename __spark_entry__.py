@@ -2399,6 +2399,19 @@ def _docs_snippet_lookup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _docs_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch reading-ease per document (sentence/word/vowel-group
+    counts as pure regex/array algebra) — the classic readability
+    curation signal, map-only."""
+    from kubernetes_logs_datalake_spark.functions.text import readability_scores
+
+    d = _t(spark, sf, "documents")
+    cols = readability_scores(F.col("text"))
+    return d.select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    )
+
+
 def _docs_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     """k-anonymity audit over the (lang, source) quasi-identifier:
     equivalence classes with fewer than 5 members — the
@@ -2920,6 +2933,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _dedup_semantic,
         "docs_containment_pairs": _docs_containment_pairs,
         "docs_k_anonymity": _docs_k_anonymity,
+        "docs_readability": _docs_readability,
         "docs_snippet_lookup": _docs_snippet_lookup,
         "docs_ngram_novelty": _docs_ngram_novelty,
         "docs_token_budget": _docs_token_budget,
@@ -3323,6 +3337,30 @@ def oracle_sql() -> dict[str, str]:
                    round(i * 1.0 / szl, 6) AS score
             FROM inter JOIN lsz USING (lid)
             WHERE i * 1.0 / szl >= 0.8
+        """,
+        "docs_readability": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       greatest(len(list_filter(
+                           string_split_regex(text, '[.!?]+'),
+                           s -> trim(s) <> '')), 1) AS n_sent,
+                       {w} AS wl
+                FROM documents),
+            syl AS (
+                SELECT doc_id, n_sent,
+                       CAST(len(wl) AS BIGINT) AS n_words,
+                       CAST(list_sum(list_transform(wl, x ->
+                           greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1)
+                       )) AS BIGINT) AS n_syllables
+                FROM base)
+            SELECT doc_id, CAST(n_sent AS BIGINT) AS n_sentences, n_words,
+                   COALESCE(n_syllables, 0) AS n_syllables,
+                   CASE WHEN n_words > 0 THEN
+                       round(206.835
+                             - 1.015 * (n_words::DOUBLE / n_sent)
+                             - 84.6 * (n_syllables::DOUBLE / n_words), 4)
+                   ELSE NULL END AS flesch
+            FROM syl
         """,
         "docs_k_anonymity": """
             SELECT lang, source, count(*) AS n_rows,

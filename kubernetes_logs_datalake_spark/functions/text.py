@@ -335,3 +335,52 @@ def bm25_topk(
         .limit(k)
         .select(F.col("_id").alias(id_col), "score", "n_terms_matched")
     )
+
+
+def readability_scores(text: Column | str):
+    """Flesch reading-ease inputs and score as named columns —
+    (n_sentences, n_words, n_syllables, flesch) — the classic
+    readability quality signal (Flesch 1948; used as a curation filter
+    alongside stopword/LM scores).
+
+    All counts are regex/array algebra an ANSI engine reproduces:
+    sentences = non-empty [.!?]-delimited runs of the RAW text (min 1
+    when any text exists), words = the normalized token count,
+    syllables = vowel-group runs per word with a 1-minimum (silent-e
+    niceties deliberately out of scope — the signal is comparative,
+    not linguistic). flesch = 206.835 − 1.015·(W/S) − 84.6·(Syl/W),
+    rounded to 4.
+    """
+    t = _col(text)
+    sentences = F.size(
+        F.filter(
+            F.split(t, r"[.!?]+"),
+            lambda s: F.trim(s) != "",
+        )
+    )
+    n_sent = F.greatest(sentences, F.lit(1))
+    w = words(t)
+    n_words = F.size(w)
+    syl = F.aggregate(
+        w,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.greatest(
+            F.size(F.regexp_extract_all(x, F.lit("[aeiouy]+"), 0)), F.lit(1)
+        ).cast("long"),
+    )
+    flesch = F.when(
+        n_words > 0,
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+            - F.lit(84.6) * (syl.cast("double") / n_words.cast("double")),
+            4,
+        ),
+    ).otherwise(F.lit(None))
+    return {
+        "n_sentences": n_sent.cast("long"),
+        "n_words": n_words.cast("long"),
+        "n_syllables": syl,
+        "flesch": flesch,
+    }

@@ -195,3 +195,28 @@ def test_quantize_int8_empty_vector_no_crash(spark):
     rows = {r.id: r for r in quantize_int8(df, "id", "vec").collect()}
     assert rows[1].qvec == [127, -64]
     assert rows[2].mse is None and rows[2].qvec == []
+
+
+# ------------------------------------------------------- readability
+
+
+def test_readability_hand_computed(spark):
+    from kubernetes_logs_datalake_spark.functions.text import readability_scores
+
+    # "the cat sat. the dog ran!" -> 2 sentences, 6 words, 6 syllables
+    # flesch = 206.835 - 1.015*(6/2) - 84.6*(6/6) = 119.19
+    df = spark.createDataFrame(
+        [(1, "the cat sat. the dog ran!"), (2, ""), (3, "xyzzy crwth")],
+        "doc_id long, text string",
+    )
+    cols = readability_scores(F.col("text"))
+    got = {r.doc_id: r for r in
+           df.select("doc_id", *[c.alias(n) for n, c in cols.items()]).collect()}
+    r1 = got[1]
+    assert (r1.n_sentences, r1.n_words, r1.n_syllables) == (2, 6, 6)
+    assert abs(r1.flesch - 119.19) < 1e-9
+    # empty text: zero words, NULL score, sentence floor of 1
+    assert got[2].n_words == 0 and got[2].flesch is None
+    # 'y' is in the vowel class (xyzzy -> 2 groups); vowel-less words
+    # floor at 1 (crwth -> 1)
+    assert got[3].n_syllables == 3
