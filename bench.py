@@ -85,6 +85,7 @@ HEADLINE = [
     "docs_snippet_lookup",
     "docs_containment_pairs",
     "docs_k_anonymity",
+    "docs_readability",
     # docs_bpe_merges/docs_bpe_tokens are deliberately NOT benched: 20
     # sequential merge iterations have a fixed ~0.6 s/iteration action-
     # latency floor in local mode that measures the scheduler, not the
