@@ -86,6 +86,12 @@ HEADLINE = [
     "docs_containment_pairs",
     "docs_k_anonymity",
     "docs_readability",
+    "docs_gopher_quality",
+    "docs_hash_split",
+    "docs_term_pmi",
+    "mix_language_temperature",
+    "docs_lm_perplexity_buckets",
+    "events_salted_join_skew",
     # docs_bpe_merges/docs_bpe_tokens are deliberately NOT benched: 20
     # sequential merge iterations have a fixed ~0.6 s/iteration action-
     # latency floor in local mode that measures the scheduler, not the

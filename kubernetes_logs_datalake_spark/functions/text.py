@@ -344,8 +344,11 @@ def readability_scores(text: Column | str):
     alongside stopword/LM scores).
 
     All counts are regex/array algebra an ANSI engine reproduces:
-    sentences = non-empty [.!?]-delimited runs of the RAW text (min 1
-    when any text exists), words = the normalized token count,
+    sentences = non-empty [.!?]-delimited runs of the RAW text,
+    floored at 1 unconditionally (so empty text reports n_sentences=1
+    alongside n_words=0 — the oracle mirrors this, and flesch is NULL
+    there anyway since it gates on n_words > 0),
+    words = the normalized token count,
     syllables = vowel-group runs per word with a 1-minimum (silent-e
     niceties deliberately out of scope — the signal is comparative,
     not linguistic). flesch = 206.835 − 1.015·(W/S) − 84.6·(Syl/W),

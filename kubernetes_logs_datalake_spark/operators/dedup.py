@@ -581,8 +581,12 @@ def connected_components(
         )
         # carry the previous label through the round so convergence is
         # a scan of the checkpointed blocks, not another shuffle join;
-        # lazy checkpoint: the convergence count below is the action
-        # that materializes it — one job per round instead of two
+        # lazy checkpoint + FULL count: the count touches every
+        # partition, so one job both materializes the checkpoint and
+        # decides convergence. (A limit(1).count() here would
+        # short-circuit after the first changed partition and leave
+        # the rest un-checkpointed, letting later rounds recompute
+        # them through the accumulated join lineage.)
         jumped = (
             prop.join(lab2, prop.label == lab2._n2, "left")
             .select(
@@ -592,9 +596,7 @@ def connected_components(
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            jumped.filter(F.col("label") != F.col("_old")).limit(1).count()
-        )
+        changed = jumped.filter(F.col("label") != F.col("_old")).count()
         labels = jumped.select("node", "label")
         if changed == 0:
             converged = True

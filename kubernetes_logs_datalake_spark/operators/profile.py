@@ -195,9 +195,13 @@ def cusum_alerts(
     from pyspark.sql import Window
 
     tgt = F.col(target_col) if isinstance(target_col, str) else target_col
+    # the accumulator's decimal scale is derived from the caller's
+    # ``scale`` so a scale>6 request isn't silently truncated; 18
+    # integer digits of headroom regardless of scale
+    dec = f"decimal({18 + scale},{scale})"
     dev = (
         F.round(F.col(value_col).cast("double") - tgt - F.lit(slack), scale)
-        .cast("decimal(25,6)")
+        .cast(dec)
     )
     w = (
         Window.partitionBy(*keys)
@@ -206,7 +210,7 @@ def cusum_alerts(
     )
     out = df.withColumn("_cum", F.sum(dev).over(w))
     out = out.withColumn(
-        "_floor", F.least(F.lit(0).cast("decimal(25,6)"), F.min("_cum").over(w))
+        "_floor", F.least(F.lit(0).cast(dec), F.min("_cum").over(w))
     )
     stat = F.round((F.col("_cum") - F.col("_floor")).cast("double"), scale)
     return out.select(

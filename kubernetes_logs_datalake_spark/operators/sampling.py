@@ -437,3 +437,78 @@ def chunk_passages(
         F.size("_c._ws").cast("long").alias("n_words"),
         F.array_join("_c._ws", " ").alias("chunk_text"),
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: list[tuple[str, float]] = (
+        ("train", 0.90),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split`` column
+    from the md5(id) 8-hex prefix against cumulative fraction
+    thresholds — the standard "split that survives re-ingestion" trick
+    (same family as :func:`hash_sample`): a document's fate is a pure
+    function of its id, so shards can be split independently with no
+    shuffle, no rand(), and no coordination, and the split is identical
+    on every engine that has md5.
+
+    ``fractions`` is an ordered list of (label, fraction) summing to
+    1.0; the last label absorbs hash values at the very top of the
+    range (so rounding in the threshold arithmetic can never drop a
+    row). Map-only: one hash per row, no shuffle.
+    """
+    fracs = list(fractions)
+    total = sum(f for _, f in fracs)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    prefix = F.substring(_md5_of(id_col), 1, 8)
+    cum = 0.0
+    expr = None
+    for label, frac in fracs[:-1]:
+        cum += frac
+        cond = prefix < F.lit(hash_rate_threshold(cum))
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last = fracs[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.3,
+    scale: int = 6,
+) -> DataFrame:
+    """Temperature-scaled multinomial sampling rates per group — the
+    mT5/XLM-R language-balancing formula (Xue et al. 2021 §3.1;
+    Conneau et al. 2020): q_l ∝ p_l^α, where p_l is a group's share of
+    the corpus and α < 1 flattens the distribution so low-resource
+    groups are upsampled relative to their raw share.
+
+    Output: (group, n_rows, share, rate, boost) where ``share`` = p_l,
+    ``rate`` = q_l (the normalized sampling probability) and ``boost``
+    = q_l / p_l (the per-group over/under-sampling factor). One
+    partial-agg shuffle at group cardinality; the normalization sums
+    12-dp-rounded powers in DECIMAL so the denominator — and therefore
+    every rate — is order-independent and engine-exact.
+    """
+    g = df.groupBy(group_col).agg(F.count("*").alias("n_rows"))
+    tot = g.agg(F.sum("n_rows").alias("_tot"))
+    g = g.crossJoin(F.broadcast(tot))
+    share = F.col("n_rows") / F.col("_tot")
+    powed = F.round(F.pow(share, F.lit(alpha)), 12).cast("decimal(25,12)")
+    g = g.withColumn("_pw", powed)
+    denom = g.agg(F.sum("_pw").alias("_den"))
+    g = g.crossJoin(F.broadcast(denom))
+    rate = F.round(F.col("_pw").cast("double") / F.col("_den").cast("double"), scale)
+    return g.select(
+        F.col(group_col),
+        F.col("n_rows"),
+        F.round(share, scale).alias("share"),
+        rate.alias("rate"),
+        F.round(rate / share, scale).alias("boost"),
+    )

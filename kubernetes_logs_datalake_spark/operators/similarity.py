@@ -455,49 +455,65 @@ def mmr_rerank(
     ``candidates`` is a BOUNDED list (a top-N output) with a relevance
     column; ``sims`` holds symmetric pairwise similarities
     (id_a, id_b, sim) over those candidates. Greedy selection is
-    inherently sequential: each of the k steps is one TakeOrdered over
-    ≤N rows plus a 1-row driver fetch (the k-means/BPE driver-traffic
-    contract — rows fetched, never the corpus). Scores are rounded to
-    ``scale`` before ordering (ties → lowest id), so the greedy path —
-    and therefore the whole output — is engine-reproducible.
+    inherently sequential, but the state it needs is tiny — N rels and
+    an N×N sim matrix — so the engine runs exactly TWO jobs (one
+    collect per input; rows fetched, never the corpus — the
+    k-means/BPE driver-traffic contract) and the k greedy steps run
+    driver-side over the collected matrix. Scan count is independent
+    of k; the earlier one-TakeOrdered-per-step shape re-executed the
+    full candidate lineage k+1 times (round-5 verdict finding).
+    Scores are rounded to ``scale`` before ordering with the same
+    HALF_UP rule as Spark's ``round`` (ties → lowest id), so the
+    greedy path — and therefore the whole output — is
+    engine-reproducible.
 
     Output: (rank, id, rel, mmr_score) in selection order, where
     mmr_score is the criterion value at the moment of selection.
     """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round(x: float) -> float:
+        # Spark round(double, s) = BigDecimal.valueOf(x).setScale(s,
+        # HALF_UP); Python repr() is the same shortest-decimal string
+        # Double.toString produces, so this reproduces it bit-for-bit.
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
+            )
+        )
+
     spark = candidates.sparkSession
-    cands = candidates.select(
-        F.col(id_col).alias("_id"), F.col(rel_col).cast("double").alias("_rel")
-    )
+    rels = {
+        r["_id"]: r["_rel"]
+        for r in candidates.select(
+            F.col(id_col).alias("_id"),
+            F.col(rel_col).cast("double").alias("_rel"),
+        ).collect()
+    }
+    sim = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in sims.select("id_a", "id_b", "sim").collect()
+    }
     picked: list = []
     out_rows = []
-    for rank in range(1, k + 1):
-        pool = cands.filter(~F.col("_id").isin([p for p in picked])) if picked else cands
-        if picked:
-            pen = (
-                sims.filter(F.col("id_b").isin(picked))
-                .groupBy("id_a")
-                .agg(F.max("sim").alias("_pen"))
-            )
-            scored = pool.join(pen, pool._id == pen.id_a, "left").select(
-                "_id",
-                "_rel",
-                F.round(
-                    F.lit(lam) * F.col("_rel")
-                    - F.lit(1.0 - lam) * F.coalesce("_pen", F.lit(0.0)),
-                    scale,
-                ).alias("_score"),
-            )
-        else:
-            scored = pool.select(
-                "_id", "_rel",
-                F.round(F.lit(lam) * F.col("_rel"), scale).alias("_score"),
-            )
-        top = scored.orderBy(F.col("_score").desc(), F.col("_id")).limit(1).collect()
-        if not top:
-            break
-        row = top[0]
-        picked.append(row._id)
-        out_rows.append((rank, row._id, float(row._rel), float(row._score)))
+    for rank in range(1, min(k, len(rels)) + 1):
+        best = None
+        for cid, rel in rels.items():
+            if cid in picked:
+                continue
+            if picked:
+                pen = max(
+                    (sim[(cid, p)] for p in picked if (cid, p) in sim),
+                    default=0.0,
+                )
+                score = _round(lam * rel - (1.0 - lam) * pen)
+            else:
+                score = _round(lam * rel)
+            if best is None or (-score, cid) < (-best[0], best[1]):
+                best = (score, cid, rel)
+        score, cid, rel = best
+        picked.append(cid)
+        out_rows.append((rank, cid, float(rel), float(score)))
     return spark.createDataFrame(
         out_rows, f"rank int, {id_col} long, rel double, mmr_score double"
     )

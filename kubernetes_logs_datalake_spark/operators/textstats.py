@@ -338,3 +338,92 @@ def common_ngrams(
         .orderBy(F.desc("doc_freq"), F.col("ngram"))
         .limit(k)
     )
+
+
+def term_pmi(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    k: int = 20,
+    scale: int = 4,
+) -> DataFrame:
+    """Top-``k`` word-bigram collocations by pointwise mutual
+    information (Church & Hanks 1990): PMI(a,b) =
+    log2( p(ab) / (p(a)·p(b)) ) with p(ab) over corpus bigram tokens
+    and p(a) over corpus unigram tokens — the collocation/phrase
+    detector behind tokenizer vocab curation and boilerplate phrase
+    mining. ``min_count`` drops rare bigrams (PMI's classic
+    low-frequency instability).
+
+    Output: (bigram, pair_count, pmi), pmi desc then bigram asc for
+    deterministic ties; pmi is computed as ONE double log2 over an
+    exact integer rational (pair·N_uni² / (N_bi·cnt_a·cnt_b)) and
+    rounded, so both engines agree.
+
+    Plan: one explode each for unigrams and bigrams, two
+    map-side-combined counts at vocabulary cardinality, a broadcast of
+    the two scalar totals, two gram-keyed joins of the bigram table to
+    the unigram counts, one TakeOrderedAndProject. No window, no
+    all-pairs: cost is linear in corpus tokens + vocab-sized joins.
+    """
+    from kubernetes_logs_datalake_spark.functions.text import bind_once, words
+
+    w = F.filter(words(F.col(text_col)), lambda x: x != "")
+    toks = df.select(F.explode(w).alias("_w"))
+    uni = toks.groupBy("_w").agg(F.count("*").alias("_ca"))
+    n_uni = uni.agg(F.sum("_ca").alias("_nu"))
+
+    bigrams = bind_once(
+        w,
+        lambda ws: F.when(
+            F.size(ws) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 1),
+                lambda i: F.struct(
+                    F.element_at(ws, i).alias("a"),
+                    F.element_at(ws, i + 1).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>")),
+    )
+    bi = (
+        df.select(F.explode(bigrams).alias("_bg"))
+        .groupBy(F.col("_bg.a").alias("_a"), F.col("_bg.b").alias("_b"))
+        .agg(F.count("*").alias("_cab"))
+    )
+    n_bi = bi.agg(F.sum("_cab").alias("_nb"))
+
+    ua = uni.select(F.col("_w").alias("_a"), F.col("_ca").alias("_cnt_a"))
+    ub = uni.select(F.col("_w").alias("_b"), F.col("_ca").alias("_cnt_b"))
+    joined = (
+        bi.filter(F.col("_cab") >= min_count)
+        .join(ua, "_a")
+        .join(ub, "_b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    pmi = F.round(
+        F.log2(
+            (
+                F.col("_cab").cast("double")
+                * F.col("_nu").cast("double")
+                * F.col("_nu").cast("double")
+            )
+            / (
+                F.col("_nb").cast("double")
+                * F.col("_cnt_a").cast("double")
+                * F.col("_cnt_b").cast("double")
+            )
+        ),
+        scale,
+    )
+    return (
+        joined.select(
+            F.concat_ws(" ", "_a", "_b").alias("bigram"),
+            F.col("_cab").alias("pair_count"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.col("bigram"))
+        .limit(k)
+    )

@@ -1,0 +1,93 @@
+"""Web-corpus cleaning rules: the published document-level quality
+gates a pretraining pipeline applies before anything expensive runs.
+
+``gopher_quality_rules`` implements the Gopher quality heuristics
+(Rae et al. 2021, arXiv:2112.11446 §A.1.1) as one map-only projection:
+word-count bounds, mean-word-length bounds, alphabetic-word fraction,
+and the required-stopword rule. The repetition half of the Gopher
+filter lives in ``operators.scrub.word_repetition_profile`` (top-word /
+top-bigram fractions); together they form the full filter.
+
+Scale shape: everything here is per-row column algebra over one staged
+tokenization — no shuffle, no UDF, no driver traffic. At 100 TB this
+is the cheapest possible pass (a single scan), which is exactly why
+real pipelines run it FIRST to shrink the corpus before dedup/LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Gopher's "must contain at least two of" stopword list
+# (arXiv:2112.11446 §A.1.1).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Per-document Gopher quality verdicts.
+
+    Output: (id, n_words, mean_word_len, alpha_word_frac,
+    stopword_hits, rule_word_count, rule_word_len, rule_alpha,
+    rule_stopwords, keep) where ``keep`` is the conjunction of all
+    rules. Ratios are exact integer ratios evaluated in one double
+    division and rounded (engine-reproducible); ``stopword_hits``
+    counts DISTINCT list stopwords present, per the published rule.
+    """
+    from kubernetes_logs_datalake_spark.functions.text import bind_once, words
+
+    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    staged = df.select(
+        F.col(id_col),
+        bind_once(
+            F.filter(words(text_col), lambda x: x != ""),
+            lambda w: F.struct(
+                F.size(w).cast("long").alias("n"),
+                F.aggregate(
+                    w, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+                ).alias("chars"),
+                F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+                .cast("long")
+                .alias("alpha"),
+                F.size(F.array_intersect(F.array_distinct(w), sw))
+                .cast("long")
+                .alias("stop"),
+            ),
+        ).alias("_s"),
+    )
+    n = F.col("_s.n")
+    mwl = F.when(n > 0, F.round(F.col("_s.chars") / n, 4)).otherwise(F.lit(0.0))
+    alpha_frac = F.when(n > 0, F.round(F.col("_s.alpha") / n, 6)).otherwise(
+        F.lit(0.0)
+    )
+    out = staged.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        F.col("_s.stop").alias("stopword_hits"),
+    )
+    rules = {
+        "rule_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "rule_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "rule_alpha": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "rule_stopwords": F.col("stopword_hits") >= min_stopword_hits,
+    }
+    for name, expr in rules.items():
+        out = out.withColumn(name, expr)
+    keep = None
+    for name in rules:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("keep", keep)

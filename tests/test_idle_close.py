@@ -59,3 +59,139 @@ def test_idle_close_emits_after_quiet_period(spark, tmp_path):
         assert spark.sql("SELECT count(*) c FROM idle_close_t").first().c == 1
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------
+# Property tests of the T4 state machine itself (reference test.sh
+# asserts these semantics with wall-clock timing windows, 7l/543-619;
+# here the transition function is driven directly so hypothesis can
+# sweep event orderings and batch splits across the idle boundary
+# without paying a streaming query per example).
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kubernetes_logs_datalake_spark.streaming.idle_close import _close_fn
+
+
+class FakeState:
+    """Minimal GroupState stand-in: exists/get/update/remove +
+    hasTimedOut flag + timeout-renewal recording."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self.renewals = 0
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        self.renewals += 1
+
+
+KEY = ("ns", "pod", "ctr")
+
+
+def _feed(fn, state, batches):
+    """Run one micro-batch with data; returns emitted rows."""
+    pdfs = [pd.DataFrame({"time_ns": b}) for b in batches]
+    return list(fn(KEY, iter(pdfs), state))
+
+
+def _fire_timeout(fn, state):
+    state.hasTimedOut = True
+    out = list(fn(KEY, iter([]), state))
+    state.hasTimedOut = False
+    return pd.concat(out) if out else pd.DataFrame()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ns=st.lists(st.integers(min_value=1, max_value=2**62), min_size=1,
+                max_size=30),
+    splits=st.data(),
+)
+def test_close_event_invariant_under_any_batching(ns, splits):
+    """However the same events are split into pandas chunks and
+    micro-batches, the close event reports (total count, max ns) and
+    the state dies with it."""
+    fn = _close_fn(30_000)
+    state = FakeState()
+    # partition ns into 1..4 micro-batches, each into 1..3 chunks
+    remaining = list(ns)
+    n_micro = splits.draw(st.integers(1, min(4, len(ns))))
+    bounds = sorted(
+        splits.draw(
+            st.lists(st.integers(0, len(ns)), min_size=n_micro - 1,
+                     max_size=n_micro - 1)
+        )
+    )
+    micro = []
+    prev = 0
+    for b in [*bounds, len(ns)]:
+        micro.append(remaining[prev:b])
+        prev = b
+    for batch in micro:
+        chunks = [batch] if len(batch) < 2 else [
+            batch[: len(batch) // 2], batch[len(batch) // 2:]
+        ]
+        _feed(fn, state, chunks)
+    renewals_before = state.renewals
+    closed = _fire_timeout(fn, state)
+    assert len(closed) == 1
+    assert closed.iloc[0]["n_lines"] == len(ns)
+    assert closed.iloc[0]["last_time_ns"] == max(ns)
+    assert not state.exists, "state must be dropped with the close event"
+    # the timeout path must NOT renew the timer of a dead key
+    assert state.renewals == renewals_before
+    # every data micro-batch renewed the timeout exactly once
+    assert renewals_before == len(micro)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    before=st.lists(st.integers(min_value=1, max_value=10**6), min_size=1,
+                    max_size=10),
+    after=st.lists(st.integers(min_value=1, max_value=10**6), min_size=1,
+                   max_size=10),
+)
+def test_reopen_after_close_starts_fresh_session(before, after):
+    """Events arriving after a close (container restarted / log rotated
+    back in) must open a NEW session that counts only its own lines —
+    the boundary-crossing case the reference asserts by timing."""
+    fn = _close_fn(30_000)
+    state = FakeState()
+    _feed(fn, state, [before])
+    first = _fire_timeout(fn, state)
+    assert first.iloc[0]["n_lines"] == len(before)
+    # boundary crossed: new lines for the same key
+    _feed(fn, state, [after])
+    second = _fire_timeout(fn, state)
+    assert second.iloc[0]["n_lines"] == len(after)
+    assert second.iloc[0]["last_time_ns"] == max(after)
+
+
+def test_empty_chunk_does_not_corrupt_state():
+    """A micro-batch whose pandas iterator yields an empty chunk (Spark
+    does this) neither bumps the count nor regresses last_time_ns."""
+    fn = _close_fn(30_000)
+    state = FakeState()
+    _feed(fn, state, [[5, 9]])
+    _feed(fn, state, [[]])
+    assert state.get == (2, 9)
+    closed = _fire_timeout(fn, state)
+    assert closed.iloc[0]["n_lines"] == 2
+    assert closed.iloc[0]["last_time_ns"] == 9

@@ -94,6 +94,14 @@ QUERIES = [
     "weighted_sample_docs",
     "docs_snippet_lookup",
     "bloom_prune_lineitem",
+    # round-6 additions: map-only rule gates, hash split, PMI counts,
+    # LM-score windowing, temperature mixing, salted skew join
+    "docs_gopher_quality",
+    "docs_hash_split",
+    "docs_term_pmi",
+    "mix_language_temperature",
+    "docs_lm_perplexity_buckets",
+    "events_salted_join_skew",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
@@ -187,6 +195,34 @@ def main() -> None:
         ).select("cluster", "vec_id", "component", "dist", "keep")
 
     thunks["dedup_semantic"] = _semdedup_scaled
+
+    # Skew A/B: the same hot-key join (70% of events on one key) WITHOUT
+    # the salting operator — measured against the registered
+    # events_salted_join_skew so SCALE.md can state what salting buys
+    # (or that AQE skew-split already absorbs it) with numbers, not
+    # plan-shape assertions.
+    def _skew_plain_join():
+        from pyspark.sql import functions as F
+
+        e = spark.read.parquet(f"{dest}/events.parquet").withColumn(
+            "skew_key",
+            F.when(F.col("user_id") % 10 < 7, F.lit(0)).otherwise(
+                F.col("user_id")
+            ),
+        )
+        dim = e.groupBy("skew_key").agg(
+            F.count("*").alias("key_cnt"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(25,6)")).alias(
+                "key_sum"
+            ),
+        )
+        return e.join(dim, "skew_key").groupBy("event_type").agg(
+            F.count("*").alias("n_events"),
+            F.sum("key_cnt").alias("sum_key_cnt"),
+            F.round(F.sum("key_sum").cast("double"), 4).alias("sum_key_val"),
+        )
+
+    thunks["events_skew_plain_join"] = _skew_plain_join
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {} if clustered is not None else {"clustered_fixture": pass_err}
