@@ -2739,13 +2739,79 @@ def _docs_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
     alphabetic-word fraction, required-stopword rule, and the combined
     keep decision — the decision-operator complement to the
     score-style `text_quality`. Map-only single scan (the cheapest
-    pass a pipeline runs FIRST to shrink the corpus before dedup)."""
+    pass a pipeline runs FIRST to shrink the corpus before dedup).
+    min_stopword_hits=1 here: the synthetic corpus's vocabulary
+    contains only one Gopher stopword, so the published 2 (the
+    operator default) would gate on the generator, not the rule."""
     from kubernetes_logs_datalake_spark.operators.webclean import (
         gopher_quality_rules,
     )
 
     d = _t(spark, sf, "documents")
-    return gopher_quality_rules(d, "doc_id", "text")
+    return gopher_quality_rules(d, "doc_id", "text", min_stopword_hits=1)
+
+
+def _docs_source_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source curation dashboard: doc counts, exact-dup rate
+    (distinct text hashes), Gopher keep rate, mean length — the report
+    that decides which domains to keep/reweight/drop. Verdicts ride
+    the base scan via carry_cols (no corpus self-join); ONE
+    source-keyed aggregate."""
+    from kubernetes_logs_datalake_spark.operators.webclean import (
+        source_quality_report,
+    )
+
+    d = _t(spark, sf, "documents")
+    return source_quality_report(
+        d, "source", "doc_id", "text", min_stopword_hits=1
+    )
+
+
+def _docs_clean_export(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed end-to-end curation pipeline in one plan: Gopher
+    quality gate → exact dedup (first doc per text hash) → deterministic
+    90/5/5 hash split → per-split manifest (counts + word sums).
+    Everything is one scan + one hash-partitioned window + one 3-key
+    aggregate — the 'materialize the training set' query."""
+    from kubernetes_logs_datalake_spark.operators.sampling import hash_split
+    from kubernetes_logs_datalake_spark.operators.webclean import (
+        gopher_quality_rules,
+    )
+
+    d = _t(spark, sf, "documents")
+    v = gopher_quality_rules(
+        d, "doc_id", "text", min_stopword_hits=1,
+        carry_cols=(F.md5(F.col("text")).alias("_th"),),
+    )
+    kept = v.filter(F.col("keep"))
+    w = Window.partitionBy("_th").orderBy("doc_id")
+    ded = kept.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return hash_split(ded, "doc_id").groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("sum_words"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def _embedding_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive hard-negative mining (DPR-style): for each probe
+    vector, the 3 most-similar corpus vectors BELOW the cos<0.95
+    near-dup ceiling — similar enough to teach, not so similar they're
+    unlabeled positives. Probes broadcast; the corpus never shuffles."""
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    probes = emb.filter(F.col("vec_id") % 100 == 1)
+    out = hard_negatives(emb, probes, "embedding", "vec_id",
+                         max_cos=0.95, k=3)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank"
+    )
 
 
 def _docs_hash_split(spark: SparkSession, sf: str) -> DataFrame:
@@ -2897,6 +2963,9 @@ _R6_WINDOW = [
     "mix_language_temperature",
     "docs_lm_perplexity_buckets",
     "events_salted_join_skew",
+    "docs_source_report",
+    "docs_clean_export",
+    "embedding_hard_negatives",
     # re-checks: queries whose operator code changed this round
     # (connected-components checkpoint fix, BPE cache session-keying,
     # char-LM oracle refactor, CUSUM decimal-scale derivation)
@@ -2914,10 +2983,7 @@ _R6_WINDOW = [
     "q9_nation_profit",
     "q11_important_parts",
     "q13_order_count_distribution",
-    "q14_promo_revenue",
     "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
     "q18_large_orders",
     "q19_disjunctive_filters",
     "q20_volume_suppliers",
@@ -3100,6 +3166,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_language_temperature": _mix_language_temperature,
         "docs_lm_perplexity_buckets": _docs_lm_perplexity_buckets,
         "events_salted_join_skew": _events_salted_join_skew,
+        "docs_source_report": _docs_source_report,
+        "docs_clean_export": _docs_clean_export,
+        "embedding_hard_negatives": _embedding_hard_negatives,
     }
 
 
@@ -3222,6 +3291,33 @@ def oracle_sql() -> dict[str, str]:
     norm = _DDB_NORM.format(t="text")
     cos_ab = _ddb_cos("a.embedding", "b.embedding")
     cos_eq = _ddb_cos("e.embedding", "q.embedding")
+    # Gopher rule CTEs + keep predicate, shared by docs_gopher_quality
+    # / docs_source_report / docs_clean_export (single source of truth;
+    # min_stopword_hits=1 — see _docs_gopher_quality)
+    gopher_cte = f"""
+            st AS (
+                SELECT doc_id, source, md5(text) AS th,
+                       length(text) AS tlen,
+                       list_filter({w}, x -> x != '') AS wl
+                FROM documents
+            ), m AS (
+                SELECT doc_id, source, th, tlen,
+                       len(wl) AS n,
+                       COALESCE(list_sum(list_transform(wl, x -> length(x))), 0)
+                           AS chars,
+                       len(list_filter(wl, x -> regexp_matches(x, '[a-z]')))
+                           AS alpha,
+                       len(list_filter(
+                           ['the','be','to','of','and','that','have','with'],
+                           s -> list_contains(wl, s))) AS stop
+                FROM st
+            )"""
+    g_mwl = "CASE WHEN n > 0 THEN round(chars * 1.0 / n, 4) ELSE 0.0 END"
+    g_afrac = "CASE WHEN n > 0 THEN round(alpha * 1.0 / n, 6) ELSE 0.0 END"
+    g_keep = (
+        f"((n >= 50 AND n <= 100000) AND ({g_mwl} >= 3.0 AND {g_mwl} <= 10.0)"
+        f" AND ({g_afrac} >= 0.8) AND (stop >= 1))"
+    )
     # char-bigram LM scorer SQL, shared verbatim by docs_char_lm_score
     # and docs_lm_perplexity_buckets (single source of truth)
     char_lm = f"""
@@ -4846,45 +4942,76 @@ def oracle_sql() -> dict[str, str]:
             FROM tiled GROUP BY lang, bucket
         """,
         "docs_gopher_quality": f"""
-            WITH st AS (
-                SELECT doc_id, list_filter({w}, x -> x != '') AS wl
-                FROM documents
-            ), m AS (
-                SELECT doc_id,
-                       len(wl) AS n,
-                       COALESCE(list_sum(list_transform(wl, x -> length(x))), 0)
-                           AS chars,
-                       len(list_filter(wl, x -> regexp_matches(x, '[a-z]')))
-                           AS alpha,
-                       len(list_filter(
-                           ['the','be','to','of','and','that','have','with'],
-                           s -> list_contains(wl, s))) AS stop
-                FROM st
-            )
+            WITH {gopher_cte}
             SELECT doc_id,
                    CAST(n AS BIGINT) AS n_words,
-                   CASE WHEN n > 0 THEN round(chars * 1.0 / n, 4)
-                        ELSE 0.0 END AS mean_word_len,
-                   CASE WHEN n > 0 THEN round(alpha * 1.0 / n, 6)
-                        ELSE 0.0 END AS alpha_word_frac,
+                   {g_mwl} AS mean_word_len,
+                   {g_afrac} AS alpha_word_frac,
                    CAST(stop AS BIGINT) AS stopword_hits,
                    (n >= 50 AND n <= 100000) AS rule_word_count,
-                   (CASE WHEN n > 0 THEN round(chars * 1.0 / n, 4)
-                         ELSE 0.0 END >= 3.0
-                    AND CASE WHEN n > 0 THEN round(chars * 1.0 / n, 4)
-                         ELSE 0.0 END <= 10.0) AS rule_word_len,
-                   (CASE WHEN n > 0 THEN round(alpha * 1.0 / n, 6)
-                         ELSE 0.0 END >= 0.8) AS rule_alpha,
-                   (stop >= 2) AS rule_stopwords,
-                   ((n >= 50 AND n <= 100000)
-                    AND (CASE WHEN n > 0 THEN round(chars * 1.0 / n, 4)
-                              ELSE 0.0 END >= 3.0
-                         AND CASE WHEN n > 0 THEN round(chars * 1.0 / n, 4)
-                              ELSE 0.0 END <= 10.0)
-                    AND (CASE WHEN n > 0 THEN round(alpha * 1.0 / n, 6)
-                              ELSE 0.0 END >= 0.8)
-                    AND (stop >= 2)) AS keep
+                   ({g_mwl} >= 3.0 AND {g_mwl} <= 10.0) AS rule_word_len,
+                   ({g_afrac} >= 0.8) AS rule_alpha,
+                   (stop >= 1) AS rule_stopwords,
+                   {g_keep} AS keep
             FROM m
+        """,
+        "docs_source_report": f"""
+            WITH {gopher_cte},
+            v AS (
+                SELECT source, th, tlen, {g_keep} AS keep FROM m
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT th) AS BIGINT) AS n_unique_texts,
+                   round(1.0 - count(DISTINCT th) * 1.0 / count(*), 6)
+                       AS dup_rate,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_keep,
+                   round(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 6) AS keep_rate,
+                   round(sum(tlen) * 1.0 / count(*), 2) AS mean_chars
+            FROM v GROUP BY source
+        """,
+        "docs_clean_export": f"""
+            WITH {gopher_cte},
+            kept AS (
+                SELECT doc_id, th, n FROM m WHERE {g_keep}
+            ), ded AS (
+                SELECT doc_id, n,
+                       row_number() OVER (PARTITION BY th ORDER BY doc_id)
+                           AS rn
+                FROM kept
+            ), sp AS (
+                SELECT doc_id, n,
+                       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                 < '{hash_rate_threshold(0.90)}' THEN 'train'
+                            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                 < '{hash_rate_threshold(0.95)}' THEN 'val'
+                            ELSE 'test' END AS split
+                FROM ded WHERE rn = 1)
+            SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS sum_words,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM sp GROUP BY split
+        """,
+        "embedding_hard_negatives": f"""
+            WITH pr AS (
+                SELECT vec_id AS query_id, embedding FROM embeddings
+                WHERE vec_id % 100 = 1 AND vec_id != 0
+            ), sc AS (
+                SELECT p.query_id, e.vec_id AS neighbor_id,
+                       {_ddb_cos("e.embedding", "p.embedding")} AS cos
+                FROM embeddings e CROSS JOIN pr p
+                WHERE e.vec_id != 0 AND e.vec_id != p.query_id
+            ), f AS (
+                SELECT query_id, neighbor_id, cos,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id)
+                           AS rank
+                FROM sc WHERE cos < 0.95)
+            SELECT query_id, neighbor_id, round(cos, 4) AS cos,
+                   CAST(rank AS INT) AS rank
+            FROM f WHERE rank <= 3
         """,
         "docs_hash_split": f"""
             WITH s AS (

@@ -92,6 +92,9 @@ HEADLINE = [
     "mix_language_temperature",
     "docs_lm_perplexity_buckets",
     "events_salted_join_skew",
+    "docs_source_report",
+    "docs_clean_export",
+    "embedding_hard_negatives",
     # docs_bpe_merges/docs_bpe_tokens are deliberately NOT benched: 20
     # sequential merge iterations have a fixed ~0.6 s/iteration action-
     # latency floor in local mode that measures the scheduler, not the

