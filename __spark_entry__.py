@@ -2796,6 +2796,47 @@ def _docs_clean_export(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _orders_table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Whole-table column profile in one scan (per column: rows, nulls,
+    exact distinct, numeric/timestamp extrema) — the data-quality
+    summary an ingest pipeline records per batch. Exact n_distinct
+    plans an Expand (documented; swap to approx_count_distinct at
+    100 TB for a 1x scan)."""
+    from kubernetes_logs_datalake_spark.operators.profile import table_profile
+
+    return table_profile(_t(spark, sf, "orders"))
+
+
+def _events_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-type outliers by median absolute deviation
+    (|x − median| > 3·MAD): the detector whose threshold the outliers
+    themselves cannot corrupt (50% breakdown vs 0% for z-scores).
+    Median and MAD are exact element picks via the percentile_disc
+    rank formula, so even this doubly-order-statistic verdict is
+    hash-checked."""
+    from kubernetes_logs_datalake_spark.operators.profile import mad_outliers
+
+    e = _t(spark, sf, "events")
+    return mad_outliers(e, "event_type", "event_id", "value", k=3.0)
+
+
+def _embedding_ivf_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus×corpus approximate kNN join through IVF cells: k-means
+    assignment (deterministic, oracle-unrolled), cluster-keyed
+    equi-join, per-query rank window — all-pairs kNN without the O(n²)
+    join; cells ∝ corpus keeps the cell-local stage linear (the
+    measured SemDeDup scaling law)."""
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        ivf_knn_join,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    out = ivf_knn_join(emb, "vec_id", "embedding", k=3, cells=8, iters=3)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank"
+    )
+
+
 def _embedding_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     """Contrastive hard-negative mining (DPR-style): for each probe
     vector, the 3 most-similar corpus vectors BELOW the cos<0.95
@@ -2806,7 +2847,13 @@ def _embedding_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
-    probes = emb.filter(F.col("vec_id") % 100 == 1)
+    # FIXED probe budget (20 probes regardless of sf): the operator is
+    # linear in the corpus only when the broadcast probe side is
+    # bounded — scaling probes with the corpus is the quadratic misuse
+    # the docstring warns about (first measured as 6.9x wall at 10x)
+    probes = emb.filter(
+        (F.col("vec_id") % 100 == 1) & (F.col("vec_id") < 2000)
+    )
     out = hard_negatives(emb, probes, "embedding", "vec_id",
                          max_cos=0.95, k=3)
     return out.select(
@@ -2966,6 +3013,9 @@ _R6_WINDOW = [
     "docs_source_report",
     "docs_clean_export",
     "embedding_hard_negatives",
+    "embedding_ivf_knn_join",
+    "orders_table_profile",
+    "events_mad_outliers",
     # re-checks: queries whose operator code changed this round
     # (connected-components checkpoint fix, BPE cache session-keying,
     # char-LM oracle refactor, CUSUM decimal-scale derivation)
@@ -2982,10 +3032,7 @@ _R6_WINDOW = [
     "q8_market_share",
     "q9_nation_profit",
     "q11_important_parts",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
     "q18_large_orders",
-    "q19_disjunctive_filters",
     "q20_volume_suppliers",
     "q22_inactive_rich_customers",
     "events_retention",
@@ -3169,6 +3216,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_source_report": _docs_source_report,
         "docs_clean_export": _docs_clean_export,
         "embedding_hard_negatives": _embedding_hard_negatives,
+        "embedding_ivf_knn_join": _embedding_ivf_knn_join,
+        "orders_table_profile": _orders_table_profile,
+        "events_mad_outliers": _events_mad_outliers,
     }
 
 
@@ -4546,6 +4596,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_kmeans": _ddb_kmeans_sql(),
         "dedup_semantic": _ddb_semdedup_sql(),
+        "embedding_ivf_knn_join": _ddb_ivf_knn_join_sql(),
+        "orders_table_profile": _ddb_table_profile_sql(),
+        "events_mad_outliers": """
+            WITH b AS (
+                SELECT event_type AS g, event_id AS id,
+                       CAST(value AS DOUBLE) AS v
+                FROM events
+            ), r1 AS (
+                SELECT g, v,
+                       row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                       count(*) OVER (PARTITION BY g) AS cnt
+                FROM b
+            ), med AS (
+                SELECT g, v AS gmed FROM r1
+                WHERE rn = greatest(CAST(ceil(0.5 * cnt) AS BIGINT), 1)
+            ), dev AS (
+                SELECT b.g, b.id, b.v, med.gmed,
+                       round(abs(b.v - med.gmed), 6) AS d
+                FROM b JOIN med USING (g)
+            ), r2 AS (
+                SELECT g, d,
+                       row_number() OVER (PARTITION BY g ORDER BY d) AS rn,
+                       count(*) OVER (PARTITION BY g) AS cnt
+                FROM dev
+            ), mad AS (
+                SELECT g, d AS gmad FROM r2
+                WHERE rn = greatest(CAST(ceil(0.5 * cnt) AS BIGINT), 1)
+            )
+            SELECT dev.g AS event_type, dev.id AS event_id,
+                   dev.v AS value, dev.gmed AS med, mad.gmad AS mad
+            FROM dev JOIN mad USING (g)
+            WHERE dev.d > 3.0 * mad.gmad
+        """,
         "embedding_label_centroids": """
             WITH pv AS (
                 SELECT label, u.pos, u.val
@@ -4997,7 +5080,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_hard_negatives": f"""
             WITH pr AS (
                 SELECT vec_id AS query_id, embedding FROM embeddings
-                WHERE vec_id % 100 = 1 AND vec_id != 0
+                WHERE vec_id % 100 = 1 AND vec_id != 0 AND vec_id < 2000
             ), sc AS (
                 SELECT p.query_id, e.vec_id AS neighbor_id,
                        {_ddb_cos("e.embedding", "p.embedding")} AS cos
@@ -5609,6 +5692,72 @@ def _ddb_kmeans_ctes(k: int, iters: int, dim: int, src: str) -> str:
         cent = f"cent{n}"
     parts.append(assign(iters + 1, cent))
     return ",".join(parts)
+
+
+_ORDERS_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _ddb_table_profile_sql() -> str:
+    """DuckDB mirror of ``profile.table_profile(orders)``: one SELECT
+    per column UNION ALL'd — same stats, same extrema typing (numeric →
+    rounded double, timestamp → epoch µs, string → NULL)."""
+    parts = []
+    for name, kind in _ORDERS_PROFILE_COLS:
+        if kind == "num":
+            mn = f"round(CAST(min({name}) AS DOUBLE), 6)"
+            mx = f"round(CAST(max({name}) AS DOUBLE), 6)"
+        elif kind == "ts":
+            mn = f"CAST(epoch_us(min({name})) AS DOUBLE)"
+            mx = f"CAST(epoch_us(max({name})) AS DOUBLE)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+        parts.append(f"""
+            SELECT '{name}' AS column_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count({name}) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct,
+                   {mn} AS min_value, {mx} AS max_value
+            FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+def _ddb_ivf_knn_join_sql(
+    k: int = 3, cells: int = 8, iters: int = 3, dim: int = EMBEDDING_DIM
+) -> str:
+    """DuckDB mirror of ``similarity.ivf_knn_join`` on the vec_id!=0
+    corpus: the unrolled k-means CTEs give the cell assignment, a
+    cluster-equality self-join scores cell-local cosines, and the same
+    (cos DESC, neighbor) rank window cuts top-k per query."""
+    ctes = _ddb_kmeans_ctes(
+        cells, iters, dim, src="(SELECT * FROM embeddings WHERE vec_id <> 0)"
+    )
+    cos = _ddb_cos("a.embedding", "b.embedding")
+    return f"""
+        WITH {ctes},
+        asg AS (SELECT vec_id, CAST(j AS INT) AS cluster
+                FROM a{iters + 1} WHERE rk = 1),
+        sc AS (
+            SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id, {cos} AS cos
+            FROM asg x
+            JOIN asg y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+            JOIN embeddings a ON a.vec_id = x.vec_id
+            JOIN embeddings b ON b.vec_id = y.vec_id),
+        r AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM sc)
+        SELECT query_id, neighbor_id, round(cos, 4) AS cos,
+               CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= {k}
+    """
 
 
 def _ddb_ivf_oracle_sql(

@@ -573,3 +573,74 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def ivf_knn_join(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    cells: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Corpus×corpus approximate kNN join through an IVF coarse
+    quantizer: every vector is assigned to its nearest deterministic
+    k-means centroid (``vectors.kmeans_fit``) and neighbors are ranked
+    only WITHIN the cell — the standard way to get all-pairs kNN at
+    corpus scale without the O(n²) join (the same cell-locality trick
+    SemDeDup uses for its pair stage; cells ∝ corpus keeps Σ|cᵢ|²
+    linear, exactly the measured SemDeDup k-scaling law in SCALE.md).
+
+    Contrast with :func:`knn_join_bruteforce`, which broadcasts a SMALL
+    probe side: here BOTH sides are the corpus, so nothing broadcasts —
+    the join is a cluster-keyed equi-join (shuffle by cell), and the
+    per-query rank window is partitioned by query id.
+
+    Output: (query_id, neighbor_id, cos, rank ≤ k among same-cell
+    neighbors). Approximation: true neighbors in other cells are
+    missed — recall grows with cells' balance; eval with the same
+    recall harness as ann_recall_lsh.
+    """
+    from pyspark.sql import Window
+
+    from kubernetes_logs_datalake_spark.functions.vectors import (
+        cosine_prenorm,
+        norm,
+    )
+    from kubernetes_logs_datalake_spark.operators.vectors import kmeans_fit
+
+    _, assigned = kmeans_fit(df, id_col, vec_col, k=cells, iters=iters)
+    # one materialization feeds both join sides (the semdedup shape)
+    assigned = assigned.localCheckpoint(eager=False)
+    base = assigned.select(
+        "cluster", F.col(id_col), F.col(vec_col), norm(vec_col).alias("_n")
+    )
+    a = base.select(
+        "cluster",
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = base.select(
+        "cluster",
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    scored = (
+        a.join(b, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_prenorm("_va", "_vb", "_na", "_nb").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -349,3 +349,107 @@ def test_gopher_carry_cols_ride_the_scan(spark):
     assert {"src", "tlen"} <= set(out.columns)
     got = {r.doc_id: (r.src, r.tlen) for r in out.collect()}
     assert got == {1: ("x", 7), 2: ("y", 5)}
+
+
+# --------------------------------------------------------- IVF kNN join
+
+
+def test_ivf_knn_join_cell_locality_and_rank(spark):
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        ivf_knn_join,
+    )
+
+    # two well-separated blobs: neighbors must come from the same blob
+    import math
+
+    rows = []
+    for i in range(12):  # blob A around (1, 0)
+        rows.append((i, [1.0 + 0.01 * i, 0.02 * (i % 3)]))
+    for i in range(12, 24):  # blob B around (0, 1)
+        rows.append((i, [0.02 * (i % 3), 1.0 + 0.01 * i]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivf_knn_join(df, "vec_id", "embedding", k=2, cells=2, iters=3)
+    got = out.collect()
+    # every query returns neighbors, ranks are 1..2, and neighbors stay
+    # within the query's blob (cells separate the blobs)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(24))
+    for q, rs in by_q.items():
+        assert sorted(x.rank for x in rs) == [1, 2]
+        blob = q < 12
+        for x in rs:
+            assert (x.neighbor_id < 12) == blob, (q, x.neighbor_id)
+            assert x.neighbor_id != q
+            assert x.cos > 0.9  # same-blob cosine is high
+
+
+def test_ivf_knn_join_no_cross_join_in_plan(spark):
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        ivf_knn_join,
+    )
+
+    rows = [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = (
+        ivf_knn_join(df, "vec_id", "embedding", k=2, cells=4, iters=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the pair stage must be a cluster-keyed equi-join, never all-pairs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------------- table profile
+
+
+def test_table_profile_stats(spark):
+    from kubernetes_logs_datalake_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5, None), (2, "b", -1.0, None), (2, None, 7.25, None)],
+        "k long, s string, v double, empty string",
+    )
+    got = {r.column_name: r for r in table_profile(df).collect()}
+    assert got["k"].n_rows == 3 and got["k"].n_distinct == 2
+    assert got["k"].min_value == 1.0 and got["k"].max_value == 2.0
+    assert got["s"].n_nulls == 1 and got["s"].n_distinct == 2
+    assert got["s"].min_value is None  # string extrema deliberately null
+    assert got["v"].min_value == -1.0 and got["v"].max_value == 7.25
+    assert got["empty"].n_nulls == 3 and got["empty"].n_distinct == 0
+
+
+def test_table_profile_single_scan(spark):
+    from kubernetes_logs_datalake_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame([(1, 2.0)], "a long, b double")
+    plan = table_profile(df)._jdf.queryExecution().executedPlan().toString()
+    # one logical source feeding one aggregation tree (Expand is the
+    # documented multi-distinct mechanism, not a second scan)
+    assert plan.count("Scan ExistingRDD") <= 1
+
+
+# --------------------------------------------------------- MAD outliers
+
+
+def test_mad_outliers_flags_the_planted_point(spark):
+    from kubernetes_logs_datalake_spark.operators.profile import mad_outliers
+
+    rows = [(1, i, float(v)) for i, v in enumerate([10, 11, 9, 10, 12, 10, 11, 100])]
+    df = spark.createDataFrame(rows, "g int, id int, v double")
+    out = mad_outliers(df, "g", "id", "v", k=3.0).collect()
+    assert [(r.id, r.value) for r in out] == [(7, 100.0)]
+    r = out[0]
+    # median of [9..12,100] = 10 (rank ceil(0.5*8)=4 of sorted), MAD = 1
+    assert r.med == 10.0 and r.mad == 1.0
+
+
+def test_mad_outliers_zero_mad_group(spark):
+    from kubernetes_logs_datalake_spark.operators.profile import mad_outliers
+
+    # >50% identical: MAD = 0, so anything off the median is flagged
+    rows = [(1, i, 5.0) for i in range(5)] + [(1, 9, 5.1)]
+    df = spark.createDataFrame(rows, "g int, id int, v double")
+    out = mad_outliers(df, "g", "id", "v", k=3.0).collect()
+    assert [(r.id, r.mad) for r in out] == [(9, 0.0)]

@@ -105,6 +105,9 @@ QUERIES = [
     "docs_source_report",
     "docs_clean_export",
     "embedding_hard_negatives",
+    "embedding_ivf_knn_join",
+    "orders_table_profile",
+    "events_mad_outliers",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
@@ -198,6 +201,27 @@ def main() -> None:
         ).select("cluster", "vec_id", "component", "dist", "keep")
 
     thunks["dedup_semantic"] = _semdedup_scaled
+
+    # Same scaling law for the IVF kNN join: cells ∝ corpus keeps the
+    # cell-local pair stage linear (measured: fixed cells=8 at 10x =
+    # 40.6 s; cells=80 = 11.3 s).
+    def _ivf_knn_scaled(copies=copies):
+        from pyspark.sql import functions as F
+        from kubernetes_logs_datalake_spark.operators.similarity import (
+            ivf_knn_join,
+        )
+
+        emb = spark.read.parquet(f"{dest}/embeddings.parquet").filter(
+            F.col("vec_id") != 0
+        )
+        out = ivf_knn_join(
+            emb, "vec_id", "embedding", k=3, cells=8 * copies, iters=3
+        )
+        return out.select(
+            "query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank"
+        )
+
+    thunks["embedding_ivf_knn_join"] = _ivf_knn_scaled
 
     # Skew A/B: the same hot-key join (70% of events on one key) WITHOUT
     # the salting operator — measured against the registered
