@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def windowed_counts(
@@ -200,3 +201,75 @@ def sketch_counts(
     # guarantees the batch/stream agreement and the cms_estimate
     # point-query composition can never drift
     return cms_sketch(records, key_col, depth=depth, width=width)
+
+
+FUNNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("stage_idx", T.IntegerType()),
+        T.StructField("stage", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = "stage_idx int, ts_us long"
+
+
+def _funnel_fn(stages: list[str]):
+    """Per-user funnel state machine: state = (furthest stage index,
+    its µs timestamp); an event advances the funnel iff it is the NEXT
+    stage in order and strictly later than the current state — the same
+    strict-order first-touch rule as ``operators.funnel.funnel_counts``.
+    Emits one row per advance."""
+    import pandas as pd
+
+    idx = {s: i for i, s in enumerate(stages)}
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        cur, cur_ts = state.get if state.exists else (-1, -1)
+        out_rows = []
+        events = []
+        for pdf in pdfs:
+            for et, ts in zip(pdf["event_type"], pdf["ts_us"]):
+                if et in idx:
+                    events.append((int(ts), idx[et]))
+        # within a micro-batch, replay in time order; ACROSS batches
+        # the semantics are arrival-order (the streaming caveat —
+        # watermark-bounded disorder is the deployment contract)
+        for ts, si in sorted(events):
+            if si == cur + 1 and ts > cur_ts:
+                cur, cur_ts = si, ts
+                out_rows.append((key[0], si, stages[si], ts))
+        if out_rows or state.exists:
+            state.update((cur, cur_ts))
+        yield pd.DataFrame(
+            out_rows, columns=["user_id", "stage_idx", "stage", "ts_us"]
+        )
+
+    return fn
+
+
+def streaming_funnel(records: DataFrame, stages: list[str]) -> DataFrame:
+    """Streaming strict-order conversion funnel: one output row per
+    (user, stage) the moment the user advances to it — the live
+    counterpart of the batch ``funnel_counts`` report. State per user
+    is TWO scalars (stage index + timestamp) however long the stream
+    runs: O(live users), the bounded-state property every operator in
+    this module keeps.
+
+    Input needs (user_id, event_type, ts_us). Use ``outputMode
+    ("append")``; aggregate the emitted advances downstream for live
+    per-stage counts.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return records.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn(stages),
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
