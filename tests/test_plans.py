@@ -249,3 +249,34 @@ def test_fuzzy_join_no_cross_join(spark):
     inverted index exists precisely to avoid the |L|x|R| cross join."""
     p = plan_of(spark, "docs_snippet_lookup")
     assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_gopher_family_single_scan(spark):
+    """The Gopher verdicts / source report / clean export must read the
+    corpus exactly ONCE (verdicts ride the scan via carry_cols) — a
+    join-back to the corpus would double the scan and was the round-6
+    review finding that motivated carry_cols."""
+    for name in (
+        "docs_gopher_quality",
+        "docs_source_report",
+        "docs_clean_export",
+    ):
+        p = plan_of(spark, name)
+        assert p.count("Scan parquet") == 1, (
+            f"{name} scans the corpus {p.count('Scan parquet')} times"
+        )
+
+
+def test_gopher_quality_is_map_only(spark):
+    """The quality gate is the pipeline's FIRST pass over 100 TB — it
+    must stay a pure map stage (zero exchanges)."""
+    p = plan_of(spark, "docs_gopher_quality")
+    assert "Exchange" not in p
+
+
+def test_ivf_knn_join_equi_join_plan(spark):
+    """The IVF kNN pair stage must be a cluster-keyed equi-join, never
+    the all-pairs nested loop the cell structure exists to avoid."""
+    p = plan_of(spark, "embedding_ivf_knn_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -83,3 +83,81 @@ def test_weighted_sample_keys_match_python_aes(spark, ids):
         i for i, _, w in sorted(rows, key=lambda r: (-key(r[0], r[2]), r[0]))[:k]
     )
     assert got == want
+
+
+# ------------------------------------------------- round-6 properties
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**12), min_size=1,
+             max_size=60, unique=True)
+)
+def test_hash_split_total_and_reference_parity(spark, ids):
+    """Every id is assigned exactly one split, and the assignment
+    equals the hashlib reference — for arbitrary id sets."""
+    import hashlib
+
+    from kubernetes_logs_datalake_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r.doc_id: r.split for r in hash_split(df, "doc_id").collect()}
+
+    def expect(i):
+        frac = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 16**8
+        return "train" if frac < 0.90 else ("val" if frac < 0.95 else "test")
+
+    assert got == {i: expect(i) for i in ids}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.sampled_from(["en", "de", "sw", "fr"]), min_size=2,
+             max_size=80).filter(lambda xs: len(set(xs)) >= 2),
+    st.floats(min_value=0.1, max_value=1.0),
+)
+def test_temperature_rates_are_a_distribution(spark, langs, alpha):
+    """For any group mix and any α ∈ (0,1]: rates sum to 1 (±rounding),
+    every rate is positive, and rank order of shares is preserved."""
+    from kubernetes_logs_datalake_spark.operators.sampling import (
+        temperature_mix_rates,
+    )
+
+    df = spark.createDataFrame([(x,) for x in langs], "lang string")
+    rows = temperature_mix_rates(df, "lang", alpha=float(alpha)).collect()
+    total = sum(r.rate for r in rows)
+    assert abs(total - 1.0) < 1e-4 * len(rows)
+    assert all(r.rate > 0 for r in rows)
+    by_share = sorted(rows, key=lambda r: (-r.share, r.lang))
+    by_rate = sorted(rows, key=lambda r: (-r.rate, r.lang))
+    assert [r.lang for r in by_share] == [r.lang for r in by_rate]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+                  width=32),
+        min_size=3, max_size=40,
+    )
+)
+def test_mad_outliers_matches_python_reference(spark, vals):
+    """The exact-element median/MAD verdict equals a plain-Python
+    replica of the same rank formula, for arbitrary value sets."""
+    import math
+
+    from kubernetes_logs_datalake_spark.operators.profile import mad_outliers
+
+    rows = [(1, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g int, id int, v double")
+    got = sorted(r.id for r in mad_outliers(df, "g", "id", "v", k=3.0).collect())
+
+    def pick_median(xs):
+        s = sorted(xs)
+        return s[max(math.ceil(0.5 * len(s)), 1) - 1]
+
+    med = pick_median([float(v) for v in vals])
+    devs = [round(abs(float(v) - med), 6) for v in vals]
+    mad = pick_median(devs)
+    want = sorted(i for i, d in enumerate(devs) if d > 3.0 * mad)
+    assert got == want
