@@ -2796,6 +2796,23 @@ def _docs_clean_export(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _events_sliding_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window distinct users via the KMV sketch: 10-minute
+    windows sliding every 5, per-window distinct-user ESTIMATE with
+    O(k) state per window — the live-dashboard shape where an exact
+    per-window distinct would hold unbounded user sets. Composes the
+    shared hopping expansion with the KMV recipe; the oracle is
+    generated from the same (k, window, slide) constants."""
+    from kubernetes_logs_datalake_spark.operators.rollup import hopping_expand
+    from kubernetes_logs_datalake_spark.operators.sketch import kmv_distinct
+
+    e = _t(spark, sf, "events")
+    expanded = hopping_expand(
+        e, ts_col="ts", window_us=600_000_000, slide_us=300_000_000
+    ).select("window_start_us", "user_id")
+    return kmv_distinct(expanded, "user_id", ["window_start_us"], k=64)
+
+
 def _orders_table_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Whole-table column profile in one scan (per column: rows, nulls,
     exact distinct, numeric/timestamp extrema) — the data-quality
@@ -3016,6 +3033,7 @@ _R6_WINDOW = [
     "embedding_ivf_knn_join",
     "orders_table_profile",
     "events_mad_outliers",
+    "events_sliding_distinct",
     # re-checks: queries whose operator code changed this round
     # (connected-components checkpoint fix, BPE cache session-keying,
     # char-LM oracle refactor, CUSUM decimal-scale derivation)
@@ -3033,7 +3051,6 @@ _R6_WINDOW = [
     "q9_nation_profit",
     "q11_important_parts",
     "q18_large_orders",
-    "q20_volume_suppliers",
     "q22_inactive_rich_customers",
     "events_retention",
     "events_interarrival",
@@ -3219,6 +3236,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_knn_join": _embedding_ivf_knn_join,
         "orders_table_profile": _orders_table_profile,
         "events_mad_outliers": _events_mad_outliers,
+        "events_sliding_distinct": _events_sliding_distinct,
     }
 
 
@@ -3331,6 +3349,25 @@ def _kmv_oracle() -> str:
     from kubernetes_logs_datalake_spark.operators.sketch import kmv_oracle_sql
 
     return kmv_oracle_sql("events", "user_id", ["event_type"], k=64)
+
+
+def _kmv_sliding_oracle() -> str:
+    """Generated from the SAME (k, window, slide) constants as
+    _events_sliding_distinct: the hopping expansion becomes the KMV
+    oracle's source relation."""
+    from kubernetes_logs_datalake_spark.operators.sketch import kmv_oracle_sql
+
+    expanded = """(
+        SELECT CAST(i * 300000000 AS BIGINT) AS window_start_us, user_id
+        FROM (
+            SELECT user_id,
+                   unnest(generate_series(
+                       (epoch_us(ts) - 600000000) // 300000000 + 1,
+                       epoch_us(ts) // 300000000)) AS i
+            FROM events
+        )
+    ) exp"""
+    return kmv_oracle_sql(expanded, "user_id", ["window_start_us"], k=64)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4598,6 +4635,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": _ddb_semdedup_sql(),
         "embedding_ivf_knn_join": _ddb_ivf_knn_join_sql(),
         "orders_table_profile": _ddb_table_profile_sql(),
+        "events_sliding_distinct": _kmv_sliding_oracle(),
         "events_mad_outliers": """
             WITH b AS (
                 SELECT event_type AS g, event_id AS id,

@@ -72,20 +72,37 @@ def hopping_rollup(
     (window_start, keys). Cost is overlap-factor × the tumbling rollup,
     independent of window length in time.
     """
+    aggs = aggs or [F.count("*").alias("n")]
+    exploded = hopping_expand(df, ts_col, window_us, slide_us)
+    group_cols = [F.col("window_start_us")] + [F.col(k) for k in (keys or [])]
+    return exploded.groupBy(*group_cols).agg(*aggs)
+
+
+def hopping_expand(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window_us: int = 600_000_000,
+    slide_us: int = 300_000_000,
+) -> DataFrame:
+    """The hopping-window membership expansion alone: the input plus a
+    ``window_start_us`` column, one row per (event, covering window) —
+    exactly ``window_us / slide_us`` rows per event. Shared by
+    :func:`hopping_rollup` (counts/sums per window) and the sliding
+    sketch queries (e.g. KMV distinct per window), so the window
+    arithmetic lives in one place."""
     if window_us <= 0 or slide_us <= 0 or window_us % slide_us != 0:
         raise ValueError("window_us must be a positive multiple of slide_us")
     from kubernetes_logs_datalake_spark.functions.time_ns import epoch_us_col
 
-    aggs = aggs or [F.count("*").alias("n")]
     ts_us = epoch_us_col(df, ts_col)
     # window index i covers t iff i*slide <= t < i*slide + window
     #   ⇔ floor_div(t - window, slide) + 1 <= i <= floor_div(t, slide)
     lo = _floor_div(ts_us - F.lit(window_us), slide_us) + F.lit(1)
     hi = _floor_div(ts_us, slide_us)
     exploded = df.withColumn("_wi", F.explode(F.sequence(lo, hi)))
-    start = (F.col("_wi") * F.lit(slide_us)).cast("long").alias("window_start_us")
-    group_cols = [start] + [F.col(k) for k in (keys or [])]
-    return exploded.groupBy(*group_cols).agg(*aggs)
+    return exploded.withColumn(
+        "window_start_us", (F.col("_wi") * F.lit(slide_us)).cast("long")
+    ).drop("_wi")
 
 
 def gapfill_rollup(

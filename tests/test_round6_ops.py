@@ -453,3 +453,38 @@ def test_mad_outliers_zero_mad_group(spark):
     df = spark.createDataFrame(rows, "g int, id int, v double")
     out = mad_outliers(df, "g", "id", "v", k=3.0).collect()
     assert [(r.id, r.mad) for r in out] == [(9, 0.0)]
+
+
+# ------------------------------------------------- sliding KMV distinct
+
+
+def test_sliding_distinct_exact_below_k(spark):
+    from kubernetes_logs_datalake_spark.operators.rollup import hopping_expand
+    from kubernetes_logs_datalake_spark.operators.sketch import kmv_distinct
+
+    US = 1_000_000
+    base = 1_700_000_100 * US  # multiple of the 300 s slide
+    rows = []
+    for u in range(5):
+        rows.append((u, base + u))            # all 5 users in window base
+    rows.append((0, base + 301 * US))         # only user 0 later
+    df = spark.createDataFrame(rows, "user_id long, ts_us long").select(
+        "user_id", F.timestamp_micros(F.col("ts_us")).alias("ts")
+    )
+    expanded = hopping_expand(df, "ts", window_us=600 * US, slide_us=300 * US)
+    # membership invariant
+    for r in expanded.collect():
+        t = r.ts.timestamp() * US
+        assert r.window_start_us <= t < r.window_start_us + 600 * US
+    out = {
+        r.window_start_us: r.est_distinct
+        for r in kmv_distinct(
+            expanded.select("window_start_us", "user_id"),
+            "user_id", ["window_start_us"], k=64,
+        ).collect()
+    }
+    # below k the sketch is exact: window at base-300s and base see 5,
+    # the window starting base+300s sees only user 0
+    assert out[base - 300 * US] == 5.0
+    assert out[base] == 6.0 - 1.0  # 5 distinct users (user 0 dup'd)
+    assert out[base + 300 * US] == 1.0

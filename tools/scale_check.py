@@ -108,6 +108,7 @@ QUERIES = [
     "embedding_ivf_knn_join",
     "orders_table_profile",
     "events_mad_outliers",
+    "events_sliding_distinct",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
