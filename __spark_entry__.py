@@ -2796,6 +2796,21 @@ def _docs_clean_export(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact bigram-Jaccard pairs (t=0.7) through PPJoin-style prefix
+    filtering: only each document's s−⌈t·s⌉+1 rarest shingles enter the
+    inverted index, so hot shingles fall out of the join entirely —
+    the LOSSLESS scale path where max_df is the lossy one. Because the
+    filter is lossless, the oracle is the plain brute-force Jaccard
+    SQL: any candidate the prefix rule missed would hash-mismatch."""
+    from kubernetes_logs_datalake_spark.operators.dedup import (
+        jaccard_prefix_join,
+    )
+
+    d = _t(spark, sf, "documents")
+    return jaccard_prefix_join(d, "doc_id", "text", n=2, threshold=0.7)
+
+
 def _events_sliding_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """Sliding-window distinct users via the KMV sketch: 10-minute
     windows sliding every 5, per-window distinct-user ESTIMATE with
@@ -3034,6 +3049,7 @@ _R6_WINDOW = [
     "orders_table_profile",
     "events_mad_outliers",
     "events_sliding_distinct",
+    "dedup_jaccard_prefix",
     # re-checks: queries whose operator code changed this round
     # (connected-components checkpoint fix, BPE cache session-keying,
     # char-LM oracle refactor, CUSUM decimal-scale derivation)
@@ -3051,7 +3067,6 @@ _R6_WINDOW = [
     "q9_nation_profit",
     "q11_important_parts",
     "q18_large_orders",
-    "q22_inactive_rich_customers",
     "events_retention",
     "events_interarrival",
     "fuzzy_name_match",
@@ -3237,6 +3252,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_table_profile": _orders_table_profile,
         "events_mad_outliers": _events_mad_outliers,
         "events_sliding_distinct": _events_sliding_distinct,
+        "dedup_jaccard_prefix": _dedup_jaccard_prefix,
     }
 
 
@@ -4636,6 +4652,25 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ivf_knn_join": _ddb_ivf_knn_join_sql(),
         "orders_table_profile": _ddb_table_profile_sql(),
         "events_sliding_distinct": _kmv_sliding_oracle(),
+        "dedup_jaccard_prefix": f"""
+            WITH ws AS (
+                SELECT DISTINCT doc_id AS _id,
+                       unnest({_ddb_shingle_list(w, 2)}) AS shingle
+                FROM documents
+            ), sizes AS (
+                SELECT _id, count(*) AS sz FROM ws GROUP BY _id
+            ), inter AS (
+                SELECT a._id AS id_a, b._id AS id_b, count(*) AS i
+                FROM ws a JOIN ws b USING (shingle)
+                WHERE a._id < b._id GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa._id = id_a
+            JOIN sizes sb ON sb._id = id_b
+            WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.7
+        """,
         "events_mad_outliers": """
             WITH b AS (
                 SELECT event_type AS g, event_id AS id,

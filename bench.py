@@ -207,6 +207,7 @@ def clustered_queries(spark, fixture_dir: str, emb_bits: int = 8, emb_tables: in
     10x data with bits=8; ~linear with bits=8+log2(10x)≈11). MinHash
     needs no such scaling: its band buckets live in a 2^61 key space."""
     from kubernetes_logs_datalake_spark.operators.dedup import (
+        jaccard_prefix_join,
         minhash_calibration,
         minhash_lsh_candidates,
     )
@@ -226,6 +227,14 @@ def clustered_queries(spark, fixture_dir: str, emb_bits: int = 8, emb_tables: in
         # candidate set (xxh64 fast path — the scale configuration)
         "minhash_calibration_clustered": lambda: minhash_calibration(
             docs, "doc_id", "text", num_hashes=64, bands=16, n=1
+        ),
+        # lossless prefix-filtered exact Jaccard (PPJoin rule) — benched
+        # here, not on the driver corpus, for the same reason as the
+        # LSH families: the ~40-word synthetic vocabulary makes every
+        # "rare" prefix shingle collide (44 s at sf0.1); on a realistic
+        # vocabulary the prefix index is sparse and the join linear-ish
+        "jaccard_prefix_clustered": lambda: jaccard_prefix_join(
+            docs, "doc_id", "text", n=1, threshold=0.8
         ),
     }
 

@@ -902,3 +902,98 @@ def fuzzy_text_join(
             F.round("_score", scale).alias("score"),
         )
     )
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    scale: int = 4,
+) -> DataFrame:
+    """Exact Jaccard self-join with PREFIX FILTERING (the SSJoin /
+    PPJoin candidate rule — Chaudhuri et al. 2006, Xiao et al. 2008):
+    identical output to :func:`ngram_jaccard_pairs`, asymptotically
+    cheaper index.
+
+    Rule: order every document's shingles by a global canonical order
+    (ascending document frequency, then shingle — rarest first); two
+    sets with Jaccard ≥ t MUST share a token within each one's first
+    ``s − ⌈t·s⌉ + 1`` tokens. So only the prefix enters the inverted
+    index: the join degree of a hot shingle drops from its full df to
+    its df *among documents where it is prefix-ranked* — stopword-ish
+    shingles (high df → last in canonical order) fall out of the index
+    entirely, which is what `max_df` approximates lossily; prefix
+    filtering is LOSSLESS, so the brute-force Jaccard SQL is the
+    oracle, not a re-derivation.
+
+    ⌈t·s⌉ is computed in integer arithmetic over basis points
+    (threshold rounded to 4 dp) — a float ceil at exactly t·s integral
+    would overshoot and silently drop true pairs.
+
+    Plan: df count (vocab-keyed agg) → per-doc rank window → prefix
+    index equi-join → candidate pairs → one verification join computing
+    the true intersection for candidates only. Candidate verification
+    work is Σ|A| over candidate pairs, not Σdf² over the corpus.
+
+    Measured A/B vs the plain index (SCALE.md): **12× faster on a
+    zipfian corpus** (hot head + rare tail — the real web-crawl df
+    shape: 2.3 s vs 28.2 s, identical output), but SLOWER when the df
+    distribution is uniformly hot (prefixes still collide and the
+    verify join pays for a huge candidate set) or uniformly rare (the
+    plain index is already cheap). Pick by df shape; this is the
+    lossless tool for real crawls, `max_df` the lossy one for
+    pathological vocabularies.
+    """
+    from pyspark.sql import Window
+
+    sets = shingle_sets(df, id_col, text_col, n)
+    dfreq = sets.groupBy("shingle").agg(F.count("*").alias("_df"))
+    ranked = (
+        sets.join(dfreq, "shingle")
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("_id").orderBy("_df", "shingle")
+            ),
+        )
+        .withColumn("_sz", F.count("*").over(Window.partitionBy("_id")))
+    )
+    tbp = round(threshold * 10_000)
+    req = F.floor((F.lit(tbp) * F.col("_sz") + F.lit(9_999)) / F.lit(10_000))
+    prefix = ranked.filter(F.col("_rk") <= F.col("_sz") - req + 1)
+    a = prefix.select(F.col("_id").alias("id_a"), "shingle")
+    b = prefix.select(F.col("_id").alias("id_b"), "shingle")
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # verify candidates against the FULL sets (exact intersection)
+    sz = sets.groupBy("_id").agg(F.count("*").alias("_s"))
+    x = sets.select(F.col("_id").alias("id_a"), F.col("shingle").alias("_sha"))
+    y = sets.select(F.col("_id").alias("_yb"), F.col("shingle").alias("_shb"))
+    inter = (
+        cands.join(x, "id_a")
+        .join(
+            y,
+            (F.col("id_b") == F.col("_yb"))
+            & (F.col("_sha") == F.col("_shb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_i"))
+    )
+    out = (
+        inter.join(sz.withColumnRenamed("_id", "id_a").withColumnRenamed("_s", "_sa"), "id_a")
+        .join(sz.withColumnRenamed("_id", "id_b").withColumnRenamed("_s", "_sb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_i") / (F.col("_sa") + F.col("_sb") - F.col("_i")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", scale).alias("jaccard")
+    )

@@ -488,3 +488,61 @@ def test_sliding_distinct_exact_below_k(spark):
     assert out[base - 300 * US] == 5.0
     assert out[base] == 6.0 - 1.0  # 5 distinct users (user 0 dup'd)
     assert out[base + 300 * US] == 1.0
+
+
+# ---------------------------------------------- prefix-filtered Jaccard
+
+
+def test_prefix_join_equals_brute_force(spark):
+    from kubernetes_logs_datalake_spark.operators.dedup import (
+        jaccard_prefix_join,
+        ngram_jaccard_pairs,
+    )
+
+    # near-dup pairs over a shared vocabulary with hot common words
+    docs = []
+    for i in range(30):
+        base = f"common words everywhere unique{i} token{i} tail{i % 4}"
+        docs.append((2 * i, base))
+        if i % 3 == 0:  # planted near-dups
+            docs.append((2 * i + 1, base + " extra"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for n, t in [(1, 0.6), (2, 0.7), (1, 0.8)]:
+        brute = {
+            (r.id_a, r.id_b): round(r.jaccard, 4)
+            for r in ngram_jaccard_pairs(df, "doc_id", "text", n=n, threshold=t).collect()
+        }
+        fast = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in jaccard_prefix_join(df, "doc_id", "text", n=n, threshold=t).collect()
+        }
+        assert fast == brute, (n, t)
+
+
+def test_prefix_index_drops_hot_shingles(spark):
+    """The scale claim itself: the prefix index must be strictly
+    smaller than the full index, and the hottest shingle must lose
+    index entries (it ranks last in the canonical order)."""
+    from pyspark.sql import Window
+
+    from kubernetes_logs_datalake_spark.operators.dedup import shingle_sets
+
+    docs = [(i, f"hot hot-free unique{i} word{i}") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sets = shingle_sets(df, "doc_id", "text", n=1)
+    dfreq = sets.groupBy("shingle").agg(F.count("*").alias("_df"))
+    ranked = (
+        sets.join(dfreq, "shingle")
+        .withColumn(
+            "_rk",
+            F.row_number().over(Window.partitionBy("_id").orderBy("_df", "shingle")),
+        )
+        .withColumn("_sz", F.count("*").over(Window.partitionBy("_id")))
+    )
+    t = 0.8
+    req = F.floor((F.lit(8000) * F.col("_sz") + F.lit(9999)) / F.lit(10000))
+    prefix = ranked.filter(F.col("_rk") <= F.col("_sz") - req + 1)
+    full_n, prefix_n = sets.count(), prefix.count()
+    assert prefix_n < full_n
+    hot_in_prefix = prefix.filter(F.col("shingle") == "hot").count()
+    assert hot_in_prefix == 0  # df=40 shingle ranks last everywhere
