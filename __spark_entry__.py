@@ -2796,6 +2796,34 @@ def _docs_clean_export(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_TOPIC_DIM, _TOPIC_K, _TOPIC_ITERS = 16, 5, 2
+
+
+def _docs_topic_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Text → hashed-TF vector → deterministic k-means → cluster
+    profile: the topic-discovery composition (feature hashing, no
+    vocabulary table; Lloyd iterations unroll into the oracle like
+    every k-means query). Output per cluster: size + exact-decimal
+    centroid-distance stats."""
+    from kubernetes_logs_datalake_spark.operators.classify import (
+        hashed_tf_vectors,
+    )
+    from kubernetes_logs_datalake_spark.operators.vectors import kmeans_fit
+
+    d = _t(spark, sf, "documents")
+    vecs = hashed_tf_vectors(d, "doc_id", "text", dim=_TOPIC_DIM)
+    _, assigned = kmeans_fit(
+        vecs, "doc_id", "embedding", k=_TOPIC_K, iters=_TOPIC_ITERS
+    )
+    dec = F.col("dist").cast("decimal(25,6)")
+    return assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_docs"),
+        F.min("dist").alias("min_dist"),
+        F.max("dist").alias("max_dist"),
+        F.round(F.sum(dec).cast("double") / F.count("*"), 6).alias("avg_dist"),
+    )
+
+
 def _dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
     """Exact bigram-Jaccard pairs (t=0.7) through PPJoin-style prefix
     filtering: only each document's s−⌈t·s⌉+1 rarest shingles enter the
@@ -3050,6 +3078,7 @@ _R6_WINDOW = [
     "events_mad_outliers",
     "events_sliding_distinct",
     "dedup_jaccard_prefix",
+    "docs_topic_clusters",
     # re-checks: queries whose operator code changed this round
     # (connected-components checkpoint fix, BPE cache session-keying,
     # char-LM oracle refactor, CUSUM decimal-scale derivation)
@@ -3067,7 +3096,6 @@ _R6_WINDOW = [
     "q9_nation_profit",
     "q11_important_parts",
     "q18_large_orders",
-    "events_retention",
     "events_interarrival",
     "fuzzy_name_match",
     "asof_purchase_click",
@@ -3253,6 +3281,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_mad_outliers": _events_mad_outliers,
         "events_sliding_distinct": _events_sliding_distinct,
         "dedup_jaccard_prefix": _dedup_jaccard_prefix,
+        "docs_topic_clusters": _docs_topic_clusters,
     }
 
 
@@ -3365,6 +3394,39 @@ def _kmv_oracle() -> str:
     from kubernetes_logs_datalake_spark.operators.sketch import kmv_oracle_sql
 
     return kmv_oracle_sql("events", "user_id", ["event_type"], k=64)
+
+
+def _ddb_topic_clusters_sql() -> str:
+    """Generated from the SAME (dim, k, iters) constants as
+    _docs_topic_clusters: the hashed-TF vector build becomes the
+    k-means CTEs' source relation; Lloyd unrolls as in every k-means
+    oracle; the cluster profile re-uses the exact-decimal mean."""
+    from kubernetes_logs_datalake_spark.operators.classify import _DDB_BUCKET
+
+    w = _DDB_WORDS.format(t="text")
+    bucket = _DDB_BUCKET.format(dim=_TOPIC_DIM)
+    src = f"""(
+        SELECT doc_id AS vec_id,
+               list_transform(range(0, {_TOPIC_DIM}), j ->
+                   round(len(list_filter(bl, b -> b = j)) * 1.0 / len(wl), 6))
+                   AS embedding
+        FROM (
+            SELECT doc_id, wl, list_transform(wl, w -> {bucket}) AS bl
+            FROM (SELECT doc_id, list_filter({w}, x -> x != '') AS wl
+                  FROM documents))
+        WHERE len(wl) > 0)"""
+    ctes = _ddb_kmeans_ctes(_TOPIC_K, _TOPIC_ITERS, _TOPIC_DIM, src=src)
+    return f"""
+        WITH {ctes},
+        asg AS (SELECT vec_id, CAST(j AS INT) AS cluster,
+                       round(sqrt(d2), 6) AS dist
+                FROM a{_TOPIC_ITERS + 1} WHERE rk = 1)
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs,
+               min(dist) AS min_dist, max(dist) AS max_dist,
+               round(CAST(sum(CAST(dist AS DECIMAL(25,6))) AS DOUBLE)
+                     / count(*), 6) AS avg_dist
+        FROM asg GROUP BY cluster
+    """
 
 
 def _kmv_sliding_oracle() -> str:
@@ -4652,6 +4714,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ivf_knn_join": _ddb_ivf_knn_join_sql(),
         "orders_table_profile": _ddb_table_profile_sql(),
         "events_sliding_distinct": _kmv_sliding_oracle(),
+        "docs_topic_clusters": _ddb_topic_clusters_sql(),
         "dedup_jaccard_prefix": f"""
             WITH ws AS (
                 SELECT DISTINCT doc_id AS _id,

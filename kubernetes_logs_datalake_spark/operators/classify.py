@@ -136,3 +136,41 @@ def hashed_linear_oracle_sql(
         scale=scale,
         table=table,
     )
+
+
+def hashed_tf_vectors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 16,
+    scale: int = 6,
+) -> DataFrame:
+    """(id, embedding: array<double>) — the hashed term-frequency
+    vector (``vec[j] = |{w : bucket(w) = j}| / n_words``, rounded):
+    the feature-hashing trick that turns arbitrary text into a
+    fixed-width vector with no vocabulary table (Weinberger et al.
+    2009). Map-only column algebra: one tokenization, one bucket pass,
+    ``dim`` bounded counts — the input shape for clustering/classifier
+    operators, engine-exact thanks to the md5 bucket + rounding.
+
+    Empty documents are dropped (no direction in TF space).
+    """
+    from kubernetes_logs_datalake_spark.functions.text import bind_once, words
+
+    ws = F.filter(words(F.col(text_col)), lambda x: x != "")
+    vec = bind_once(
+        F.transform(ws, lambda w: _bucket(w, dim)),
+        lambda bl: F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.round(
+                F.size(F.filter(bl, lambda b: b == j.cast("long")))
+                / F.size(bl),
+                scale,
+            ),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.size(ws).alias("_n"), vec.alias("embedding"))
+        .filter(F.col("_n") > 0)
+        .select(id_col, "embedding")
+    )

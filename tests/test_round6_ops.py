@@ -546,3 +546,41 @@ def test_prefix_index_drops_hot_shingles(spark):
     assert prefix_n < full_n
     hot_in_prefix = prefix.filter(F.col("shingle") == "hot").count()
     assert hot_in_prefix == 0  # df=40 shingle ranks last everywhere
+
+
+# --------------------------------------------------------- topic clusters
+
+
+def test_hashed_tf_vectors_shape_and_mass(spark):
+    from kubernetes_logs_datalake_spark.operators.classify import (
+        hashed_tf_vectors,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aa bb aa cc"), (2, ""), (3, "zz")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.embedding for r in hashed_tf_vectors(df, "doc_id", "text", dim=8).collect()}
+    assert set(got) == {1, 3}  # empty doc dropped
+    for vec in got.values():
+        assert len(vec) == 8
+        assert abs(sum(vec) - 1.0) < 1e-6  # TF mass sums to 1
+    # doc 1: 'aa' appears twice of 4 words → one bucket holds 0.5
+    assert 0.5 in got[1]
+
+
+def test_topic_clusters_separate_two_vocabularies(spark):
+    from kubernetes_logs_datalake_spark.operators.classify import (
+        hashed_tf_vectors,
+    )
+    from kubernetes_logs_datalake_spark.operators.vectors import kmeans_fit
+
+    docs = [(i, "apple banana cherry date") for i in range(10)]
+    docs += [(100 + i, "wolf bear lynx otter") for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    vecs = hashed_tf_vectors(df, "doc_id", "text", dim=16)
+    _, assigned = kmeans_fit(vecs, "doc_id", "embedding", k=2, iters=2)
+    got = {r.doc_id: r.cluster for r in assigned.collect()}
+    fruit = {got[i] for i in range(10)}
+    fauna = {got[100 + i] for i in range(10)}
+    assert len(fruit) == 1 and len(fauna) == 1 and fruit != fauna

@@ -109,6 +109,7 @@ QUERIES = [
     "orders_table_profile",
     "events_mad_outliers",
     "events_sliding_distinct",
+    "docs_topic_clusters",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
