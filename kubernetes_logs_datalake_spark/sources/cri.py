@@ -153,3 +153,32 @@ def join_partial_lines(
         .alias(logtag_col),
         F.size(F.col("_chunks")).alias("n_chunks"),
     )
+
+
+def cri_rejects(
+    lines: DataFrame,
+    *,
+    line_col: str = "value",
+    max_line_bytes: int = DEFAULT_MAX_LINE_BYTES,
+) -> DataFrame:
+    """Dead-letter view: exactly the rows :func:`parse_cri_lines`
+    drops, each with a machine-readable reason — ``too_long`` (the
+    Skip_Long_Lines guard) or ``unparsed`` (no CRI shape). Routing
+    these to a quarantine sink instead of silently losing them is the
+    ingest-quality contract a production pipeline adds on top of the
+    reference's fail-out-of-stream behavior; by construction
+    ``parse_cri_lines(df).count() + cri_rejects(df).count() ==
+    df.count()`` (same regex, same guard — the partition invariant is
+    pytest-asserted).
+
+    Output: the input columns plus ``reject_reason``. Map-only."""
+    line = F.col(line_col)
+    reason = F.when(
+        F.octet_length(line) > max_line_bytes, F.lit("too_long")
+    ).when(
+        F.regexp_extract(line, CRI_LINE_REGEX, 2) == "", F.lit("unparsed")
+    )
+    return (
+        lines.withColumn("reject_reason", reason)
+        .filter(F.col("reject_reason").isNotNull())
+    )

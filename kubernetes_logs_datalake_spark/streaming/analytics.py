@@ -273,3 +273,41 @@ def streaming_funnel(records: DataFrame, stages: list[str]) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def windowed_distinct_counts(
+    records: DataFrame,
+    ts_col: str = "time",
+    key_col: str = "user_id",
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Distinct keys per (optionally sliding) event-time window via the
+    built-in HLL sketch — the live audience counter whose state per
+    window is O(1/rsd²) registers however many keys flow through,
+    finalized by the watermark. Spark's HLL is hash-deterministic, so
+    the SAME plan run as a batch query returns the SAME estimates — the
+    module's batch/stream agreement pattern (tested 3-way).
+
+    Output: (window_start, window_end, n_distinct)."""
+    # NTZ-µs → tz'd timestamp, value-preserving under the pinned-UTC
+    # session (the module's shared cast pattern)
+    df = records.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    if records.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(win.alias("_w"))
+        .agg(F.approx_count_distinct(key_col, rsd=rsd).alias("n_distinct"))
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            "n_distinct",
+        )
+    )
