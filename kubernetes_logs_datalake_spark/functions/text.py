@@ -214,6 +214,18 @@ def xxfingerprint(text: Column | str, seed: int = 42) -> Column:
     return F.xxhash64(normalize_text(text), F.lit(seed))
 
 
+def masked_fingerprint(text: Column | str) -> Column:
+    """Template fingerprint: md5 of the normalized text with every
+    digit run masked to a single ``0`` — so "error 404 after 12ms" and
+    "error 500 after 7ms" collapse to one template. The digit-masking
+    normalization used by web-corpus dedup pipelines (e.g. the
+    SlimPajama preprocessing) and the classic log-template reducer;
+    catches the near-identical class exact dedup misses without any
+    pairwise work. Engine-portable (md5 + regexp) like
+    :func:`fingerprint`."""
+    return F.md5(F.regexp_replace(normalize_text(text), "[0-9]+", "0"))
+
+
 # ------------------------------------------------------- corpus TF-IDF
 
 def tfidf_topk(df, id_col: str, text_col: str, k: int = 3):

@@ -584,3 +584,30 @@ def test_topic_clusters_separate_two_vocabularies(spark):
     fruit = {got[i] for i in range(10)}
     fauna = {got[100 + i] for i in range(10)}
     assert len(fruit) == 1 and len(fauna) == 1 and fruit != fauna
+
+
+# ------------------------------------------------- masked fingerprint
+
+
+def test_masked_fingerprint_collapses_numeric_variants(spark):
+    from kubernetes_logs_datalake_spark.functions.text import (
+        fingerprint,
+        masked_fingerprint,
+    )
+
+    rows = [
+        (1, "error 404 after 12ms"),
+        (2, "error 500 after 7ms"),
+        (3, "error FIVE after ms"),  # different template (letters differ)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = df.select(
+        "id",
+        fingerprint(F.col("text")).alias("plain"),
+        masked_fingerprint(F.col("text")).alias("masked"),
+    ).collect()
+    plain = {r.id: r.plain for r in got}
+    masked = {r.id: r.masked for r in got}
+    assert len(set(plain.values())) == 3  # all plain-distinct
+    assert masked[1] == masked[2]  # numeric variants collapse
+    assert masked[3] != masked[1]
