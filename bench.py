@@ -101,6 +101,8 @@ HEADLINE = [
     "events_sliding_distinct",
     "docs_topic_clusters",
     "dedup_exact_masked",
+    "events_markov_transitions",
+    "events_pagerank",
     # docs_bpe_merges/docs_bpe_tokens are deliberately NOT benched: 20
     # sequential merge iterations have a fixed ~0.6 s/iteration action-
     # latency floor in local mode that measures the scheduler, not the

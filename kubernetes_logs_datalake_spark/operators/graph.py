@@ -1,0 +1,180 @@
+"""Graph operators: transition-edge extraction and PageRank.
+
+Why in a training-data engine: link-graph centrality is a standard
+corpus-quality prior — Common-Crawl-derived datasets rank hosts/pages
+by (harmonic/Page-) rank before sampling, and sequence models use
+transition graphs (session Markov chains) as behavioral features. Both
+reduce to the same two kernels: build a weighted edge table, then run a
+fixed number of power-method rounds over it.
+
+Spark-first shape (Page et al. 1999 power iteration, the Pregel-free
+dataframe formulation):
+
+- the edge→fraction table (``w / out_weight``) is computed ONCE and
+  localCheckpoint-ed; every iteration joins ranks to it by source and
+  partial-aggregates by destination — one shuffle per round, keyed by
+  node id, which stays balanced as long as in-degree is (AQE-handled)
+  skewed rather than pathological.
+- rank messages are summed as DECIMAL(38,18) (float sum order varies
+  with partitioning; decimal sums are order-independent) and each
+  round's ranks are rounded to ``scale`` — the repo's exact-reduce
+  recipe, making the fixpoint bit-deterministic and therefore
+  DuckDB-oracle-checkable by unrolling the rounds into CTEs.
+- driver traffic: ZERO per round when the graph has no dangling nodes
+  (checked once up front); with dangling nodes, one 1-row fetch per
+  round (the dangling mass scalar — the same bounded pattern as
+  kmeans_fit's k·dim centroid fetch), which doubles as the per-round
+  checkpoint materializer so the twice-referenced rank frame is never
+  recomputed through accumulated lineage.
+
+At 100 TB: the corpus-sized tables only ever appear behind (node)-keyed
+partial aggregations; per-round state is |nodes| rows, the working set
+of any web-scale rank job. Fixed ``iters`` (no convergence collect)
+keeps the job DAG static so AQE can plan every round identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def transition_edges(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    state_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Consecutive-state transition edges per key: the Markov-chain
+    view of an event stream.
+
+    Output: (src, dst, n_transitions, p) where p is the row-normalized
+    transition probability (rounded to 6). One window pass partitioned
+    by key + one (src, dst)-keyed partial agg; the probability
+    normalization is a second tiny agg over |states|² rows at most.
+    """
+    order = [F.col(order_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col is not None else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        df.select(
+            F.lag(F.col(state_col)).over(w).alias("src"),
+            F.col(state_col).alias("dst"),
+        )
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    row_tot = pairs.groupBy("src").agg(
+        F.sum("n_transitions").alias("_tot")
+    )
+    return (
+        pairs.join(row_tot, "src")
+        .select(
+            "src",
+            "dst",
+            "n_transitions",
+            F.round(F.col("n_transitions") / F.col("_tot"), 6).alias("p"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iters: int = 10,
+    damping: float = 0.85,
+    scale: int = 12,
+) -> DataFrame:
+    """Weighted PageRank, fixed ``iters`` power-method rounds.
+
+    Returns (node, rank) with ranks rounded to ``scale`` every round
+    (bit-deterministic across partitionings — see module docstring).
+    Dangling-node mass is redistributed uniformly each round, the
+    Page-et-al convention that keeps Σrank = 1.
+    """
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .union(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+
+    out_w = edges.groupBy(src_col).agg(F.sum(w).alias("_ow"))
+    # per-edge transition fraction — invariant across rounds, built once
+    frac = (
+        edges.join(out_w, src_col)
+        .select(
+            F.col(src_col).alias("_src"),
+            F.col(dst_col).alias("_dst"),
+            (w / F.col("_ow")).alias("_fr"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dangling = nodes.join(
+        edges.select(F.col(src_col).alias("node")).distinct(),
+        "node",
+        "left_anti",
+    ).localCheckpoint(eager=False)
+    has_dangling = dangling.limit(1).count() > 0
+
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0 / n_nodes), scale).alias("rank")
+    )
+    for _ in range(iters):
+        if has_dangling:
+            # 1-row fetch; also materializes this round's pending
+            # checkpoint so the second reference below never recomputes
+            dm_row = (
+                ranks.join(dangling, "node", "semi")
+                .agg(
+                    F.coalesce(
+                        F.sum(F.col("rank").cast("decimal(38,18)")),
+                        F.lit(0).cast("decimal(38,18)"),
+                    ).alias("_dm")
+                )
+                .collect()[0]
+            )
+            dangling_share = float(dm_row["_dm"]) / n_nodes
+        else:
+            dangling_share = 0.0
+        summed = (
+            frac.join(ranks, frac["_src"] == ranks["node"])
+            .select(
+                F.col("_dst").alias("node"),
+                (F.col("rank") * F.col("_fr")).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(
+                F.sum(F.col("_c").cast("decimal(38,18)"))
+                .cast("double")
+                .alias("_in")
+            )
+        )
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.lit(dangling_share)),
+                    scale,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

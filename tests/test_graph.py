@@ -1,0 +1,101 @@
+"""Graph operators: transition edges + PageRank against hand-computed
+fixpoints (Page et al. 1999 §2.1 semantics: damping 0.85, uniform
+dangling redistribution, Σrank = 1)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kubernetes_logs_datalake_spark.operators.graph import (
+    pagerank,
+    transition_edges,
+)
+
+
+def _ranks(df):
+    return {r["node"]: r["rank"] for r in df.collect()}
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    # 3-cycle: symmetric, so rank is exactly 1/3 everywhere at every
+    # iteration — any deviation means mass is leaking
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    r = _ranks(pagerank(e, iters=5))
+    assert r == pytest.approx({"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}, abs=1e-9)
+
+
+def test_pagerank_star_and_mass_conservation(spark):
+    # a,b,c all point to hub d; d points back to a.
+    e = spark.createDataFrame(
+        [("a", "d"), ("b", "d"), ("c", "d"), ("d", "a")], ["src", "dst"]
+    )
+    out = pagerank(e, iters=30)
+    r = _ranks(out)
+    assert sum(r.values()) == pytest.approx(1.0, abs=1e-6)
+    # hub collects from 3 sources, must dominate; b and c only get the
+    # teleport floor and are exactly symmetric
+    assert r["d"] > r["a"] > r["b"]
+    assert r["b"] == pytest.approx(r["c"], abs=1e-12)
+    assert r["b"] == pytest.approx(0.15 / 4, abs=1e-9)
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # b has no out-edges: its rank must re-enter the system uniformly,
+    # keeping the total at 1 (not decaying toward the teleport floor)
+    e = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    r = _ranks(pagerank(e, iters=40))
+    assert sum(r.values()) == pytest.approx(1.0, abs=1e-6)
+    # fixpoint by hand: ra = 0.075 + 0.425*rb ; rb = 0.075 + 0.425*rb + 0.85*ra
+    # => rb = 0.13875/0.21375 ≈ 0.649123, ra ≈ 0.350877
+    assert r["a"] == pytest.approx(0.350877, abs=1e-4)
+    assert r["b"] == pytest.approx(0.649123, abs=1e-4)
+
+
+def test_pagerank_weighted_edges(spark):
+    # a splits 3:1 between b and c — b must get 3× c's damped share
+    e = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)],
+        ["src", "dst", "n"],
+    )
+    r = _ranks(pagerank(e, weight_col="n", iters=30))
+    assert sum(r.values()) == pytest.approx(1.0, abs=1e-6)
+    damped_b = (r["b"] - 0.15 / 3) / 0.85
+    damped_c = (r["c"] - 0.15 / 3) / 0.85
+    assert damped_b == pytest.approx(3 * damped_c, rel=1e-3)
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    rows = [(f"n{i}", f"n{(i * 7 + 3) % 23}") for i in range(60)]
+    e1 = spark.createDataFrame(rows, ["src", "dst"])
+    e2 = e1.repartition(13, "dst")
+    assert _ranks(pagerank(e1, iters=8)) == _ranks(pagerank(e2, iters=8))
+
+
+def test_transition_edges_counts_and_probs(spark):
+    rows = [
+        ("u1", 1, "view"),
+        ("u1", 2, "click"),
+        ("u1", 3, "view"),
+        ("u1", 4, "click"),
+        ("u2", 1, "view"),
+        ("u2", 2, "buy"),
+    ]
+    df = spark.createDataFrame(rows, ["user", "ts", "state"])
+    out = {
+        (r["src"], r["dst"]): (r["n_transitions"], r["p"])
+        for r in transition_edges(df, "user", "ts", "state").collect()
+    }
+    # u1: view→click, click→view, view→click ; u2: view→buy
+    assert out[("view", "click")] == (2, pytest.approx(2 / 3))
+    assert out[("view", "buy")] == (1, pytest.approx(1 / 3))
+    assert out[("click", "view")] == (1, pytest.approx(1.0))
+
+
+def test_transition_edges_tiebreak_is_stable(spark):
+    # equal order keys: the tiebreak column pins the sequence
+    rows = [("u", 1, 2, "b"), ("u", 1, 1, "a"), ("u", 1, 3, "c")]
+    df = spark.createDataFrame(rows, ["user", "ts", "eid", "state"])
+    out = transition_edges(df, "user", "ts", "state", tiebreak_col="eid")
+    got = {(r["src"], r["dst"]) for r in out.collect()}
+    assert got == {("a", "b"), ("b", "c")}
