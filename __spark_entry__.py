@@ -3046,6 +3046,107 @@ def _events_salted_join_skew(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_PQ_M, _PQ_K, _PQ_ITERS = 4, 16, 2
+
+
+def _embedding_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization encode of the embedding table (Jégou et
+    al. 2011; m=4 subspaces × 16 codes ⇒ a 64-dim float vector in 4
+    nibbles): codebooks are m deterministic sub-space k-means runs,
+    the encode itself is ONE map-only pass against packed codebook
+    literals. recon_err audits the quantization loss per vector. The
+    oracle unrolls the m codebook chains into prefixed CTEs."""
+    from kubernetes_logs_datalake_spark.operators.vectors import pq_encode
+
+    emb = _t(spark, sf, "embeddings")
+    return pq_encode(
+        emb,
+        "vec_id",
+        "embedding",
+        dim=EMBEDDING_DIM,
+        m=_PQ_M,
+        k=_PQ_K,
+        iters=_PQ_ITERS,
+    )
+
+
+_EWMA_ALPHA, _EWMA_HORIZON = 0.3, 12
+
+
+def _events_ewma_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Truncated-EWMA smoothing of each event type's hourly count
+    series (α=0.3, 12-lag horizon — tail weight <1%): the drift
+    baseline a rate monitor compares live traffic against. One rollup
+    shuffle + one partitioned window; the weighted sum is a pure lag
+    dot-product inside codegen (see operators.profile.ewma_smooth)."""
+    from kubernetes_logs_datalake_spark.operators.profile import ewma_smooth
+
+    e = _t(spark, sf, "events")
+    rolled = rollup_events(e, ts_col="ts", every="hour", keys=["event_type"])
+    rolled = rolled.select(
+        "event_type",
+        _bucket_ns_to_us(F.col("bucket_ns")).alias("bucket_us"),
+        "n",
+    )
+    return ewma_smooth(
+        rolled,
+        keys=["event_type"],
+        order_col="bucket_us",
+        value_col="n",
+        alpha=_EWMA_ALPHA,
+        horizon=_EWMA_HORIZON,
+    )
+
+
+_CALIBRATE_KEEP_FRAC = 0.5
+
+
+def _docs_quality_calibrated(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source calibrated quality gate: the hashed-linear
+    classifier score per document, renormalized to its within-source
+    percent_rank, kept above one global percentile threshold — the
+    FineWeb-style fix for 'one raw-score cutoff prunes sources
+    unevenly'. Map-only scoring + one source-keyed window sort."""
+    from kubernetes_logs_datalake_spark.operators.classify import (
+        hashed_linear_score,
+    )
+    from kubernetes_logs_datalake_spark.operators.curate import (
+        quantile_calibrate,
+    )
+
+    d = _t(spark, sf, "documents")
+    scored = hashed_linear_score(
+        d, "doc_id", "text", dim=256, bias=0.01, threshold=0.0
+    ).select("doc_id", "score")
+    scored = d.select("doc_id", "source").join(scored, "doc_id")
+    return quantile_calibrate(
+        scored, "score", "source", "doc_id", keep_frac=_CALIBRATE_KEEP_FRAC
+    ).select("doc_id", "source", "score", "pct_rank", "keep")
+
+
+def _docs_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-estimate tokens per
+    whitespace word — the tokenizer-fairness metric (languages with
+    fertility ≫ 1 pay more context budget per word). Map-side token
+    counting + one tiny lang-keyed agg; sums are exact BIGINTs."""
+    from kubernetes_logs_datalake_spark.functions.text import bpe_token_estimate
+
+    d = _t(spark, sf, "documents")
+    per_doc = d.select(
+        "lang",
+        token_count("text").alias("_w"),
+        bpe_token_estimate("text").alias("_t"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_w").alias("total_words"),
+        F.sum("_t").alias("total_bpe_tokens"),
+        F.round(
+            F.sum("_t").cast("double") / F.sum("_w").cast("double"), 6
+        ).alias("fertility"),
+    )
+
+
 def _events_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
     """Event-type Markov transition matrix: consecutive-event edges
     per user (ns-ordered, event_id tiebreak) → (src, dst, count,
@@ -3349,6 +3450,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_salted_join_skew": _events_salted_join_skew,
         "events_markov_transitions": _events_markov_transitions,
         "events_pagerank": _events_pagerank,
+        "events_ewma_hourly": _events_ewma_hourly,
+        "docs_quality_calibrated": _docs_quality_calibrated,
+        "docs_tokenizer_fertility": _docs_tokenizer_fertility,
+        "embedding_pq_codes": _embedding_pq_codes,
         "docs_source_report": _docs_source_report,
         "docs_clean_export": _docs_clean_export,
         "embedding_hard_negatives": _embedding_hard_negatives,
@@ -3570,6 +3675,62 @@ def _ddb_pagerank_sql(iters: int, damping: float, scale: int = 12) -> str:
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM r{iters}"
     )
+
+
+def _ddb_pq_sql(
+    m: int = 4, k: int = 16, iters: int = 2, dim: int = EMBEDDING_DIM
+) -> str:
+    """Mirrors _embedding_pq_codes: m prefixed kmeans CTE chains (one
+    per subspace slice) joined on vec_id at rk=1; recon_err sums the
+    per-subspace min distances in the same left-associated order as
+    pq_encode before the sqrt."""
+    subdim = dim // m
+    chains = []
+    for s in range(m):
+        lo, hi = s * subdim + 1, (s + 1) * subdim
+        src = (
+            f"(SELECT vec_id, embedding[{lo}:{hi}] AS embedding "
+            f"FROM embeddings)"
+        )
+        chains.append(
+            _ddb_kmeans_ctes(k, iters, subdim, src=src, prefix=f"s{s}_")
+        )
+    T = iters + 1
+    frm = f"s0_a{T} s0"
+    for s in range(1, m):
+        frm += f" JOIN s{s}_a{T} s{s} USING (vec_id)"
+    codes = ", ".join(f"CAST(s{s}.j AS INT) AS code_{s}" for s in range(m))
+    d2sum = " + ".join(f"s{s}.d2" for s in range(m))
+    rk = " AND ".join(f"s{s}.rk = 1" for s in range(m))
+    return f"""
+        WITH {",".join(chains)}
+        SELECT s0.vec_id, {codes},
+               round(sqrt({d2sum}), 6) AS recon_err
+        FROM {frm}
+        WHERE {rk}
+    """
+
+
+def _ddb_ewma_hourly_sql() -> str:
+    """Mirrors _events_ewma_hourly: hourly counts per event type, then
+    the truncated-EWMA lag dot-product with the SAME repr'd weight
+    literals and left-associated sum order as ewma_smooth."""
+    from kubernetes_logs_datalake_spark.operators.profile import (
+        ewma_oracle_terms,
+    )
+
+    over = "OVER (PARTITION BY event_type ORDER BY bucket_us)"
+    num, den = ewma_oracle_terms("n", _EWMA_ALPHA, _EWMA_HORIZON, over)
+    return f"""
+        WITH rolled AS (
+            SELECT event_type,
+                   (epoch_us(ts) - epoch_us(ts) % 3600000000) AS bucket_us,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2)
+        SELECT event_type, bucket_us, n,
+               round(({num}) / ({den}), 6) AS ewma
+        FROM rolled
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5541,6 +5702,37 @@ def oracle_sql() -> dict[str, str]:
         "events_pagerank": _ddb_pagerank_sql(
             _PAGERANK_ITERS, _PAGERANK_DAMPING
         ),
+        "events_ewma_hourly": _ddb_ewma_hourly_sql(),
+        "embedding_pq_codes": _ddb_pq_sql(
+            _PQ_M, _PQ_K, _PQ_ITERS, EMBEDDING_DIM
+        ),
+        "docs_quality_calibrated": f"""
+            WITH scored AS ({_classifier_oracle_sql()})
+            SELECT s.doc_id, d.source, s.score,
+                   round(percent_rank() OVER (
+                       PARTITION BY d.source ORDER BY s.score, s.doc_id),
+                       9) AS pct_rank,
+                   round(percent_rank() OVER (
+                       PARTITION BY d.source ORDER BY s.score, s.doc_id),
+                       9) >= {1.0 - _CALIBRATE_KEEP_FRAC!r} AS keep
+            FROM scored s JOIN documents d USING (doc_id)
+        """,
+        "docs_tokenizer_fertility": f"""
+            WITH per_doc AS (
+                SELECT lang,
+                       CAST(len({w}) AS BIGINT) AS nw,
+                       CAST(ceil(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / 4)
+                            + length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                            AS BIGINT) AS nt
+                FROM documents)
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nw) AS BIGINT) AS total_words,
+                   CAST(sum(nt) AS BIGINT) AS total_bpe_tokens,
+                   round(CAST(sum(nt) AS DOUBLE) / CAST(sum(nw) AS DOUBLE), 6)
+                       AS fertility
+            FROM per_doc GROUP BY lang
+        """,
         # Rows-only (no SQL oracle): ann_topk_arrow (numpy pairwise
         # summation), approx_distinct_users (engine-native HLL),
         # doc_length_bins_approx (GK sketch cutpoints). Everything else
@@ -5929,10 +6121,15 @@ def _ddb_kmeans_sql(k: int = 8, iters: int = 3, dim: int = EMBEDDING_DIM) -> str
     """
 
 
-def _ddb_kmeans_ctes(k: int, iters: int, dim: int, src: str) -> str:
+def _ddb_kmeans_ctes(
+    k: int, iters: int, dim: int, src: str, prefix: str = ""
+) -> str:
     """CTE chain ``corpus → cent0..cent{iters} → a{iters+1}`` (final
-    assignment with rk=1 = argmin) shared by the k-means and IVF
-    oracles. ``src`` is the corpus relation/subquery."""
+    assignment with rk=1 = argmin) shared by the k-means, IVF, and PQ
+    oracles. ``src`` is the corpus relation/subquery; ``prefix``
+    namespaces every CTE so several chains (PQ's per-subspace
+    codebooks) can coexist in one WITH clause."""
+    p = prefix
 
     def d2_expr() -> str:
         diff = "(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])"
@@ -5940,46 +6137,45 @@ def _ddb_kmeans_ctes(k: int, iters: int, dim: int, src: str) -> str:
 
     def assign(n: int, cent: str) -> str:
         return f"""
-            a{n} AS (
+            {p}a{n} AS (
                 SELECT vec_id, j, d2,
                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rk
                 FROM (SELECT e.vec_id, c.j, {d2_expr()} AS d2
-                      FROM corpus e CROSS JOIN {cent} c))"""
+                      FROM {p}corpus e CROSS JOIN {cent} c))"""
 
     def update(n: int, prev_cent: str) -> str:
         return f"""
-            upd{n} AS (
+            {p}upd{n} AS (
                 SELECT cluster AS j, u.pos,
                        round(CAST(sum(CAST(u.val AS DECIMAL(25,10))) AS DOUBLE)
                              / count(*), 6) AS val
                 FROM (SELECT a.j AS cluster, e.embedding
-                      FROM a{n} a JOIN corpus e ON e.vec_id = a.vec_id
+                      FROM {p}a{n} a JOIN {p}corpus e ON e.vec_id = a.vec_id
                       WHERE a.rk = 1) x,
                      unnest(list_transform(range(1, len(x.embedding) + 1),
                             i -> {{'pos': i - 1, 'val': x.embedding[i]}})) AS t(u)
                 GROUP BY cluster, u.pos),
-            newc{n} AS (SELECT j, list(val ORDER BY pos) AS cvec FROM upd{n} GROUP BY j),
-            cent{n} AS (
+            {p}newc{n} AS (SELECT j, list(val ORDER BY pos) AS cvec FROM {p}upd{n} GROUP BY j),
+            {p}cent{n} AS (
                 SELECT c.j, COALESCE(nw.cvec, c.cvec) AS cvec
-                FROM {prev_cent} c LEFT JOIN newc{n} nw ON nw.j = c.j)"""
+                FROM {prev_cent} c LEFT JOIN {p}newc{n} nw ON nw.j = c.j)"""
 
     parts = [f"""
-            corpus AS (SELECT vec_id, embedding FROM {src}),
-            seeds AS (
+            {p}corpus AS (SELECT vec_id, embedding FROM {src}),
+            {p}seeds AS (
                 SELECT CAST(row_number() OVER (
                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS j,
                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-                FROM corpus
+                FROM {p}corpus
                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}),
-            cent0 AS (SELECT j, cvec FROM seeds)"""]
-    cent = "cent0"
+            {p}cent0 AS (SELECT j, cvec FROM {p}seeds)"""]
+    cent = f"{p}cent0"
     for n in range(1, iters + 1):
         parts.append(assign(n, cent))
         parts.append(update(n, cent))
-        cent = f"cent{n}"
+        cent = f"{p}cent{n}"
     parts.append(assign(iters + 1, cent))
     return ",".join(parts)
-
 
 _ORDERS_PROFILE_COLS = [
     ("o_orderkey", "num"),

@@ -103,6 +103,10 @@ HEADLINE = [
     "dedup_exact_masked",
     "events_markov_transitions",
     "events_pagerank",
+    "events_ewma_hourly",
+    "docs_quality_calibrated",
+    "docs_tokenizer_fertility",
+    "embedding_pq_codes",
     # docs_bpe_merges/docs_bpe_tokens are deliberately NOT benched: 20
     # sequential merge iterations have a fixed ~0.6 s/iteration action-
     # latency floor in local mode that measures the scheduler, not the

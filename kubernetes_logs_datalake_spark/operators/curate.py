@@ -162,3 +162,40 @@ def decontaminate_semantic(
             F.round(F.max(cos), scale).alias("max_cos"),
         )
     )
+
+
+def quantile_calibrate(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    id_col: str,
+    keep_frac: float = 0.5,
+    scale: int = 9,
+) -> DataFrame:
+    """Cross-source quality-score calibration: replace a raw classifier
+    score with its within-group percentile, then apply ONE global keep
+    threshold.
+
+    Why: a quality classifier's raw score distribution differs per
+    source (crawl vs curated vs code), so a single raw-score cutoff
+    over- or under-prunes whole sources. Normalizing to the per-source
+    percent_rank makes "keep the best ``keep_frac`` of each source"
+    exact — the FineWeb-style calibrated gate.
+
+    Adds ``pct_rank`` (percent_rank within ``group_col``, ordered by
+    (score, id) so ties are deterministic) and ``keep``
+    (rounded pct_rank ≥ 1 - keep_frac; the comparison uses the ROUNDED
+    value so the oracle can't flip a boundary row). One window sort per
+    group — a single shuffle keyed by the group column; group skew is
+    real (one giant crawl source) but percent_rank is rank-based, so
+    AQE's skew handling plus the absence of any per-row state keeps the
+    sort spillable.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col), F.col(id_col))
+    thr = 1.0 - keep_frac
+    out = df.withColumn(
+        "pct_rank", F.round(F.percent_rank().over(w), scale)
+    )
+    return out.withColumn("keep", F.col("pct_rank") >= F.lit(thr))

@@ -355,3 +355,73 @@ def mad_outliers(
         F.col("_gmed").alias("med"),
         F.col("_mad").alias("mad"),
     )
+
+
+def ewma_weights(alpha: float, horizon: int) -> list[float]:
+    """The truncated-EWMA lag weights ``α(1-α)^j``, j = 0..horizon —
+    computed ONCE in Python and shared verbatim (via repr) with the
+    DuckDB oracle so both engines use bit-identical literals."""
+    return [alpha * (1.0 - alpha) ** j for j in range(horizon + 1)]
+
+
+def ewma_smooth(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    horizon: int = 12,
+    scale: int = 6,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average per key series.
+
+    ``ewma_t = Σ_{j=0..H} w_j·x_{t-j} / Σ_{j avail} w_j`` with
+    ``w_j = α(1-α)^j`` — the classic smoother for rate dashboards and
+    drift baselines, truncated at ``horizon`` lags so it is a pure
+    window dot-product: ONE partitioned sort window, ``horizon`` lag
+    expressions inside whole-stage codegen, no recursion, no per-key
+    state beyond the window frame. (The untruncated recursive EWMA
+    needs an ordered fold with unbounded per-key state; at H=12 and
+    α≥0.3 the dropped tail weight is (1-α)^13 < 1%, below the
+    rounding scale.) Series heads renormalize over the lags that
+    exist, so early buckets are unbiased rather than damped toward 0.
+
+    Determinism: weights are Python doubles embedded as literals, the
+    numerator/denominator are left-associated sums evaluated in the
+    same order in Spark and the SQL oracle — bit-identical before the
+    final round.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    weights = ewma_weights(alpha, horizon)
+    x = F.col(value_col).cast("double")
+    num = den = None
+    for j, wt in enumerate(weights):
+        lagged = F.lag(x, j).over(w) if j else x
+        term = F.when(lagged.isNotNull(), F.lit(wt) * lagged).otherwise(F.lit(0.0))
+        wterm = F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = wterm if den is None else den + wterm
+    return df.withColumn("ewma", F.round(num / den, scale))
+
+
+def ewma_oracle_terms(
+    value_sql: str, alpha: float, horizon: int, over_sql: str
+) -> tuple[str, str]:
+    """(numerator, denominator) SQL fragments mirroring
+    :func:`ewma_smooth` term by term — same repr'd weight literals,
+    same left-associated order. ``over_sql`` is the window clause,
+    e.g. ``OVER (PARTITION BY k ORDER BY t)``."""
+    num, den = [], []
+    for j, wt in enumerate(ewma_weights(alpha, horizon)):
+        lag = (
+            f"CAST({value_sql} AS DOUBLE)"
+            if j == 0
+            else f"lag(CAST({value_sql} AS DOUBLE), {j}) {over_sql}"
+        )
+        num.append(
+            f"CASE WHEN {lag} IS NOT NULL THEN {wt!r} * {lag} ELSE 0.0 END"
+        )
+        den.append(f"CASE WHEN {lag} IS NOT NULL THEN {wt!r} ELSE 0.0 END")
+    return " + ".join(num), " + ".join(den)

@@ -265,3 +265,78 @@ def kmeans_fit(
     finally:
         work.unpersist()
     return centroids, kmeans_assign(df, id_col, vec_col, centroids, scale=scale)
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    scale: int = 6,
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split each vector into
+    ``m`` contiguous subspaces, learn a ``k``-centroid codebook per
+    subspace with the deterministic :func:`kmeans_fit`, and encode every
+    vector as ``m`` small codes — the compression half of IVF-PQ, the
+    storage format billion-vector ANN serves from (m=4, k=16 stores a
+    64-dim float vector in 4 nibbles; distances against codes become
+    table lookups).
+
+    Output: (id, code_0..code_{m-1}, recon_err) where recon_err is the
+    L2 distance to the reconstructed (codebook-concatenated) vector —
+    the auditable quantization loss, exactly like quantize_int8's
+    error columns.
+
+    Plan: codebook learning is m independent ``kmeans_fit`` runs over
+    the sliced column (iters × one k·subdim-keyed shuffle each, k·subdim
+    doubles of driver traffic); the ENCODE pass is a single map-only
+    select — per subspace the k squared distances are HOF folds against
+    one packed codebook literal and the code is argmin — so the
+    corpus-wide encode costs one scan regardless of m·k. Deterministic:
+    centroids are rounded to ``scale`` every iteration (kmeans_fit) and
+    ties break to the lowest code, so the oracle unrolls per-subspace
+    chains of the same CTEs.
+    """
+    from kubernetes_logs_datalake_spark.functions.vectors import literal_vector
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    subdim = dim // m
+    codebooks: list[list[list[float]]] = []
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * subdim + 1, subdim).alias("_sub"),
+        )
+        cents, _ = kmeans_fit(sub, id_col, "_sub", k=k, iters=iters, scale=scale)
+        codebooks.append(cents)
+
+    cols: list[F.Column] = [F.col(id_col)]
+    total_d2 = None
+    for s, cents in enumerate(codebooks):
+        C = literal_vector([float(v) for c in cents for v in c])
+        sub = F.slice(F.col(vec_col), s * subdim + 1, subdim)
+        d2 = F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda j: F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.slice(C, j * subdim + 1, subdim),
+                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+        cols.append(
+            (F.array_position(d2, F.array_min(d2)) - 1)
+            .cast("int")
+            .alias(f"code_{s}")
+        )
+        md2 = F.array_min(d2)
+        total_d2 = md2 if total_d2 is None else total_d2 + md2
+    cols.append(F.round(F.sqrt(total_d2), scale).alias("recon_err"))
+    return df.select(*cols)

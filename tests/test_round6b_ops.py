@@ -1,0 +1,149 @@
+"""Round-6 additions: truncated EWMA, quantile calibration, tokenizer
+fertility semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kubernetes_logs_datalake_spark.operators.curate import quantile_calibrate
+from kubernetes_logs_datalake_spark.operators.profile import (
+    ewma_smooth,
+    ewma_weights,
+)
+
+
+def test_ewma_matches_recursive_reference(spark):
+    # constant series: EWMA of a constant is the constant, exactly,
+    # including at the renormalized series head
+    rows = [("k", t, 5.0) for t in range(20)]
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    out = ewma_smooth(df, ["k"], "t", "x", alpha=0.3, horizon=12)
+    assert all(r["ewma"] == pytest.approx(5.0) for r in out.collect())
+
+
+def test_ewma_step_response(spark):
+    # step 0→10 at t=10: smoothed value must rise monotonically toward
+    # 10 and reach within the truncation tail by t=22
+    rows = [("k", t, 0.0 if t < 10 else 10.0) for t in range(30)]
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    got = {
+        r["t"]: r["ewma"]
+        for r in ewma_smooth(df, ["k"], "t", "x", alpha=0.3, horizon=12).collect()
+    }
+    assert got[9] == pytest.approx(0.0)
+    seg = [got[t] for t in range(10, 23)]
+    assert all(b > a for a, b in zip(seg, seg[1:]))
+    # after horizon+1 steps every contributing lag is 10
+    assert got[23] == pytest.approx(10.0)
+    # hand value at the step: only the j=0 lag sees the 10, and only
+    # lags j=0..10 exist at t=10, so the head renormalizes over w[:11]
+    w = ewma_weights(0.3, 12)
+    assert got[10] == pytest.approx(round(w[0] * 10 / sum(w[:11]), 6), abs=1e-6)
+
+
+def test_ewma_is_per_key(spark):
+    rows = [("a", 0, 1.0), ("a", 1, 1.0), ("b", 0, 9.0), ("b", 1, 9.0)]
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    got = {
+        (r["k"], r["t"]): r["ewma"]
+        for r in ewma_smooth(df, ["k"], "t", "x").collect()
+    }
+    assert got[("a", 1)] == pytest.approx(1.0)
+    assert got[("b", 1)] == pytest.approx(9.0)
+
+
+def test_quantile_calibrate_keeps_top_fraction_per_group(spark):
+    # group A scores 0..9, group B scores 100..109: a raw-score cutoff
+    # would drop ALL of A; the calibrated gate keeps half of each
+    rows = [("A", f"a{i}", float(i)) for i in range(10)] + [
+        ("B", f"b{i}", 100.0 + i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "score"])
+    out = quantile_calibrate(df, "score", "source", "doc_id", keep_frac=0.5)
+    kept = out.filter("keep").groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in kept} == {"A": 5, "B": 5}
+    # the kept rows are exactly the top scores of each group
+    top = {
+        r["doc_id"] for r in out.filter("keep").collect()
+    }
+    assert top == {f"a{i}" for i in range(5, 10)} | {f"b{i}" for i in range(5, 10)}
+
+
+def test_quantile_calibrate_tie_determinism(spark):
+    # all-equal scores: ordering falls to doc_id, so the kept set is
+    # stable across partitionings
+    rows = [("S", f"d{i:02d}", 1.0) for i in range(8)]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "score"])
+    a = {r["doc_id"] for r in quantile_calibrate(df, "score", "source", "doc_id", 0.25).filter("keep").collect()}
+    b = {
+        r["doc_id"]
+        for r in quantile_calibrate(
+            df.repartition(7), "score", "source", "doc_id", 0.25
+        )
+        .filter("keep")
+        .collect()
+    }
+    assert a == b == {"d06", "d07"}
+
+
+def test_fertility_query_consistency(spark):
+    import __spark_entry__ as e
+
+    sf_dir = "/root/testdata/sf0.001"
+    fert = {
+        r["lang"]: r
+        for r in e.queries()["docs_tokenizer_fertility"](spark, sf_dir).collect()
+    }
+    per_doc = e.queries()["text_bpe_estimate"](spark, sf_dir)
+    docs = e.queries()["docs_readability"](spark, sf_dir)  # just for count
+    assert sum(r["n_docs"] for r in fert.values()) == docs.count()
+    # fertility equals the ratio of the per-doc totals
+    tot = per_doc.agg(
+        F.sum("n_words").alias("w"), F.sum("n_bpe_est").alias("t")
+    ).collect()[0]
+    overall = sum(r["total_bpe_tokens"] for r in fert.values()) / sum(
+        r["total_words"] for r in fert.values()
+    )
+    assert overall == pytest.approx(tot["t"] / tot["w"])
+
+
+def test_pq_encode_properties(spark):
+    import random
+
+    from kubernetes_logs_datalake_spark.operators.vectors import pq_encode
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = pq_encode(df, "vec_id", "embedding", dim=16, m=4, k=4, iters=2)
+    got = out.collect()
+    assert len(got) == 80
+    for r in got:
+        for s in range(4):
+            assert 0 <= r[f"code_{s}"] < 4
+        assert r["recon_err"] >= 0.0
+    # deterministic across partitionings
+    again = {
+        r["vec_id"]: tuple(r)
+        for r in pq_encode(
+            df.repartition(7), "vec_id", "embedding", dim=16, m=4, k=4, iters=2
+        ).collect()
+    }
+    assert {r["vec_id"]: tuple(r) for r in got} == again
+    # a vector that IS a codebook entry of every subspace would have
+    # recon_err 0; weaker invariant that must always hold: mean recon
+    # error beats quantizing everything to the zero vector
+    import math
+
+    mean_err = sum(r["recon_err"] for r in got) / len(got)
+    mean_norm = sum(
+        math.sqrt(sum(v * v for v in vec)) for _, vec in rows
+    ) / len(rows)
+    assert mean_err < mean_norm
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    from kubernetes_logs_datalake_spark.operators.vectors import pq_encode
+
+    df = spark.createDataFrame([(1, [0.0] * 10)], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        pq_encode(df, "vec_id", "embedding", dim=10, m=4)
