@@ -3070,6 +3070,29 @@ def _embedding_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ann_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (Jégou et al. 2011 ADC): corpus
+    vectors scored by m table lookups against driver-computed
+    query-to-codebook distance tables — the serving path of IVF-PQ.
+    Map-only scan + TakeOrderedAndProject; the oracle replays the
+    codebook chains and the same lookup-sum."""
+    from kubernetes_logs_datalake_spark.operators.vectors import pq_adc_topk
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    q = _query_vec(spark, sf)
+    return pq_adc_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        q,
+        dim=EMBEDDING_DIM,
+        m=_PQ_M,
+        k=_PQ_K,
+        iters=_PQ_ITERS,
+        topk=10,
+    )
+
+
 _EWMA_ALPHA, _EWMA_HORIZON = 0.3, 12
 
 
@@ -3454,6 +3477,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_calibrated": _docs_quality_calibrated,
         "docs_tokenizer_fertility": _docs_tokenizer_fertility,
         "embedding_pq_codes": _embedding_pq_codes,
+        "ann_topk_pq": _ann_topk_pq,
         "docs_source_report": _docs_source_report,
         "docs_clean_export": _docs_clean_export,
         "embedding_hard_negatives": _embedding_hard_negatives,
@@ -3708,6 +3732,55 @@ def _ddb_pq_sql(
                round(sqrt({d2sum}), 6) AS recon_err
         FROM {frm}
         WHERE {rk}
+    """
+
+
+def _ddb_pq_adc_sql(
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = EMBEDDING_DIM,
+    topk: int = 10,
+) -> str:
+    """Mirrors _ann_topk_pq: per-subspace codebook chains over the
+    vec_id≠0 corpus, an ADC table per subspace (query slice vs final
+    codebook, same position-ascending fold as the Python table), and
+    the m-lookup sum in pq_adc_topk's left-associated order."""
+    subdim = dim // m
+    chains, adcs = [], []
+    for s in range(m):
+        lo, hi = s * subdim + 1, (s + 1) * subdim
+        src = (
+            f"(SELECT vec_id, embedding[{lo}:{hi}] AS embedding "
+            f"FROM embeddings WHERE vec_id <> 0)"
+        )
+        chains.append(
+            _ddb_kmeans_ctes(k, iters, subdim, src=src, prefix=f"s{s}_")
+        )
+        diff = f"(CAST(q.embedding[{lo} + i - 1] AS DOUBLE) - c.cvec[i])"
+        adcs.append(f"""
+            adc{s} AS (
+                SELECT c.j,
+                       list_sum(list_transform(range(1, {subdim + 1}),
+                                i -> {diff} * {diff})) AS d
+                FROM s{s}_cent{iters} c, q)""")
+    T = iters + 1
+    frm = f"s0_a{T} s0"
+    for s in range(1, m):
+        frm += f" JOIN s{s}_a{T} s{s} USING (vec_id)"
+    for s in range(m):
+        frm += f" JOIN adc{s} a{s} ON a{s}.j = s{s}.j"
+    dsum = " + ".join(f"a{s}.d" for s in range(m))
+    rk = " AND ".join(f"s{s}.rk = 1" for s in range(m))
+    return f"""
+        WITH {",".join(chains)},
+        q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        {",".join(adcs)}
+        SELECT s0.vec_id, round({dsum}, 6) AS adc_dist
+        FROM {frm}
+        WHERE {rk}
+        ORDER BY adc_dist, s0.vec_id
+        LIMIT {topk}
     """
 
 
@@ -5705,6 +5778,9 @@ def oracle_sql() -> dict[str, str]:
         "events_ewma_hourly": _ddb_ewma_hourly_sql(),
         "embedding_pq_codes": _ddb_pq_sql(
             _PQ_M, _PQ_K, _PQ_ITERS, EMBEDDING_DIM
+        ),
+        "ann_topk_pq": _ddb_pq_adc_sql(
+            _PQ_M, _PQ_K, _PQ_ITERS, EMBEDDING_DIM, topk=10
         ),
         "docs_quality_calibrated": f"""
             WITH scored AS ({_classifier_oracle_sql()})

@@ -948,7 +948,11 @@ def jaccard_prefix_join(
     """
     from pyspark.sql import Window
 
-    sets = shingle_sets(df, id_col, text_col, n)
+    # the distinct shingle table feeds FIVE plan references (df count,
+    # rank window, size agg, both verify sides); checkpoint it once so
+    # the explode+DISTINCT shuffle runs once, not per reference — the
+    # same shared-signature pattern as minhash_calibration
+    sets = shingle_sets(df, id_col, text_col, n).localCheckpoint(eager=False)
     dfreq = sets.groupBy("shingle").agg(F.count("*").alias("_df"))
     ranked = (
         sets.join(dfreq, "shingle")

@@ -302,18 +302,8 @@ def pq_encode(
     """
     from kubernetes_logs_datalake_spark.functions.vectors import literal_vector
 
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
+    codebooks = pq_codebooks(df, id_col, vec_col, dim, m, k, iters, scale)
     subdim = dim // m
-    codebooks: list[list[list[float]]] = []
-    for s in range(m):
-        sub = df.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * subdim + 1, subdim).alias("_sub"),
-        )
-        cents, _ = kmeans_fit(sub, id_col, "_sub", k=k, iters=iters, scale=scale)
-        codebooks.append(cents)
-
     cols: list[F.Column] = [F.col(id_col)]
     total_d2 = None
     for s, cents in enumerate(codebooks):
@@ -340,3 +330,96 @@ def pq_encode(
         total_d2 = md2 if total_d2 is None else total_d2 + md2
     cols.append(F.round(F.sqrt(total_d2), scale).alias("recon_err"))
     return df.select(*cols)
+
+
+def pq_codebooks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    scale: int = 6,
+) -> list[list[list[float]]]:
+    """The m per-subspace codebooks behind :func:`pq_encode` /
+    :func:`pq_adc_topk` — m deterministic kmeans_fit runs over the
+    sliced column (shared seeds: smallest md5(id) rows)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    subdim = dim // m
+    books = []
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * subdim + 1, subdim).alias("_sub"),
+        )
+        cents, _ = kmeans_fit(sub, id_col, "_sub", k=k, iters=iters, scale=scale)
+        books.append(cents)
+    return books
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    topk: int = 10,
+    scale: int = 6,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (the ADC half of IVF-PQ, Jégou et
+    al. 2011 §III): the query stays un-quantized; each corpus vector's
+    approximate distance is a sum of m TABLE LOOKUPS — the per-subspace
+    distances from the query slice to every codebook entry, computed
+    ONCE driver-side (m·k doubles) and shipped as packed literals.
+
+    Per row: m argmin folds (the encode) + m element_at lookups + one
+    TakeOrderedAndProject for the top-k — a single map stage over the
+    corpus with O(k·dim) driver traffic total, the billion-scale serving
+    shape (no full-precision distance is ever computed corpus-side).
+    Output: (id, adc_dist), ascending, ties by id.
+    """
+    from kubernetes_logs_datalake_spark.functions.vectors import literal_vector
+
+    if codebooks is None:
+        codebooks = pq_codebooks(df, id_col, vec_col, dim, m, k, iters, scale)
+    subdim = dim // m
+    dist_total = None
+    for s, cents in enumerate(codebooks):
+        C = literal_vector([float(v) for c in cents for v in c])
+        qsub = query[s * subdim : (s + 1) * subdim]
+        # ADC lookup table: ||q_sub - c_j||² for every code, computed in
+        # Python with the same left-to-right position fold as the oracle
+        adc = [
+            sum((qi - ci) * (qi - ci) for qi, ci in zip(qsub, c))
+            for c in cents
+        ]
+        A = literal_vector([float(v) for v in adc])
+        sub = F.slice(F.col(vec_col), s * subdim + 1, subdim)
+        d2 = F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda j: F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.slice(C, j * subdim + 1, subdim),
+                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+        code = F.array_position(d2, F.array_min(d2))  # 1-based
+        term = F.element_at(A, code.cast("int"))
+        dist_total = term if dist_total is None else dist_total + term
+    return (
+        df.select(
+            F.col(id_col), F.round(dist_total, scale).alias("adc_dist")
+        )
+        .orderBy("adc_dist", id_col)
+        .limit(topk)
+    )

@@ -147,3 +147,55 @@ def test_pq_rejects_indivisible_dim(spark):
     df = spark.createDataFrame([(1, [0.0] * 10)], ["vec_id", "embedding"])
     with pytest.raises(ValueError):
         pq_encode(df, "vec_id", "embedding", dim=10, m=4)
+
+
+def test_pq_adc_exact_on_separable_corpus(spark):
+    from kubernetes_logs_datalake_spark.operators.vectors import pq_adc_topk
+
+    # k = n distinct vectors: every row seeds its own cluster, so the
+    # codebooks ARE the corpus and ADC distance to a corpus-vector
+    # query is exactly 0 for that row and strictly positive elsewhere
+    protos = [
+        [float(10 * (p + 1)) * (1.0 if i % 2 == 0 else -1.0) for i in range(8)]
+        for p in range(4)
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(protos)), ["vec_id", "embedding"]
+    )
+    out = pq_adc_topk(
+        df, "vec_id", "embedding", protos[2], dim=8, m=2, k=4, iters=3, topk=4
+    ).collect()
+    assert out[0]["vec_id"] == 2
+    assert out[0]["adc_dist"] == pytest.approx(0.0)
+    assert all(r["adc_dist"] > 0 for r in out[1:])
+
+
+def test_pq_adc_equals_reconstruction_distance(spark):
+    import random
+
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = [rng.uniform(-1, 1) for _ in range(16)]
+    books = pq_codebooks(df, "vec_id", "embedding", dim=16, m=4, k=4, iters=2)
+    codes = {
+        r["vec_id"]: [r[f"code_{s}"] for s in range(4)]
+        for r in pq_encode(df, "vec_id", "embedding", dim=16, m=4, k=4, iters=2).collect()
+    }
+    got = pq_adc_topk(
+        df, "vec_id", "embedding", q, dim=16, m=4, k=4, iters=2, topk=60
+    ).collect()
+    # ADC distance IS ||q - reconstruction||²: recompute independently
+    for r in got:
+        expect = 0.0
+        for s in range(4):
+            c = books[s][codes[r["vec_id"]][s]]
+            qs = q[s * 4 : (s + 1) * 4]
+            expect += sum((a - b) * (a - b) for a, b in zip(qs, c))
+        assert r["adc_dist"] == pytest.approx(expect, abs=1e-5)
