@@ -3287,17 +3287,19 @@ _R6_WINDOW = [
     "docs_bpe_merges",
     "docs_bpe_tokens",
     "docs_char_lm_score",
-    # freshness rotation: oldest driver rows (r1/r2 vintage)
+    # round-6 batch-2 additions (never driver-checked; replica-green)
+    "events_markov_transitions",
+    "events_pagerank",
+    "events_ewma_hourly",
+    "docs_quality_calibrated",
+    "docs_tokenizer_fertility",
+    "embedding_pq_codes",
+    "ann_topk_pq",
+    # freshness rotation: oldest driver rows (r1/r2 vintage); the rest
+    # of that cohort (q8/q9/q11/q18, fuzzy/asof/knn) rotates in r7
     "q2_cheapest_supplier",
     "q4_late_shipping_priority",
     "q7_nation_volume",
-    "q8_market_share",
-    "q9_nation_profit",
-    "q11_important_parts",
-    "q18_large_orders",
-    "fuzzy_name_match",
-    "asof_purchase_click",
-    "knn_join",
     # sentinel (green in every round since r1)
     "q1_pricing_summary",
 ]

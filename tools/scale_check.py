@@ -110,6 +110,16 @@ QUERIES = [
     "events_mad_outliers",
     "events_sliding_distinct",
     "docs_topic_clusters",
+    # round-6 batch 2: transition window + tiny-graph power method,
+    # lag-window EWMA, source-keyed calibration window, map+tiny-agg
+    # fertility, m× subspace kmeans (PQ) + map-only ADC serving scan
+    "events_markov_transitions",
+    "events_pagerank",
+    "events_ewma_hourly",
+    "docs_quality_calibrated",
+    "docs_tokenizer_fertility",
+    "embedding_pq_codes",
+    "ann_topk_pq",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
