@@ -3093,6 +3093,39 @@ def _ann_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ann_recall_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN quality eval for the PQ/ADC path: recall@10 of the
+    lookup-table distances against the exact brute-force top-k — the
+    companion harness to ann_recall_lsh, auditing what m=4×16-code
+    compression costs in ranking fidelity. On the driver's
+    uniform-random fixture the measured recall is ~0 by design (random
+    vectors have no structure 4 nibbles can preserve — the honest
+    number this harness exists to expose); on a clustered corpus the
+    same operator reliably surfaces planted near-duplicates:
+    tests/test_similarity_quality.py::test_pq_adc_recall_on_clustered_corpus."""
+    from kubernetes_logs_datalake_spark.operators.vectors import pq_adc_topk
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    q = _query_vec(spark, sf)
+    bf = brute_force_topk(emb, "embedding", q, k=10).select("vec_id")
+    ap = pq_adc_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        q,
+        dim=EMBEDDING_DIM,
+        m=_PQ_M,
+        k=_PQ_K,
+        iters=_PQ_ITERS,
+        topk=10,
+    ).select("vec_id")
+    return bf.join(ap, "vec_id").agg(
+        F.lit(10).alias("k"),
+        F.count("*").alias("n_hits"),
+        (F.count("*") / F.lit(10)).alias("recall"),
+    )
+
+
 _EWMA_ALPHA, _EWMA_HORIZON = 0.3, 12
 
 
@@ -3480,6 +3513,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tokenizer_fertility": _docs_tokenizer_fertility,
         "embedding_pq_codes": _embedding_pq_codes,
         "ann_topk_pq": _ann_topk_pq,
+        "ann_recall_pq": _ann_recall_pq,
         "docs_source_report": _docs_source_report,
         "docs_clean_export": _docs_clean_export,
         "embedding_hard_negatives": _embedding_hard_negatives,
@@ -5784,6 +5818,20 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_pq": _ddb_pq_adc_sql(
             _PQ_M, _PQ_K, _PQ_ITERS, EMBEDDING_DIM, topk=10
         ),
+        "ann_recall_pq": f"""
+            WITH bf AS (
+                SELECT vec_id FROM (
+                    SELECT e.vec_id, {_ddb_cos("e.embedding", "q.embedding")} AS cos
+                    FROM embeddings e,
+                         (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+                    WHERE e.vec_id <> 0)
+                ORDER BY cos DESC, vec_id LIMIT 10
+            ), ap AS (
+                {_ddb_pq_adc_sql(_PQ_M, _PQ_K, _PQ_ITERS, EMBEDDING_DIM, topk=10)}
+            )
+            SELECT 10 AS k, count(*) AS n_hits, count(*) / 10.0 AS recall
+            FROM bf JOIN ap USING (vec_id)
+        """,
         "docs_quality_calibrated": f"""
             WITH scored AS ({_classifier_oracle_sql()})
             SELECT s.doc_id, d.source, s.score,
