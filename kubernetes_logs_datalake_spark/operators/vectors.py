@@ -276,6 +276,7 @@ def pq_encode(
     k: int = 16,
     iters: int = 2,
     scale: int = 6,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Product quantization (Jégou et al. 2011): split each vector into
     ``m`` contiguous subspaces, learn a ``k``-centroid codebook per
@@ -302,7 +303,8 @@ def pq_encode(
     """
     from kubernetes_logs_datalake_spark.functions.vectors import literal_vector
 
-    codebooks = pq_codebooks(df, id_col, vec_col, dim, m, k, iters, scale)
+    if codebooks is None:
+        codebooks = pq_codebooks(df, id_col, vec_col, dim, m, k, iters, scale)
     subdim = dim // m
     cols: list[F.Column] = [F.col(id_col)]
     total_d2 = None
@@ -418,6 +420,93 @@ def pq_adc_topk(
         dist_total = term if dist_total is None else dist_total + term
     return (
         df.select(
+            F.col(id_col), F.round(dist_total, scale).alias("adc_dist")
+        )
+        .orderBy("adc_dist", id_col)
+        .limit(topk)
+    )
+
+
+def pq_index_build(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    scale: int = 6,
+) -> list[list[list[float]]]:
+    """Persist a PQ index: codebooks as JSON (k·dim doubles — driver
+    state, exactly what kmeans_fit already ships) plus the encoded
+    corpus as parquet codes. Build once, serve many — the index
+    lifecycle :func:`pq_index_search` reads, so query latency never
+    pays codebook training again. The code table is ~dim/m× smaller
+    than the embeddings (4 int codes vs 64 floats here), which is the
+    point: the serving scan reads codes only, never the vectors.
+
+    Returns the codebooks (also written to ``<index_dir>/codebooks.json``
+    with the (dim, m, k) config for load-time validation).
+    """
+    import json as _json
+    import os as _os
+
+    books = pq_codebooks(df, id_col, vec_col, dim, m, k, iters, scale)
+    codes = pq_encode(
+        df, id_col, vec_col, dim, m, k, iters, scale, codebooks=books
+    )
+    # codes first, manifest last: a torn build never has a valid
+    # manifest, so pq_index_search can't serve a half-written index
+    codes.write.mode("overwrite").parquet(f"{index_dir}/codes")
+    _os.makedirs(index_dir, exist_ok=True)
+    with open(f"{index_dir}/codebooks.json", "w") as fh:
+        _json.dump(
+            {"dim": dim, "m": m, "k": k, "scale": scale, "codebooks": books},
+            fh,
+        )
+    return books
+
+
+def pq_index_search(
+    spark,
+    index_dir: str,
+    query: list[float],
+    topk: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serve an ADC top-k from a persisted PQ index: m·k lookup tables
+    computed driver-side from the saved codebooks, one map-only scan of
+    the CODE table (no vectors read), TakeOrdered top-k. Output:
+    (id, adc_dist) ascending, ties by id — identical semantics to
+    :func:`pq_adc_topk` but with the codebook training amortized away
+    and the scan reading m small ints per row instead of dim floats.
+    """
+    import json as _json
+
+    from kubernetes_logs_datalake_spark.functions.vectors import literal_vector
+
+    with open(f"{index_dir}/codebooks.json") as fh:
+        meta = _json.load(fh)
+    books, m, dim, scale = (
+        meta["codebooks"], meta["m"], meta["dim"], meta["scale"]
+    )
+    if len(query) != dim:
+        raise ValueError(f"query dim {len(query)} != index dim {dim}")
+    subdim = dim // m
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    dist_total = None
+    for s, cents in enumerate(books):
+        qsub = query[s * subdim : (s + 1) * subdim]
+        adc = [
+            sum((qi - ci) * (qi - ci) for qi, ci in zip(qsub, c))
+            for c in cents
+        ]
+        A = literal_vector([float(v) for v in adc])
+        term = F.element_at(A, F.col(f"code_{s}") + 1)
+        dist_total = term if dist_total is None else dist_total + term
+    return (
+        codes.select(
             F.col(id_col), F.round(dist_total, scale).alias("adc_dist")
         )
         .orderBy("adc_dist", id_col)

@@ -199,3 +199,33 @@ def test_pq_adc_equals_reconstruction_distance(spark):
             qs = q[s * 4 : (s + 1) * 4]
             expect += sum((a - b) * (a - b) for a, b in zip(qs, c))
         assert r["adc_dist"] == pytest.approx(expect, abs=1e-5)
+
+
+def test_pq_index_lifecycle(spark, tmp_path):
+    import random
+
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        pq_adc_topk,
+        pq_index_build,
+        pq_index_search,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(100)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = [rng.uniform(-1, 1) for _ in range(16)]
+    idx = str(tmp_path / "pq_index")
+    pq_index_build(df, "vec_id", "embedding", idx, dim=16, m=4, k=8, iters=2)
+
+    served = pq_index_search(spark, idx, q, topk=10).collect()
+    direct = pq_adc_topk(
+        df, "vec_id", "embedding", q, dim=16, m=4, k=8, iters=2, topk=10
+    ).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in direct]
+
+    # the serving scan reads the CODE table only — no embedding column
+    plan = pq_index_search(spark, idx, q, topk=10)._jdf.queryExecution().executedPlan().toString()
+    assert "embedding" not in plan
+
+    with pytest.raises(ValueError):
+        pq_index_search(spark, idx, [0.0] * 7)
