@@ -128,7 +128,11 @@ def pagerank(
         "node",
         "left_anti",
     ).localCheckpoint(eager=False)
-    has_dangling = dangling.limit(1).count() > 0
+    # FULL count, not limit(1): the count materializes every partition
+    # of the checkpoint, so the per-round semi joins below never
+    # recompute the anti-join through lineage (the dedup.py
+    # connected-components lesson)
+    has_dangling = dangling.count() > 0
 
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select(
