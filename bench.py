@@ -5,10 +5,20 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Each query materializes fully through the `noop` sink (forces complete
 execution, no driver-side result transfer skewing the numbers).
+
+Cross-SESSION comparisons need PLAN_AUDIT.json alongside the timings:
+measured drift between sessions on this box reaches ~15-20% on the
+heavyweight queries with BIT-IDENTICAL plans and small intra-run spread
+(round 6: dedup_semantic 7.4→8.8 s isolated across sessions, spread
+1.1 s within a run, zero plan diffs, no code change in the operator's
+path) — page-cache/thermal state, not regressions. A real plan
+regression shows up in the PLAN_AUDIT diff; a uniform shift across
+unrelated queries is the box.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -351,6 +361,15 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — isolate, record, continue
             errors.setdefault(name, f"{type(exc).__name__}: {exc}"[:400])
             return None
+        finally:
+            # outside the timed region: drop the query's DataFrame refs
+            # so ContextCleaner frees its localCheckpoint RDD storage
+            # before the NEXT query runs — otherwise checkpoint-heavy
+            # queries (pagerank's per-round frames, the LSH signature
+            # tables) pin executor memory across the interleaved repeat
+            # passes and later queries measure the eviction pressure,
+            # not their own plan (observed ~25% drift on kmeans/ivf)
+            gc.collect()
 
     # warm-up pass over every query family: first execution pays JVM
     # JIT, codegen compilation and parquet footer caching — one-time

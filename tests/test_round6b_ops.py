@@ -229,3 +229,41 @@ def test_pq_index_lifecycle(spark, tmp_path):
 
     with pytest.raises(ValueError):
         pq_index_search(spark, idx, [0.0] * 7)
+
+
+def test_ewma_full_horizon_equals_adjusted_ewma(spark):
+    """With horizon ≥ series length the truncated EWMA IS the classic
+    'adjusted' EWMA (pandas ewm(adjust=True) semantics):
+    y_t = Σ(1-α)^j·x_{t-j} / Σ(1-α)^j — the head renormalization makes
+    the α factor cancel. Property-checked against a driver-side
+    reference over random series."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        xs=st.lists(
+            st.floats(-100, 100, allow_nan=False, width=32),
+            min_size=1,
+            max_size=12,
+        ),
+        alpha=st.floats(0.05, 0.95),
+    )
+    def check(xs, alpha):
+        df = spark.createDataFrame(
+            [("k", t, float(x)) for t, x in enumerate(xs)], ["k", "t", "x"]
+        )
+        got = {
+            r["t"]: r["ewma"]
+            for r in ewma_smooth(
+                df, ["k"], "t", "x", alpha=alpha, horizon=len(xs)
+            ).collect()
+        }
+        for t in range(len(xs)):
+            num = sum(
+                (1 - alpha) ** j * xs[t - j] for j in range(t + 1)
+            )
+            den = sum((1 - alpha) ** j for j in range(t + 1))
+            assert got[t] == pytest.approx(num / den, abs=1e-4)
+
+    check()
