@@ -3093,6 +3093,79 @@ def _ann_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _docs_pretrain_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The WHOLE curation pipeline as ONE declarative plan — the
+    FineWeb/Gopher recipe end-to-end: quality gate → exact dedup →
+    benchmark decontamination (shared word-5-grams with the eval
+    slice) → classifier score calibrated per source (keep top 50%) →
+    deterministic 90/5/5 hash split → per-split manifest. Extends
+    docs_clean_export with the decontamination and calibration stages;
+    near-dup removal is available as its own operators (minhash/LSH
+    family) and stays out of this query only to keep the oracle's CTE
+    chain non-recursive. Plan: two scans of documents (pipeline +
+    5-gram index), one text-hash window, one source-keyed calibration
+    sort, hash joins on doc_id — no cross joins, no Python."""
+    from kubernetes_logs_datalake_spark.operators.classify import (
+        hashed_linear_score,
+    )
+    from kubernetes_logs_datalake_spark.operators.curate import (
+        quantile_calibrate,
+    )
+    from kubernetes_logs_datalake_spark.operators.sampling import hash_split
+    from kubernetes_logs_datalake_spark.operators.scrub import decontaminate
+    from kubernetes_logs_datalake_spark.operators.webclean import (
+        gopher_quality_rules,
+    )
+
+    d = _t(spark, sf, "documents")
+    v = gopher_quality_rules(
+        d,
+        "doc_id",
+        "text",
+        min_stopword_hits=1,
+        carry_cols=(
+            F.md5(F.col("text")).alias("_th"),
+            F.col("source"),
+            F.col("text").alias("_text"),
+        ),
+    )
+    kept = v.filter(F.col("keep"))
+    w = Window.partitionBy("_th").orderBy("doc_id")
+    ded = kept.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    eval_df = d.filter(F.col("doc_id") % 50 == 0)
+    train = ded.filter(F.col("doc_id") % 50 != 0)
+    flags = decontaminate(
+        train.select("doc_id", F.col("_text").alias("text")),
+        eval_df,
+        "doc_id",
+        "text",
+        n=5,
+    )
+    clean = train.join(
+        flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    scored = hashed_linear_score(
+        clean.select("doc_id", F.col("_text").alias("text")),
+        "doc_id",
+        "text",
+        dim=256,
+        bias=0.01,
+        threshold=0.0,
+    ).select("doc_id", "score")
+    cal_in = clean.select("doc_id", "source", "n_words").join(scored, "doc_id")
+    cal = quantile_calibrate(
+        cal_in, "score", "source", "doc_id", keep_frac=_CALIBRATE_KEEP_FRAC
+    ).filter(F.col("keep"))
+    return hash_split(cal, "doc_id").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("sum_words"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 def _ann_recall_pq(spark: SparkSession, sf: str) -> DataFrame:
     """ANN quality eval for the PQ/ADC path: recall@10 of the
     lookup-table distances against the exact brute-force top-k — the
@@ -3518,6 +3591,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pq_codes": _embedding_pq_codes,
         "ann_topk_pq": _ann_topk_pq,
         "ann_recall_pq": _ann_recall_pq,
+        "docs_pretrain_pipeline": _docs_pretrain_pipeline,
         "docs_source_report": _docs_source_report,
         "docs_clean_export": _docs_clean_export,
         "embedding_hard_negatives": _embedding_hard_negatives,
@@ -5622,6 +5696,56 @@ def oracle_sql() -> dict[str, str]:
                                  < '{hash_rate_threshold(0.95)}' THEN 'val'
                             ELSE 'test' END AS split
                 FROM ded WHERE rn = 1)
+            SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS sum_words,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM sp GROUP BY split
+        """,
+        "docs_pretrain_pipeline": f"""
+            WITH {gopher_cte},
+            kept AS (
+                SELECT doc_id, source, th, n FROM m WHERE {g_keep}
+            ), ded AS (
+                SELECT doc_id, source, n FROM (
+                    SELECT doc_id, source, n,
+                           row_number() OVER (PARTITION BY th ORDER BY doc_id)
+                               AS rn
+                    FROM kept) WHERE rn = 1
+            ), wls AS (SELECT doc_id, {w} AS wl FROM documents),
+            gr AS (
+                SELECT DISTINCT doc_id, md5(gram) AS h FROM (
+                    SELECT doc_id,
+                           unnest(CASE WHEN len(wl) >= 5
+                               THEN list_transform(range(1, len(wl) - 3),
+                                    i -> array_to_string(wl[i:i+4], ' '))
+                               ELSE [] END) AS gram
+                    FROM wls)
+            ), ev AS (SELECT DISTINCT h FROM gr WHERE doc_id % 50 = 0),
+            cont AS (
+                SELECT DISTINCT doc_id FROM gr
+                WHERE doc_id % 50 <> 0 AND h IN (SELECT h FROM ev)
+            ), clean AS (
+                SELECT * FROM ded
+                WHERE doc_id % 50 <> 0
+                  AND doc_id NOT IN (SELECT doc_id FROM cont)
+            ), scored AS ({_classifier_oracle_sql()}),
+            cal AS (
+                SELECT c.doc_id, c.n,
+                       round(percent_rank() OVER (
+                           PARTITION BY c.source ORDER BY s.score, c.doc_id),
+                           9) AS pr
+                FROM clean c JOIN scored s ON s.doc_id = c.doc_id
+            ), keptq AS (
+                SELECT doc_id, n FROM cal
+                WHERE pr >= {1.0 - _CALIBRATE_KEEP_FRAC!r}
+            ), sp AS (
+                SELECT doc_id, n,
+                       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                 < '{hash_rate_threshold(0.90)}' THEN 'train'
+                            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                                 < '{hash_rate_threshold(0.95)}' THEN 'val'
+                            ELSE 'test' END AS split
+                FROM keptq)
             SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n) AS BIGINT) AS sum_words,
                    min(doc_id) AS min_doc, max(doc_id) AS max_doc

@@ -267,3 +267,21 @@ def test_ewma_full_horizon_equals_adjusted_ewma(spark):
             assert got[t] == pytest.approx(num / den, abs=1e-4)
 
     check()
+
+
+def test_pretrain_pipeline_stage_monotonicity(spark):
+    """Each pipeline stage only REMOVES documents: the full pipeline's
+    kept count is bounded by clean_export's (same gate+dedup+split but
+    no decontamination/calibration), and the calibration stage keeps
+    ~half of what survives decontamination per source."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    pipe = {r["split"]: r for r in e.queries()["docs_pretrain_pipeline"](spark, sf).collect()}
+    base = {r["split"]: r for r in e.queries()["docs_clean_export"](spark, sf).collect()}
+    n_pipe = sum(r["n_docs"] for r in pipe.values())
+    n_base = sum(r["n_docs"] for r in base.values())
+    assert 0 < n_pipe < n_base
+    # calibration keeps the top half per source: overall keep rate of
+    # that stage must be near 50% (ties/rounding move it slightly)
+    assert n_pipe <= 0.62 * n_base

@@ -120,6 +120,7 @@ QUERIES = [
     "docs_tokenizer_fertility",
     "embedding_pq_codes",
     "ann_topk_pq",
+    "docs_pretrain_pipeline",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
