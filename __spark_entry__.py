@@ -3320,15 +3320,16 @@ def _events_pagerank(spark: SparkSession, sf: str) -> DataFrame:
 # ================================================================ registry
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
-# per round; 169 are registered, so the window is rotated each round to
+# per round; 170 are registered, so the window is rotated each round to
 # cycle coverage through every query. Through round 5, 134 of the 145
 # then-registered queries had at least one driver hash row; the 11
 # never-checked (9 late round-5 additions + ann_topk_lsh/ann_topk_ivf,
 # which gained oracles only after their last r3 driver check) lead this
 # window, followed by this round's additions. Still awaiting a first
-# driver row after this window runs: ann_recall_pq (added after the
-# window filled; replica-green) and whatever r7 adds — they lead the
-# r7 rotation together with the remaining r1/r2-vintage refreshes
+# driver row after this window runs: ann_recall_pq and
+# docs_pretrain_pipeline (added after the window filled; both
+# replica-green) and whatever r7 adds — they lead the r7 rotation
+# together with the remaining r1/r2-vintage refreshes
 # (q8/q9/q11/q18, fuzzy_name_match, asof_purchase_click, knn_join).
 #
 # NO-ORACLE MANIFEST — 3 queries are rows-only BY DECLARED CONTRACT,
