@@ -311,3 +311,116 @@ def windowed_distinct_counts(
             "n_distinct",
         )
     )
+
+
+EWMA_ALERT_SCHEMA = T.StructType(
+    [
+        T.StructField("series_key", T.StringType()),
+        T.StructField("bucket_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("baseline", T.DoubleType()),  # EWMA before folding n
+        T.StructField("ewma", T.DoubleType()),      # EWMA after folding n
+        T.StructField("alert", T.BooleanType()),
+    ]
+)
+
+EWMA_ALERT_STATE_SCHEMA = (
+    "bucket_start_us long, cnt long, ewma double, has_ewma boolean"
+)
+
+
+def _ewma_alert_fn(
+    every_us: int,
+    alpha: float,
+    spike_factor: float,
+    min_count: int,
+    max_gap_folds: int,
+):
+    """Per-key state machine: (open bucket start, its running count,
+    recursive EWMA baseline, baseline-initialized flag) — FOUR scalars
+    per live series forever. A bucket closes when an event from a LATER
+    bucket arrives; closing folds its count into the recursive EWMA
+    (y ← α·x + (1−α)·y; the first bucket seeds y = x) and emits one
+    row with the pre-fold baseline and the spike verdict. Empty gap
+    buckets fold as zeros, capped at ``max_gap_folds`` — beyond the cap
+    (1−α)^k has already decayed the baseline to ~0, so the cap bounds
+    per-event work without changing verdicts at the rounding scale."""
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        bstart, cnt, ewma, has = (
+            state.get if state.exists else (-1, 0, 0.0, False)
+        )
+        ts_list = []
+        for pdf in pdfs:
+            ts_list.extend(int(t) for t in pdf["ts_us"])
+        rows = []
+
+        def close(b, n):
+            nonlocal ewma, has
+            baseline = ewma if has else None
+            alert = bool(
+                has and n >= min_count and n > spike_factor * ewma
+            )
+            ewma = float(n) if not has else alpha * n + (1 - alpha) * ewma
+            has = True
+            rows.append((key[0], b, n, baseline, round(ewma, 6), alert))
+
+        # in-batch replay in time order; ACROSS batches arrival-order
+        # (the same watermark-bounded-disorder contract as the funnel)
+        for ts in sorted(ts_list):
+            b = ts - ts % every_us
+            if bstart < 0:
+                bstart, cnt = b, 0
+            if b <= bstart:
+                # late or in-bucket event: counts into the OPEN bucket
+                # (at-least-once pragmatics; disorder beyond one bucket
+                # is the deployment watermark's job)
+                cnt += 1
+            else:
+                close(bstart, cnt)
+                gaps = (b - bstart) // every_us - 1
+                for i in range(min(gaps, max_gap_folds)):
+                    close(bstart + (i + 1) * every_us, 0)
+                bstart, cnt = b, 1
+        state.update((bstart, cnt, float(ewma), bool(has)))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "series_key", "bucket_us", "n", "baseline", "ewma", "alert",
+            ],
+        )
+
+    return fn
+
+
+def streaming_rate_alerts(
+    records: DataFrame,
+    every_us: int = 3_600_000_000,
+    alpha: float = 0.3,
+    spike_factor: float = 3.0,
+    min_count: int = 5,
+    max_gap_folds: int = 64,
+) -> DataFrame:
+    """Streaming rate-spike detection: per-series bucket counts checked
+    against a recursive-EWMA baseline the moment each bucket closes —
+    the live counterpart of the batch events_ewma_hourly +
+    events_cusum_alerts pair. Input needs (series_key: string,
+    ts_us: long); output one row per CLOSED bucket with the pre-fold
+    baseline and ``alert = n > spike_factor·baseline ∧ n ≥ min_count``.
+
+    State per live series is four scalars regardless of stream length —
+    the bounded-state property of this module. Use outputMode("append").
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return records.groupBy("series_key").applyInPandasWithState(
+        _ewma_alert_fn(every_us, alpha, spike_factor, min_count, max_gap_folds),
+        outputStructType=EWMA_ALERT_SCHEMA,
+        stateStructType=EWMA_ALERT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
