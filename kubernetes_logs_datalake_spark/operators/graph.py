@@ -63,7 +63,7 @@ def transition_edges(
             F.lag(F.col(state_col)).over(w).alias("src"),
             F.col(state_col).alias("dst"),
         )
-        .filter(F.col("src").isNotNull())
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
@@ -102,6 +102,13 @@ def pagerank(
         if weight_col is not None
         else F.lit(1.0)
     )
+    if weight_col is not None:
+        # a zero/negative-weight edge would poison the fraction table
+        # (0-out-weight node → 0/0 → NULL messages → silently lost rank
+        # mass); drop them up front — a node whose edges ALL drop
+        # becomes dangling (or leaves the graph if nothing references
+        # it), which is the Page-et-al semantics for "no usable links"
+        edges = edges.filter(w > 0)
     nodes = (
         edges.select(F.col(src_col).alias("node"))
         .union(edges.select(F.col(dst_col).alias("node")))

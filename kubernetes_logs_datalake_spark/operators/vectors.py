@@ -388,6 +388,8 @@ def pq_adc_topk(
     """
     from kubernetes_logs_datalake_spark.functions.vectors import literal_vector
 
+    if len(query) != dim:
+        raise ValueError(f"query dim {len(query)} != dim {dim}")
     if codebooks is None:
         codebooks = pq_codebooks(df, id_col, vec_col, dim, m, k, iters, scale)
     subdim = dim // m

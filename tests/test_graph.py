@@ -99,3 +99,30 @@ def test_transition_edges_tiebreak_is_stable(spark):
     out = transition_edges(df, "user", "ts", "state", tiebreak_col="eid")
     got = {(r["src"], r["dst"]) for r in out.collect()}
     assert got == {("a", "b"), ("b", "c")}
+
+
+def test_pagerank_drops_nonpositive_weight_edges(spark):
+    # a's only out-edge has weight 0 → dropped → a is dangling; mass
+    # must still sum to 1 (no silent NULL-message leak)
+    e = spark.createDataFrame(
+        [("a", "b", 0), ("b", "a", 1), ("c", "a", 2)], ["src", "dst", "n"]
+    )
+    out = {r["node"]: r["rank"] for r in pagerank(e, weight_col="n", iters=20).collect()}
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-6)
+    assert set(out) == {"a", "b", "c"}
+
+
+def test_transition_edges_null_states_dropped(spark):
+    rows = [("u", 1, "a"), ("u", 2, None), ("u", 3, "b")]
+    df = spark.createDataFrame(rows, ["user", "ts", "state"])
+    got = {(r["src"], r["dst"]) for r in transition_edges(df, "user", "ts", "state").collect()}
+    # NULL breaks the chain on both sides: no a→NULL, no NULL→b
+    assert got == set()
+
+
+def test_pq_adc_rejects_wrong_query_dim(spark):
+    from kubernetes_logs_datalake_spark.operators.vectors import pq_adc_topk
+
+    df = spark.createDataFrame([(1, [0.0] * 8)], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        pq_adc_topk(df, "vec_id", "embedding", [0.0] * 5, dim=8, m=2, k=1, iters=1)
