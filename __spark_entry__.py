@@ -3093,6 +3093,23 @@ def _ann_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _docs_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-accelerated benchmark decontamination: the eval set's
+    5-gram hashes packed into one Bloom literal kill clean train-side
+    grams inside codegen BEFORE the exact semi join — the 100 TB shape
+    for the same semantics. Lossless (FP-only pre-filter + exact
+    verify): the oracle is docs_decontaminate's own SQL, so the hash
+    match proves the pruning drops nothing."""
+    from kubernetes_logs_datalake_spark.operators.scrub import (
+        decontaminate_bloom,
+    )
+
+    d = _t(spark, sf, "documents")
+    eval_df = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate_bloom(train, eval_df, "doc_id", "text", n=5)
+
+
 def _docs_pretrain_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """The WHOLE curation pipeline as ONE declarative plan — the
     FineWeb/Gopher recipe end-to-end: quality gate → exact dedup →
@@ -3320,15 +3337,15 @@ def _events_pagerank(spark: SparkSession, sf: str) -> DataFrame:
 # ================================================================ registry
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
-# per round; 170 are registered, so the window is rotated each round to
+# per round; 171 are registered, so the window is rotated each round to
 # cycle coverage through every query. Through round 5, 134 of the 145
 # then-registered queries had at least one driver hash row; the 11
 # never-checked (9 late round-5 additions + ann_topk_lsh/ann_topk_ivf,
 # which gained oracles only after their last r3 driver check) lead this
 # window, followed by this round's additions. Still awaiting a first
-# driver row after this window runs: ann_recall_pq and
-# docs_pretrain_pipeline (added after the window filled; both
-# replica-green) and whatever r7 adds — they lead the r7 rotation
+# driver row after this window runs: ann_recall_pq,
+# docs_pretrain_pipeline, and docs_decontaminate_bloom (added after
+# the window filled; all replica-green) and whatever r7 adds — they lead the r7 rotation
 # together with the remaining r1/r2-vintage refreshes
 # (q8/q9/q11/q18, fuzzy_name_match, asof_purchase_click, knn_join).
 #
@@ -3593,6 +3610,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_pq": _ann_topk_pq,
         "ann_recall_pq": _ann_recall_pq,
         "docs_pretrain_pipeline": _docs_pretrain_pipeline,
+        "docs_decontaminate_bloom": _docs_decontaminate_bloom,
         "docs_source_report": _docs_source_report,
         "docs_clean_export": _docs_clean_export,
         "embedding_hard_negatives": _embedding_hard_negatives,
@@ -3987,7 +4005,7 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_nll_bits
             FROM j GROUP BY doc_id
     """
-    return {
+    out = {
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    {_s_dsum("CAST(l_quantity AS DECIMAL(12,4))", "sum_qty")},
@@ -5995,6 +6013,11 @@ def oracle_sql() -> dict[str, str]:
         # probes, and iterative k-means (unrolled CTEs) — is registered
         # above with a generated oracle.
     }
+    # the Bloom pre-filter is lossless (FP-only + exact verify), so its
+    # oracle IS the plain decontamination SQL — the hash match proves
+    # the pruning drops nothing (the jaccard_prefix pattern)
+    out["docs_decontaminate_bloom"] = out["docs_decontaminate"]
+    return out
 
 
 def _classifier_oracle_sql() -> str:

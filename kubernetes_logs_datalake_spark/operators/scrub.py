@@ -300,3 +300,61 @@ def k_anonymize_suppress(
         for c in df.columns
     ]
     return marked.select(*keep_cols)
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_hits: int = 1,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom pre-filter — the 100 TB shape.
+
+    The eval set's gram hashes are packed into ONE Bloom literal
+    (``operators.bloom``) that rides into the train-side scan: clean
+    grams — the overwhelming majority of a pretraining corpus — die
+    inside whole-stage codegen BEFORE the semi join, so the join (and
+    any exchange AQE picks for it) only sees grams that might match.
+    False positives only, and the survivors still go through the exact
+    semi join, so the output is IDENTICAL to :func:`decontaminate` —
+    which is therefore the oracle (the jaccard_prefix losslessness
+    pattern). Size ``num_bits`` ≈ 10× the eval gram count for ~1% FP.
+    """
+    from kubernetes_logs_datalake_spark.functions.text import shingles
+    from kubernetes_logs_datalake_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    def grams(df: DataFrame, with_id: bool):
+        cols = [F.col(id_col)] if with_id else []
+        g = df.select(
+            *cols, F.explode(shingles(text_col, n)).alias("_g")
+        ).select(*cols, F.md5("_g").alias("_h"))
+        return g.distinct()
+
+    eval_grams = grams(eval_df, with_id=False)
+    words = bloom_build(eval_grams, "_h", num_bits, num_hashes)
+    pruned = grams(train, with_id=True).filter(
+        bloom_might_contain(F.col("_h"), words, num_hashes, num_bits)
+    )
+    hits = (
+        pruned.join(eval_grams, "_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -285,3 +285,35 @@ def test_pretrain_pipeline_stage_monotonicity(spark):
     # calibration keeps the top half per source: overall keep rate of
     # that stage must be near 50% (ties/rounding move it slightly)
     assert n_pipe <= 0.62 * n_base
+
+
+def test_decontaminate_bloom_equals_exact_and_prunes(spark):
+    from kubernetes_logs_datalake_spark.operators.scrub import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    rows = [(0, "the quick brown fox jumps over the lazy dog today")]
+    rows += [(i, f"clean document number {i} with words w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(1, 40)]
+    rows.append((40, "the quick brown fox jumps over a fence"))  # shares 5-gram with doc 0
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ev = df.filter("doc_id = 0")
+    tr = df.filter("doc_id != 0")
+    exact = {tuple(r) for r in decontaminate(tr, ev, "doc_id", "text", n=5).collect()}
+    bloom = {tuple(r) for r in decontaminate_bloom(tr, ev, "doc_id", "text", n=5).collect()}
+    assert bloom == exact
+    assert (40, 2, True) in bloom  # planted: 2 shared 5-grams
+    # the pre-filter actually prunes: count grams surviving the bloom
+    from kubernetes_logs_datalake_spark.functions.text import shingles
+    from kubernetes_logs_datalake_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from pyspark.sql import functions as F
+
+    evg = ev.select(F.explode(shingles("text", 5)).alias("_g")).select(F.md5("_g").alias("_h")).distinct()
+    words = bloom_build(evg, "_h")
+    trg = tr.select(F.explode(shingles("text", 5)).alias("_g")).select(F.md5("_g").alias("_h"))
+    total = trg.count()
+    surviving = trg.filter(bloom_might_contain(F.col("_h"), words, 4, 1 << 20)).count()
+    assert surviving < 0.2 * total  # clean grams die before the join

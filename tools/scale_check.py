@@ -121,6 +121,7 @@ QUERIES = [
     "embedding_pq_codes",
     "ann_topk_pq",
     "docs_pretrain_pipeline",
+    "docs_decontaminate_bloom",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
