@@ -3107,7 +3107,9 @@ def _docs_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
     d = _t(spark, sf, "documents")
     eval_df = d.filter(F.col("doc_id") % 50 == 0)
     train = d.filter(F.col("doc_id") % 50 != 0)
-    return decontaminate_bloom(train, eval_df, "doc_id", "text", n=5)
+    return decontaminate_bloom(
+        train, eval_df, "doc_id", "text", n=5, num_bits=1 << 18
+    )
 
 
 def _docs_pretrain_pipeline(spark: SparkSession, sf: str) -> DataFrame:
