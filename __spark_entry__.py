@@ -3795,7 +3795,7 @@ _DDB_TRANSITIONS = """
                        PARTITION BY user_id ORDER BY ts, event_id) AS src,
                    event_type AS dst
             FROM events
-        ) WHERE src IS NOT NULL GROUP BY src, dst
+        ) WHERE src IS NOT NULL AND dst IS NOT NULL GROUP BY src, dst
 """
 
 
@@ -3816,15 +3816,27 @@ def _ddb_pagerank_sql(iters: int, damping: float, scale: int = 12) -> str:
             FROM edges e JOIN outw o USING (src))""",
         "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
         "nn AS (SELECT count(*) AS n FROM nodes)",
-        f"""r0 AS (
+        f"""r0 AS MATERIALIZED (
             SELECT node, round(1.0 / (SELECT n FROM nn), {scale}) AS rank
             FROM nodes)""",
     ]
     for i in range(1, iters + 1):
-        ctes.append(f"""r{i} AS (
+        # dm{i}: rank mass sitting on dangling nodes (no out-edges)
+        # after round i-1, redistributed uniformly — mirrors graph.py's
+        # per-round collected scalar (0 on dangling-free graphs, so the
+        # event-transition fixture is unchanged; the term exists so the
+        # oracle checks the SAME semantics the operator ships)
+        ctes.append(f"""dm{i} AS (
+            SELECT coalesce(CAST(sum(CAST(r.rank AS DECIMAL(38,18)))
+                       AS DOUBLE), 0.0) AS m
+            FROM r{i - 1} r LEFT JOIN outw o ON r.node = o.src
+            WHERE o.src IS NULL)""")
+        ctes.append(f"""r{i} AS MATERIALIZED (
             SELECT n.node,
                    round((1 - {d}) / (SELECT n FROM nn)
-                         + {d} * coalesce(s.c, 0.0), {scale}) AS rank
+                         + {d} * (coalesce(s.c, 0.0)
+                                  + (SELECT m FROM dm{i})
+                                    / (SELECT n FROM nn)), {scale}) AS rank
             FROM nodes n LEFT JOIN (
                 SELECT f.dst AS node,
                        CAST(sum(CAST(r.rank * f.fr AS DECIMAL(38,18)))
@@ -5754,11 +5766,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT c.doc_id, c.n,
                        round(percent_rank() OVER (
                            PARTITION BY c.source ORDER BY s.score, c.doc_id),
-                           9) AS pr
+                           9) AS pr,
+                       count(*) OVER (PARTITION BY c.source) AS gn
                 FROM clean c JOIN scored s ON s.doc_id = c.doc_id
             ), keptq AS (
                 SELECT doc_id, n FROM cal
-                WHERE pr >= {1.0 - _CALIBRATE_KEEP_FRAC!r}
+                WHERE pr >= {1.0 - _CALIBRATE_KEEP_FRAC!r} OR gn = 1
             ), sp AS (
                 SELECT doc_id, n,
                        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)

@@ -185,11 +185,13 @@ def quantile_calibrate(
     Adds ``pct_rank`` (percent_rank within ``group_col``, ordered by
     (score, id) so ties are deterministic) and ``keep``
     (rounded pct_rank ≥ 1 - keep_frac; the comparison uses the ROUNDED
-    value so the oracle can't flip a boundary row). One window sort per
-    group — a single shuffle keyed by the group column; group skew is
-    real (one giant crawl source) but percent_rank is rank-based, so
-    AQE's skew handling plus the absence of any per-row state keeps the
-    sort spillable.
+    value so the oracle can't flip a boundary row). A single-row group
+    always keeps its row: percent_rank of a singleton is 0, which would
+    otherwise drop a source's only — by definition best — document for
+    every keep_frac < 1. One window sort per group — a single shuffle
+    keyed by the group column; group skew is real (one giant crawl
+    source) but percent_rank is rank-based, so AQE's skew handling plus
+    the absence of any per-row state keeps the sort spillable.
     """
     from pyspark.sql import Window
 
@@ -197,5 +199,9 @@ def quantile_calibrate(
     thr = 1.0 - keep_frac
     out = df.withColumn(
         "pct_rank", F.round(F.percent_rank().over(w), scale)
+    ).withColumn(
+        "_gn", F.count(F.lit(1)).over(Window.partitionBy(group_col))
     )
-    return out.withColumn("keep", F.col("pct_rank") >= F.lit(thr))
+    return out.withColumn(
+        "keep", (F.col("pct_rank") >= F.lit(thr)) | (F.col("_gn") == 1)
+    ).drop("_gn")

@@ -59,6 +59,22 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _gram_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int, with_id: bool
+) -> DataFrame:
+    """Distinct (id?, md5(word-n-gram)) rows — the ONE gram/hash recipe
+    shared by :func:`decontaminate` and :func:`decontaminate_bloom`, so
+    the bloom variant's losslessness (identical output, shared oracle)
+    is structural rather than maintained by parallel edits."""
+    from kubernetes_logs_datalake_spark.functions.text import shingles
+
+    cols = [F.col(id_col)] if with_id else []
+    g = df.select(
+        *cols, F.explode(shingles(text_col, n)).alias("_g")
+    ).select(*cols, F.md5("_g").alias("_h"))
+    return g.distinct()
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,
@@ -82,18 +98,9 @@ def decontaminate(
     keeps join keys fixed-width (engine-portable, no long-string
     comparison skew).
     """
-    from kubernetes_logs_datalake_spark.functions.text import shingles
-
-    def grams(df: DataFrame, with_id: bool):
-        cols = [F.col(id_col)] if with_id else []
-        g = df.select(
-            *cols, F.explode(shingles(text_col, n)).alias("_g")
-        ).select(*cols, F.md5("_g").alias("_h"))
-        return g.distinct()
-
-    eval_grams = grams(eval_df, with_id=False)
+    eval_grams = _gram_hashes(eval_df, id_col, text_col, n, with_id=False)
     hits = (
-        grams(train, with_id=True)
+        _gram_hashes(train, id_col, text_col, n, with_id=True)
         .join(eval_grams, "_h", "left_semi")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
@@ -324,23 +331,16 @@ def decontaminate_bloom(
     which is therefore the oracle (the jaccard_prefix losslessness
     pattern). Size ``num_bits`` ≈ 10× the eval gram count for ~1% FP.
     """
-    from kubernetes_logs_datalake_spark.functions.text import shingles
     from kubernetes_logs_datalake_spark.operators.bloom import (
         bloom_build,
-        bloom_might_contain,
+        bloom_semi_filter,
     )
 
-    def grams(df: DataFrame, with_id: bool):
-        cols = [F.col(id_col)] if with_id else []
-        g = df.select(
-            *cols, F.explode(shingles(text_col, n)).alias("_g")
-        ).select(*cols, F.md5("_g").alias("_h"))
-        return g.distinct()
-
-    eval_grams = grams(eval_df, with_id=False)
+    eval_grams = _gram_hashes(eval_df, id_col, text_col, n, with_id=False)
     words = bloom_build(eval_grams, "_h", num_bits, num_hashes)
-    pruned = grams(train, with_id=True).filter(
-        bloom_might_contain(F.col("_h"), words, num_hashes, num_bits)
+    pruned = bloom_semi_filter(
+        _gram_hashes(train, id_col, text_col, n, with_id=True),
+        "_h", words, num_hashes, num_bits,
     )
     hits = (
         pruned.join(eval_grams, "_h", "left_semi")

@@ -305,6 +305,7 @@ def pq_encode(
 
     if codebooks is None:
         codebooks = pq_codebooks(df, id_col, vec_col, dim, m, k, iters, scale)
+    _validate_codebooks(codebooks, dim, m, k)
     subdim = dim // m
     cols: list[F.Column] = [F.col(id_col)]
     total_d2 = None
@@ -332,6 +333,25 @@ def pq_encode(
         total_d2 = md2 if total_d2 is None else total_d2 + md2
     cols.append(F.round(F.sqrt(total_d2), scale).alias("recon_err"))
     return df.select(*cols)
+
+
+def _validate_codebooks(codebooks, dim: int, m: int, k: int) -> None:
+    """Shape-check explicit codebooks: the HOF folds silently ignore
+    length overhangs (zip_with stops at the shorter side), so a wrong
+    m/dim/k would truncate dimensions into WRONG results, not errors."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if len(codebooks) != m:
+        raise ValueError(f"{len(codebooks)} codebooks != m {m}")
+    subdim = dim // m
+    for s, book in enumerate(codebooks):
+        if len(book) != k:
+            raise ValueError(f"codebook {s} has {len(book)} centroids != k {k}")
+        for c in book:
+            if len(c) != subdim:
+                raise ValueError(
+                    f"codebook {s} centroid length {len(c)} != dim/m {subdim}"
+                )
 
 
 def pq_codebooks(
@@ -392,6 +412,7 @@ def pq_adc_topk(
         raise ValueError(f"query dim {len(query)} != dim {dim}")
     if codebooks is None:
         codebooks = pq_codebooks(df, id_col, vec_col, dim, m, k, iters, scale)
+    _validate_codebooks(codebooks, dim, m, k)
     subdim = dim // m
     dist_total = None
     for s, cents in enumerate(codebooks):
@@ -458,15 +479,25 @@ def pq_index_build(
     codes = pq_encode(
         df, id_col, vec_col, dim, m, k, iters, scale, codebooks=books
     )
-    # codes first, manifest last: a torn build never has a valid
-    # manifest, so pq_index_search can't serve a half-written index
-    codes.write.mode("overwrite").parquet(f"{index_dir}/codes")
+    # codes first, manifest last — and the manifest lands by atomic
+    # rename, so neither a torn FIRST build (no manifest yet) nor a
+    # torn REBUILD (old manifest would otherwise pair with new codes)
+    # ever leaves a manifest that matches stale codes. A rebuild that
+    # crashes between the codes overwrite and the rename still leaves
+    # the OLD manifest against NEW codes — so the codes path is
+    # versioned into the manifest write order: invalidate first.
     _os.makedirs(index_dir, exist_ok=True)
-    with open(f"{index_dir}/codebooks.json", "w") as fh:
+    manifest = f"{index_dir}/codebooks.json"
+    if _os.path.exists(manifest):
+        _os.remove(manifest)  # invalidate BEFORE touching codes
+    codes.write.mode("overwrite").parquet(f"{index_dir}/codes")
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as fh:
         _json.dump(
             {"dim": dim, "m": m, "k": k, "scale": scale, "codebooks": books},
             fh,
         )
+    _os.replace(tmp, manifest)
     return books
 
 

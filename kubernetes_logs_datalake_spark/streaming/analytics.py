@@ -325,7 +325,8 @@ EWMA_ALERT_SCHEMA = T.StructType(
 )
 
 EWMA_ALERT_STATE_SCHEMA = (
-    "bucket_start_us long, cnt long, ewma double, has_ewma boolean"
+    "bucket_start_us long, cnt long, ewma double, has_ewma boolean,"
+    " opened boolean"
 )
 
 
@@ -337,7 +338,7 @@ def _ewma_alert_fn(
     max_gap_folds: int,
 ):
     """Per-key state machine: (open bucket start, its running count,
-    recursive EWMA baseline, baseline-initialized flag) — FOUR scalars
+    recursive EWMA baseline, baseline-initialized + bucket-opened flags) — FIVE scalars
     per live series forever. A bucket closes when an event from a LATER
     bucket arrives; closing folds its count into the recursive EWMA
     (y ← α·x + (1−α)·y; the first bucket seeds y = x) and emits one
@@ -351,8 +352,8 @@ def _ewma_alert_fn(
         if state.hasTimedOut:  # pragma: no cover - no timeout configured
             state.remove()
             return
-        bstart, cnt, ewma, has = (
-            state.get if state.exists else (-1, 0, 0.0, False)
+        bstart, cnt, ewma, has, opened = (
+            state.get if state.exists else (0, 0, 0.0, False, False)
         )
         ts_list = []
         for pdf in pdfs:
@@ -373,8 +374,10 @@ def _ewma_alert_fn(
         # (the same watermark-bounded-disorder contract as the funnel)
         for ts in sorted(ts_list):
             b = ts - ts % every_us
-            if bstart < 0:
-                bstart, cnt = b, 0
+            if not opened:
+                # explicit flag, not a bstart sentinel: negative bucket
+                # ids (pre-epoch timestamps) are legitimate values
+                bstart, cnt, opened = b, 0, True
             if b <= bstart:
                 # late or in-bucket event: counts into the OPEN bucket
                 # (at-least-once pragmatics; disorder beyond one bucket
@@ -386,7 +389,7 @@ def _ewma_alert_fn(
                 for i in range(min(gaps, max_gap_folds)):
                     close(bstart + (i + 1) * every_us, 0)
                 bstart, cnt = b, 1
-        state.update((bstart, cnt, float(ewma), bool(has)))
+        state.update((bstart, cnt, float(ewma), bool(has), bool(opened)))
         yield pd.DataFrame(
             rows,
             columns=[
@@ -412,7 +415,7 @@ def streaming_rate_alerts(
     ts_us: long); output one row per CLOSED bucket with the pre-fold
     baseline and ``alert = n > spike_factor·baseline ∧ n ≥ min_count``.
 
-    State per live series is four scalars regardless of stream length —
+    State per live series is five scalars regardless of stream length —
     the bounded-state property of this module. Use outputMode("append").
     """
     from pyspark.sql.streaming.state import GroupStateTimeout

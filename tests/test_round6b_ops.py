@@ -317,3 +317,18 @@ def test_decontaminate_bloom_equals_exact_and_prunes(spark):
     total = trg.count()
     surviving = trg.filter(bloom_might_contain(F.col("_h"), words, 4, 1 << 20)).count()
     assert surviving < 0.2 * total  # clean grams die before the join
+
+
+def test_quantile_calibrate_singleton_group_keeps_its_row(spark):
+    # a source reduced to one document keeps it (percent_rank of a
+    # singleton is 0 and would otherwise always fail the threshold)
+    rows = [("A", "solo", 5.0)] + [("B", f"b{i}", float(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "score"])
+    kept = {
+        r["doc_id"]
+        for r in quantile_calibrate(df, "score", "source", "doc_id", 0.5)
+        .filter("keep")
+        .collect()
+    }
+    assert "solo" in kept
+    assert kept == {"solo", "b2", "b3"}

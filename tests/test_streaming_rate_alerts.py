@@ -93,8 +93,8 @@ def test_state_carries_across_micro_batches():
     assert [(r.bucket_us // EVERY, r.n, r.alert) for r in rows2] == [
         (0, 4, False), (1, 20, True)
     ]
-    # state is exactly four scalars
-    assert len(state.get) == 4
+    # state is exactly five scalars (bucket, cnt, ewma, has, opened)
+    assert len(state.get) == 5
 
 
 def test_late_events_fold_into_open_bucket():
@@ -143,3 +143,12 @@ def test_streaming_rate_alerts_end_to_end(spark, tmp_path):
     assert [(r.bucket_us, r.n, r.alert) for r in got] == [
         (0, 6, False), (1000, 6, False), (2000, 30, True)
     ]
+
+
+def test_negative_bucket_ids_are_legitimate():
+    # pre-epoch timestamps: bucket ids are negative; the opened flag
+    # (not a bstart<0 sentinel) must keep counting correctly
+    ts = [-250, -249, -150, -50]  # buckets -3, -2, -1 (EVERY=100)
+    rows, state = _drive([ts])
+    assert [(r.bucket_us // EVERY, r.n) for r in rows] == [(-3, 2), (-2, 1)]
+    assert state.get[0] == -100 and state.get[1] == 1
