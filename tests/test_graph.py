@@ -126,3 +126,42 @@ def test_pq_adc_rejects_wrong_query_dim(spark):
     df = spark.createDataFrame([(1, [0.0] * 8)], ["vec_id", "embedding"])
     with pytest.raises(ValueError):
         pq_adc_topk(df, "vec_id", "embedding", [0.0] * 5, dim=8, m=2, k=1, iters=1)
+
+
+def test_pagerank_oracle_matches_on_dangling_graph(spark):
+    """The generated DuckDB oracle's dangling-mass CTEs are untested by
+    the driver fixture (its event graph has no dangling nodes); this
+    pins oracle == operator on a graph where the terminal state 'end'
+    only ever appears as a destination."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    rows = []
+    eid = 0
+    for u in range(6):
+        for i, et in enumerate(["start", "mid", "end"]):
+            rows.append((eid, u, et, i))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "t"])
+    edges = transition_edges(df, "user_id", "t", "event_type", tiebreak_col="event_id")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges, weight_col="n_transitions", iters=10, damping=0.85
+        ).collect()
+    }
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        + ",".join(
+            f"({i},{u},'{t}',TIMESTAMP '2024-01-01' + INTERVAL ({k}) SECOND)"
+            for i, u, t, k in rows
+        )
+        + ") v(event_id, user_id, event_type, ts)"
+    )
+    sql = e._ddb_pagerank_sql(10, 0.85)
+    oracle = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    assert oracle == got
