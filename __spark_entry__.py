@@ -3221,6 +3221,32 @@ def _ann_recall_pq(spark: SparkSession, sf: str) -> DataFrame:
 _EWMA_ALPHA, _EWMA_HORIZON = 0.3, 12
 
 
+_LPA_SEEDS = [("signup", "acquisition"), ("purchase", "revenue")]
+_LPA_ITERS = 5
+
+
+def _events_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-supervised label propagation over the event-type transition
+    graph: two seed labels spread by weighted neighbor vote (clamped
+    seeds, min-label tie-break) — the community/label-inference member
+    of the graph family, same unrolled-round oracle recipe as
+    PageRank's. Exact integer weight sums, so no decimal recipe is
+    needed for parity."""
+    from kubernetes_logs_datalake_spark.operators.graph import (
+        label_propagation,
+        transition_edges,
+    )
+
+    e = _t(spark, sf, "events")
+    edges = transition_edges(
+        e, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    )
+    seeds = spark.createDataFrame(_LPA_SEEDS, ["node", "label"])
+    return label_propagation(
+        edges, seeds, weight_col="n_transitions", iters=_LPA_ITERS
+    ).select("node", "label")
+
+
 def _events_ewma_hourly(spark: SparkSession, sf: str) -> DataFrame:
     """Truncated-EWMA smoothing of each event type's hourly count
     series (α=0.3, 12-lag horizon — tail weight <1%): the drift
@@ -3339,14 +3365,15 @@ def _events_pagerank(spark: SparkSession, sf: str) -> DataFrame:
 # ================================================================ registry
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
-# per round; 171 are registered, so the window is rotated each round to
+# per round; 172 are registered, so the window is rotated each round to
 # cycle coverage through every query. Through round 5, 134 of the 145
 # then-registered queries had at least one driver hash row; the 11
 # never-checked (9 late round-5 additions + ann_topk_lsh/ann_topk_ivf,
 # which gained oracles only after their last r3 driver check) lead this
 # window, followed by this round's additions. Still awaiting a first
 # driver row after this window runs: ann_recall_pq,
-# docs_pretrain_pipeline, and docs_decontaminate_bloom (added after
+# docs_pretrain_pipeline, docs_decontaminate_bloom, and
+# events_label_propagation (added after
 # the window filled; all replica-green) and whatever r7 adds — they lead the r7 rotation
 # together with the remaining r1/r2-vintage refreshes
 # (q8/q9/q11/q18, fuzzy_name_match, asof_purchase_click, knn_join).
@@ -3606,6 +3633,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_transitions": _events_markov_transitions,
         "events_pagerank": _events_pagerank,
         "events_ewma_hourly": _events_ewma_hourly,
+        "events_label_propagation": _events_label_propagation,
         "docs_quality_calibrated": _docs_quality_calibrated,
         "docs_tokenizer_fertility": _docs_tokenizer_fertility,
         "embedding_pq_codes": _embedding_pq_codes,
@@ -3929,6 +3957,41 @@ def _ddb_pq_adc_sql(
         ORDER BY adc_dist, s0.vec_id
         LIMIT {topk}
     """
+
+
+def _ddb_lpa_sql(iters: int) -> str:
+    """Mirrors _events_label_propagation: symmetrized transition edges,
+    clamped VALUES seeds, and one MATERIALIZED CTE per round (same
+    argmax ordering: weight DESC, label ASC)."""
+    seeds = ", ".join(f"('{n}', '{l}')" for n, l in _LPA_SEEDS)
+    ctes = [
+        f"pairs AS ({_DDB_TRANSITIONS})",
+        """sym AS (
+            SELECT src AS s, dst AS d, n_transitions AS w FROM pairs
+            UNION ALL
+            SELECT dst, src, n_transitions FROM pairs)""",
+        "nodes AS (SELECT s AS node FROM sym UNION SELECT d FROM sym)",
+        f"seeds AS (SELECT * FROM (VALUES {seeds}) v(node, label))",
+        """l0 AS MATERIALIZED (
+            SELECT n.node, s.label FROM nodes n
+            LEFT JOIN seeds s ON s.node = n.node)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""l{i} AS MATERIALIZED (
+            SELECT n.node, coalesce(sd.label, c.label) AS label
+            FROM nodes n
+            LEFT JOIN seeds sd ON sd.node = n.node
+            LEFT JOIN (
+                SELECT d AS node, label FROM (
+                    SELECT e.d, l.label, sum(e.w) AS ws,
+                           row_number() OVER (
+                               PARTITION BY e.d
+                               ORDER BY sum(e.w) DESC, l.label) AS rk
+                    FROM sym e JOIN l{i - 1} l ON e.s = l.node
+                    WHERE l.label IS NOT NULL
+                    GROUP BY e.d, l.label)
+                WHERE rk = 1) c ON c.node = n.node)""")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, label FROM l{iters}"
 
 
 def _ddb_ewma_hourly_sql() -> str:
@@ -5974,6 +6037,7 @@ def oracle_sql() -> dict[str, str]:
             _PAGERANK_ITERS, _PAGERANK_DAMPING
         ),
         "events_ewma_hourly": _ddb_ewma_hourly_sql(),
+        "events_label_propagation": _ddb_lpa_sql(_LPA_ITERS),
         "embedding_pq_codes": _ddb_pq_sql(
             _PQ_M, _PQ_K, _PQ_ITERS, EMBEDDING_DIM
         ),

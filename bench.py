@@ -120,6 +120,7 @@ HEADLINE = [
     "ann_topk_pq",
     "docs_pretrain_pipeline",
     "docs_decontaminate_bloom",
+    "events_label_propagation",
     # docs_bpe_merges/docs_bpe_tokens are deliberately NOT benched: 20
     # sequential merge iterations have a fixed ~0.6 s/iteration action-
     # latency floor in local mode that measures the scheduler, not the

@@ -189,3 +189,89 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    label_col: str = "label",
+    iters: int = 5,
+    symmetric: bool = True,
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002 /
+    Raghavan et al. 2007, the clamped variant): seed nodes carry fixed
+    labels; every round each node adopts the label with the largest
+    incoming edge-weight total among its labeled neighbors (ties break
+    to the lexicographically smallest label — deterministic). Nodes
+    never reached by a labeled path stay NULL.
+
+    ``seeds`` is (node, label). With ``symmetric`` (default) edges
+    message both directions, the usual community semantics; weights are
+    summed as exact integers/longs when the weight column is integral
+    (the transition-count graph), so no decimal dance is needed for
+    engine parity — and the oracle unrolls the rounds into MATERIALIZED
+    CTEs exactly like PageRank's.
+
+    Per-round plan: one (src=node) hash join to the label frame, one
+    (dst, label)-keyed partial agg, one dst-partitioned window for the
+    argmax, one left join back to nodes — label state is |nodes| rows,
+    lineage truncated per round by localCheckpoint. Same 100 TB posture
+    as :func:`pagerank`: everything keyed on node ids, zero driver
+    traffic.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        F.col(weight_col)
+        if weight_col is not None
+        else F.lit(1)
+    )
+    base = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"), w.alias("_w")
+    )
+    if symmetric:
+        base = base.union(
+            base.select(
+                F.col("_d").alias("_s"), F.col("_s").alias("_d"), "_w"
+            )
+        )
+    base = base.localCheckpoint(eager=False)
+    nodes = (
+        base.select(F.col("_s").alias("node"))
+        .union(base.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seed = seeds.select(
+        F.col(seeds.columns[0]).alias("node"),
+        F.col(label_col).alias("_seed"),
+    )
+    labels = nodes.join(seed, "node", "left").select(
+        "node", F.col("_seed").alias("label")
+    )
+    rk = Window.partitionBy("_d").orderBy(F.desc("_ws"), F.asc("label"))
+    for _ in range(iters):
+        lab = labels.filter(F.col("label").isNotNull()).select(
+            F.col("node").alias("_ln"), "label"
+        )
+        cand = (
+            base.join(lab, base["_s"] == F.col("_ln"))
+            .groupBy("_d", "label")
+            .agg(F.sum("_w").alias("_ws"))
+            .withColumn("_rk", F.row_number().over(rk))
+            .filter(F.col("_rk") == 1)
+            .select(F.col("_d").alias("node"), F.col("label").alias("_cand"))
+        )
+        labels = (
+            nodes.join(cand, "node", "left")
+            .join(seed, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_seed"), F.col("_cand")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

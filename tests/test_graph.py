@@ -165,3 +165,58 @@ def test_pagerank_oracle_matches_on_dangling_graph(spark):
     sql = e._ddb_pagerank_sql(10, 0.85)
     oracle = {r[0]: r[1] for r in con.execute(sql).fetchall()}
     assert oracle == got
+
+
+def _lpa(spark, edges_rows, seeds_rows, **kw):
+    from kubernetes_logs_datalake_spark.operators.graph import label_propagation
+
+    e = spark.createDataFrame(edges_rows, ["src", "dst", "n"])
+    s = spark.createDataFrame(seeds_rows, ["node", "label"])
+    out = label_propagation(e, s, weight_col="n", **kw)
+    return {r["node"]: r["label"] for r in out.collect()}
+
+
+def test_label_propagation_two_communities(spark):
+    # two triangles bridged by one weak edge; one seed per side
+    edges = [
+        ("a", "b", 5), ("b", "c", 5), ("c", "a", 5),
+        ("x", "y", 5), ("y", "z", 5), ("z", "x", 5),
+        ("c", "x", 1),
+    ]
+    got = _lpa(spark, edges, [("a", "L"), ("x", "R")], iters=5)
+    assert got == {"a": "L", "b": "L", "c": "L", "x": "R", "y": "R", "z": "R"}
+
+
+def test_label_propagation_seeds_are_clamped(spark):
+    # a surrounded by R-labeled neighbors keeps its seed label
+    edges = [("a", "x", 9), ("a", "y", 9)]
+    got = _lpa(spark, edges, [("a", "L"), ("x", "R"), ("y", "R")], iters=4)
+    assert got["a"] == "L"
+
+
+def test_label_propagation_unreachable_stays_null(spark):
+    edges = [("a", "b", 1), ("c", "d", 1)]
+    got = _lpa(spark, edges, [("a", "L")], iters=3)
+    assert got["b"] == "L"
+    assert got["c"] is None and got["d"] is None
+
+
+def test_label_propagation_tie_breaks_to_smallest_label(spark):
+    # b hears A and B with equal weight: deterministic min-label win
+    edges = [("a1", "b", 3), ("a2", "b", 3)]
+    got = _lpa(spark, edges, [("a1", "B"), ("a2", "A")], iters=2)
+    assert got["b"] == "A"
+
+
+def test_label_propagation_deterministic_across_partitionings(spark):
+    from kubernetes_logs_datalake_spark.operators.graph import label_propagation
+
+    edges = [(f"n{i}", f"n{(i * 3 + 1) % 17}", (i % 4) + 1) for i in range(40)]
+    e1 = spark.createDataFrame(edges, ["src", "dst", "n"])
+    s = spark.createDataFrame([("n0", "P"), ("n9", "Q")], ["node", "label"])
+    a = {r["node"]: r["label"] for r in label_propagation(e1, s, weight_col="n").collect()}
+    b = {
+        r["node"]: r["label"]
+        for r in label_propagation(e1.repartition(7), s, weight_col="n").collect()
+    }
+    assert a == b

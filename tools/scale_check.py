@@ -122,6 +122,7 @@ QUERIES = [
     "ann_topk_pq",
     "docs_pretrain_pipeline",
     "docs_decontaminate_bloom",
+    "events_label_propagation",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
