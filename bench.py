@@ -13,7 +13,9 @@ heavyweight queries with BIT-IDENTICAL plans and small intra-run spread
 1.1 s within a run, zero plan diffs, no code change in the operator's
 path) — page-cache/thermal state, not regressions. A real plan
 regression shows up in the PLAN_AUDIT diff; a uniform shift across
-unrelated queries is the box.
+unrelated queries is the box. (Confirmed same-day: four runs of this
+suite measured 116 → 121 → 124 → 97 s with zero code changes to the
+common queries in between.)
 """
 
 from __future__ import annotations
