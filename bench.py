@@ -123,6 +123,7 @@ HEADLINE = [
     "docs_pretrain_pipeline",
     "docs_decontaminate_bloom",
     "events_label_propagation",
+    "events_seasonal_anomaly",
     # docs_bpe_merges/docs_bpe_tokens are deliberately NOT benched: 20
     # sequential merge iterations have a fixed ~0.6 s/iteration action-
     # latency floor in local mode that measures the scheduler, not the

@@ -123,6 +123,7 @@ QUERIES = [
     "docs_pretrain_pipeline",
     "docs_decontaminate_bloom",
     "events_label_propagation",
+    "events_seasonal_anomaly",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
