@@ -332,3 +332,40 @@ def test_quantile_calibrate_singleton_group_keeps_its_row(spark):
     }
     assert "solo" in kept
     assert kept == {"solo", "b2", "b3"}
+
+
+def test_dedup_savings_consistency_with_components(spark):
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    comp = e.queries()["dedup_components"](spark, sf)
+    rep = e.queries()["docs_dedup_savings"](spark, sf).collect()
+    # histogram totals must reconcile with the raw components result
+    n_nodes = comp.count()
+    n_groups = comp.select("keep_id").distinct().count()
+    assert sum(r["n_docs"] for r in rep) == n_nodes
+    assert sum(r["n_clusters"] for r in rep) == n_groups
+    assert sum(r["n_docs_removable"] for r in rep) == n_nodes - n_groups
+    for r in rep:
+        assert r["cluster_size"] >= 2  # components only contain paired docs
+        assert r["chars_removable"] > 0
+
+
+def test_seasonal_anomaly_semantics(spark):
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    rows = e.queries()["events_seasonal_anomaly"](spark, sf).collect()
+    assert rows
+    from collections import defaultdict
+
+    series = defaultdict(list)
+    for r in rows:
+        assert r["hod"] == (r["bucket_us"] // 3_600_000_000) % 24
+        series[(r["event_type"], r["hod"])].append(r)
+    for (et, hod), grp in series.items():
+        # the baseline is the group's own mean count
+        mean = sum(g["n"] for g in grp) / len(grp)
+        assert grp[0]["baseline"] == pytest.approx(mean, abs=1e-6)
+        for g in grp:
+            assert g["is_anomaly"] == (g["ratio"] >= 2.0)
