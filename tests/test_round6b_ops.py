@@ -369,3 +369,39 @@ def test_seasonal_anomaly_semantics(spark):
         assert grp[0]["baseline"] == pytest.approx(mean, abs=1e-6)
         for g in grp:
             assert g["is_anomaly"] == (g["ratio"] >= 2.0)
+
+
+def test_pq_index_rebuild_serves_new_data(spark, tmp_path):
+    import random
+
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        pq_adc_topk,
+        pq_index_build,
+        pq_index_search,
+    )
+
+    rng = random.Random(7)
+
+    def corpus(offset):
+        return [
+            (offset + i, [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(40)
+        ]
+
+    idx = str(tmp_path / "idx")
+    q = [0.5] * 8
+    df1 = spark.createDataFrame(corpus(0), ["vec_id", "embedding"])
+    pq_index_build(df1, "vec_id", "embedding", idx, dim=8, m=2, k=4, iters=2)
+    first = [r["vec_id"] for r in pq_index_search(spark, idx, q, topk=5).collect()]
+    assert all(v < 100 for v in first)
+
+    # REBUILD with disjoint ids: the invalidate-first + atomic-rename
+    # order must leave a manifest that matches the new codes
+    df2 = spark.createDataFrame(corpus(1000), ["vec_id", "embedding"])
+    pq_index_build(df2, "vec_id", "embedding", idx, dim=8, m=2, k=4, iters=2)
+    served = pq_index_search(spark, idx, q, topk=5).collect()
+    assert all(r["vec_id"] >= 1000 for r in served)
+    direct = pq_adc_topk(
+        df2, "vec_id", "embedding", q, dim=8, m=2, k=4, iters=2, topk=5
+    ).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in direct]
