@@ -3446,7 +3446,7 @@ def _events_pagerank(spark: SparkSession, sf: str) -> DataFrame:
 # which gained oracles only after their last r3 driver check) lead this
 # window, followed by this round's additions. Still awaiting a first
 # driver row after this window runs: ann_recall_pq,
-# docs_pretrain_pipeline, docs_decontaminate_bloom, and
+# docs_pretrain_pipeline, docs_decontaminate_bloom,
 # events_label_propagation, docs_dedup_savings, and
 # events_seasonal_anomaly (added after
 # the window filled; all replica-green) and whatever r7 adds — they lead the r7 rotation
