@@ -6192,15 +6192,18 @@ def oracle_sql() -> dict[str, str]:
             FROM bf JOIN ap USING (vec_id)
         """,
         "docs_quality_calibrated": f"""
-            WITH scored AS ({_classifier_oracle_sql()})
-            SELECT s.doc_id, d.source, s.score,
-                   round(percent_rank() OVER (
-                       PARTITION BY d.source ORDER BY s.score, s.doc_id),
-                       9) AS pct_rank,
-                   round(percent_rank() OVER (
-                       PARTITION BY d.source ORDER BY s.score, s.doc_id),
-                       9) >= {1.0 - _CALIBRATE_KEEP_FRAC!r} AS keep
-            FROM scored s JOIN documents d USING (doc_id)
+            WITH scored AS ({_classifier_oracle_sql()}),
+            cal AS (
+                SELECT s.doc_id, d.source, s.score,
+                       round(percent_rank() OVER (
+                           PARTITION BY d.source ORDER BY s.score, s.doc_id),
+                           9) AS pct_rank,
+                       count(*) OVER (PARTITION BY d.source) AS gn
+                FROM scored s JOIN documents d USING (doc_id))
+            SELECT doc_id, source, score, pct_rank,
+                   pct_rank >= {1.0 - _CALIBRATE_KEEP_FRAC!r} OR gn = 1
+                       AS keep
+            FROM cal
         """,
         "docs_tokenizer_fertility": f"""
             WITH per_doc AS (
@@ -6686,9 +6689,11 @@ def _ddb_table_profile_sql() -> str:
         if kind == "num":
             mn = f"round(CAST(min({name}) AS DOUBLE), 6)"
             mx = f"round(CAST(max({name}) AS DOUBLE), 6)"
-        elif kind == "ts":
-            mn = f"CAST(epoch_us(min({name})) AS DOUBLE)"
-            mx = f"CAST(epoch_us(max({name})) AS DOUBLE)"
+        elif kind in ("ts", "date"):
+            # DATE mirrors the operator's cast-to-timestamp (midnight
+            # UTC) epoch-µs extrema
+            mn = f"CAST(epoch_us(CAST(min({name}) AS TIMESTAMP)) AS DOUBLE)"
+            mx = f"CAST(epoch_us(CAST(max({name}) AS TIMESTAMP)) AS DOUBLE)"
         else:
             mn = mx = "CAST(NULL AS DOUBLE)"
         parts.append(f"""

@@ -31,6 +31,7 @@ Hashing comes in two families:
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -928,9 +929,15 @@ def jaccard_prefix_join(
     filtering is LOSSLESS, so the brute-force Jaccard SQL is the
     oracle, not a re-derivation.
 
-    ⌈t·s⌉ is computed in integer arithmetic over basis points
-    (threshold rounded to 4 dp) — a float ceil at exactly t·s integral
-    would overshoot and silently drop true pairs.
+    ⌈t·s⌉ is computed in integer arithmetic over basis points, with the
+    threshold rounded TOWARD ZERO to 4 dp — a float ceil at exactly t·s
+    integral would overshoot, and rounding the threshold UP (e.g.
+    2/3 → 0.6667) would shorten the prefix below the lossless PPJoin
+    bound and silently drop true pairs with jaccard in
+    [t, round(t)). Flooring can only lengthen the prefix (more
+    candidates, never fewer), so losslessness is preserved for every
+    caller-supplied threshold; the final filter still uses the exact
+    raw threshold.
 
     Plan: df count (vocab-keyed agg) → per-doc rank window → prefix
     index equi-join → candidate pairs → one verification join computing
@@ -964,7 +971,7 @@ def jaccard_prefix_join(
         )
         .withColumn("_sz", F.count("*").over(Window.partitionBy("_id")))
     )
-    tbp = round(threshold * 10_000)
+    tbp = math.floor(threshold * 10_000)
     req = F.floor((F.lit(tbp) * F.col("_sz") + F.lit(9_999)) / F.lit(10_000))
     prefix = ranked.filter(F.col("_rk") <= F.col("_sz") - req + 1)
     a = prefix.select(F.col("_id").alias("id_a"), "shingle")

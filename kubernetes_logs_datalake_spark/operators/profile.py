@@ -227,8 +227,8 @@ def table_profile(df: DataFrame, scale: int = 6) -> DataFrame:
     (column_name, n_rows, n_nulls, n_distinct, min_value, max_value) —
     the data-quality summary an ingest pipeline records per batch.
     min/max are emitted as doubles for numeric columns and epoch-µs for
-    timestamps (NULL for strings — cross-engine string formatting of
-    extrema is not stable, counts are).
+    timestamps and dates (NULL for strings — cross-engine string
+    formatting of extrema is not stable, counts are).
 
     Plan: one aggregate over the scan computing every column's stats
     simultaneously; the row→column reshaping is a driver-free explode
@@ -240,6 +240,7 @@ def table_profile(df: DataFrame, scale: int = 6) -> DataFrame:
     that variant keeps the scan 1×.
     """
     from pyspark.sql.types import (
+        DateType,
         NumericType,
         TimestampNTZType,
         TimestampType,
@@ -259,10 +260,14 @@ def table_profile(df: DataFrame, scale: int = 6) -> DataFrame:
         if isinstance(fld.dataType, NumericType):
             mn = F.round(F.min(c).cast("double"), scale)
             mx = F.round(F.max(c).cast("double"), scale)
-        elif isinstance(fld.dataType, (TimestampType, TimestampNTZType)):
+        elif isinstance(
+            fld.dataType, (TimestampType, TimestampNTZType, DateType)
+        ):
             # NTZ (how parquet TIMESTAMP without tz loads) and tz'd
             # timestamps both profile as epoch µs; the session is
-            # pinned UTC so the two agree
+            # pinned UTC so the two agree. DATE columns are orderable
+            # too — cast to timestamp (midnight UTC) so a lake whose
+            # date partition column is a true DATE keeps its range
             mn = F.unix_micros(F.min(c).cast("timestamp")).cast("double")
             mx = F.unix_micros(F.max(c).cast("timestamp")).cast("double")
         else:

@@ -229,7 +229,7 @@ def _funnel_fn(stages: list[str]):
         if state.hasTimedOut:  # pragma: no cover - no timeout configured
             state.remove()
             return
-        cur, cur_ts = state.get if state.exists else (-1, -1)
+        cur, cur_ts = state.get if state.exists else (-1, 0)
         out_rows = []
         events = []
         for pdf in pdfs:
@@ -240,7 +240,12 @@ def _funnel_fn(stages: list[str]):
         # the semantics are arrival-order (the streaming caveat —
         # watermark-bounded disorder is the deployment contract)
         for ts, si in sorted(events):
-            if si == cur + 1 and ts > cur_ts:
+            # cur == -1 means "not started" (stage indexes are >= 0, so
+            # -1 is unambiguous HERE, unlike as a timestamp where it
+            # shadowed legitimate pre-epoch ts_us <= -1 — the same
+            # sentinel class _ewma_alert_fn fixed with its 'opened'
+            # flag); stage 0 has no prior timestamp to be later than
+            if si == cur + 1 and (cur == -1 or ts > cur_ts):
                 cur, cur_ts = si, ts
                 out_rows.append((key[0], si, stages[si], ts))
         if out_rows or state.exists:

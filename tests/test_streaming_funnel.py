@@ -53,6 +53,24 @@ def test_advances_in_strict_order():
     assert state.get == (3, 40)
 
 
+def test_pre_epoch_stage0_starts_funnel():
+    # ts_us <= -1 is a legitimate pre-epoch timestamp; the old
+    # cur_ts = -1 sentinel silently blocked the funnel from ever
+    # starting (the same sentinel class _ewma_alert_fn fixed)
+    rows, state = _drive([[("signup", -5), ("view", -3)]])
+    assert [(r.stage, r.ts_us) for r in rows] == [
+        ("signup", -5), ("view", -3)
+    ]
+    assert state.get == (1, -3)
+
+
+def test_pre_epoch_equal_ts_does_not_double_advance():
+    # strict-order rule still holds below the epoch: view at the SAME
+    # pre-epoch instant as signup must not advance
+    rows, _ = _drive([[("signup", -5), ("view", -5)]])
+    assert [r.stage for r in rows] == ["signup"]
+
+
 def test_skipped_stage_blocks_advancement():
     # click before view: only signup fires; the later view then opens
     # the gate within the same replayed batch ordering
