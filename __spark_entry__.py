@@ -3436,6 +3436,166 @@ def _events_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     ).select("node", "rank")
 
 
+# -------------------------------------------------- round-7 additions
+
+_TRI_MIN_SHARED = 3
+_TRI_MAX_NODES_PER_KEY = 64
+_PATHS_GAP_US = 30 * 60 * 1_000_000
+_NDCG_K = 10
+_PQ_REFINE_CANDS = 50
+_ZIPF_K = 100
+_RAKE_K = 20
+_RAKE_MAX_LEN = 4
+
+
+def _events_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user triangle counts over the co-activity graph (edge = two
+    users sharing ≥3 distinct (event_type, hour) contexts) — the
+    community-density feature behind bot-ring and brigading detection.
+    Degree-ordered orientation keeps wedge work O(|E|^1.5) under
+    power-law skew; the hot-key guard caps pair blowup on crowded
+    contexts and is threaded into the oracle (the max_df pattern)."""
+    from kubernetes_logs_datalake_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
+
+    e = _t(spark, sf, "events")
+    keyed = e.select(
+        "user_id",
+        "event_type",
+        (_ts_us(e) - _ts_us(e) % (3600 * 1_000_000)).alias("bucket_us"),
+    )
+    edges = cooccurrence_edges(
+        keyed,
+        "user_id",
+        ["event_type", "bucket_us"],
+        min_shared=_TRI_MIN_SHARED,
+        max_nodes_per_key=_TRI_MAX_NODES_PER_KEY,
+    )
+    return triangle_counts(edges).select(
+        F.col("node").alias("user_id"), "degree", "n_triangles"
+    )
+
+
+def _events_user_state_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 history build: each user's event-type changes collapsed to
+    [valid_from, valid_to) validity intervals with an is_current flag —
+    the Kimball type-2 dimension derived straight from the event log.
+    One user-keyed window shuffle; no joins, no driver traffic."""
+    from kubernetes_logs_datalake_spark.operators.history import (
+        scd2_intervals,
+    )
+
+    e = _t(spark, sf, "events")
+    src = e.select(
+        "user_id", "event_type", _ts_us(e).alias("ts_us"), "event_id"
+    )
+    out = scd2_intervals(
+        src, "user_id", "event_type", "ts_us", tiebreak_col="event_id"
+    )
+    return out.select(
+        "user_id",
+        "state",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+def _events_session_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 most common consecutive event-type pairs WITHIN sessions
+    (30-min inactivity gap) — the 'common user journeys' report. One
+    user-keyed window partitioning reused for gap flag, session id and
+    the lead; top-k is a TakeOrderedAndProject over ≤|types|² rows."""
+    from kubernetes_logs_datalake_spark.operators.funnel import (
+        session_paths,
+    )
+
+    e = _t(spark, sf, "events")
+    src = e.select("user_id", "event_type", _ts_us(e).alias("ts_us"), "event_id")
+    return session_paths(
+        src,
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        gap_us=_PATHS_GAP_US,
+        steps=2,
+        k=20,
+    )
+
+
+def _docs_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf's-law fit over the top-100 corpus terms (ln-freq on
+    ln-rank OLS): slope ≈ -1 on natural text; template spam bends it —
+    a one-row corpus-health screen. The rank window runs on the
+    ≤k-row top-k result, bounded at any corpus size."""
+    from kubernetes_logs_datalake_spark.operators.textstats import zipf_fit
+
+    return zipf_fit(_t(spark, sf, "documents"), "text", k=_ZIPF_K)
+
+
+def _docs_rake_keyphrases(spark: SparkSession, sf: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) at corpus level:
+    stopword-delimited candidate runs scored by Σ degree/freq of their
+    words. Gaps-and-islands window (doc-partitioned) + two
+    vocabulary-keyed aggs; decimal phrase sums keep scores
+    bit-deterministic for the oracle."""
+    from kubernetes_logs_datalake_spark.operators.textstats import (
+        rake_keyphrases,
+    )
+
+    return rake_keyphrases(
+        _t(spark, sf, "documents"),
+        "doc_id",
+        "text",
+        k=_RAKE_K,
+        max_len=_RAKE_MAX_LEN,
+    )
+
+
+def _ann_label_ndcg(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-quality eval: per query (vec_id < 5), precision@10 /
+    DCG / NDCG@10 with same-label relevance — the harness that grades
+    the EMBEDDING against ground truth where ann_recall_* grades the
+    index against brute force. Broadcast query set; corpus shuffles
+    once, keyed by query."""
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        label_relevance_eval,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    return label_relevance_eval(
+        emb, emb.filter(F.col("vec_id") < 5), k=_NDCG_K
+    )
+
+
+def _ann_topk_pq_refine(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage PQ serving (IVFADC-R refine, Jégou et al. 2011 §V):
+    ADC lookup scan proposes 50 candidates, exact cosine re-ranks the
+    top-10 — full-precision work independent of corpus size. Candidate
+    side broadcasts back onto the corpus by id."""
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        pq_refine_topk,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    q = _query_vec(spark, sf)
+    return pq_refine_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        q,
+        dim=EMBEDDING_DIM,
+        m=_PQ_M,
+        k=_PQ_K,
+        iters=_PQ_ITERS,
+        n_candidates=_PQ_REFINE_CANDS,
+        topk=10,
+    )
+
+
 # ================================================================ registry
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
@@ -3728,6 +3888,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_prefix": _dedup_jaccard_prefix,
         "docs_topic_clusters": _docs_topic_clusters,
         "dedup_exact_masked": _dedup_exact_masked,
+        # round-7 additions
+        "events_triangle_count": _events_triangle_count,
+        "events_user_state_scd2": _events_user_state_scd2,
+        "events_session_paths": _events_session_paths,
+        "docs_zipf_fit": _docs_zipf_fit,
+        "docs_rake_keyphrases": _docs_rake_keyphrases,
+        "ann_label_ndcg": _ann_label_ndcg,
+        "ann_topk_pq_refine": _ann_topk_pq_refine,
     }
 
 
@@ -6220,6 +6388,220 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(nt) AS DOUBLE) / CAST(sum(nw) AS DOUBLE), 6)
                        AS fertility
             FROM per_doc GROUP BY lang
+        """,
+        # ------------------------------------------ round-7 additions
+        "events_triangle_count": f"""
+            WITH keys AS (
+                SELECT DISTINCT user_id, event_type,
+                       (epoch_us(ts) - epoch_us(ts) % 3600000000)
+                           AS bucket_us
+                FROM events),
+            kc AS (SELECT event_type, bucket_us, count(*) AS c
+                   FROM keys GROUP BY 1, 2),
+            keysf AS (
+                SELECT k.user_id, k.event_type, k.bucket_us
+                FROM keys k JOIN kc USING (event_type, bucket_us)
+                WHERE kc.c <= {_TRI_MAX_NODES_PER_KEY}),
+            e AS (
+                SELECT a.user_id AS u, b.user_id AS v
+                FROM keysf a JOIN keysf b USING (event_type, bucket_us)
+                WHERE a.user_id < b.user_id
+                GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SHARED}),
+            deg AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS degree
+                FROM (SELECT u AS node FROM e
+                      UNION ALL SELECT v FROM e) GROUP BY 1),
+            o AS (
+                SELECT CASE WHEN (da.degree, e.u) < (db.degree, e.v)
+                            THEN e.u ELSE e.v END AS lo,
+                       CASE WHEN (da.degree, e.u) < (db.degree, e.v)
+                            THEN e.v ELSE e.u END AS hi,
+                       CASE WHEN (da.degree, e.u) < (db.degree, e.v)
+                            THEN db.degree ELSE da.degree END AS hdeg
+                FROM e JOIN deg da ON da.node = e.u
+                       JOIN deg db ON db.node = e.v),
+            w AS (
+                SELECT x.lo, x.hi AS b, y.hi AS c
+                FROM o x JOIN o y ON x.lo = y.lo
+                WHERE (x.hdeg, x.hi) < (y.hdeg, y.hi)),
+            tri AS (
+                SELECT w.lo AS a, w.b, w.c
+                FROM w JOIN o ON o.lo = w.b AND o.hi = w.c),
+            pn AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+                FROM (SELECT a AS node FROM tri
+                      UNION ALL SELECT b FROM tri
+                      UNION ALL SELECT c FROM tri) GROUP BY 1)
+            SELECT deg.node AS user_id, deg.degree,
+                   COALESCE(pn.n_triangles, 0) AS n_triangles
+            FROM deg LEFT JOIN pn USING (node)
+        """,
+        "events_user_state_scd2": """
+            WITH s AS (
+                SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                       event_id,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS p
+                FROM events),
+            c AS (SELECT * FROM s WHERE p IS NULL OR p <> event_type)
+            SELECT user_id, event_type AS state,
+                   ts_us AS valid_from_us,
+                   lead(ts_us) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts_us, event_id) AS valid_to_us,
+                   lead(ts_us) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts_us, event_id) IS NULL AS is_current
+            FROM c
+        """,
+        "events_session_paths": f"""
+            WITH s AS (
+                SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                       event_id,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts))
+                                    OVER w > {_PATHS_GAP_US}
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id)),
+            g AS (
+                SELECT *, sum(brk) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id)
+                    AS sess
+                FROM s),
+            b AS (
+                SELECT event_type || '>' || lead(event_type) OVER (
+                    PARTITION BY user_id, sess
+                    ORDER BY ts_us, event_id) AS path
+                FROM g)
+            SELECT path, CAST(count(*) AS BIGINT) AS n
+            FROM b WHERE path IS NOT NULL
+            GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+        """,
+        "docs_zipf_fit": f"""
+            WITH t AS (
+                SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+                FROM (SELECT unnest({_DDB_WORDS.format(t="text")}) AS w
+                      FROM documents)
+                WHERE w <> ''
+                GROUP BY 1 ORDER BY n DESC, word LIMIT {_ZIPF_K}),
+            r AS (
+                SELECT n, row_number() OVER (ORDER BY n DESC, word)
+                    AS rk
+                FROM t),
+            x AS (SELECT ln(CAST(rk AS DOUBLE)) AS x,
+                         ln(CAST(n AS DOUBLE)) AS y FROM r)
+            SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                   round(covar_pop(x, y) / var_pop(x), 6) AS slope,
+                   round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x),
+                         6) AS intercept,
+                   round(covar_pop(x, y) * covar_pop(x, y)
+                         / (var_pop(x) * var_pop(y)), 6) AS r2
+            FROM x
+        """,
+        "docs_rake_keyphrases": f"""
+            WITH wl AS (
+                SELECT doc_id, {_DDB_WORDS.format(t="text")} AS wl
+                FROM documents),
+            tok AS (
+                SELECT doc_id, u.i AS pos, wl[u.i] AS word
+                FROM wl, unnest(range(1, len(wl) + 1)) AS u(i)
+                WHERE wl[u.i] <> ''),
+            cand AS (
+                SELECT doc_id, pos, word,
+                       pos - row_number() OVER (
+                           PARTITION BY doc_id ORDER BY pos) AS isl
+                FROM tok
+                WHERE NOT list_contains({_ddb_stoplist()}, word)),
+            ph AS (
+                SELECT doc_id, isl, CAST(count(*) AS BIGINT) AS plen,
+                       string_agg(word, ' ' ORDER BY pos) AS phrase
+                FROM cand GROUP BY 1, 2
+                HAVING count(*) <= {_RAKE_MAX_LEN}),
+            candk AS (
+                SELECT c.doc_id, c.isl, c.word, p.plen
+                FROM cand c JOIN ph p USING (doc_id, isl)),
+            wst AS (
+                SELECT word, count(*) AS freq, sum(plen) AS degree
+                FROM candk GROUP BY 1),
+            wsc AS (
+                SELECT word,
+                       CAST(round(CAST(degree AS DOUBLE) / freq, 9)
+                            AS DECIMAL(20,9)) AS ws
+                FROM wst),
+            psc AS (
+                SELECT c.doc_id, c.isl, sum(w.ws) AS score
+                FROM candk c JOIN wsc w USING (word)
+                GROUP BY 1, 2),
+            j AS (SELECT p.phrase, s.score
+                  FROM psc s JOIN ph p USING (doc_id, isl))
+            SELECT phrase, CAST(count(*) AS BIGINT) AS n,
+                   round(CAST(max(score) AS DOUBLE), 6) AS score
+            FROM j GROUP BY 1 ORDER BY score DESC, phrase
+            LIMIT {_RAKE_K}
+        """,
+        "ann_label_ndcg": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv, label AS ql
+                FROM embeddings WHERE vec_id < 5),
+            sc AS (
+                SELECT q.query_id, e.vec_id AS nid,
+                       {_ddb_cos("e.embedding", "q.qv")} AS cos,
+                       CASE WHEN e.label = q.ql THEN 1 ELSE 0 END
+                           AS rel
+                FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+            r AS (
+                SELECT query_id, rel,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, nid)
+                           AS rk
+                FROM sc),
+            t AS (SELECT query_id, rel, rk FROM r
+                  WHERE rk <= {_NDCG_K}),
+            a AS (
+                SELECT query_id, CAST(sum(rel) AS BIGINT) AS n_rel,
+                       sum(CAST(round(rel / log2(rk + 1.0), 9)
+                                AS DECIMAL(20,9))) AS dcg
+                FROM t GROUP BY 1),
+            i AS (
+                SELECT query_id, n_rel, dcg,
+                       CASE WHEN n_rel = 0
+                            THEN CAST(0 AS DECIMAL(20,9))
+                            ELSE list_reduce(
+                                list_transform(
+                                    generate_series(
+                                        1, LEAST(n_rel, {_NDCG_K})),
+                                    j -> CAST(round(
+                                        1.0 / log2(j + 1.0), 9)
+                                        AS DECIMAL(20,9))),
+                                (x, y) -> x + y)
+                       END AS idcg
+                FROM a)
+            SELECT query_id, n_rel,
+                   round(n_rel / {float(_NDCG_K)!r}, 6)
+                       AS precision_at_k,
+                   round(CAST(dcg AS DOUBLE), 6) AS dcg,
+                   round(CAST(idcg AS DOUBLE), 6) AS idcg,
+                   CASE WHEN n_rel = 0 THEN 0.0
+                        ELSE round(CAST(dcg AS DOUBLE)
+                                   / CAST(idcg AS DOUBLE), 6)
+                   END AS ndcg
+            FROM i
+        """,
+        "ann_topk_pq_refine": f"""
+            WITH cand AS ({_ddb_pq_adc_sql(
+                _PQ_M, _PQ_K, _PQ_ITERS, EMBEDDING_DIM,
+                topk=_PQ_REFINE_CANDS)}),
+            qq AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round({_ddb_cos("e.embedding", "qq.embedding")}, 4)
+                       AS cos
+            FROM embeddings e
+            JOIN cand c ON c.vec_id = e.vec_id
+            CROSS JOIN qq
+            ORDER BY cos DESC, e.vec_id LIMIT 10
         """,
         # Rows-only (no SQL oracle): ann_topk_arrow (numpy pairwise
         # summation), approx_distinct_users (engine-native HLL),

@@ -117,3 +117,59 @@ def retention_cohorts(
         .groupBy("cohort_day", "day_offset")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def session_paths(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    gap_us: int = 30 * 60 * 1_000_000,
+    steps: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k most frequent consecutive event-type paths WITHIN sessions
+    (the "common user journeys" report): sessionize by inactivity gap,
+    slide a ``steps``-long window along each session, count paths.
+
+    Output: (path, n) — path as "a>b[>c...]" — the k most frequent,
+    ties broken by path string.
+
+    Plan: ONE user-keyed window partitioning reused three times (gap
+    flag → running session id → the ``steps-1`` lead()s; Catalyst plans
+    a single sort+exchange because session id is a prefix-extension of
+    the user key), then a path-keyed partial agg and a
+    TakeOrderedAndProject for the top-k. Per-user state never
+    concentrates: sessions are derived per-partition after the one
+    shuffle, and path cardinality is at most |event types|^steps — tiny
+    — so the final agg is map-side-combined to almost nothing.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    brk = F.when(
+        F.lag(F.col(ts_col)).over(w).isNull()
+        | ((F.col(ts_col) - F.lag(F.col(ts_col)).over(w)) > gap_us),
+        1,
+    ).otherwise(0)
+    sess = df.withColumn("_brk", brk).withColumn(
+        "_sess", F.sum("_brk").over(w)
+    )
+    w2 = Window.partitionBy(user_col, "_sess").orderBy(ts_col, tiebreak_col)
+    # materialize the lead()s as columns first — window expressions are
+    # not allowed directly inside a filter
+    parts, cond = [F.col(type_col)], F.lit(True)
+    for i in range(1, steps):
+        name = f"_nxt{i}"
+        sess = sess.withColumn(name, F.lead(F.col(type_col), i).over(w2))
+        parts.append(F.col(name))
+        cond = cond & F.col(name).isNotNull()
+    return (
+        sess.withColumn("path", F.concat_ws(">", *parts))
+        .filter(cond)
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(k)
+    )

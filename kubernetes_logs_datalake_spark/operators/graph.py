@@ -275,3 +275,129 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    node_col: str,
+    key_cols: list[str],
+    min_shared: int = 2,
+    max_nodes_per_key: int | None = None,
+) -> DataFrame:
+    """Undirected co-occurrence edges: two nodes are connected when
+    they share at least ``min_shared`` distinct keys (key = the tuple
+    of ``key_cols``) — the blocking-style graph builder behind
+    "users active in the same context", "docs citing the same page".
+
+    Output: (src, dst, n_shared) with ``src < dst`` (one row per
+    undirected edge).
+
+    Scale shape: distinct (node, key) → key-keyed self equi-join →
+    pair-keyed partial agg. A key shared by d nodes emits C(d,2) pairs,
+    so the join degree is Σd² over keys — the SAME hot-key hazard as
+    the shingle inverted index, with the same guard:
+    ``max_nodes_per_key`` drops keys hotter than the cap before the
+    join (stopword-keys carry no pairing information anyway). The cap
+    is part of the operator's contract — the registered query threads
+    it into its DuckDB oracle so correctness holds UNDER the guard,
+    exactly like the MinHash family's ``max_df``.
+    """
+    keys = df.select(F.col(node_col).alias("_n"), *key_cols).distinct()
+    if max_nodes_per_key is not None:
+        kc = keys.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_kc"))
+        keys = (
+            keys.join(kc, key_cols)
+            .filter(F.col("_kc") <= max_nodes_per_key)
+            .drop("_kc")
+        )
+    a = keys.select(F.col("_n").alias("src"), *key_cols)
+    b = keys.select(F.col("_n").alias("dst"), *key_cols)
+    return (
+        a.join(b, key_cols)
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge table, by
+    degree-ordered orientation (the Schank-Wagner / Cohen MapReduce
+    rule; Suri-Vassilvitskii 2011 use the same orientation at web
+    scale).
+
+    Every edge is directed from its lower-(degree, id) endpoint to the
+    higher one, so each triangle is generated exactly once — as a wedge
+    at its LOWEST-ranked vertex — and, crucially, a hub of degree d
+    contributes wedges only through its (few) lower-ranked neighbors
+    instead of C(d,2): the worst-case wedge count drops from Σd² to
+    O(|E|^1.5), which is what makes the plan survive power-law degree
+    skew at 100 TB.
+
+    Plan: degree agg (one shuffle) → orientation join → wedge self
+    equi-join on the low vertex (the rank inequality on the two high
+    ends is a post-join filter, so the join stays hash/merge, never a
+    nested loop) → one closing equi-join on (v, w) → explode the 3
+    corners → node-keyed count. Output: (node, degree, n_triangles)
+    for every node of the graph, n_triangles = 0 when none.
+    """
+    e = edges.select(
+        F.col(src_col).alias("_u"), F.col(dst_col).alias("_v")
+    ).localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("_u").alias("node"))
+        .unionByName(e.select(F.col("_v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
+    )
+    da = deg.select(F.col("node").alias("_u"), F.col("degree").alias("_du"))
+    db = deg.select(F.col("node").alias("_v"), F.col("degree").alias("_dv"))
+    both = e.join(da, "_u").join(db, "_v")
+    # orient lower (degree, id) -> higher; carry the high end's rank
+    # key so the wedge join can order the two high ends BY RANK (the
+    # closing edge is stored rank-oriented, so an id-ordered wedge
+    # would look up half its closing edges on the wrong side)
+    u_first = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("_u") < F.col("_v"))
+    )
+    oriented = both.select(
+        F.when(u_first, F.col("_u")).otherwise(F.col("_v")).alias("lo"),
+        F.when(u_first, F.col("_v")).otherwise(F.col("_u")).alias("hi"),
+        F.when(u_first, F.col("_dv")).otherwise(F.col("_du")).alias("hdeg"),
+    ).localCheckpoint(eager=False)
+    x = oriented.select(
+        F.col("lo"), F.col("hi").alias("_b"), F.col("hdeg").alias("_bd")
+    )
+    y = oriented.select(
+        F.col("lo"), F.col("hi").alias("_c"), F.col("hdeg").alias("_cd")
+    )
+    wedges = x.join(y, "lo").filter(
+        (F.col("_bd") < F.col("_cd"))
+        | ((F.col("_bd") == F.col("_cd")) & (F.col("_b") < F.col("_c")))
+    )
+    closing = oriented.select(
+        F.col("lo").alias("_b"), F.col("hi").alias("_c")
+    )
+    tri = wedges.join(closing, ["_b", "_c"]).select(
+        F.col("lo").alias("_a"), "_b", "_c"
+    )
+    per_node = (
+        tri.select(
+            F.explode(F.array(F.col("_a"), F.col("_b"), F.col("_c"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+            "n_triangles"
+        ),
+    )

@@ -644,3 +644,105 @@ def ivf_knn_join(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def label_relevance_eval(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+    scale: int = 6,
+) -> DataFrame:
+    """Retrieval-quality evaluation with label relevance: for each
+    query vector, rank the corpus by cosine, treat same-label neighbors
+    as relevant, and report precision@k / DCG / NDCG@k per query — the
+    standard eval harness for an embedding model or ANN index (recall
+    eval checks the INDEX against brute force; this checks the
+    EMBEDDING against ground-truth labels).
+
+    Output: (query_id, n_rel, precision_at_k, dcg, idcg, ndcg), one
+    row per query.
+
+    Plan: the query set broadcasts (an eval set is small by
+    definition); the corpus is scored in one map pass and ranked by a
+    query-partitioned window, so corpus rows shuffle ONCE keyed by
+    query — never a global sort. Gain terms are rounded then summed as
+    DECIMAL (order-independent), making DCG bit-deterministic and
+    oracle-checkable; IDCG is the closed-form prefix sum of the ideal
+    gain sequence, computed per query from n_rel alone.
+    """
+    from pyspark.sql import Window
+
+    from kubernetes_logs_datalake_spark.functions.vectors import (
+        cosine_prenorm,
+        norm,
+    )
+
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            norm(vec_col).alias("_qn"),
+            F.col(label_col).alias("_ql"),
+        )
+    )
+    pairs = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_rv"),
+            norm(vec_col).alias("_rn"),
+            F.col(label_col).alias("_rl"),
+        )
+        .crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine_prenorm("_qv", "_rv", "_qn", "_rn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.col("neighbor_id")
+    )
+    top = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn(
+            "rel", (F.col("_rl") == F.col("_ql")).cast("int")
+        )
+    )
+    dec = "decimal(20,9)"
+    gain = F.round(
+        F.col("rel") / F.log2(F.col("rank").cast("double") + 1.0), 9
+    ).cast(dec)
+    agg = top.groupBy("query_id").agg(
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.sum(gain).alias("_dcg"),
+    )
+    ideal = F.when(F.col("n_rel") == 0, F.lit(0).cast(dec)).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(k)).cast("int")),
+            F.lit(0).cast(dec),
+            # re-cast the running sum: decimal addition widens the type
+            # and aggregate() requires the merge to return the acc type
+            lambda acc, j: (
+                acc + F.round(1.0 / F.log2(j.cast("double") + 1.0), 9).cast(dec)
+            ).cast(dec),
+        )
+    )
+    out = agg.withColumn("_idcg", ideal)
+    return out.select(
+        "query_id",
+        "n_rel",
+        F.round(F.col("n_rel") / F.lit(float(k)), scale).alias(
+            "precision_at_k"
+        ),
+        F.round(F.col("_dcg").cast("double"), scale).alias("dcg"),
+        F.round(F.col("_idcg").cast("double"), scale).alias("idcg"),
+        F.when(F.col("n_rel") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("_dcg").cast("double") / F.col("_idcg").cast("double"),
+                scale,
+            )
+        )
+        .alias("ndcg"),
+    )

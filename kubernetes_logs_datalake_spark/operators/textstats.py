@@ -427,3 +427,156 @@ def term_pmi(
         .orderBy(F.desc("pmi"), F.col("bigram"))
         .limit(k)
     )
+
+
+def zipf_fit(df: DataFrame, text_col: str, k: int = 100, scale: int = 6) -> DataFrame:
+    """Zipf's-law fit over the top-``k`` corpus terms: OLS slope of
+    ln(freq) on ln(rank) — the corpus-health diagnostic (natural text
+    slopes ≈ -1; template/generated spam and OCR noise bend the curve,
+    so the slope + R² pair is a cheap per-source screen before heavier
+    quality models).
+
+    Output: ONE row (n_terms, slope, intercept, r2), rounded.
+
+    Plan: word-count agg (one shuffle) → top-k TakeOrderedAndProject —
+    the frame is ≤ k rows from here on, by construction, at ANY corpus
+    size. The rank window therefore runs on a bounded single-partition
+    frame (k·16 bytes), which is not the banned whole-input
+    single-partition sort: the bound comes from the top-k, not from
+    luck. The regression itself is one tiny agg (covar/var closed
+    form).
+    """
+    from pyspark.sql import Window
+
+    from kubernetes_logs_datalake_spark.functions.text import words
+
+    top = (
+        df.select(F.explode(words(F.col(text_col))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(k)
+        .coalesce(1)
+    )
+    ranked = top.withColumn(
+        "_r", F.row_number().over(Window.orderBy(F.desc("n"), "word"))
+    )
+    x = F.log(F.col("_r").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.covar_pop(x, y).alias("_cxy"),
+        F.var_pop(x).alias("_vx"),
+        F.var_pop(y).alias("_vy"),
+        F.avg(x).alias("_mx"),
+        F.avg(y).alias("_my"),
+    )
+    slope = F.col("_cxy") / F.col("_vx")
+    return stats.select(
+        "n_terms",
+        F.round(slope, scale).alias("slope"),
+        F.round(F.col("_my") - slope * F.col("_mx"), scale).alias("intercept"),
+        F.round(
+            (F.col("_cxy") * F.col("_cxy")) / (F.col("_vx") * F.col("_vy")),
+            scale,
+        ).alias("r2"),
+    )
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    max_len: int | None = 4,
+    stopwords: tuple[str, ...] | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010), corpus-level:
+    candidate phrases are maximal stopword-free word runs; each word
+    scores degree/frequency (degree = Σ length of the phrases it
+    appears in); a phrase scores the sum of its words' scores. Output:
+    the top-``k`` distinct phrases by (score desc, phrase), with their
+    corpus occurrence counts.
+
+    ``max_len`` caps candidate phrase length (RAKE's standard guard:
+    on stopword-poor text a whole document becomes one run, whose
+    summed score always wins while being useless as a keyphrase —
+    and whose length is unbounded, which also matters at scale:
+    the cap bounds every downstream row width). Runs longer than
+    ``max_len`` are dropped as candidates entirely (they contribute
+    neither phrases nor word statistics), the Rose et al. semantics.
+
+    Plan: posexplode → stopword filter → the gaps-and-islands window
+    (pos − row_number, PARTITIONED by doc — the duplicate-spans
+    pattern) marks each phrase run; phrase assembly is a (doc, island)
+    agg; word stats are a word-keyed agg over candidate tokens; phrase
+    scores come back through one word-keyed join. Word scores are
+    rounded then summed as DECIMAL so identical phrases get
+    bit-identical scores under any partitioning (the exact-reduce
+    recipe); the final top-k is a TakeOrderedAndProject over the
+    distinct-phrase agg (vocabulary-bounded, never corpus-sized).
+    """
+    from pyspark.sql import Window
+
+    from kubernetes_logs_datalake_spark.functions.text import (
+        STOPWORDS_EN,
+        words,
+    )
+
+    stop = stopwords or STOPWORDS_EN
+    tok = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(words(F.col(text_col))).alias("_pos", "word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    cand = tok.filter(~F.col("word").isin(*stop)).withColumn(
+        "_isl",
+        F.col("_pos")
+        - F.row_number().over(Window.partitionBy("_id").orderBy("_pos")),
+    )
+    # phrase runs: text + length per (doc, island)
+    ph = cand.groupBy("_id", "_isl").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("_plen"),
+    )
+    if max_len is not None:
+        ph = ph.filter(F.col("_plen") <= max_len)
+    # candidate tokens restricted to kept phrases — ONE join reused by
+    # both the word stats and the phrase scoring
+    candk = cand.join(ph.select("_id", "_isl", "_plen"), ["_id", "_isl"])
+    # RAKE word stats over candidate tokens: freq + degree
+    wst = candk.groupBy("word").agg(
+        F.count(F.lit(1)).alias("_freq"),
+        F.sum("_plen").alias("_deg"),
+    ).select(
+        "word",
+        F.round(F.col("_deg") / F.col("_freq"), 9)
+        .cast("decimal(20,9)")
+        .alias("_ws"),
+    )
+    psc = (
+        candk.join(wst, "word")
+        .groupBy("_id", "_isl")
+        .agg(F.sum("_ws").alias("_score"))
+        .join(ph, ["_id", "_isl"])
+    )
+    return (
+        psc.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            # identical phrases have bit-identical decimal scores
+            F.round(F.max("_score").cast("double"), scale).alias("score"),
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(k)
+    )

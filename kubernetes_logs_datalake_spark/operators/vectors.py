@@ -545,3 +545,65 @@ def pq_index_search(
         .orderBy("adc_dist", id_col)
         .limit(topk)
     )
+
+
+def pq_refine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    n_candidates: int = 50,
+    topk: int = 10,
+    scale: int = 4,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Two-stage PQ serving: ADC candidate generation then EXACT
+    re-rank (the refine step of IVFADC-R, Jégou et al. 2011 §V) —
+    the production answer to PQ's quantization error: scan the corpus
+    with cheap table lookups, then spend full-precision distance only
+    on ``n_candidates`` survivors.
+
+    Output: (id, cos), the exact-cosine top-``topk`` of the ADC
+    candidate set, descending, ties by id.
+
+    Plan: the ADC stage is the map-only scan + TakeOrderedAndProject
+    of :func:`pq_adc_topk`; its ≤``n_candidates``-row result joins
+    back to the corpus by id (AQE broadcasts the tiny candidate side,
+    so the corpus never shuffles) and one more TakeOrdered emits the
+    refined top-k. Total full-precision work: ``n_candidates`` rows,
+    independent of corpus size — the 100 TB property. Recall is the
+    ADC stage's (refine can only reorder survivors); size
+    ``n_candidates``/``topk`` by the measured recall curve.
+    """
+    from kubernetes_logs_datalake_spark.functions.vectors import (
+        cosine,
+        literal_vector,
+    )
+
+    cands = pq_adc_topk(
+        df,
+        id_col,
+        vec_col,
+        query,
+        dim=dim,
+        m=m,
+        k=k,
+        iters=iters,
+        topk=n_candidates,
+        scale=6,
+        codebooks=codebooks,
+    ).select(id_col)
+    qlit = literal_vector([float(v) for v in query])
+    return (
+        df.join(cands, id_col)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), qlit), scale).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(topk)
+    )

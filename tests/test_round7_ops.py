@@ -167,3 +167,206 @@ def test_table_profile_date_oracle_parity(spark, tmp_path, monkeypatch):
         for r in con.execute(entrymod._ddb_table_profile_sql()).fetchall()
     }
     assert got == want
+
+
+# =============================================== round-7 operators
+
+
+def test_triangle_counts_k4_plus_pendant(spark):
+    """K4 has 4 triangles, 3 per node; a pendant edge adds none."""
+    from kubernetes_logs_datalake_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k4 + [(4, 9)], "src long, dst long")
+    got = {r.node: (r.degree, r.n_triangles) for r in triangle_counts(edges).collect()}
+    assert got == {
+        1: (3, 3), 2: (3, 3), 3: (3, 3), 4: (4, 3), 9: (1, 0),
+    }
+
+
+def test_triangle_counts_no_cartesian_plan(spark):
+    p = (
+        entrymod.queries()["events_triangle_count"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_cooccurrence_edges_guards(spark):
+    from kubernetes_logs_datalake_spark.operators.graph import (
+        cooccurrence_edges,
+    )
+
+    rows = [
+        (1, "a"), (2, "a"), (3, "a"),         # hot key: 3 nodes
+        (1, "b"), (2, "b"),
+        (1, "c"), (2, "c"),
+        (1, "b"),                              # duplicate observation
+    ]
+    df = spark.createDataFrame(rows, "node long, key string")
+    got = {
+        (r.src, r.dst): r.n_shared
+        for r in cooccurrence_edges(df, "node", ["key"], min_shared=2).collect()
+    }
+    assert got == {(1, 2): 3}  # keys a,b,c; dup row not double-counted
+    # cap drops the hot key entirely: only b,c remain shared
+    capped = {
+        (r.src, r.dst): r.n_shared
+        for r in cooccurrence_edges(
+            df, "node", ["key"], min_shared=2, max_nodes_per_key=2
+        ).collect()
+    }
+    assert capped == {(1, 2): 2}
+
+
+def test_scd2_intervals_tile_timeline(spark):
+    from kubernetes_logs_datalake_spark.operators.history import (
+        scd2_intervals,
+    )
+
+    rows = [
+        (7, "a", 10, 0), (7, "a", 20, 1), (7, "b", 30, 2),
+        (7, "b", 40, 3), (7, "a", 50, 4),
+        (8, "x", 5, 5),
+    ]
+    df = spark.createDataFrame(rows, "u long, st string, ts long, eid long")
+    out = sorted(
+        scd2_intervals(df, "u", "st", "ts", "eid").collect(),
+        key=lambda r: (r.u, r.valid_from),
+    )
+    assert [(r.u, r.state, r.valid_from, r.valid_to, r.is_current) for r in out] == [
+        (7, "a", 10, 30, False),
+        (7, "b", 30, 50, False),
+        (7, "a", 50, None, True),
+        (8, "x", 5, None, True),
+    ]
+
+
+def test_session_paths_respects_gap(spark):
+    from kubernetes_logs_datalake_spark.operators.funnel import (
+        session_paths,
+    )
+
+    GAP = 100
+    rows = [
+        (1, "a", 0, 0), (1, "b", 10, 1),      # a>b in session 1
+        (1, "c", 500, 2), (1, "d", 510, 3),   # c>d in session 2
+        (2, "a", 0, 4), (2, "b", 50, 5),      # a>b again
+    ]
+    df = spark.createDataFrame(rows, "u long, et string, ts long, eid long")
+    got = {
+        r.path: r.n
+        for r in session_paths(df, "u", "et", "ts", "eid", gap_us=GAP).collect()
+    }
+    # b>c would cross the gap — must NOT appear
+    assert got == {"a>b": 2, "c>d": 1}
+
+
+def test_zipf_fit_exact_power_law(spark):
+    from kubernetes_logs_datalake_spark.operators.textstats import zipf_fit
+
+    # counts = 60/rank: ln f = ln 60 - 1 * ln r -> slope -1, r2 = 1
+    counts = {"w1": 60, "w2": 30, "w3": 20, "w4": 15, "w5": 12}
+    text = " ".join(w for w, n in counts.items() for _ in range(n))
+    df = spark.createDataFrame([(text,)], "text string")
+    row = zipf_fit(df, "text", k=5).collect()[0]
+    assert row.n_terms == 5
+    assert row.slope == -1.0
+    assert row.r2 == 1.0
+
+
+def test_rake_keyphrases_scores(spark):
+    from kubernetes_logs_datalake_spark.operators.textstats import (
+        rake_keyphrases,
+    )
+
+    # 'the' is a stopword; candidates: "red apple" x2, "banana" x1
+    # deg(red)=4, freq=2 -> 2; apple -> 2; banana -> 1
+    # score("red apple") = 4, score("banana") = 1
+    df = spark.createDataFrame(
+        [(1, "red apple the red apple the banana")], "doc_id long, text string"
+    )
+    got = [(r.phrase, r.n, r.score) for r in rake_keyphrases(df, "doc_id", "text").collect()]
+    assert got == [("red apple", 2, 4.0), ("banana", 1, 1.0)]
+
+
+def test_label_ndcg_perfect_and_zero(spark):
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        label_relevance_eval,
+    )
+
+    # query 0 (label 1): both same-label vectors rank above the
+    # opposite-label one -> ndcg = 1; query 10 (label 9): nothing
+    # relevant -> ndcg = 0
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.9, 0.1], 1),
+        (2, [0.8, 0.2], 1),
+        (3, [0.0, 1.0], 2),
+        (10, [0.5, 0.5], 9),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r.query_id: r
+        for r in label_relevance_eval(
+            emb, emb.filter("vec_id = 0 or vec_id = 10"), k=3
+        ).collect()
+    }
+    assert out[0].n_rel == 2 and out[0].ndcg == 1.0
+    assert out[10].n_rel == 0 and out[10].ndcg == 0.0 and out[10].idcg == 0.0
+
+
+def test_pq_refine_full_candidates_equals_bruteforce(spark):
+    """With n_candidates >= corpus size the refine stage must reproduce
+    exact brute-force top-k (the ADC stage can then only propose)."""
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        pq_refine_topk,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .filter(F.col("vec_id") != 0)
+        .limit(120)
+    )
+    q = [float(v) for v in spark.read.parquet(f"{SF}/embeddings.parquet")
+         .filter("vec_id = 0").first()["embedding"]]
+    dim = len(q)
+    brute = [
+        (r.vec_id, round(r.cos, 4))
+        for r in brute_force_topk(emb, "embedding", q, k=5).collect()
+    ]
+    refined = [
+        (r.vec_id, r.cos)
+        for r in pq_refine_topk(
+            emb, "vec_id", "embedding", q, dim=dim, m=4, k=8, iters=1,
+            n_candidates=200, topk=5,
+        ).collect()
+    ]
+    assert refined == brute
+
+
+def test_rake_max_len_drops_megaphrases(spark):
+    """A stopword-free document is one giant run: with the cap it must
+    contribute NOTHING (no phrase, no word stats); without it, it wins
+    every ranking while being useless."""
+    from kubernetes_logs_datalake_spark.operators.textstats import (
+        rake_keyphrases,
+    )
+
+    giant = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, giant), (2, "red apple the red apple")],
+        "doc_id long, text string",
+    )
+    capped = [(r.phrase, r.n) for r in rake_keyphrases(df, "doc_id", "text").collect()]
+    assert capped == [("red apple", 2)]
+    uncapped = [r.phrase for r in rake_keyphrases(df, "doc_id", "text", max_len=None).collect()]
+    assert giant in uncapped
