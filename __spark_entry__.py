@@ -3599,19 +3599,15 @@ def _ann_topk_pq_refine(spark: SparkSession, sf: str) -> DataFrame:
 # ================================================================ registry
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
-# per round; 174 are registered, so the window is rotated each round to
-# cycle coverage through every query. Through round 5, 134 of the 145
-# then-registered queries had at least one driver hash row; the 11
-# never-checked (9 late round-5 additions + ann_topk_lsh/ann_topk_ivf,
-# which gained oracles only after their last r3 driver check) lead this
-# window, followed by this round's additions. Still awaiting a first
-# driver row after this window runs: ann_recall_pq,
-# docs_pretrain_pipeline, docs_decontaminate_bloom,
-# events_label_propagation, docs_dedup_savings, and
-# events_seasonal_anomaly (added after
-# the window filled; all replica-green) and whatever r7 adds — they lead the r7 rotation
-# together with the remaining r1/r2-vintage refreshes
-# (q8/q9/q11/q18, fuzzy_name_match, asof_purchase_click, knn_join).
+# per round; 181 are registered, so the window is rotated each round to
+# cycle coverage through every query. Through round 6, 168 of the
+# registered queries have at least one driver hash row. This round's
+# window (computed from the CORRECTNESS_r0*.json ledger, oldest-first):
+# the 13 never-driver-checked queries (6 late round-6 additions + the
+# 7 round-7 operators), the 3 queries whose code or oracle changed in
+# round 7, then the entire r3-vintage cohort (32 queries whose last
+# driver row is four rounds old). After this window runs, every
+# registered query's most recent driver row is r4 or newer.
 #
 # NO-ORACLE MANIFEST — 3 queries are rows-only BY DECLARED CONTRACT,
 # not failures; each is windowed adjacent to its exact hash-checked
@@ -3630,75 +3626,71 @@ _NO_ORACLE_SIBLINGS = {
     "ann_topk_arrow": "ann_topk_bruteforce",
 }
 
-_R6_WINDOW = [
-    # never driver-hash-checked (11): 9 late round-5 additions ...
-    "docs_containment_pairs",
-    "docs_hybrid_search",
-    "docs_k_anonymity",
-    "docs_mmr_rerank",
-    "docs_readability",
-    "docs_snippet_lookup",
-    "events_audience_overlap",
-    "events_cusum_alerts",
-    "events_gapfill_hourly",
-    # ... plus the two ANN variants whose oracles postdate their last
-    # driver check (r3, then recorded no_oracle)
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    # no-oracle trio, each adjacent to its exact hash-checked sibling
-    # (see _NO_ORACLE_SIBLINGS above)
-    "approx_distinct_users",
-    "approx_distinct_kmv",
-    "doc_length_bins_approx",
-    "doc_length_bins",
-    "ann_topk_arrow",
-    "ann_topk_bruteforce",
-    # round-6 additions
-    "docs_gopher_quality",
-    "docs_hash_split",
-    "docs_term_pmi",
-    "mix_language_temperature",
-    "docs_lm_perplexity_buckets",
-    "events_salted_join_skew",
-    "docs_source_report",
-    "docs_clean_export",
-    "embedding_hard_negatives",
-    "embedding_ivf_knn_join",
-    "orders_table_profile",
-    "events_mad_outliers",
-    "events_sliding_distinct",
-    "dedup_jaccard_prefix",
-    "docs_topic_clusters",
-    "dedup_exact_masked",
-    # re-checks: queries whose operator code changed this round
-    # (connected-components checkpoint fix, BPE cache session-keying,
-    # char-LM oracle refactor, CUSUM decimal-scale derivation)
-    "dedup_components",
-    "dedup_quality_keep",
-    "dedup_semantic",
-    "docs_bpe_merges",
-    "docs_bpe_tokens",
-    "docs_char_lm_score",
-    # round-6 batch-2 additions (never driver-checked; replica-green)
-    "events_markov_transitions",
-    "events_pagerank",
-    "events_ewma_hourly",
+_R7_WINDOW = [
+    # never driver-hash-checked (13): 6 late round-6 additions + the 7
+    # round-7 operators (all replica-green this round)
+    "ann_recall_pq",
+    "docs_pretrain_pipeline",
+    "docs_decontaminate_bloom",
+    "events_label_propagation",
+    "docs_dedup_savings",
+    "events_seasonal_anomaly",
+    "events_triangle_count",
+    "events_user_state_scd2",
+    "events_session_paths",
+    "docs_zipf_fit",
+    "docs_rake_keyphrases",
+    "ann_label_ndcg",
+    "ann_topk_pq_refine",
+    # re-checks: queries whose operator or oracle changed this round
+    # (calibrated-keep singleton clause, prefix-bound flooring, DATE
+    # profile extrema)
     "docs_quality_calibrated",
-    "docs_tokenizer_fertility",
-    "embedding_pq_codes",
-    "ann_topk_pq",
-    # freshness rotation: oldest driver rows (r1/r2 vintage); the rest
-    # of that cohort (q8/q9/q11/q18, fuzzy/asof/knn) rotates in r7
-    "q2_cheapest_supplier",
-    "q4_late_shipping_priority",
-    "q7_nation_volume",
+    "dedup_jaccard_prefix",
+    "orders_table_profile",
+    # freshness rotation: the ENTIRE r3-vintage cohort (last driver
+    # row 4 rounds ago — the oldest rows in the ledger)
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_revenue_forecast",
+    "agg_orders_by_priority",
+    "brand_revenue_broadcast",
+    "rollup_returnflag",
+    "distinct_segments",
+    "union_priority_orders",
+    "topk_expensive_orders",
+    "anti_join_customers_without_orders",
+    "semi_join_parts_ordered",
+    "window_running_total",
+    "pivot_event_counts",
+    "scalar_functions_showcase",
+    "events_top_users",
+    "dedup_exact",
+    "dedup_embedding",
+    "dedup_embedding_lsh",
+    "doc_winnow_fingerprints",
+    "dedup_winnow_pairs",
+    "text_token_stats",
+    "text_bpe_estimate",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "json_props_extract",
+    "unpivot_order_measures",
+    "above_avg_customers",
+    "intersect_nation_keys",
+    "except_nation_keys",
+    "exists_late_shipments",
+    "percentile_event_value",
+    # oldest r4 row with a flagged follow-up in the registry notes
+    "fuzzy_name_match",
     # sentinel (green in every round since r1)
     "q1_pricing_summary",
 ]
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _all_queries()
-    ordered = {name: base[name] for name in _R6_WINDOW}
+    ordered = {name: base[name] for name in _R7_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
     return ordered
 
