@@ -3596,6 +3596,78 @@ def _ann_topk_pq_refine(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_HITS_ITERS = 8
+_USERSIM_K = 50
+_SNAPSHOT_US = 1_704_412_800_000_000  # 2024-01-05T00:00:00Z, epoch µs
+
+
+def _events_hits_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS hubs & authorities over the event-type transition graph
+    (Kleinberg 1999) — completes the centrality family next to
+    PageRank: hub = 'points at good content' (crawl seed prior),
+    authority = 'is good content'. 8 fixed mutual-reinforcement rounds
+    with decimal-exact sums; the oracle unrolls identical rounds."""
+    from kubernetes_logs_datalake_spark.operators.graph import (
+        hits,
+        transition_edges,
+    )
+
+    e = _t(spark, sf, "events")
+    edges = transition_edges(
+        e, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    )
+    return hits(
+        edges, "src", "dst", weight_col="n_transitions", iters=_HITS_ITERS
+    )
+
+
+def _events_user_similarity(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-50 most similar user pairs by Jaccard over shared
+    (event_type, hour) activity contexts — the 'users like you'
+    report on the same guarded inverted-index kernel as the triangle
+    query (cap threaded into the oracle)."""
+    from kubernetes_logs_datalake_spark.operators.graph import (
+        cooccurrence_similarity,
+    )
+
+    e = _t(spark, sf, "events")
+    keyed = e.select(
+        "user_id",
+        "event_type",
+        (_ts_us(e) - _ts_us(e) % (3600 * 1_000_000)).alias("bucket_us"),
+    )
+    sim = cooccurrence_similarity(
+        keyed,
+        "user_id",
+        ["event_type", "bucket_us"],
+        min_shared=_TRI_MIN_SHARED,
+        max_nodes_per_key=_TRI_MAX_NODES_PER_KEY,
+    )
+    return sim.orderBy(F.desc("jaccard"), "src", "dst").limit(_USERSIM_K)
+
+
+def _events_state_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time state: every user's event-type AS OF a fixed
+    timestamp, answered from the SCD2 intervals — the type-2
+    dimension's reason to exist. A pure filter over the intervals (at
+    scale: partition-prunable on valid_from buckets)."""
+    from kubernetes_logs_datalake_spark.operators.history import (
+        scd2_intervals,
+        snapshot_at,
+    )
+
+    e = _t(spark, sf, "events")
+    src = e.select(
+        "user_id", "event_type", _ts_us(e).alias("ts_us"), "event_id"
+    )
+    iv = scd2_intervals(
+        src, "user_id", "event_type", "ts_us", tiebreak_col="event_id"
+    )
+    return snapshot_at(iv, _SNAPSHOT_US).select(
+        "user_id", "state", F.col("valid_from").alias("valid_from_us")
+    )
+
+
 # ================================================================ registry
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
@@ -3603,11 +3675,13 @@ def _ann_topk_pq_refine(spark: SparkSession, sf: str) -> DataFrame:
 # cycle coverage through every query. Through round 6, 168 of the
 # registered queries have at least one driver hash row. This round's
 # window (computed from the CORRECTNESS_r0*.json ledger, oldest-first):
-# the 13 never-driver-checked queries (6 late round-6 additions + the
-# 7 round-7 operators), the 3 queries whose code or oracle changed in
-# round 7, then the entire r3-vintage cohort (32 queries whose last
-# driver row is four rounds old). After this window runs, every
-# registered query's most recent driver row is r4 or newer.
+# the 16 never-driver-checked queries (6 late round-6 additions + the
+# 10 round-7 operators), the 3 queries whose code or oracle changed in
+# round 7, then the r3-vintage cohort (queries whose last driver row
+# is four rounds old; intersect/except_nation_keys and
+# exists_late_shipments — three frozen set-op shapes — defer to r8 to
+# make room). After this window runs, every registered query has a
+# driver row and all but three are r4 or newer.
 #
 # NO-ORACLE MANIFEST — 3 queries are rows-only BY DECLARED CONTRACT,
 # not failures; each is windowed adjacent to its exact hash-checked
@@ -3642,6 +3716,9 @@ _R7_WINDOW = [
     "docs_rake_keyphrases",
     "ann_label_ndcg",
     "ann_topk_pq_refine",
+    "events_hits_scores",
+    "events_user_similarity",
+    "events_state_snapshot",
     # re-checks: queries whose operator or oracle changed this round
     # (calibrated-keep singleton clause, prefix-bound flooring, DATE
     # profile extrema)
@@ -3678,9 +3755,6 @@ _R7_WINDOW = [
     "json_props_extract",
     "unpivot_order_measures",
     "above_avg_customers",
-    "intersect_nation_keys",
-    "except_nation_keys",
-    "exists_late_shipments",
     "percentile_event_value",
     # oldest r4 row with a flagged follow-up in the registry notes
     "fuzzy_name_match",
@@ -3888,6 +3962,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_rake_keyphrases": _docs_rake_keyphrases,
         "ann_label_ndcg": _ann_label_ndcg,
         "ann_topk_pq_refine": _ann_topk_pq_refine,
+        "events_hits_scores": _events_hits_scores,
+        "events_user_similarity": _events_user_similarity,
+        "events_state_snapshot": _events_state_snapshot,
     }
 
 
@@ -4110,6 +4187,57 @@ def _ddb_pagerank_sql(iters: int, damping: float, scale: int = 12) -> str:
                 GROUP BY f.dst) s ON n.node = s.node)""")
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM r{iters}"
+    )
+
+
+def _ddb_hits_sql(iters: int, scale: int = 12) -> str:
+    """Unroll operators.graph.hits into chained CTEs — the pagerank
+    recipe: per half-round raw scores are decimal-summed then rounded
+    to ``scale`` BEFORE normalization, the L1 total is a decimal sum of
+    the rounded values, and the normalized score is rounded again, so
+    both engines walk bit-identical fixpoints."""
+    ctes = [
+        f"edges AS ({_DDB_TRANSITIONS})",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"""h0 AS MATERIALIZED (
+            SELECT node, round(1.0 / (SELECT n FROM nn), {scale}) AS h
+            FROM nodes)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""ar{i} AS MATERIALIZED (
+            SELECT n.node, round(coalesce(s.c, 0.0), {scale}) AS v
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(sum(CAST(h.h * e.n_transitions
+                                     AS DECIMAL(38,18))) AS DOUBLE) AS c
+                FROM edges e JOIN h{i - 1} h ON e.src = h.node
+                GROUP BY e.dst) s ON n.node = s.node)""")
+        ctes.append(f"""at{i} AS (
+            SELECT CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) AS t
+            FROM ar{i})""")
+        ctes.append(f"""a{i} AS MATERIALIZED (
+            SELECT node, round(v / (SELECT t FROM at{i}), {scale}) AS a
+            FROM ar{i})""")
+        ctes.append(f"""hr{i} AS MATERIALIZED (
+            SELECT n.node, round(coalesce(s.c, 0.0), {scale}) AS v
+            FROM nodes n LEFT JOIN (
+                SELECT e.src AS node,
+                       CAST(sum(CAST(a.a * e.n_transitions
+                                     AS DECIMAL(38,18))) AS DOUBLE) AS c
+                FROM edges e JOIN a{i} a ON e.dst = a.node
+                GROUP BY e.src) s ON n.node = s.node)""")
+        ctes.append(f"""ht{i} AS (
+            SELECT CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) AS t
+            FROM hr{i})""")
+        ctes.append(f"""h{i} AS MATERIALIZED (
+            SELECT node, round(v / (SELECT t FROM ht{i}), {scale}) AS h
+            FROM hr{i})""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT h.node, h.h AS hub, a.a AS authority
+        FROM h{iters} h JOIN a{iters} a ON h.node = a.node"""
     )
 
 
@@ -6594,6 +6722,55 @@ def oracle_sql() -> dict[str, str]:
             JOIN cand c ON c.vec_id = e.vec_id
             CROSS JOIN qq
             ORDER BY cos DESC, e.vec_id LIMIT 10
+        """,
+        "events_hits_scores": _ddb_hits_sql(_HITS_ITERS),
+        "events_user_similarity": f"""
+            WITH keys AS (
+                SELECT DISTINCT user_id, event_type,
+                       (epoch_us(ts) - epoch_us(ts) % 3600000000)
+                           AS bucket_us
+                FROM events),
+            kc AS (SELECT event_type, bucket_us, count(*) AS c
+                   FROM keys GROUP BY 1, 2),
+            keysf AS (
+                SELECT k.user_id, k.event_type, k.bucket_us
+                FROM keys k JOIN kc USING (event_type, bucket_us)
+                WHERE kc.c <= {_TRI_MAX_NODES_PER_KEY}),
+            sz AS (SELECT user_id, CAST(count(*) AS BIGINT) AS s
+                   FROM keysf GROUP BY 1),
+            e AS (
+                SELECT a.user_id AS src, b.user_id AS dst,
+                       CAST(count(*) AS BIGINT) AS n_shared
+                FROM keysf a JOIN keysf b USING (event_type, bucket_us)
+                WHERE a.user_id < b.user_id
+                GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SHARED})
+            SELECT src, dst, n_shared,
+                   round(CAST(n_shared AS DOUBLE)
+                         / (sa.s + sb.s - n_shared), 6) AS jaccard
+            FROM e JOIN sz sa ON sa.user_id = e.src
+                   JOIN sz sb ON sb.user_id = e.dst
+            ORDER BY jaccard DESC, src, dst LIMIT {_USERSIM_K}
+        """,
+        "events_state_snapshot": f"""
+            WITH s AS (
+                SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                       event_id,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS p
+                FROM events),
+            c AS (SELECT * FROM s WHERE p IS NULL OR p <> event_type),
+            d AS (
+                SELECT user_id, event_type AS state,
+                       ts_us AS valid_from_us,
+                       lead(ts_us) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts_us, event_id) AS valid_to_us
+                FROM c)
+            SELECT user_id, state, valid_from_us
+            FROM d
+            WHERE valid_from_us <= {_SNAPSHOT_US}
+              AND (valid_to_us IS NULL OR valid_to_us > {_SNAPSHOT_US})
         """,
         # Rows-only (no SQL oracle): ann_topk_arrow (numpy pairwise
         # summation), approx_distinct_users (engine-native HLL),

@@ -124,6 +124,21 @@ HEADLINE = [
     "docs_decontaminate_bloom",
     "events_label_propagation",
     "events_seasonal_anomaly",
+    # round-7 additions
+    "events_triangle_count",
+    "events_user_state_scd2",
+    "events_session_paths",
+    "docs_zipf_fit",
+    "docs_rake_keyphrases",
+    "ann_label_ndcg",
+    "ann_topk_pq_refine",
+    "events_user_similarity",
+    "events_state_snapshot",
+    # events_hits_scores is deliberately NOT benched for the same
+    # reason as docs_bpe_merges: 8 mutual-reinforcement rounds = 16
+    # sequential half-round actions whose per-action data is a 5-row
+    # score table — the timing measures job-submission latency, not
+    # the operator (which is the pagerank kernel, already benched)
     # docs_bpe_merges/docs_bpe_tokens are deliberately NOT benched: 20
     # sequential merge iterations have a fixed ~0.6 s/iteration action-
     # latency floor in local mode that measures the scheduler, not the

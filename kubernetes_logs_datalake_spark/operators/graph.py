@@ -401,3 +401,165 @@ def triangle_counts(
             "n_triangles"
         ),
     )
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iters: int = 8,
+    scale: int = 12,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999), fixed ``iters``
+    mutual-reinforcement rounds: authority(v) ← Σ w(u,v)·hub(u), then
+    hub(u) ← Σ w(u,v)·authority(v), each half-round L1-normalized.
+    Complements PageRank: where PageRank scores global reachability,
+    HITS separates "points at good content" (hub — a crawl seed-list
+    prior) from "is good content" (authority).
+
+    Returns (node, hub, authority), both rounded to ``scale``.
+
+    Same exact-reduce recipe as :func:`pagerank`: messages sum as
+    DECIMAL(38,18) (order-independent under any partitioning), each
+    half-round's scores are rounded before they feed the next, so the
+    fixpoint is bit-deterministic and the DuckDB oracle can unroll the
+    identical rounds. Driver traffic: one 1-row normalization scalar
+    per half-round (the bounded pagerank/kmeans pattern), which also
+    materializes that half-round's checkpoint so the twice-referenced
+    score frame never re-computes through accumulated lineage.
+    """
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    if weight_col is not None:
+        edges = edges.filter(w > 0)
+    ew = edges.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"), w.alias("_w")
+    ).localCheckpoint(eager=False)
+    nodes = (
+        ew.select(F.col("_s").alias("node"))
+        .union(ew.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+    dec = "decimal(38,18)"
+
+    def _half_round(scores: DataFrame, score_col: str, inbound: bool):
+        """One message pass + L1 normalization. ``inbound`` True sums
+        into dst (authority update), False into src (hub update)."""
+        join_on, group_to = ("_s", "_d") if inbound else ("_d", "_s")
+        msgs = (
+            ew.join(
+                scores.select(
+                    F.col("node").alias(join_on), F.col(score_col)
+                ),
+                join_on,
+            )
+            .groupBy(group_to)
+            .agg(
+                F.sum((F.col(score_col) * F.col("_w")).cast(dec))
+                .cast("double")
+                .alias("_v")
+            )
+        )
+        raw = (
+            nodes.join(
+                msgs.withColumnRenamed(group_to, "node"), "node", "left"
+            )
+            .select(
+                "node",
+                F.round(F.coalesce(F.col("_v"), F.lit(0.0)), scale).alias(
+                    "_v"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+        total = raw.agg(
+            F.sum(F.col("_v").cast(dec)).cast("double")
+        ).collect()[0][0]
+        if not total:
+            return raw.withColumnRenamed("_v", score_col)
+        return raw.select(
+            "node", F.round(F.col("_v") / F.lit(total), scale).alias(score_col)
+        )
+
+    init = round(1.0 / n, scale)
+    hub = nodes.select("node", F.lit(init).alias("h"))
+    auth = None
+    for _ in range(iters):
+        auth = _half_round(hub, "h", inbound=True).withColumnRenamed(
+            "h", "a"
+        )
+        hub = _half_round(auth, "a", inbound=False).withColumnRenamed(
+            "a", "h"
+        )
+    return hub.join(auth, "node").select(
+        "node", F.col("h").alias("hub"), F.col("a").alias("authority")
+    )
+
+
+def cooccurrence_similarity(
+    df: DataFrame,
+    node_col: str,
+    key_cols: list[str],
+    min_shared: int = 2,
+    max_nodes_per_key: int | None = None,
+    scale: int = 6,
+) -> DataFrame:
+    """Node-pair Jaccard similarity over shared key sets — the
+    "similar users/docs by shared context" report built on the same
+    guarded inverted-index kernel as :func:`cooccurrence_edges`.
+
+    Output: (src, dst, n_shared, jaccard) with ``src < dst``; jaccard
+    is computed over the CAPPED key universe when
+    ``max_nodes_per_key`` is set (set sizes count the same filtered
+    keys the pair counts see, so the ratio stays a true Jaccard of the
+    filtered sets — the semantics the oracle mirrors).
+    """
+    keys = df.select(F.col(node_col).alias("_n"), *key_cols).distinct()
+    if max_nodes_per_key is not None:
+        kc = keys.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_kc"))
+        keys = (
+            keys.join(kc, key_cols)
+            .filter(F.col("_kc") <= max_nodes_per_key)
+            .drop("_kc")
+        )
+    keys = keys.localCheckpoint(eager=False)
+    sizes = keys.groupBy("_n").agg(F.count(F.lit(1)).alias("_sz"))
+    a = keys.select(F.col("_n").alias("src"), *key_cols)
+    b = keys.select(F.col("_n").alias("dst"), *key_cols)
+    pairs = (
+        a.join(b, key_cols)
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("_n").alias("src"), F.col("_sz").alias("_sa")),
+            "src",
+        )
+        .join(
+            sizes.select(F.col("_n").alias("dst"), F.col("_sz").alias("_sb")),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("_sa") + F.col("_sb") - F.col("n_shared")),
+                scale,
+            ).alias("jaccard"),
+        )
+    )

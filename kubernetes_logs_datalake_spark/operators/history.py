@@ -63,3 +63,24 @@ def scd2_intervals(
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+def snapshot_at(
+    intervals: DataFrame, at, order_col: str = "valid_from"
+) -> DataFrame:
+    """Point-in-time lookup over SCD2 intervals: each entity's state AS
+    OF ``at`` (same units as the interval bounds) — the "what did the
+    world look like at T" query every type-2 dimension exists to
+    answer. [valid_from, valid_to) semantics: a row matches when
+    valid_from ≤ at < valid_to (open intervals match any later ``at``).
+
+    A pure filter over the intervals table — partition-prunable when
+    the intervals are stored partitioned on ``valid_from`` buckets, and
+    never wider than one row per entity by the tiling invariant of
+    :func:`scd2_intervals`.
+    """
+    t = F.lit(at)
+    return intervals.filter(
+        (F.col(order_col) <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )

@@ -370,3 +370,66 @@ def test_rake_max_len_drops_megaphrases(spark):
     assert capped == [("red apple", 2)]
     uncapped = [r.phrase for r in rake_keyphrases(df, "doc_id", "text", max_len=None).collect()]
     assert giant in uncapped
+
+
+def test_hits_star_graph(spark):
+    """Star u->{v1,v2,v3}: u is the only hub (authority 0), spokes are
+    pure authorities with equal scores summing to 1."""
+    from kubernetes_logs_datalake_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [("u", "v1"), ("u", "v2"), ("u", "v3")], "src string, dst string"
+    )
+    got = {r.node: (r.hub, r.authority) for r in hits(edges, iters=4).collect()}
+    assert got["u"][0] == 1.0 and got["u"][1] == 0.0
+    for v in ("v1", "v2", "v3"):
+        assert got[v][0] == 0.0
+        assert abs(got[v][1] - 1 / 3) < 1e-9
+    assert abs(sum(h for h, _ in got.values()) - 1.0) < 1e-9
+    assert abs(sum(a for _, a in got.values()) - 1.0) < 1e-9
+
+
+def test_hits_weighted_prefers_heavy_edge(spark):
+    from kubernetes_logs_datalake_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [("u", "v1", 9.0), ("u", "v2", 1.0)], "src string, dst string, w double"
+    )
+    got = {r.node: r.authority for r in hits(edges, weight_col="w", iters=3).collect()}
+    assert got["v1"] > got["v2"] > 0
+
+
+def test_cooccurrence_similarity_jaccard(spark):
+    from kubernetes_logs_datalake_spark.operators.graph import (
+        cooccurrence_similarity,
+    )
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "c"),
+    ]
+    df = spark.createDataFrame(rows, "node long, key string")
+    got = {
+        (r.src, r.dst): (r.n_shared, r.jaccard)
+        for r in cooccurrence_similarity(df, "node", ["key"], min_shared=1).collect()
+    }
+    # |1∩2|=2, |1∪2|=3; |1∩3|=1, |1∪3|=3
+    assert got == {(1, 2): (2, round(2 / 3, 6)), (1, 3): (1, round(1 / 3, 6))}
+
+
+def test_snapshot_at_point_in_time(spark):
+    from kubernetes_logs_datalake_spark.operators.history import (
+        scd2_intervals,
+        snapshot_at,
+    )
+
+    rows = [(7, "a", 10, 0), (7, "b", 30, 1), (8, "x", 50, 2)]
+    df = spark.createDataFrame(rows, "u long, st string, ts long, eid long")
+    iv = scd2_intervals(df, "u", "st", "ts", "eid")
+    at20 = {(r.u, r.state) for r in snapshot_at(iv, 20).collect()}
+    assert at20 == {(7, "a")}          # user 8 not yet born at t=20
+    at30 = {(r.u, r.state) for r in snapshot_at(iv, 30).collect()}
+    assert at30 == {(7, "b")}          # [from, to): boundary flips to b
+    at99 = {(r.u, r.state) for r in snapshot_at(iv, 99).collect()}
+    assert at99 == {(7, "b"), (8, "x")}
