@@ -330,6 +330,34 @@ def main() -> None:
 
     thunks["events_triangle_count"] = _triangles_scaled
 
+    # same density rule for the pairwise-similarity sibling
+    def _usersim_scaled(copies=copies):
+        from pyspark.sql import functions as F
+        from kubernetes_logs_datalake_spark.operators.graph import (
+            cooccurrence_similarity,
+        )
+
+        e = spark.read.parquet(f"{dest}/events.parquet")
+        ts_us = entrymod._ts_us(e)
+        bucket = (3600 * 1_000_000) // copies
+        keyed = e.select(
+            "user_id",
+            "event_type",
+            (ts_us - ts_us % bucket).alias("bucket_us"),
+        )
+        sim = cooccurrence_similarity(
+            keyed,
+            "user_id",
+            ["event_type", "bucket_us"],
+            min_shared=entrymod._TRI_MIN_SHARED,
+            max_nodes_per_key=entrymod._TRI_MAX_NODES_PER_KEY,
+        )
+        return sim.orderBy(
+            F.desc("jaccard"), "src", "dst"
+        ).limit(entrymod._USERSIM_K)
+
+    thunks["events_user_similarity"] = _usersim_scaled
+
     if only:
         thunks = {n: t for n, t in thunks.items() if n in only}
     timings: dict[str, float] = {}
