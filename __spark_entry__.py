@@ -3049,6 +3049,34 @@ def _events_salted_join_skew(spark: SparkSession, sf: str) -> DataFrame:
 _PQ_M, _PQ_K, _PQ_ITERS = 4, 16, 2
 
 
+# PQ codebooks are a deterministic pure function of (corpus, params) —
+# kmeans_fit rounds every iteration, so retraining them per query
+# (encode, ADC top-k, recall eval, refine) repeats m×iters identical
+# tiny-collect rounds. Cache them per (sf, corpus-predicate, params),
+# the _BPE_CACHE pattern; the cached value is a plain Python list
+# (k·dim floats), not a DataFrame, so it is not session-bound. Every
+# query's ORACLE still re-derives the chains from scratch — the cache
+# can never mask a training change, only skip re-running it.
+_PQ_CODEBOOK_CACHE: dict[tuple, list] = {}
+
+
+def _pq_books(spark: SparkSession, sf: str, exclude_query: bool):
+    key = (sf, exclude_query, _PQ_M, _PQ_K, _PQ_ITERS)
+    if key not in _PQ_CODEBOOK_CACHE:
+        from kubernetes_logs_datalake_spark.operators.vectors import (
+            pq_codebooks,
+        )
+
+        emb = _t(spark, sf, "embeddings")
+        if exclude_query:
+            emb = emb.filter(F.col("vec_id") != 0)
+        _PQ_CODEBOOK_CACHE[key] = pq_codebooks(
+            emb, "vec_id", "embedding", EMBEDDING_DIM, _PQ_M, _PQ_K,
+            _PQ_ITERS,
+        )
+    return _PQ_CODEBOOK_CACHE[key]
+
+
 def _embedding_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantization encode of the embedding table (Jégou et
     al. 2011; m=4 subspaces × 16 codes ⇒ a 64-dim float vector in 4
@@ -3067,6 +3095,7 @@ def _embedding_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
         m=_PQ_M,
         k=_PQ_K,
         iters=_PQ_ITERS,
+        codebooks=_pq_books(spark, sf, exclude_query=False),
     )
 
 
@@ -3090,6 +3119,7 @@ def _ann_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
         k=_PQ_K,
         iters=_PQ_ITERS,
         topk=10,
+        codebooks=_pq_books(spark, sf, exclude_query=True),
     )
 
 
@@ -3210,6 +3240,7 @@ def _ann_recall_pq(spark: SparkSession, sf: str) -> DataFrame:
         k=_PQ_K,
         iters=_PQ_ITERS,
         topk=10,
+        codebooks=_pq_books(spark, sf, exclude_query=True),
     ).select("vec_id")
     return bf.join(ap, "vec_id").agg(
         F.lit(10).alias("k"),
@@ -3593,6 +3624,7 @@ def _ann_topk_pq_refine(spark: SparkSession, sf: str) -> DataFrame:
         iters=_PQ_ITERS,
         n_candidates=_PQ_REFINE_CANDS,
         topk=10,
+        codebooks=_pq_books(spark, sf, exclude_query=True),
     )
 
 
