@@ -3700,6 +3700,23 @@ def _events_state_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _docs_filter_ablation(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-rule ablation: per Gopher rule, documents failing it and
+    documents failing ONLY it — which rule does the work, which is
+    redundant. One aggregate over the verdict scan (2·|rules|+1 sums),
+    row-per-rule reshape is a 1-row struct explode."""
+    from kubernetes_logs_datalake_spark.operators.webclean import (
+        filter_ablation,
+        gopher_quality_rules,
+    )
+
+    d = _t(spark, sf, "documents")
+    v = gopher_quality_rules(d, "doc_id", "text", min_stopword_hits=1)
+    return filter_ablation(
+        v, ["rule_word_count", "rule_word_len", "rule_alpha", "rule_stopwords"]
+    )
+
+
 # ================================================================ registry
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
@@ -3713,7 +3730,9 @@ def _events_state_snapshot(spark: SparkSession, sf: str) -> DataFrame:
 # is four rounds old; intersect/except_nation_keys and
 # exists_late_shipments — three frozen set-op shapes — defer to r8 to
 # make room). After this window runs, every registered query has a
-# driver row and all but three are r4 or newer.
+# driver row and all but three are r4 or newer. (docs_filter_ablation
+# was added after the window filled — replica-green, leads the r8
+# rotation with the three deferred set-op shapes.)
 #
 # NO-ORACLE MANIFEST — 3 queries are rows-only BY DECLARED CONTRACT,
 # not failures; each is windowed adjacent to its exact hash-checked
@@ -3997,6 +4016,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hits_scores": _events_hits_scores,
         "events_user_similarity": _events_user_similarity,
         "events_state_snapshot": _events_state_snapshot,
+        "docs_filter_ablation": _docs_filter_ablation,
     }
 
 
@@ -6803,6 +6823,50 @@ def oracle_sql() -> dict[str, str]:
             FROM d
             WHERE valid_from_us <= {_SNAPSHOT_US}
               AND (valid_to_us IS NULL OR valid_to_us > {_SNAPSHOT_US})
+        """,
+        "docs_filter_ablation": f"""
+            WITH {gopher_cte},
+            r AS (
+                SELECT (n >= 50 AND n <= 100000) AS r_wc,
+                       ({g_mwl} >= 3.0 AND {g_mwl} <= 10.0) AS r_wl,
+                       ({g_afrac} >= 0.8) AS r_alpha,
+                       (stop >= 1) AS r_stop
+                FROM m),
+            a AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN NOT r_wc THEN 1 ELSE 0 END)
+                            AS BIGINT) AS f_wc,
+                       CAST(sum(CASE WHEN NOT r_wc AND r_wl AND r_alpha
+                                          AND r_stop
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS u_wc,
+                       CAST(sum(CASE WHEN NOT r_wl THEN 1 ELSE 0 END)
+                            AS BIGINT) AS f_wl,
+                       CAST(sum(CASE WHEN NOT r_wl AND r_wc AND r_alpha
+                                          AND r_stop
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS u_wl,
+                       CAST(sum(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END)
+                            AS BIGINT) AS f_al,
+                       CAST(sum(CASE WHEN NOT r_alpha AND r_wc AND r_wl
+                                          AND r_stop
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS u_al,
+                       CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END)
+                            AS BIGINT) AS f_st,
+                       CAST(sum(CASE WHEN NOT r_stop AND r_wc AND r_wl
+                                          AND r_alpha
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS u_st
+                FROM r)
+            SELECT rule, n AS n_docs, n_fail, n_unique_fail,
+                   round(n_fail * 1.0 / n, 6) AS fail_frac
+            FROM (
+                SELECT 'rule_word_count' AS rule, n, f_wc AS n_fail,
+                       u_wc AS n_unique_fail FROM a
+                UNION ALL
+                SELECT 'rule_word_len', n, f_wl, u_wl FROM a
+                UNION ALL
+                SELECT 'rule_alpha', n, f_al, u_al FROM a
+                UNION ALL
+                SELECT 'rule_stopwords', n, f_st, u_st FROM a)
+            ORDER BY rule
         """,
         # Rows-only (no SQL oracle): ann_topk_arrow (numpy pairwise
         # summation), approx_distinct_users (engine-native HLL),

@@ -152,3 +152,56 @@ def source_quality_report(
         F.round(F.col("n_keep") / F.col("n_docs"), 6).alias("keep_rate"),
         F.round(F.col("_sum_chars") / F.col("n_docs"), 2).alias("mean_chars"),
     )
+
+
+def filter_ablation(
+    verdicts: DataFrame, rule_cols: list[str], scale: int = 6
+) -> DataFrame:
+    """Per-rule ablation report over boolean rule verdicts (e.g. the
+    output of :func:`gopher_quality_rules`): for each rule, how many
+    documents fail it, and how many fail ONLY it — the number a
+    curation review needs to know which rule is doing the work and
+    which is redundant (a rule with many fails but zero unique fails
+    can be dropped without changing the corpus).
+
+    Output: one row per rule (rule, n_docs, n_fail, n_unique_fail,
+    fail_frac), ordered by rule name.
+
+    Plan: ONE aggregate over the verdicts scan computes every rule's
+    counters simultaneously (2·|rules|+1 sums); the row-per-rule
+    reshape is the table_profile explode of a 1-row struct array —
+    no second scan, no join, no window.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for r in rule_cols:
+        others = [F.col(o) for o in rule_cols if o != r]
+        only = ~F.col(r)
+        for o in others:
+            only = only & o
+        aggs.append(
+            F.sum((~F.col(r)).cast("long")).alias(f"_f_{r}")
+        )
+        aggs.append(F.sum(only.cast("long")).alias(f"_u_{r}"))
+    one = verdicts.agg(*aggs)
+    stacked = one.select(
+        F.col("_n"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("rule"),
+                        F.col(f"_f_{r}").alias("n_fail"),
+                        F.col(f"_u_{r}").alias("n_unique_fail"),
+                    )
+                    for r in rule_cols
+                ]
+            )
+        ).alias("_s"),
+    )
+    return stacked.select(
+        F.col("_s.rule").alias("rule"),
+        F.col("_n").alias("n_docs"),
+        F.col("_s.n_fail").alias("n_fail"),
+        F.col("_s.n_unique_fail").alias("n_unique_fail"),
+        F.round(F.col("_s.n_fail") / F.col("_n"), scale).alias("fail_frac"),
+    ).orderBy("rule")

@@ -433,3 +433,24 @@ def test_snapshot_at_point_in_time(spark):
     assert at30 == {(7, "b")}          # [from, to): boundary flips to b
     at99 = {(r.u, r.state) for r in snapshot_at(iv, 99).collect()}
     assert at99 == {(7, "b"), (8, "x")}
+
+
+def test_filter_ablation_counts(spark):
+    from kubernetes_logs_datalake_spark.operators.webclean import (
+        filter_ablation,
+    )
+
+    rows = [
+        (1, True, True),    # passes both
+        (2, False, True),   # fails only a
+        (3, False, False),  # fails both
+        (4, True, False),   # fails only b
+        (5, True, False),   # fails only b
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, a boolean, b boolean")
+    got = {r.rule: (r.n_docs, r.n_fail, r.n_unique_fail, r.fail_frac)
+           for r in filter_ablation(df, ["a", "b"]).collect()}
+    assert got == {
+        "a": (5, 2, 1, 0.4),
+        "b": (5, 3, 2, 0.6),
+    }

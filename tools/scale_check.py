@@ -137,6 +137,7 @@ QUERIES = [
     "ann_topk_pq_refine",
     "events_user_similarity",
     "events_state_snapshot",
+    "docs_filter_ablation",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
