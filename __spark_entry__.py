@@ -3717,6 +3717,47 @@ def _docs_filter_ablation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _orders_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental aggregate maintenance: the per-priority revenue
+    rollup maintained as merge(state(pre-1995), state(1995+)) instead
+    of a full rescan — the O(delta) nightly-report pattern. The query
+    ALSO recomputes the rollup directly and emits matches_full, so the
+    oracle's TRUE literal is an invariant the engine must reproduce
+    (the Bloom-losslessness oracle pattern): a hash match proves the
+    decimal merge identity state(old ∪ delta) = merge(states)."""
+    from kubernetes_logs_datalake_spark.operators.incremental import (
+        merge_agg_states,
+        partial_agg_state,
+    )
+
+    o = _t(spark, sf, "orders")
+    cutoff = F.lit("1995-01-01").cast("timestamp")
+    keys = ["o_orderpriority"]
+    sa = partial_agg_state(
+        o.filter(F.col("o_orderdate") < cutoff), keys, ["o_totalprice"]
+    )
+    sb = partial_agg_state(
+        o.filter(F.col("o_orderdate") >= cutoff), keys, ["o_totalprice"]
+    )
+    merged = merge_agg_states(sa, sb, keys)
+    full = partial_agg_state(o, keys, ["o_totalprice"]).select(
+        F.col("o_orderpriority"),
+        F.col("n").alias("_fn"),
+        F.col("sum_o_totalprice").alias("_fs"),
+    )
+    return merged.join(full, "o_orderpriority").select(
+        "o_orderpriority",
+        F.col("n").alias("n_orders"),
+        F.round(F.col("sum_o_totalprice").cast("double"), 2).alias(
+            "sum_total"
+        ),
+        (
+            (F.col("n") == F.col("_fn"))
+            & (F.col("sum_o_totalprice") == F.col("_fs"))
+        ).alias("matches_full"),
+    )
+
+
 # ================================================================ registry
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
@@ -4017,6 +4058,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_similarity": _events_user_similarity,
         "events_state_snapshot": _events_state_snapshot,
         "docs_filter_ablation": _docs_filter_ablation,
+        "orders_incremental_rollup": _orders_incremental_rollup,
     }
 
 
@@ -6867,6 +6909,16 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'rule_stopwords', n, f_st, u_st FROM a)
             ORDER BY rule
+        """,
+        # the TRUE literal is the merge invariant the engine must
+        # reproduce via the actual two-state merge (Bloom pattern)
+        "orders_incremental_rollup": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                              AS DOUBLE), 2) AS sum_total,
+                   TRUE AS matches_full
+            FROM orders GROUP BY 1
         """,
         # Rows-only (no SQL oracle): ann_topk_arrow (numpy pairwise
         # summation), approx_distinct_users (engine-native HLL),

@@ -454,3 +454,34 @@ def test_filter_ablation_counts(spark):
         "a": (5, 2, 1, 0.4),
         "b": (5, 3, 2, 0.6),
     }
+
+
+def test_incremental_merge_equals_recompute(spark):
+    """merge(state(a), state(b)) must be bit-identical to
+    state(a ∪ b), including a group present on only one side."""
+    from kubernetes_logs_datalake_spark.operators.incremental import (
+        merge_agg_states,
+        partial_agg_state,
+    )
+
+    a = spark.createDataFrame(
+        [("x", 1.25), ("x", 2.50), ("y", 0.75)], "g string, v double"
+    )
+    b = spark.createDataFrame(
+        [("x", 4.00), ("z", 9.99)], "g string, v double"
+    )
+    merged = {
+        r.g: (r.n, float(r.sum_v))
+        for r in merge_agg_states(
+            partial_agg_state(a, ["g"], ["v"]),
+            partial_agg_state(b, ["g"], ["v"]),
+            ["g"],
+        ).collect()
+    }
+    full = {
+        r.g: (r.n, float(r.sum_v))
+        for r in partial_agg_state(a.unionByName(b), ["g"], ["v"]).collect()
+    }
+    assert merged == full == {
+        "x": (3, 7.75), "y": (1, 0.75), "z": (1, 9.99),
+    }

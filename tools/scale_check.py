@@ -138,6 +138,7 @@ QUERIES = [
     "events_user_similarity",
     "events_state_snapshot",
     "docs_filter_ablation",
+    "orders_incremental_rollup",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
