@@ -607,3 +607,128 @@ def pq_refine_topk(
         .orderBy(F.desc("cos"), F.col(id_col))
         .limit(topk)
     )
+
+
+def ivfadc_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    dim: int,
+    n_centroids: int = 8,
+    n_probe: int = 4,
+    m: int = 4,
+    k: int = 16,
+    coarse_iters: int = 3,
+    pq_iters: int = 2,
+    topk: int = 10,
+    scale: int = 6,
+    centers: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Full IVFADC (Jégou et al. 2011 §IV): coarse k-means quantizer +
+    product quantization OF THE RESIDUALS + per-probe asymmetric
+    distance tables — the complete billion-scale index this repo's IVF
+    (cell pruning) and PQ (ADC over raw vectors) pieces compose into.
+    Residual encoding is what makes PQ codes small enough to matter:
+    residuals concentrate near 0, so k codes cover them far better
+    than they cover raw vectors.
+
+    Plan, in 100 TB terms: training = one deterministic coarse k-means
+    (k·dim driver doubles/iteration) + m residual-subspace k-means;
+    the serving scan touches only the ``n_probe`` probed cells
+    (persisted as a partition key, probes become partition pruning),
+    reads m codes per row, and sums m table lookups — the lookup
+    tables are (n_probe · m · k) driver-computed doubles shipped as
+    literals, built from (query − probed-centroid) residuals. No
+    full-precision distance is ever computed corpus-side; stack
+    :func:`pq_refine_topk`'s exact re-rank on the survivors for the
+    serving-quality path.
+
+    Deterministic end to end (md5 init, decimal centroid means, rounded
+    every iteration, ties to the lowest index), so the DuckDB oracle
+    replays the identical coarse chain, residual chains, probe pick,
+    and lookup-sum. Output: (id, adc_dist) ascending, ties by id.
+    """
+    from kubernetes_logs_datalake_spark.functions.vectors import literal_vector
+
+    if len(query) != dim:
+        raise ValueError(f"query dim {len(query)} != dim {dim}")
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if centers is None:
+        centers, _ = kmeans_fit(
+            df, id_col, vec_col, k=n_centroids, iters=coarse_iters,
+            scale=scale,
+        )
+    if len(centers) != n_centroids:
+        raise ValueError(
+            f"{len(centers)} centers != n_centroids {n_centroids}"
+        )
+    asg = kmeans_assign(df, id_col, vec_col, centers, scale=scale)
+    # residuals: one map stage against the packed coarse-centroid
+    # literal (index arithmetic, not a join)
+    Cflat = literal_vector([float(v) for c in centers for v in c])
+    vec = F.col(vec_col)
+    res = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: F.element_at(vec, i.cast("int")).cast("double")
+        - F.element_at(Cflat, (F.col("cluster") * dim + i).cast("int")),
+    )
+    resdf = asg.select(F.col(id_col), F.col("cluster"), res.alias("_res"))
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(resdf, id_col, "_res", dim, m, k, pq_iters, scale)
+    )
+    _validate_codebooks(books, dim, m, k)
+
+    def sqd(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe = sorted(range(n_centroids), key=lambda i: sqd(query, centers[i]))[
+        :n_probe
+    ]
+    subdim = dim // m
+    probed = resdf.filter(F.col("cluster").isin([int(p) for p in probe]))
+    # 1-based index of the row's cell within the probe list
+    probe_arr = F.array(*[F.lit(int(p)) for p in probe])
+    pidx = F.array_position(probe_arr, F.col("cluster"))
+    dist_total = None
+    for s in range(m):
+        cents = books[s]
+        Cs = literal_vector([float(v) for c in cents for v in c])
+        sub = F.slice(F.col("_res"), s * subdim + 1, subdim)
+        d2 = F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda j: F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.slice(Cs, j * subdim + 1, subdim),
+                    lambda x, c: (x - c) * (x - c),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+        code = F.array_position(d2, F.array_min(d2))  # 1-based
+        # per-probe lookup table: ||(q - coarse_p)_sub − c_j||², same
+        # left-to-right position fold as the oracle's list_sum
+        table = []
+        for p in probe:
+            qres = [query[i] - centers[p][i] for i in range(dim)]
+            qsub = qres[s * subdim : (s + 1) * subdim]
+            for c in cents:
+                table.append(
+                    float(sum((qi - ci) * (qi - ci) for qi, ci in zip(qsub, c)))
+                )
+        A = literal_vector(table)
+        term = F.element_at(A, ((pidx - 1) * k + code).cast("int"))
+        dist_total = term if dist_total is None else dist_total + term
+    return (
+        probed.select(
+            F.col(id_col), F.round(dist_total, scale).alias("adc_dist")
+        )
+        .orderBy("adc_dist", id_col)
+        .limit(topk)
+    )

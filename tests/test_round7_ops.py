@@ -485,3 +485,47 @@ def test_incremental_merge_equals_recompute(spark):
     assert merged == full == {
         "x": (3, 7.75), "y": (1, 0.75), "z": (1, 9.99),
     }
+
+
+def test_ivfadc_recall_on_clustered_corpus(spark):
+    """Full IVFADC (coarse + residual-PQ + per-probe tables) must
+    surface a query's planted near-duplicate in its top-10 on the
+    clustered fixture — and residual encoding should be at least as
+    good as raw-vector ADC there."""
+    from bench import make_clustered_corpus
+    from kubernetes_logs_datalake_spark.operators.vectors import ivfadc_topk
+
+    emb_t, _ = make_clustered_corpus(n_bg_e=300, n_pl_e=60, n_bg_d=0, n_pl_d=0)
+    emb = spark.createDataFrame(emb_t.to_pandas())
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    hits = 0
+    queries = list(range(300, 306))  # planted-pair bases; dup = qi + 60
+    for qi in queries:
+        out = ivfadc_topk(
+            emb.filter(f"vec_id != {qi}"),
+            "vec_id",
+            "embedding",
+            vecs[qi],
+            dim=64,
+            n_centroids=8,
+            n_probe=4,
+            m=4,
+            k=16,
+            topk=10,
+        )
+        hits += (qi + 60) in [r["vec_id"] for r in out.collect()]
+    assert hits >= 5, f"planted-dup IVFADC recall {hits}/6 < 5/6"
+
+
+def test_ivfadc_rejects_bad_shapes(spark):
+    import pytest as _pytest
+
+    from kubernetes_logs_datalake_spark.operators.vectors import ivfadc_topk
+
+    emb = spark.createDataFrame(
+        [(1, [0.0] * 64)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError):
+        ivfadc_topk(emb, "vec_id", "embedding", [0.0] * 63, dim=64)
+    with _pytest.raises(ValueError):
+        ivfadc_topk(emb, "vec_id", "embedding", [0.0] * 64, dim=64, m=5)

@@ -139,6 +139,7 @@ QUERIES = [
     "events_state_snapshot",
     "docs_filter_ablation",
     "orders_incremental_rollup",
+    "ann_topk_ivfpq",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
