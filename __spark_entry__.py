@@ -3834,6 +3834,19 @@ def _ivfadc_trained(spark: SparkSession, sf: str):
     return _IVFADC_CACHE[key]
 
 
+_PHRASE = "stream table hash"
+
+
+def _docs_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact positional phrase search over the corpus — postings for
+    each phrase word filter BEFORE the (doc, pos)-keyed alignment
+    joins, so work is Σ df(wordᵢ), never the corpus token count; the
+    persisted deployment shape is a word-bucketed postings table."""
+    from kubernetes_logs_datalake_spark.functions.text import phrase_search
+
+    return phrase_search(_t(spark, sf, "documents"), "doc_id", "text", _PHRASE)
+
+
 # ================================================================ registry
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
@@ -4136,6 +4149,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_filter_ablation": _docs_filter_ablation,
         "orders_incremental_rollup": _orders_incremental_rollup,
         "ann_topk_ivfpq": _ann_topk_ivfpq,
+        "docs_phrase_search": _docs_phrase_search,
     }
 
 
@@ -4578,6 +4592,40 @@ def _ddb_ivfadc_sql(
         {" ".join(adc_joins)}
         WHERE a.cell IN (SELECT j FROM probe)
         ORDER BY adc_dist, a.vec_id LIMIT {topk}
+    """
+
+
+def _ddb_phrase_sql(phrase: str) -> str:
+    """Mirrors functions.text.phrase_search: 0-based positional
+    postings, one selective filter per phrase word, (doc, p0)-aligned
+    joins — generated from the SAME phrase constant as the query."""
+    import re
+
+    terms = [
+        t for t in re.sub(r"[^a-z0-9]+", " ", phrase.lower()).split() if t
+    ]
+    w = _DDB_WORDS.format(t="text")
+    ctes = [
+        f"wl AS (SELECT doc_id, {w} AS wl FROM documents)",
+        """tok AS (
+            SELECT doc_id, u.i - 1 AS pos, wl[u.i] AS w
+            FROM wl, unnest(range(1, len(wl) + 1)) AS u(i)
+            WHERE wl[u.i] <> '')""",
+    ]
+    for i, t in enumerate(terms):
+        ctes.append(
+            f"m{i} AS (SELECT doc_id, pos - {i} AS p0 FROM tok "
+            f"WHERE w = '{t}')"
+        )
+    joins = " ".join(
+        f"JOIN m{i} USING (doc_id, p0)" for i in range(1, len(terms))
+    )
+    return f"""
+        WITH {",".join(ctes)},
+        mm AS (SELECT doc_id, p0 FROM m0 {joins})
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+               min(p0) AS first_pos
+        FROM mm GROUP BY doc_id
     """
 
 
@@ -7073,6 +7121,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'rule_stopwords', n, f_st, u_st FROM a)
             ORDER BY rule
         """,
+        "docs_phrase_search": _ddb_phrase_sql(_PHRASE),
         "ann_topk_ivfpq": _ddb_ivfadc_sql(
             _IVFADC_CENTROIDS, _IVFADC_PROBE, _PQ_M, _PQ_K,
             _IVFADC_COARSE_ITERS, _PQ_ITERS, EMBEDDING_DIM, topk=10,

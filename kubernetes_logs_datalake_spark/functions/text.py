@@ -399,3 +399,52 @@ def readability_scores(text: Column | str):
         "n_syllables": syl,
         "flesch": flesch,
     }
+
+
+def phrase_search(
+    df,
+    id_col: str,
+    text_col: str,
+    phrase: str,
+    scale: int = 4,
+):
+    """Exact positional phrase search: documents containing the word
+    sequence ``phrase`` (under the module tokenizer), with occurrence
+    counts and the first match position — the classic positional
+    inverted-index query that token search (BM25) cannot answer.
+
+    Output: (id, n_matches, first_pos), 0-based positions, one row per
+    matching document.
+
+    Scale shape: the postings for EACH phrase word are filtered BEFORE
+    any join (one selective scan of the token explode), then chained
+    (doc, pos)-keyed equi-joins align consecutive positions — work is
+    Σ df(wordᵢ), never the corpus token count, and the hottest phrase
+    word bounds the join degree. At deployment the (word, doc, pos)
+    postings table is the thing you persist bucketed by word; here it
+    derives in-plan from the corpus scan.
+    """
+    import re
+
+    # normalize the phrase with the SAME rule as the column tokenizer
+    # (lowercase, non-alphanumerics to spaces, split on runs)
+    terms = [t for t in re.sub(r"[^a-z0-9]+", " ", phrase.lower()).split() if t]
+    if not terms:
+        raise ValueError("phrase has no tokens under the tokenizer")
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(words(F.col(text_col))).alias("_pos", "_w"),
+    ).filter(F.col("_w") != "")
+    cur = (
+        tok.filter(F.col("_w") == terms[0])
+        .select("_id", F.col("_pos").alias("_p0"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = tok.filter(F.col("_w") == t).select(
+            F.col("_id"), (F.col("_pos") - i).alias("_p0")
+        )
+        cur = cur.join(nxt, ["_id", "_p0"])
+    return cur.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("_p0").alias("first_pos"),
+    ).select(F.col("_id").alias(id_col), "n_matches", "first_pos")

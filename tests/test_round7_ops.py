@@ -529,3 +529,30 @@ def test_ivfadc_rejects_bad_shapes(spark):
         ivfadc_topk(emb, "vec_id", "embedding", [0.0] * 63, dim=64)
     with _pytest.raises(ValueError):
         ivfadc_topk(emb, "vec_id", "embedding", [0.0] * 64, dim=64, m=5)
+
+
+def test_phrase_search_positions_and_overlaps(spark):
+    from kubernetes_logs_datalake_spark.functions.text import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "x big table scan y big table scan"),
+            (2, "big table only"),
+            (3, "a a a"),            # self-overlapping phrase target
+            (4, "Big, TABLE scan!"),  # tokenizer normalizes case/punct
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(df, "doc_id", "text", "big table scan").collect()
+    }
+    assert got == {1: (2, 1), 4: (1, 0)}
+    over = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(df, "doc_id", "text", "a a").collect()
+    }
+    assert over[3] == (2, 0)  # overlapping occurrences both count
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        phrase_search(df, "doc_id", "text", "!!!")

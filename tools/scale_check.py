@@ -140,6 +140,7 @@ QUERIES = [
     "docs_filter_ablation",
     "orders_incremental_rollup",
     "ann_topk_ivfpq",
+    "docs_phrase_search",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
