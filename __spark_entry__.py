@@ -3860,9 +3860,11 @@ def _docs_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
 # is four rounds old; intersect/except_nation_keys and
 # exists_late_shipments — three frozen set-op shapes — defer to r8 to
 # make room). After this window runs, every registered query has a
-# driver row and all but three are r4 or newer. (docs_filter_ablation
-# was added after the window filled — replica-green, leads the r8
-# rotation with the three deferred set-op shapes.)
+# driver row and all but three are r4 or newer. (Four queries were
+# added after the window filled — docs_filter_ablation,
+# orders_incremental_rollup, ann_topk_ivfpq, docs_phrase_search; all
+# replica-green, they lead the r8 rotation together with the three
+# deferred set-op shapes.)
 #
 # NO-ORACLE MANIFEST — 3 queries are rows-only BY DECLARED CONTRACT,
 # not failures; each is windowed adjacent to its exact hash-checked
