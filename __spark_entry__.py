@@ -3847,6 +3847,24 @@ def _docs_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
     return phrase_search(_t(spark, sf, "documents"), "doc_id", "text", _PHRASE)
 
 
+def _ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@10 of the full IVFADC index against exact brute force —
+    the companion harness to ann_recall_pq/ann_recall_lsh. On the
+    uniform-random fixture recall is low by design (the honest number:
+    residual codes can't rescue structureless vectors, and probing 4/8
+    cells misses true neighbors assigned elsewhere); planted-dup
+    recall on the clustered corpus is the pytest-gated quality claim."""
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    q = _query_vec(spark, sf)
+    bf = brute_force_topk(emb, "embedding", q, k=10).select("vec_id")
+    ap = _ann_topk_ivfpq(spark, sf).select("vec_id")
+    return bf.join(ap, "vec_id").agg(
+        F.lit(10).alias("k"),
+        F.count("*").alias("n_hits"),
+        (F.count("*") / F.lit(10)).alias("recall"),
+    )
+
+
 # ================================================================ registry
 
 # The driver's correctness gate checks the FIRST 50 entries of queries()
@@ -3862,7 +3880,8 @@ def _docs_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
 # make room). After this window runs, every registered query has a
 # driver row and all but three are r4 or newer. (Four queries were
 # added after the window filled — docs_filter_ablation,
-# orders_incremental_rollup, ann_topk_ivfpq, docs_phrase_search; all
+# orders_incremental_rollup, ann_topk_ivfpq, ann_recall_ivfpq,
+# docs_phrase_search; all
 # replica-green, they lead the r8 rotation together with the three
 # deferred set-op shapes.)
 #
@@ -4151,6 +4170,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_filter_ablation": _docs_filter_ablation,
         "orders_incremental_rollup": _orders_incremental_rollup,
         "ann_topk_ivfpq": _ann_topk_ivfpq,
+        "ann_recall_ivfpq": _ann_recall_ivfpq,
         "docs_phrase_search": _docs_phrase_search,
     }
 
@@ -7124,6 +7144,25 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rule
         """,
         "docs_phrase_search": _ddb_phrase_sql(_PHRASE),
+        "ann_recall_ivfpq": f"""
+            WITH bf AS (
+                SELECT vec_id FROM (
+                    SELECT e.vec_id,
+                           {_ddb_cos("e.embedding", "q.embedding")} AS cos
+                    FROM embeddings e,
+                         (SELECT embedding FROM embeddings
+                          WHERE vec_id = 0) q
+                    WHERE e.vec_id <> 0)
+                ORDER BY cos DESC, vec_id LIMIT 10
+            ), ap AS (
+                {_ddb_ivfadc_sql(
+                    _IVFADC_CENTROIDS, _IVFADC_PROBE, _PQ_M, _PQ_K,
+                    _IVFADC_COARSE_ITERS, _PQ_ITERS, EMBEDDING_DIM,
+                    topk=10)}
+            )
+            SELECT 10 AS k, count(*) AS n_hits, count(*) / 10.0 AS recall
+            FROM bf JOIN ap USING (vec_id)
+        """,
         "ann_topk_ivfpq": _ddb_ivfadc_sql(
             _IVFADC_CENTROIDS, _IVFADC_PROBE, _PQ_M, _PQ_K,
             _IVFADC_COARSE_ITERS, _PQ_ITERS, EMBEDDING_DIM, topk=10,
