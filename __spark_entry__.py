@@ -3847,6 +3847,30 @@ def _docs_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
     return phrase_search(_t(spark, sf, "documents"), "doc_id", "text", _PHRASE)
 
 
+def _events_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-touch attribution over the clickstream: view/click/signup
+    touches credited to the user's NEXT purchase within a 7-day
+    lookback, under first/last/linear/position-based models in one
+    pass. The type filter prunes map-side before the single user-keyed
+    sort that powers both reverse-frame windows."""
+    from kubernetes_logs_datalake_spark.operators.funnel import attribution_credit
+
+    e = _t(spark, sf, "events")
+    e = e.select(
+        "user_id", "event_type", "event_id", _ts_us(e).alias("ts_us")
+    )
+    return attribution_credit(
+        e,
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        ["click", "signup", "view"],
+        "purchase",
+        lookback=7 * 86_400 * 1_000_000,
+    )
+
+
 def _ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     """Recall@10 of the full IVFADC index against exact brute force —
     the companion harness to ann_recall_pq/ann_recall_lsh. On the
@@ -3881,7 +3905,7 @@ def _ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
 # driver row and all but three are r4 or newer. (Four queries were
 # added after the window filled — docs_filter_ablation,
 # orders_incremental_rollup, ann_topk_ivfpq, ann_recall_ivfpq,
-# docs_phrase_search; all
+# docs_phrase_search, events_attribution; all
 # replica-green, they lead the r8 rotation together with the three
 # deferred set-op shapes.)
 #
@@ -4172,6 +4196,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivfpq": _ann_topk_ivfpq,
         "ann_recall_ivfpq": _ann_recall_ivfpq,
         "docs_phrase_search": _docs_phrase_search,
+        "events_attribution": _events_attribution,
     }
 
 
@@ -7142,6 +7167,46 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'rule_stopwords', n, f_st, u_st FROM a)
             ORDER BY rule
+        """,
+        "events_attribution": """
+            WITH ev AS (
+                SELECT user_id AS u, epoch_us(ts) AS ts_us,
+                       event_id AS eid, event_type AS ch,
+                       event_type = 'purchase' AS isc
+                FROM events
+                WHERE event_type IN ('click', 'signup', 'view', 'purchase')
+            ), seg AS (
+                SELECT *,
+                       sum(CASE WHEN isc THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY u ORDER BY ts_us, eid
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                       ) AS s,
+                       min(CASE WHEN isc THEN ts_us END) OVER (
+                           PARTITION BY u ORDER BY ts_us, eid
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                       ) AS cts
+                FROM ev
+            ), pos AS (
+                SELECT ch,
+                       row_number() OVER (
+                           PARTITION BY u, s ORDER BY ts_us, eid) AS rn,
+                       count(*) OVER (PARTITION BY u, s) AS n
+                FROM seg
+                WHERE NOT isc AND cts IS NOT NULL
+                      AND cts - ts_us <= 604800000000::BIGINT
+            )
+            SELECT ch AS channel, count(*) AS n_touches,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS credit_first,
+                   CAST(sum(CASE WHEN rn = n THEN 1 ELSE 0 END) AS BIGINT) AS credit_last,
+                   round(CAST(sum(CAST(round(1.0::DOUBLE / n, 12)
+                       AS DECIMAL(27,12))) AS DOUBLE), 6) AS credit_linear,
+                   round(CAST(sum(CAST(round(CASE
+                       WHEN n = 1 THEN 1.0::DOUBLE
+                       WHEN n = 2 THEN 0.5::DOUBLE
+                       WHEN rn = 1 OR rn = n THEN 0.4::DOUBLE
+                       ELSE 0.2::DOUBLE / (n - 2) END, 12)
+                       AS DECIMAL(27,12))) AS DOUBLE), 6) AS credit_position
+            FROM pos GROUP BY 1 ORDER BY 1
         """,
         "docs_phrase_search": _ddb_phrase_sql(_PHRASE),
         "ann_recall_ivfpq": f"""

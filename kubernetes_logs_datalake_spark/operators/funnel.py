@@ -173,3 +173,90 @@ def session_paths(
         .orderBy(F.desc("n"), "path")
         .limit(k)
     )
+
+
+def attribution_credit(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    touch_types: list[str],
+    conversion_type: str,
+    lookback: int,
+) -> DataFrame:
+    """Multi-touch attribution: credit each conversion's preceding
+    touches under four standard models at once — first-touch,
+    last-touch, linear (1/n), and position-based (40/20/40 U-shape).
+
+    A touch is attributed to the NEXT conversion by the same user in
+    (ts, tiebreak) order, provided that conversion lands within
+    ``lookback`` (same unit as ``ts_col``, which must be an integer
+    epoch column). Touches after the user's last conversion, and
+    touches whose next conversion is out of window, earn nothing.
+    Output: one row per touch channel (the touch's ``type_col``) with
+    integer first/last credit counts and exact-decimal-summed
+    linear/position credit (per-touch weights rounded to 12 dp before
+    the DECIMAL sum, so the aggregate is order-independent; emitted as
+    rounded doubles).
+
+    Plan shape: the type filter prunes the corpus map-side to touch +
+    conversion rows before any exchange; ONE user-keyed sort shuffle
+    then powers both reverse-frame windows (conversion-segment number =
+    remaining-conversion count, and next-conversion timestamp) in a
+    single Window exec; the per-conversion position numbering re-keys
+    only the already-attributed touches on (user, segment) — groups
+    bounded by touches-per-conversion, so no skew beyond hot users; the
+    final agg is channel-keyed, cardinality = |touch_types|.
+    """
+    from pyspark.sql import Window
+
+    ev = df.filter(
+        F.col(type_col).isin(list(touch_types) + [conversion_type])
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.col(type_col).alias("_ch"),
+        (F.col(type_col) == conversion_type).alias("_isc"),
+    )
+    rev = (
+        Window.partitionBy("_u")
+        .orderBy("_ts", "_tb")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    seg = ev.withColumn(
+        "_seg", F.sum(F.col("_isc").cast("long")).over(rev)
+    ).withColumn("_cts", F.min(F.when(F.col("_isc"), F.col("_ts"))).over(rev))
+    touches = seg.filter(
+        (~F.col("_isc"))
+        & F.col("_cts").isNotNull()
+        & (F.col("_cts") - F.col("_ts") <= F.lit(lookback))
+    )
+    w2 = Window.partitionBy("_u", "_seg")
+    pos = touches.withColumn(
+        "_rn", F.row_number().over(w2.orderBy("_ts", "_tb"))
+    ).withColumn("_n", F.count(F.lit(1)).over(w2))
+    lin_w = F.round(F.lit(1.0) / F.col("_n"), 12).cast("decimal(27,12)")
+    pos_w = (
+        F.when(F.col("_n") == 1, F.lit(1.0))
+        .when(F.col("_n") == 2, F.lit(0.5))
+        .when((F.col("_rn") == 1) | (F.col("_rn") == F.col("_n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("_n") - 2))
+    )
+    pos_w = F.round(pos_w, 12).cast("decimal(27,12)")
+    return (
+        pos.groupBy(F.col("_ch").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0)).alias(
+                "credit_first"
+            ),
+            F.sum(F.when(F.col("_rn") == F.col("_n"), 1).otherwise(0)).alias(
+                "credit_last"
+            ),
+            F.round(F.sum(lin_w).cast("double"), 6).alias("credit_linear"),
+            F.round(F.sum(pos_w).cast("double"), 6).alias("credit_position"),
+        )
+        .orderBy("channel")
+    )

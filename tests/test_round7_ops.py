@@ -556,3 +556,39 @@ def test_phrase_search_positions_and_overlaps(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         phrase_search(df, "doc_id", "text", "!!!")
+
+
+def test_attribution_credit_models(spark):
+    from kubernetes_logs_datalake_spark.operators.funnel import (
+        attribution_credit,
+    )
+
+    # user 1: v,c,v -> conv at 30; then c -> conv at 50 (single touch)
+    # user 2: v at 0, conv at 1000 (out of 100-lookback) -> no credit
+    # user 3: touch after the last conversion -> no credit
+    rows = [
+        (1, "view", 0, 0), (1, "click", 10, 1), (1, "view", 20, 2),
+        (1, "purchase", 30, 3),
+        (1, "click", 40, 4), (1, "purchase", 50, 5),
+        (2, "view", 0, 6), (2, "purchase", 1000, 7),
+        (3, "purchase", 0, 8), (3, "view", 10, 9),
+    ]
+    df = spark.createDataFrame(rows, "u long, et string, ts long, eid long")
+    out = {
+        r.channel: r
+        for r in attribution_credit(
+            df, "u", "et", "ts", "eid", ["view", "click"], "purchase",
+            lookback=100,
+        ).collect()
+    }
+    # conv 1 (n=3): view rn=1 (first, 0.4), click rn=2 (mid, 0.2),
+    # view rn=3 (last, 0.4); linear 1/3 each. conv 2 (n=1): click 1.0.
+    assert out["view"].n_touches == 2
+    assert (out["view"].credit_first, out["view"].credit_last) == (1, 1)
+    assert abs(out["view"].credit_linear - 2 / 3) < 1e-6
+    assert abs(out["view"].credit_position - 0.8) < 1e-9
+    assert out["click"].n_touches == 2
+    assert (out["click"].credit_first, out["click"].credit_last) == (1, 1)
+    assert abs(out["click"].credit_linear - (1 / 3 + 1.0)) < 1e-6
+    assert abs(out["click"].credit_position - 1.2) < 1e-9
+    assert set(out) == {"view", "click"}

@@ -141,6 +141,7 @@ QUERIES = [
     "orders_incremental_rollup",
     "ann_topk_ivfpq",
     "docs_phrase_search",
+    "events_attribution",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
