@@ -3871,6 +3871,31 @@ def _events_attribution(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _orders_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """Deequ-style constraint suite over orders in ONE scan: not-null,
+    uniqueness (same agg via Expand), range, accepted values, regex
+    conformance — plus a broadcast-anti FK check against customer. The
+    range/values/regex thresholds are deliberately strict so the audit
+    reports real nonzero violation counts, not a wall of zeros."""
+    from kubernetes_logs_datalake_spark.operators.expectations import (
+        expectations_audit,
+    )
+
+    o = _t(spark, sf, "orders")
+    return expectations_audit(
+        o,
+        [
+            ("fk_custkey", "fk", "o_custkey", "customer"),
+            ("not_null_orderkey", "not_null", "o_orderkey"),
+            ("priority_format", "matches", "o_orderpriority", "^[1-3]-"),
+            ("range_totalprice", "range", "o_totalprice", 0.0, 250000.0),
+            ("status_values", "in_set", "o_orderstatus", ["F", "O"]),
+            ("unique_orderkey", "unique", "o_orderkey"),
+        ],
+        refs={"customer": (_t(spark, sf, "customer"), "c_custkey")},
+    )
+
+
 def _ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     """Recall@10 of the full IVFADC index against exact brute force —
     the companion harness to ann_recall_pq/ann_recall_lsh. On the
@@ -3905,7 +3930,7 @@ def _ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
 # driver row and all but three are r4 or newer. (Four queries were
 # added after the window filled — docs_filter_ablation,
 # orders_incremental_rollup, ann_topk_ivfpq, ann_recall_ivfpq,
-# docs_phrase_search, events_attribution; all
+# docs_phrase_search, events_attribution, orders_expectations; all
 # replica-green, they lead the r8 rotation together with the three
 # deferred set-op shapes.)
 #
@@ -4197,6 +4222,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_ivfpq": _ann_recall_ivfpq,
         "docs_phrase_search": _docs_phrase_search,
         "events_attribution": _events_attribution,
+        "orders_expectations": _orders_expectations,
     }
 
 
@@ -7167,6 +7193,44 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'rule_stopwords', n, f_st, u_st FROM a)
             ORDER BY rule
+        """,
+        "orders_expectations": """
+            WITH agg AS (
+                SELECT
+                    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nn,
+                    CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+                        AS BIGINT) AS uq,
+                    CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND NOT
+                        (o_totalprice BETWEEN 0.0 AND 250000.0)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS rg,
+                    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL AND
+                        o_orderstatus NOT IN ('F', 'O')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS st,
+                    CAST(sum(CASE WHEN o_orderpriority IS NOT NULL AND NOT
+                        regexp_matches(o_orderpriority, '^[1-3]-')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS pr
+                FROM orders
+            ), fk AS (
+                SELECT CAST(count(*) AS BIGINT) AS v FROM orders o
+                WHERE o.o_custkey IS NOT NULL AND o.o_custkey NOT IN
+                      (SELECT c_custkey FROM customer)
+            )
+            SELECT * FROM (
+                SELECT 'fk_custkey' AS check_id, 'fk' AS kind,
+                       'o_custkey' AS "column", v AS n_violations,
+                       v = 0 AS passed FROM fk
+                UNION ALL SELECT 'not_null_orderkey', 'not_null',
+                       'o_orderkey', nn, nn = 0 FROM agg
+                UNION ALL SELECT 'priority_format', 'matches',
+                       'o_orderpriority', pr, pr = 0 FROM agg
+                UNION ALL SELECT 'range_totalprice', 'range',
+                       'o_totalprice', rg, rg = 0 FROM agg
+                UNION ALL SELECT 'status_values', 'in_set',
+                       'o_orderstatus', st, st = 0 FROM agg
+                UNION ALL SELECT 'unique_orderkey', 'unique',
+                       'o_orderkey', uq, uq = 0 FROM agg
+            ) ORDER BY check_id
         """,
         "events_attribution": """
             WITH ev AS (

@@ -592,3 +592,47 @@ def test_attribution_credit_models(spark):
     assert abs(out["click"].credit_linear - (1 / 3 + 1.0)) < 1e-6
     assert abs(out["click"].credit_position - 1.2) < 1e-9
     assert set(out) == {"view", "click"}
+
+
+def test_expectations_audit_kinds(spark):
+    import pytest as _pytest
+
+    from kubernetes_logs_datalake_spark.operators.expectations import (
+        expectations_audit,
+    )
+
+    rows = [
+        (1, "a", 5.0, "1-HIGH"),
+        (1, "b", 50.0, "9-BAD"),      # dup id, out-of-range, bad regex
+        (2, None, 7.0, "2-MED"),      # null name
+        (3, "zz", None, "3-LOW"),     # null value: range check skips
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, v double, pri string")
+    ref = spark.createDataFrame([(1,), (3,)], "k long")
+    out = {
+        r.check_id: (r.n_violations, r.passed)
+        for r in expectations_audit(
+            df,
+            [
+                ("c_fk", "fk", "id", "dim"),
+                ("c_nn", "not_null", "name"),
+                ("c_pri", "matches", "pri", "^[1-5]-"),
+                ("c_range", "range", "v", 0.0, 10.0),
+                ("c_set", "in_set", "name", ["a", "b", "zz"]),
+                ("c_uniq", "unique", "id"),
+            ],
+            refs={"dim": (ref, "k")},
+        ).collect()
+    }
+    assert out == {
+        "c_fk": (1, False),      # id=2 twice? no — id 2 once, absent from ref
+        "c_nn": (1, False),
+        "c_pri": (1, False),
+        "c_range": (1, False),   # the null v row does NOT count
+        "c_set": (0, True),      # nulls skipped
+        "c_uniq": (1, False),    # one excess row in the id=1 group
+    }
+    with _pytest.raises(ValueError):
+        expectations_audit(df, [("x", "nope", "id")])
+    with _pytest.raises(ValueError):
+        expectations_audit(df, [("x", "fk", "id", "missing")])

@@ -142,6 +142,7 @@ QUERIES = [
     "ann_topk_ivfpq",
     "docs_phrase_search",
     "events_attribution",
+    "orders_expectations",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
