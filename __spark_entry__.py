@@ -3896,6 +3896,24 @@ def _orders_expectations(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _events_trend_slopes(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type linear trend of hourly volume: closed-form OLS
+    slope/intercept/R^2 from exact decimal moment sums — two keyed
+    aggs, no window, the shape that holds at any series length."""
+    from kubernetes_logs_datalake_spark.operators.profile import trend_slopes
+
+    e = _t(spark, sf, "events")
+    series = (
+        e.select(
+            "event_type",
+            (_ts_us(e) / F.lit(3_600_000_000)).cast("long").alias("x"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    return trend_slopes(series, "event_type", "x", "y")
+
+
 def _ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     """Recall@10 of the full IVFADC index against exact brute force —
     the companion harness to ann_recall_pq/ann_recall_lsh. On the
@@ -3930,7 +3948,8 @@ def _ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
 # driver row and all but three are r4 or newer. (Four queries were
 # added after the window filled — docs_filter_ablation,
 # orders_incremental_rollup, ann_topk_ivfpq, ann_recall_ivfpq,
-# docs_phrase_search, events_attribution, orders_expectations; all
+# docs_phrase_search, events_attribution, orders_expectations,
+# events_trend_slopes; all
 # replica-green, they lead the r8 rotation together with the three
 # deferred set-op shapes.)
 #
@@ -4223,6 +4242,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_phrase_search": _docs_phrase_search,
         "events_attribution": _events_attribution,
         "orders_expectations": _orders_expectations,
+        "events_trend_slopes": _events_trend_slopes,
     }
 
 
@@ -7193,6 +7213,36 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'rule_stopwords', n, f_st, u_st FROM a)
             ORDER BY rule
+        """,
+        "events_trend_slopes": """
+            WITH s AS (
+                SELECT event_type AS g,
+                       epoch_us(ts) // 3600000000 AS x,
+                       CAST(count(*) AS BIGINT) AS y
+                FROM events GROUP BY 1, 2
+            ), m AS (
+                SELECT g, CAST(count(*) AS BIGINT) AS n_points,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                       CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                       CAST(sum(CAST(x AS DECIMAL(38,0)) *
+                                CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+                       CAST(sum(CAST(x AS DECIMAL(38,0)) *
+                                CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+                       CAST(sum(CAST(y AS DECIMAL(38,0)) *
+                                CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+                FROM s GROUP BY 1
+            )
+            SELECT g AS event_type, n_points,
+                   round((n * sxy - sx * sy) /
+                         nullif(n * sxx - sx * sx, 0.0), 9) AS slope,
+                   round((sy - ((n * sxy - sx * sy) /
+                                nullif(n * sxx - sx * sx, 0.0)) * sx) / n,
+                         9) AS intercept,
+                   round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+                         nullif((n * sxx - sx * sx) * (n * syy - sy * sy),
+                                0.0), 9) AS r2
+            FROM m ORDER BY event_type
         """,
         "orders_expectations": """
             WITH agg AS (

@@ -430,3 +430,53 @@ def ewma_oracle_terms(
         )
         den.append(f"CASE WHEN {lag} IS NOT NULL THEN {wt!r} ELSE 0.0 END")
     return " + ".join(num), " + ".join(den)
+
+
+def trend_slopes(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-series least-squares trend: slope, intercept, and R² of
+    ``y ~ x`` for each group, from the closed form.
+
+    Input is an already-aggregated series table (one row per (group,
+    x)); both coordinate columns must be integers, so every moment sum
+    (Σx, Σy, Σxy, Σx², Σy²) is EXACT — each product is cast to
+    DECIMAL(38,0) before the sum, making the aggregate overflow-proof
+    and order-independent. The float statistics are then derived from
+    the exact sums with one fixed sequence of double ops (the recipe
+    `zscore_outliers` documents), so the oracle hash stays meaningful.
+    Degenerate series (constant x, or constant y for R²) yield NULL via
+    nullif rather than inf.
+
+    ONE group-keyed partial-agg shuffle; the closed form needs no
+    window and no second pass, so the shape holds at any series count.
+    """
+    x = F.col(x_col).cast("decimal(38,0)")
+    y = F.col(y_col).cast("decimal(38,0)")
+    agg = df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    )
+    n = F.col("n_points").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    slope = num / F.nullif(denx, F.lit(0.0))
+    return agg.select(
+        F.col(group_col),
+        F.col("n_points"),
+        F.round(slope, 9).alias("slope"),
+        F.round((sy - slope * sx) / n, 9).alias("intercept"),
+        F.round(
+            (num * num) / F.nullif(denx * deny, F.lit(0.0)), 9
+        ).alias("r2"),
+    ).orderBy(group_col)

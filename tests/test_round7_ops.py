@@ -636,3 +636,22 @@ def test_expectations_audit_kinds(spark):
         expectations_audit(df, [("x", "nope", "id")])
     with _pytest.raises(ValueError):
         expectations_audit(df, [("x", "fk", "id", "missing")])
+
+
+def test_trend_slopes_exact_line_and_degenerate(spark):
+    from kubernetes_logs_datalake_spark.operators.profile import trend_slopes
+
+    rows = (
+        # g=a: y = 3x + 2 exactly -> slope 3, intercept 2, r2 = 1
+        [("a", x, 3 * x + 2) for x in range(10)]
+        # g=b: constant y -> slope 0, r2 NULL (deny = 0)
+        + [("b", x, 7) for x in range(5)]
+        # g=c: single point -> denx = 0 -> slope NULL
+        + [("c", 4, 9)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r.g: r for r in trend_slopes(df, "g", "x", "y").collect()}
+    assert (out["a"].slope, out["a"].intercept, out["a"].r2) == (3.0, 2.0, 1.0)
+    assert out["a"].n_points == 10
+    assert out["b"].slope == 0.0 and out["b"].r2 is None
+    assert out["c"].slope is None and out["c"].r2 is None

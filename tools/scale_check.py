@@ -143,6 +143,7 @@ QUERIES = [
     "docs_phrase_search",
     "events_attribution",
     "orders_expectations",
+    "events_trend_slopes",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
