@@ -3914,6 +3914,82 @@ def _events_trend_slopes(spark: SparkSession, sf: str) -> DataFrame:
     return trend_slopes(series, "event_type", "x", "y")
 
 
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def _events_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core of the user co-activity graph (same guarded edge kernel
+    as the triangle query): peel users with < k co-activity partners
+    until stable — the dense-kernel filter behind spam-ring isolation.
+    Semantics are exactly _KCORE_ROUNDS peels; the oracle unrolls the
+    identical chain, so an unconverged rounds choice would surface as
+    a hash mismatch rather than a silent wrong answer."""
+    from kubernetes_logs_datalake_spark.operators.graph import (
+        cooccurrence_edges,
+        kcore,
+    )
+
+    e = _t(spark, sf, "events")
+    keyed = e.select(
+        "user_id",
+        "event_type",
+        (_ts_us(e) - _ts_us(e) % (3600 * 1_000_000)).alias("bucket_us"),
+    )
+    edges = cooccurrence_edges(
+        keyed,
+        "user_id",
+        ["event_type", "bucket_us"],
+        min_shared=_TRI_MIN_SHARED,
+        max_nodes_per_key=_TRI_MAX_NODES_PER_KEY,
+    )
+    return kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS).select(
+        F.col("node").alias("user_id"), "core_degree"
+    )
+
+
+def _ddb_kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peel chain over the SAME guarded co-occurrence
+    edge CTEs as the triangle oracle — one alive/sym CTE pair per peel
+    round, mirroring graph.kcore's fixed-round semantics."""
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    # round references its predecessor three times — unmaterialized,
+    # the 8-round chain would expand 3^8-fold (and re-open the parquet
+    # per inline until the fd limit trips)
+    peel, prev = "", "sym0"
+    for i in range(1, rounds + 1):
+        peel += f"""
+            alive{i} AS MATERIALIZED (
+                SELECT _a FROM {prev} GROUP BY _a
+                HAVING count(*) >= {k}),
+            sym{i} AS MATERIALIZED (
+                SELECT s._a, s._b FROM {prev} s
+                JOIN alive{i} x ON s._a = x._a
+                JOIN alive{i} y ON s._b = y._a),"""
+        prev = f"sym{i}"
+    return f"""
+        WITH keys AS MATERIALIZED (
+            SELECT DISTINCT user_id, event_type,
+                   (epoch_us(ts) - epoch_us(ts) % 3600000000) AS bucket_us
+            FROM events),
+        kc AS MATERIALIZED (SELECT event_type, bucket_us, count(*) AS c
+               FROM keys GROUP BY 1, 2),
+        keysf AS MATERIALIZED (
+            SELECT k.user_id, k.event_type, k.bucket_us
+            FROM keys k JOIN kc USING (event_type, bucket_us)
+            WHERE kc.c <= {_TRI_MAX_NODES_PER_KEY}),
+        e AS MATERIALIZED (
+            SELECT a.user_id AS u, b.user_id AS v
+            FROM keysf a JOIN keysf b USING (event_type, bucket_us)
+            WHERE a.user_id < b.user_id
+            GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SHARED}),
+        sym0 AS MATERIALIZED (SELECT u AS _a, v AS _b FROM e
+                 UNION ALL SELECT v AS _a, u AS _b FROM e),{peel}
+        x_final AS (SELECT * FROM {prev})
+        SELECT _a AS user_id, CAST(count(*) AS BIGINT) AS core_degree
+        FROM x_final GROUP BY 1 ORDER BY 1"""
+
+
 def _ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     """Recall@10 of the full IVFADC index against exact brute force —
     the companion harness to ann_recall_pq/ann_recall_lsh. On the
@@ -3949,7 +4025,7 @@ def _ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
 # added after the window filled — docs_filter_ablation,
 # orders_incremental_rollup, ann_topk_ivfpq, ann_recall_ivfpq,
 # docs_phrase_search, events_attribution, orders_expectations,
-# events_trend_slopes; all
+# events_trend_slopes, events_kcore; all
 # replica-green, they lead the r8 rotation together with the three
 # deferred set-op shapes.)
 #
@@ -4243,6 +4319,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": _events_attribution,
         "orders_expectations": _orders_expectations,
         "events_trend_slopes": _events_trend_slopes,
+        "events_kcore": _events_kcore,
     }
 
 
@@ -7214,6 +7291,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'rule_stopwords', n, f_st, u_st FROM a)
             ORDER BY rule
         """,
+        "events_kcore": _ddb_kcore_sql(_KCORE_K, _KCORE_ROUNDS),
         "events_trend_slopes": """
             WITH s AS (
                 SELECT event_type AS g,

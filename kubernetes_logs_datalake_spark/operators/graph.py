@@ -563,3 +563,65 @@ def cooccurrence_similarity(
             ).alias("jaccard"),
         )
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core extraction by fixed-round peeling: repeatedly remove
+    nodes of degree < ``k`` (with the edges they carry) until the graph
+    stabilizes — the standard coreness/"dense kernel" filter (Seidman
+    1983; Batagelj-Zaveršnik peeling) behind spam-ring isolation and
+    community seeding.
+
+    Returns (node, core_degree) for nodes surviving ``rounds`` peels,
+    with their degree INSIDE the surviving subgraph. Semantics are
+    defined as exactly ``rounds`` peel steps (the oracle unrolls the
+    same chain); a step that removes nothing is a fixpoint — every
+    later step is the identity — so the loop exits early on
+    convergence without changing the result. Size ``rounds`` to the
+    peel depth, not the node count: each step removes a full frontier,
+    so depth is bounded by the longest chain of cascading removals
+    (log-ish in practice; the oracle makes an unconverged choice of
+    ``rounds`` visible as a hash mismatch, not a silent wrong answer).
+
+    Scale shape: per round, one node-keyed degree agg and two
+    broadcast-or-shuffle semi joins of the edge table against the
+    shrinking alive set — edges only ever shrink, and each round's
+    frontier is localCheckpointed with a materializing count (the
+    pagerank recipe) so lineage stays flat across rounds.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sym = edges.select(
+        F.col(src_col).alias("_a"), F.col(dst_col).alias("_b")
+    ).union(
+        edges.select(F.col(dst_col).alias("_a"), F.col(src_col).alias("_b"))
+    )
+    cur = sym.localCheckpoint(eager=False)
+    n_edges = cur.count()
+    for _ in range(rounds):
+        alive = (
+            cur.groupBy("_a")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") >= k)
+            .select("_a")
+        )
+        nxt = (
+            cur.join(alive, "_a", "left_semi")
+            .join(alive.select(F.col("_a").alias("_b")), "_b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        n_next = nxt.count()
+        if n_next == n_edges:
+            break
+        cur, n_edges = nxt, n_next
+    return (
+        cur.groupBy(F.col("_a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .orderBy("node")
+    )

@@ -655,3 +655,23 @@ def test_trend_slopes_exact_line_and_degenerate(spark):
     assert out["a"].n_points == 10
     assert out["b"].slope == 0.0 and out["b"].r2 is None
     assert out["c"].slope is None and out["c"].r2 is None
+
+
+def test_kcore_multiround_peel(spark):
+    import pytest as _pytest
+
+    from kubernetes_logs_datalake_spark.operators.graph import kcore
+
+    # 4-clique {1,2,3,4} with a pendant chain 4-5-6: at k=2 the chain
+    # peels over TWO rounds (6 first, then 5), the clique survives
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.core_degree for r in kcore(df, k=2, rounds=5).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # rounds=1 stops mid-peel: 6 is gone, 5 (now degree 1) remains
+    partial = {r.node: r.core_degree for r in kcore(df, k=2, rounds=1).collect()}
+    assert partial == {1: 3, 2: 3, 3: 3, 4: 4, 5: 1}
+    # k above the max degree empties the graph
+    assert kcore(df, k=5, rounds=4).count() == 0
+    with _pytest.raises(ValueError):
+        kcore(df, k=0, rounds=3)

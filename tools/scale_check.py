@@ -144,6 +144,7 @@ QUERIES = [
     "events_attribution",
     "orders_expectations",
     "events_trend_slopes",
+    "events_kcore",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
@@ -336,6 +337,35 @@ def main() -> None:
         )
 
     thunks["events_triangle_count"] = _triangles_scaled
+
+    # same density rule for the k-core peel over the same edge kernel
+    def _kcore_scaled(copies=copies):
+        from pyspark.sql import functions as F
+        from kubernetes_logs_datalake_spark.operators.graph import (
+            cooccurrence_edges,
+            kcore,
+        )
+
+        e = spark.read.parquet(f"{dest}/events.parquet")
+        ts_us = entrymod._ts_us(e)
+        bucket = (3600 * 1_000_000) // copies
+        keyed = e.select(
+            "user_id",
+            "event_type",
+            (ts_us - ts_us % bucket).alias("bucket_us"),
+        )
+        edges = cooccurrence_edges(
+            keyed,
+            "user_id",
+            ["event_type", "bucket_us"],
+            min_shared=entrymod._TRI_MIN_SHARED,
+            max_nodes_per_key=entrymod._TRI_MAX_NODES_PER_KEY,
+        )
+        return kcore(
+            edges, k=entrymod._KCORE_K, rounds=entrymod._KCORE_ROUNDS
+        ).select(F.col("node").alias("user_id"), "core_degree")
+
+    thunks["events_kcore"] = _kcore_scaled
 
     # same density rule for the pairwise-similarity sibling
     def _usersim_scaled(copies=copies):
