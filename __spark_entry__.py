@@ -3990,6 +3990,20 @@ def _ddb_kcore_sql(k: int, rounds: int) -> str:
         FROM x_final GROUP BY 1 ORDER BY 1"""
 
 
+def _lineitem_range_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Range-partitioner balance audit on l_orderkey: boundaries from a
+    deterministic md5-sample (the reproducible RangePartitioner), then
+    a packed-literal fold assigns buckets map-only and a 16-row agg
+    reports per-bucket row counts and key ranges."""
+    from kubernetes_logs_datalake_spark.operators.layout import (
+        range_partition_audit,
+    )
+
+    return range_partition_audit(
+        _t(spark, sf, "lineitem"), "l_orderkey", n_buckets=16
+    )
+
+
 def _ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     """Recall@10 of the full IVFADC index against exact brute force —
     the companion harness to ann_recall_pq/ann_recall_lsh. On the
@@ -4025,7 +4039,7 @@ def _ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
 # added after the window filled — docs_filter_ablation,
 # orders_incremental_rollup, ann_topk_ivfpq, ann_recall_ivfpq,
 # docs_phrase_search, events_attribution, orders_expectations,
-# events_trend_slopes, events_kcore; all
+# events_trend_slopes, events_kcore, lineitem_range_audit; all
 # replica-green, they lead the r8 rotation together with the three
 # deferred set-op shapes.)
 #
@@ -4320,6 +4334,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_expectations": _orders_expectations,
         "events_trend_slopes": _events_trend_slopes,
         "events_kcore": _events_kcore,
+        "lineitem_range_audit": _lineitem_range_audit,
     }
 
 
@@ -7290,6 +7305,28 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'rule_stopwords', n, f_st, u_st FROM a)
             ORDER BY rule
+        """,
+        "lineitem_range_audit": """
+            WITH s AS MATERIALIZED (
+                SELECT l_orderkey AS k FROM lineitem
+                WHERE md5(CAST(l_orderkey AS VARCHAR)) < '04'
+            ), r AS MATERIALIZED (
+                SELECT k, row_number() OVER (ORDER BY k) AS rn,
+                       count(*) OVER () AS m
+                FROM s
+            ), b AS MATERIALIZED (
+                SELECT r.k AS bound
+                FROM r JOIN generate_series(1, 15) AS g(j)
+                     ON r.rn = (g.j * r.m) // 16
+            )
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+                   min(k) AS min_key, max(k) AS max_key
+            FROM (
+                SELECT l.l_orderkey AS k,
+                       CAST((SELECT count(*) FROM b
+                             WHERE l.l_orderkey > b.bound) AS INT) AS bucket
+                FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+            ) GROUP BY 1 ORDER BY 1
         """,
         "events_kcore": _ddb_kcore_sql(_KCORE_K, _KCORE_ROUNDS),
         "events_trend_slopes": """

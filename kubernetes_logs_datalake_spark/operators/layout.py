@@ -120,3 +120,80 @@ def export_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def compute_range_bounds(
+    df: DataFrame,
+    key_col: str,
+    n_buckets: int,
+    sample_prefix_lt: str = "04",
+) -> list:
+    """Range-partitioner boundaries from a deterministic hash sample —
+    the Spark RangePartitioner recipe (sample, sort the sample, pick
+    evenly-spaced order statistics), made reproducible: the sample is
+    ``md5(key) < prefix`` (lexicographic hex compare, the repo's
+    portable-sampling idiom) instead of a seeded RNG, so every engine
+    and every rerun derives the identical boundaries.
+
+    Returns the ``n_buckets - 1`` boundary values: sorted sample
+    s₁..sₘ, boundary_j = s at rank (j·m) div n_buckets, j = 1..n-1.
+    Only the sample — corpus/rate rows — is ever globally sorted; the
+    full table is untouched, exactly like the native partitioner.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    from pyspark.sql import Window
+
+    sample = df.select(F.col(key_col).alias("_k")).filter(
+        F.md5(F.col(key_col).cast("string")) < F.lit(sample_prefix_lt)
+    )
+    ranked = sample.select(
+        "_k",
+        F.row_number().over(Window.orderBy("_k")).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("_m"),
+    )
+    bounds = ranked.filter(
+        F.expr(
+            f"exists(sequence(1, {n_buckets - 1}),"
+            f" j -> _rn = CAST(j * _m DIV {n_buckets} AS INT))"
+        )
+    )
+    return [r._k for r in bounds.orderBy("_rn").collect()]
+
+
+def range_partition_audit(
+    df: DataFrame,
+    key_col: str,
+    n_buckets: int,
+    sample_prefix_lt: str = "04",
+) -> DataFrame:
+    """Partition-balance audit for sample-derived range boundaries:
+    assign every row its bucket and report (bucket, n_rows, min_key,
+    max_key) — the skew report you read BEFORE committing a sort key
+    for a 100 TB range-partitioned write.
+
+    Bucket assignment is a packed-literal fold over the broadcast
+    boundary array (bucket = Σ [key > boundary_j]) — map-only, one
+    codegen'd expression per row, no join and no shuffle beyond the
+    n_buckets-row final agg. Rows with NULL keys are excluded (a range
+    partitioner would route them to a dedicated bucket; the audit
+    reports real key ranges).
+    """
+    bounds = compute_range_bounds(df, key_col, n_buckets, sample_prefix_lt)
+    arr = F.array(*[F.lit(b) for b in bounds])
+    bucket = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col(key_col) > b, 1).otherwise(0),
+    )
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(key_col).alias("min_key"),
+            F.max(key_col).alias("max_key"),
+        )
+        .orderBy("bucket")
+    )

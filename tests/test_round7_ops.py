@@ -675,3 +675,30 @@ def test_kcore_multiround_peel(spark):
     assert kcore(df, k=5, rounds=4).count() == 0
     with _pytest.raises(ValueError):
         kcore(df, k=0, rounds=3)
+
+
+def test_range_bounds_and_audit(spark):
+    import pytest as _pytest
+
+    from kubernetes_logs_datalake_spark.operators.layout import (
+        compute_range_bounds,
+        range_partition_audit,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    # prefix 'ff...' samples everything -> exact order statistics
+    bounds = compute_range_bounds(df, "k", 4, sample_prefix_lt="g")
+    assert bounds == [249, 499, 749]  # rank (j*1000) div 4 of 0..999
+    out = range_partition_audit(df, "k", 4, sample_prefix_lt="g").collect()
+    assert [(r.bucket, r.n_rows, r.min_key, r.max_key) for r in out] == [
+        (0, 250, 0, 249),
+        (1, 250, 250, 499),
+        (2, 250, 500, 749),
+        (3, 250, 750, 999),
+    ]
+    # the real sampled path still partitions every row somewhere
+    sampled = range_partition_audit(df, "k", 4).collect()
+    assert sum(r.n_rows for r in sampled) == 1000
+    assert len(sampled) <= 4
+    with _pytest.raises(ValueError):
+        compute_range_bounds(df, "k", 1)

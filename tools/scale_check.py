@@ -145,6 +145,7 @@ QUERIES = [
     "orders_expectations",
     "events_trend_slopes",
     "events_kcore",
+    "lineitem_range_audit",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
