@@ -4004,6 +4004,47 @@ def _lineitem_range_audit(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _events_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact-to-SCD2 temporal enrichment: each purchase joined to the
+    user's non-purchase activity state valid AT the purchase time
+    (equi-join on user + [from, to) residual — never a range join),
+    rolled up to purchase count and exact-decimal value per state.
+    Purchases before the user's first state survive as state NULL."""
+    from kubernetes_logs_datalake_spark.operators.history import (
+        scd2_intervals,
+        temporal_join,
+    )
+
+    e = _t(spark, sf, "events")
+    ev = e.select(
+        "user_id", "event_type", _ts_us(e).alias("ts_us"), "event_id", "value"
+    )
+    dim = scd2_intervals(
+        ev.filter(F.col("event_type") != "purchase"),
+        "user_id",
+        "event_type",
+        "ts_us",
+        tiebreak_col="event_id",
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "value"
+    )
+    out = temporal_join(facts, dim, "user_id", "ts_us")
+    return (
+        out.groupBy("state")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.sum(
+                    F.round(F.col("value"), 6).cast("decimal(25,6)")
+                ).cast("double"),
+                4,
+            ).alias("total_value"),
+        )
+        .orderBy("state")
+    )
+
+
 def _ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     """Recall@10 of the full IVFADC index against exact brute force —
     the companion harness to ann_recall_pq/ann_recall_lsh. On the
@@ -4039,7 +4080,8 @@ def _ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
 # added after the window filled — docs_filter_ablation,
 # orders_incremental_rollup, ann_topk_ivfpq, ann_recall_ivfpq,
 # docs_phrase_search, events_attribution, orders_expectations,
-# events_trend_slopes, events_kcore, lineitem_range_audit; all
+# events_trend_slopes, events_kcore, lineitem_range_audit,
+# events_temporal_join; all
 # replica-green, they lead the r8 rotation together with the three
 # deferred set-op shapes.)
 #
@@ -4335,6 +4377,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trend_slopes": _events_trend_slopes,
         "events_kcore": _events_kcore,
         "lineitem_range_audit": _lineitem_range_audit,
+        "events_temporal_join": _events_temporal_join,
     }
 
 
@@ -7305,6 +7348,36 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'rule_stopwords', n, f_st, u_st FROM a)
             ORDER BY rule
+        """,
+        "events_temporal_join": """
+            WITH ev AS (
+                SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                       event_id, value
+                FROM events
+            ), chg AS (
+                SELECT user_id, event_type AS state, ts_us, event_id
+                FROM (
+                    SELECT *, lag(event_type) OVER (
+                        PARTITION BY user_id ORDER BY ts_us, event_id
+                    ) AS prev
+                    FROM ev WHERE event_type <> 'purchase'
+                ) WHERE prev IS NULL OR prev <> event_type
+            ), iv AS (
+                SELECT user_id, state, ts_us AS valid_from,
+                       lead(ts_us) OVER (
+                           PARTITION BY user_id ORDER BY ts_us, event_id
+                       ) AS valid_to
+                FROM chg
+            )
+            SELECT i.state, CAST(count(*) AS BIGINT) AS n_purchases,
+                   round(CAST(sum(CAST(round(f.value, 6)
+                       AS DECIMAL(25,6))) AS DOUBLE), 4) AS total_value
+            FROM (SELECT user_id, ts_us, value FROM ev
+                  WHERE event_type = 'purchase') f
+            LEFT JOIN iv i
+              ON f.user_id = i.user_id AND i.valid_from <= f.ts_us
+                 AND (i.valid_to IS NULL OR i.valid_to > f.ts_us)
+            GROUP BY 1 ORDER BY 1
         """,
         "lineitem_range_audit": """
             WITH s AS MATERIALIZED (

@@ -84,3 +84,47 @@ def snapshot_at(
         (F.col(order_col) <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     )
+
+
+def temporal_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str = "state",
+) -> DataFrame:
+    """Temporal (event-time) enrichment: join each fact row to the
+    dimension state that was valid AT its timestamp — the standard
+    fact-to-SCD2 lookup ("what plan was this user on when they
+    purchased"), per-row where :func:`snapshot_at` is whole-table.
+
+    [valid_from, valid_to) semantics; by the tiling invariant of
+    :func:`scd2_intervals` at most one interval matches, and facts
+    earlier than the entity's first interval (or with no entity at
+    all) survive with a NULL state — a left join, so the enrichment
+    never drops or duplicates facts.
+
+    Scale shape: an equi-join on the entity key with the interval
+    bounds as a residual filter — NOT a range join: the hash join
+    co-locates each fact with its entity's handful of change-point
+    rows, so per-key multiplicity is the change count, never the fact
+    count. The intervals side is change-points only; when it fits,
+    AQE broadcasts it and the fact table never shuffles.
+    """
+    iv = intervals.select(
+        F.col(key_col).alias("_tj_k"),
+        F.col(state_col).alias("_tj_state"),
+        F.col("valid_from").alias("_tj_from"),
+        F.col("valid_to").alias("_tj_to"),
+    )
+    cond = (
+        (F.col(key_col) == F.col("_tj_k"))
+        & (F.col("_tj_from") <= F.col(ts_col))
+        & (F.col("_tj_to").isNull() | (F.col("_tj_to") > F.col(ts_col)))
+    )
+    return (
+        facts.join(iv, cond, "left")
+        .drop("_tj_k", "_tj_to")
+        .withColumnRenamed("_tj_state", state_col)
+        .withColumnRenamed("_tj_from", "state_since")
+    )

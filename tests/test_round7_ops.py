@@ -702,3 +702,34 @@ def test_range_bounds_and_audit(spark):
     assert len(sampled) <= 4
     with _pytest.raises(ValueError):
         compute_range_bounds(df, "k", 1)
+
+
+def test_temporal_join_semantics(spark):
+    from kubernetes_logs_datalake_spark.operators.history import (
+        scd2_intervals,
+        temporal_join,
+    )
+
+    dim_events = [
+        (1, "bronze", 10, 0), (1, "gold", 30, 1), (1, "bronze", 50, 2),
+        (2, "silver", 20, 3),
+    ]
+    dim = scd2_intervals(
+        spark.createDataFrame(dim_events, "u long, s string, ts long, eid long"),
+        "u", "s", "ts", tiebreak_col="eid",
+    )
+    facts = spark.createDataFrame(
+        [(1, 5), (1, 30), (1, 49), (1, 60), (2, 25), (3, 7)],
+        "u long, ts long",
+    )
+    out = {(r.u, r.ts): (r.state, r.state_since)
+           for r in temporal_join(facts, dim, "u", "ts").collect()}
+    assert out == {
+        (1, 5): (None, None),       # before first interval
+        (1, 30): ("gold", 30),      # boundary: valid_from <= ts
+        (1, 49): ("gold", 30),      # open side: ts < valid_to
+        (1, 60): ("bronze", 50),    # current (open) interval
+        (2, 25): ("silver", 20),
+        (3, 7): (None, None),       # entity absent from the dimension
+    }
+    assert temporal_join(facts, dim, "u", "ts").count() == 6  # no dup/drop

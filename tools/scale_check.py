@@ -146,6 +146,7 @@ QUERIES = [
     "events_trend_slopes",
     "events_kcore",
     "lineitem_range_audit",
+    "events_temporal_join",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
