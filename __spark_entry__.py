@@ -4045,6 +4045,35 @@ def _events_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _docs_score_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Learned-gate diagnostic: the hashed-linear classifier's score
+    banded over [-0.3, 0.3] and compared per band against the Gopher
+    rule gate — predicted vs reference keep rate and agreement. Two
+    doc-keyed scans joined on the id; binning is pure arithmetic on
+    the 9-dp score, so no transcendental can flip a band."""
+    from kubernetes_logs_datalake_spark.operators.classify import (
+        hashed_linear_score,
+        score_agreement_bins,
+    )
+    from kubernetes_logs_datalake_spark.operators.webclean import (
+        gopher_quality_rules,
+    )
+
+    d = _t(spark, sf, "documents")
+    sc = hashed_linear_score(
+        d, "doc_id", "text", dim=256, bias=0.01, threshold=0.0
+    ).select("doc_id", "score", F.col("keep").alias("ckeep"))
+    # min_stopword_hits=1 for the same corpus-vocabulary reason as
+    # _docs_gopher_quality (the oracle's g_keep uses stop >= 1)
+    g = gopher_quality_rules(d, "doc_id", "text", min_stopword_hits=1).select(
+        "doc_id", F.col("keep").alias("gkeep")
+    )
+    joined = sc.join(g, "doc_id")
+    return score_agreement_bins(
+        joined, "score", "ckeep", "gkeep", lo=-0.3, hi=0.3, n_bins=10
+    )
+
+
 def _ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     """Recall@10 of the full IVFADC index against exact brute force —
     the companion harness to ann_recall_pq/ann_recall_lsh. On the
@@ -4081,7 +4110,7 @@ def _ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
 # orders_incremental_rollup, ann_topk_ivfpq, ann_recall_ivfpq,
 # docs_phrase_search, events_attribution, orders_expectations,
 # events_trend_slopes, events_kcore, lineitem_range_audit,
-# events_temporal_join; all
+# events_temporal_join, docs_score_agreement; all
 # replica-green, they lead the r8 rotation together with the three
 # deferred set-op shapes.)
 #
@@ -4378,6 +4407,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kcore": _events_kcore,
         "lineitem_range_audit": _lineitem_range_audit,
         "events_temporal_join": _events_temporal_join,
+        "docs_score_agreement": _docs_score_agreement,
     }
 
 
@@ -6641,6 +6671,31 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(avg_nll_bits AS DECIMAL(25,6)))
                               AS DOUBLE) / count(*), 6) AS avg_bits
             FROM tiled GROUP BY lang, bucket
+        """,
+        "docs_score_agreement": f"""
+            WITH sc AS MATERIALIZED (
+                SELECT doc_id, score, keep AS ckeep
+                FROM ({_classifier_oracle_sql()})
+            ),
+            {gopher_cte},
+            g AS (SELECT doc_id, {g_keep} AS gkeep FROM m),
+            j AS (
+                SELECT CAST(least(greatest(floor(
+                           (s.score - (-0.3)) / 0.6 * 10), 0), 9) AS INT)
+                           AS bin,
+                       s.score, s.ckeep, g.gkeep
+                FROM sc s JOIN g USING (doc_id)
+            )
+            SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+                   round(CAST(sum(CAST(score AS DECIMAL(20,9))) AS DOUBLE)
+                         / count(*), 9) AS mean_score,
+                   round(sum(CASE WHEN ckeep THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 6) AS pred_keep_rate,
+                   round(sum(CASE WHEN gkeep THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 6) AS label_keep_rate,
+                   round(sum(CASE WHEN ckeep = gkeep THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 6) AS agreement
+            FROM j GROUP BY 1 ORDER BY 1
         """,
         "docs_gopher_quality": f"""
             WITH {gopher_cte}

@@ -145,6 +145,7 @@ HEADLINE = [
     "events_kcore",
     "lineitem_range_audit",
     "events_temporal_join",
+    "docs_score_agreement",
     # events_hits_scores is deliberately NOT benched for the same
     # reason as docs_bpe_merges: 8 mutual-reinforcement rounds = 16
     # sequential half-round actions whose per-action data is a 5-row

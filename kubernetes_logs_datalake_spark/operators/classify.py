@@ -174,3 +174,72 @@ def hashed_tf_vectors(
         .filter(F.col("_n") > 0)
         .select(id_col, "embedding")
     )
+
+
+def score_agreement_bins(
+    df: DataFrame,
+    score_col: str,
+    pred_col: str,
+    label_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Binned classifier-vs-reference agreement report — the curation
+    diagnostic read before trusting a learned quality gate: fixed-width
+    score bands over [lo, hi] (out-of-range scores clamp to the edge
+    bands), and per band the predicted keep rate, the reference-label
+    keep rate, and how often the two gates agree.
+
+    Binning is pure arithmetic on the already-rounded score — no
+    sigmoid, no transcendentals — so Spark and the oracle compute the
+    identical band for every row (an exp()-based bin edge could flip on
+    a 1-ulp libm difference). Mean score per band is an exact
+    DECIMAL(20,9) sum divided once; the rates are exact integer ratios
+    in one double op. Map-only binning + one n_bins-row agg.
+    """
+    if n_bins < 1 or not hi > lo:
+        raise ValueError(f"need hi > lo and n_bins >= 1, got {lo}, {hi}, {n_bins}")
+    width = hi - lo
+    b = (
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col(score_col) - F.lit(lo)) / F.lit(width) * F.lit(n_bins)
+                ),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        )
+    ).cast("int")
+    n = F.count(F.lit(1))
+    return (
+        df.groupBy(b.alias("bin"))
+        .agg(
+            n.alias("n_docs"),
+            F.round(
+                F.sum(F.col(score_col).cast("decimal(20,9)")).cast("double")
+                / n,
+                9,
+            ).alias("mean_score"),
+            F.round(
+                F.sum(F.when(F.col(pred_col), 1).otherwise(0)) * F.lit(1.0) / n,
+                6,
+            ).alias("pred_keep_rate"),
+            F.round(
+                F.sum(F.when(F.col(label_col), 1).otherwise(0))
+                * F.lit(1.0)
+                / n,
+                6,
+            ).alias("label_keep_rate"),
+            F.round(
+                F.sum(
+                    F.when(F.col(pred_col) == F.col(label_col), 1).otherwise(0)
+                )
+                * F.lit(1.0)
+                / n,
+                6,
+            ).alias("agreement"),
+        )
+        .orderBy("bin")
+    )

@@ -733,3 +733,30 @@ def test_temporal_join_semantics(spark):
         (3, 7): (None, None),       # entity absent from the dimension
     }
     assert temporal_join(facts, dim, "u", "ts").count() == 6  # no dup/drop
+
+
+def test_score_agreement_bins_clamp_and_rates(spark):
+    import pytest as _pytest
+
+    from kubernetes_logs_datalake_spark.operators.classify import (
+        score_agreement_bins,
+    )
+
+    rows = [
+        (-5.0, False, False),   # clamps into bin 0, agree
+        (0.05, True, False),    # bin 0 (0..1 over [0,1] w/ 10 bins -> b0)
+        (0.95, True, True),     # bin 9, agree
+        (7.0, False, True),     # clamps into bin 9, disagree
+    ]
+    df = spark.createDataFrame(rows, "score double, pred boolean, lab boolean")
+    out = {r.bin: r for r in score_agreement_bins(
+        df, "score", "pred", "lab", lo=0.0, hi=1.0, n_bins=10).collect()}
+    assert set(out) == {0, 9}
+    assert out[0].n_docs == 2 and out[9].n_docs == 2
+    assert out[0].pred_keep_rate == 0.5 and out[0].label_keep_rate == 0.0
+    assert out[0].agreement == 0.5
+    assert out[9].pred_keep_rate == 0.5 and out[9].label_keep_rate == 1.0
+    assert out[9].agreement == 0.5
+    assert out[0].mean_score == round((-5.0 + 0.05) / 2, 9)
+    with _pytest.raises(ValueError):
+        score_agreement_bins(df, "score", "pred", "lab", lo=1.0, hi=1.0)

@@ -147,6 +147,7 @@ QUERIES = [
     "events_kcore",
     "lineitem_range_audit",
     "events_temporal_join",
+    "docs_score_agreement",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
