@@ -83,3 +83,85 @@ def parquet_metadata(spark: SparkSession, path: str) -> DataFrame:
 def describe(df: DataFrame) -> list[tuple[str, str]]:
     """(column, type) of any DataFrame (DESCRIBE <query>)."""
     return [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+
+
+def schema_diff(spark: SparkSession, path_a: str, path_b: str) -> DataFrame:
+    """Schema drift between two parquet files (old → new): one row per
+    column with status added / removed / type_changed / unchanged and
+    the arrow types on both sides — the check a lake runs before
+    appending a new ingest batch to an existing table.
+
+    Footer-only (no data pages), like the rest of this module; the
+    result is a handful of rows regardless of table size.
+    """
+    a = {
+        f.name: str(f.type) for f in pq.read_schema(_local(path_a))
+    }
+    b = {
+        f.name: str(f.type) for f in pq.read_schema(_local(path_b))
+    }
+    rows = []
+    for name in sorted(set(a) | set(b)):
+        ta, tb = a.get(name), b.get(name)
+        if ta is None:
+            status = "added"
+        elif tb is None:
+            status = "removed"
+        elif ta != tb:
+            status = "type_changed"
+        else:
+            status = "unchanged"
+        rows.append((name, status, ta, tb))
+    return spark.createDataFrame(
+        rows, "name string, status string, type_a string, type_b string"
+    )
+
+
+def compaction_plan(
+    spark: SparkSession, pattern: str, target_bytes: int
+) -> DataFrame:
+    """Small-file compaction plan over a file listing: within each
+    parent directory (= partition), files are packed in path order into
+    bins of ~``target_bytes`` by exclusive running size — the rewrite
+    plan an OPTIMIZE/compact job executes. Output: (dir, bin, n_files,
+    total_bytes, n_compacted) where a single-file bin is already
+    right-sized (nothing to rewrite) and n_compacted counts the files a
+    rewrite would actually touch.
+
+    One directory-keyed window over the LISTING (metadata rows, not
+    data); binning is exclusive-cumsum DIV target, so the plan is
+    deterministic under re-listing and an oversized file never splits —
+    it simply closes its bin. At 100 TB the listing is millions of
+    rows, not bytes of data, and the window keys on the partition dir.
+    """
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    files = glob_files(spark, pattern).select(
+        F.regexp_replace("path", "/[^/]+$", "").alias("dir"),
+        "path",
+        "length",
+    )
+    w = (
+        Window.partitionBy("dir")
+        .orderBy("path")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # integer DIV, not double division — exact past 2^53 total bytes
+    binned = files.withColumn(
+        "_cum", F.coalesce(F.sum("length").over(w), F.lit(0))
+    ).withColumn("bin", F.expr(f"CAST(_cum DIV {target_bytes} AS LONG)"))
+    return (
+        binned.groupBy("dir", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("length").alias("total_bytes"),
+        )
+        .withColumn(
+            "n_compacted",
+            F.when(F.col("n_files") > 1, F.col("n_files")).otherwise(0),
+        )
+        .orderBy("dir", "bin")
+    )
