@@ -172,3 +172,74 @@ def gapfill_rollup(
     for c in locf_cols:
         out = out.withColumn(f"{c}_locf", F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def burn_rate_alerts(
+    df: DataFrame,
+    ts_col: str,
+    bad_col,
+    short_us: int = 5 * 60 * 1_000_000,
+    long_us: int = 3600 * 1_000_000,
+    ratio: float = 1.2,
+    min_events: int = 10,
+) -> DataFrame:
+    """Multiwindow burn-rate alerting (the SRE-workbook pattern): a
+    short window's bad-event rate must exceed ``ratio`` × its enclosing
+    long window's rate — short-only alerting pages on noise, long-only
+    pages too late; the AND of both resolutions is the standard fix.
+
+    ``bad_col`` is a boolean Column/name marking budget-burning rows.
+    Output: one row per short bucket (bucket_us, n_events, n_bad,
+    rate_short, rate_long, alert) with ``alert`` requiring
+    ``min_events`` in the short bucket so empty-ish windows can't fire.
+    ``long_us`` must be a multiple of ``short_us`` so short buckets
+    nest exactly.
+
+    Plan: the same scan feeds both resolutions — the long rollup is a
+    second agg over the SHORT buckets (short nests in long, so
+    map-side partials combine), then a bucket-keyed equi-join of two
+    tiny rollup tables; rates are exact integer ratios in one double
+    op each.
+    """
+    if long_us % short_us != 0:
+        raise ValueError(f"long_us {long_us} must be a multiple of short_us {short_us}")
+    bad = F.col(bad_col) if isinstance(bad_col, str) else bad_col
+    short = (
+        df.select(
+            (F.col(ts_col) - F.col(ts_col) % short_us).alias("bucket_us"),
+            bad.cast("int").alias("_bad"),
+        )
+        .groupBy("bucket_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_bad").alias("n_bad"),
+        )
+    )
+    long_ = (
+        short.select(
+            (F.col("bucket_us") - F.col("bucket_us") % long_us).alias("_lb"),
+            "n_events",
+            "n_bad",
+        )
+        .groupBy("_lb")
+        .agg(
+            F.sum("n_events").alias("_ln"),
+            F.sum("n_bad").alias("_lbad"),
+        )
+    )
+    joined = short.join(
+        long_, (short["bucket_us"] - short["bucket_us"] % long_us) == long_["_lb"]
+    )
+    rate_s = F.col("n_bad") * F.lit(1.0) / F.col("n_events")
+    rate_l = F.col("_lbad") * F.lit(1.0) / F.col("_ln")
+    return joined.select(
+        "bucket_us",
+        "n_events",
+        "n_bad",
+        F.round(rate_s, 6).alias("rate_short"),
+        F.round(rate_l, 6).alias("rate_long"),
+        (
+            (F.col("n_events") >= min_events)
+            & (rate_s > F.lit(ratio) * rate_l)
+        ).alias("alert"),
+    ).orderBy("bucket_us")
