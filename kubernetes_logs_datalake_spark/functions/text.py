@@ -406,7 +406,6 @@ def phrase_search(
     id_col: str,
     text_col: str,
     phrase: str,
-    scale: int = 4,
 ):
     """Exact positional phrase search: documents containing the word
     sequence ``phrase`` (under the module tokenizer), with occurrence

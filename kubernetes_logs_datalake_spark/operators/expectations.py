@@ -45,7 +45,7 @@ def expectations_audit(
       ("<id>", "in_set", col, [v, ...])  # non-null values not in the set
       ("<id>", "matches", col, regex)    # non-null values not rlike regex
       ("<id>", "fk", col, ref_name)      # non-null keys absent from the
-                                         # broadcast ref (refs[ref_name])
+                                         # ref table (refs[ref_name])
 
     Returns one row per check: (check_id, kind, column, n_violations,
     passed), ordered by check_id. Violation counts are exact.
@@ -104,11 +104,15 @@ def expectations_audit(
         if not refs or ref_name not in refs:
             raise ValueError(f"fk check {cid!r} needs refs[{ref_name!r}]")
         ref_df, ref_col = refs[ref_name]
+        # no broadcast hint: a dim-key set can be arbitrarily large (fk
+        # against a billion-row dim), and Catalyst/AQE already broadcasts
+        # automatically when the distinct key set fits the threshold —
+        # forcing it would OOM the driver on large dims
         keys = ref_df.select(F.col(ref_col).alias("_k")).distinct()
         missing = (
             df.filter(F.col(col).isNotNull())
             .select(F.col(col).alias("_k"))
-            .join(F.broadcast(keys), "_k", "left_anti")
+            .join(keys, "_k", "left_anti")
         )
         parts.append(
             missing.agg(

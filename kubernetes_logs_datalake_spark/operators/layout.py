@@ -135,10 +135,15 @@ def compute_range_bounds(
     portable-sampling idiom) instead of a seeded RNG, so every engine
     and every rerun derives the identical boundaries.
 
-    Returns the ``n_buckets - 1`` boundary values: sorted sample
-    s₁..sₘ, boundary_j = s at rank (j·m) div n_buckets, j = 1..n-1.
-    Only the sample — corpus/rate rows — is ever globally sorted; the
-    full table is untouched, exactly like the native partitioner.
+    Returns the boundary values: sorted sample s₁..sₘ, boundary_j = s
+    at rank (j·m) div n_buckets, j = 1..n-1, deduplicated by VALUE —
+    two rank targets landing on equal sample keys yield one boundary
+    (a duplicated boundary would only manufacture an empty bucket).
+    Raises when the sample is smaller than ``n_buckets``: with m < n
+    the rank targets collide/vanish and the boundaries are garbage —
+    widen ``sample_prefix_lt`` instead. Only the sample — corpus/rate
+    rows — is ever globally sorted; the full table is untouched,
+    exactly like the native partitioner.
     """
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
@@ -158,7 +163,16 @@ def compute_range_bounds(
             f" j -> _rn = CAST(j * _m DIV {n_buckets} AS INT))"
         )
     )
-    return [r._k for r in bounds.orderBy("_rn").collect()]
+    rows = bounds.orderBy("_rn").collect()
+    # m >= n_buckets guarantees rank target m div n_buckets >= 1 exists,
+    # so an empty bounds list can only mean an undersized sample
+    m = rows[0]._m if rows else sample.count()
+    if m < n_buckets:
+        raise ValueError(
+            f"sample has {m} rows for {n_buckets} buckets; boundaries "
+            f"would be degenerate — widen sample_prefix_lt"
+        )
+    return list(dict.fromkeys(r._k for r in rows))
 
 
 def range_partition_audit(

@@ -214,22 +214,13 @@ def burn_rate_alerts(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("_bad").alias("n_bad"),
         )
+        .withColumn("_lb", F.col("bucket_us") - F.col("bucket_us") % long_us)
     )
-    long_ = (
-        short.select(
-            (F.col("bucket_us") - F.col("bucket_us") % long_us).alias("_lb"),
-            "n_events",
-            "n_bad",
-        )
-        .groupBy("_lb")
-        .agg(
-            F.sum("n_events").alias("_ln"),
-            F.sum("n_bad").alias("_lbad"),
-        )
+    long_ = short.groupBy("_lb").agg(
+        F.sum("n_events").alias("_ln"),
+        F.sum("n_bad").alias("_lbad"),
     )
-    joined = short.join(
-        long_, (short["bucket_us"] - short["bucket_us"] % long_us) == long_["_lb"]
-    )
+    joined = short.join(long_, "_lb")
     rate_s = F.col("n_bad") * F.lit(1.0) / F.col("n_events")
     rate_l = F.col("_lbad") * F.lit(1.0) / F.col("_ln")
     return joined.select(

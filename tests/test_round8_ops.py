@@ -1,0 +1,122 @@
+"""Round-8 tests for the round-7 ADVICE findings and round-8 operators.
+
+  - burn_rate_alerts: was dead code (never registered, never executed);
+    now a registered query — test the alert algebra on a hand-computed
+    fixture, including the min_events guard and window nesting.
+  - compute_range_bounds: duplicate boundary VALUES are deduped (the
+    oracle now mirrors with SELECT DISTINCT), and an undersized sample
+    raises instead of returning degenerate boundaries.
+  - expectations fk check: no forced broadcast; NULLs in the referenced
+    dim column must not flip the violation count (the old NOT IN oracle
+    would have reported 0).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------- burn_rate_alerts
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(rows, "ts_us long, is_bad boolean")
+
+
+def test_burn_rate_alert_fires_only_on_short_over_long(spark):
+    from kubernetes_logs_datalake_spark.operators.rollup import burn_rate_alerts
+
+    short, long_ = 100, 400  # 4 short buckets nest in one long bucket
+    rows = []
+    # long window [0, 400): bucket 0 is hot (8/10 bad), buckets 1-3
+    # quiet (1/10 bad each) -> long rate = 11/40
+    for b, n_bad in [(0, 8), (1, 1), (2, 1), (3, 1)]:
+        for i in range(10):
+            rows.append((b * short + i, i < n_bad))
+    out = burn_rate_alerts(
+        _mk_events(spark, rows), "ts_us", "is_bad",
+        short_us=short, long_us=long_, ratio=1.2, min_events=5,
+    ).collect()
+    assert [r.bucket_us for r in out] == [0, 100, 200, 300]
+    by_bucket = {r.bucket_us: r for r in out}
+    assert by_bucket[0].alert  # 0.8 > 1.2 * 0.275
+    assert not by_bucket[100].alert and not by_bucket[300].alert
+    assert by_bucket[0].n_events == 10 and by_bucket[0].n_bad == 8
+    assert by_bucket[0].rate_short == pytest.approx(0.8)
+    assert by_bucket[0].rate_long == pytest.approx(11 / 40, abs=1e-6)
+
+
+def test_burn_rate_min_events_guard(spark):
+    from kubernetes_logs_datalake_spark.operators.rollup import burn_rate_alerts
+
+    # 3 events all bad in the short bucket: rate 1.0 but under min_events
+    rows = [(0, True), (1, True), (2, True), (150, False)] + [
+        (250 + i, False) for i in range(10)
+    ]
+    out = burn_rate_alerts(
+        _mk_events(spark, rows), "ts_us", "is_bad",
+        short_us=100, long_us=400, ratio=1.2, min_events=5,
+    ).collect()
+    assert not any(r.alert for r in out)
+
+
+def test_burn_rate_rejects_non_nesting_windows(spark):
+    from kubernetes_logs_datalake_spark.operators.rollup import burn_rate_alerts
+
+    with pytest.raises(ValueError, match="multiple"):
+        burn_rate_alerts(_mk_events(spark, [(0, True)]), "ts_us", "is_bad",
+                         short_us=100, long_us=250)
+
+
+# --------------------------------------------- range bounds dedupe/guard
+
+
+def test_range_bounds_dedupe_by_value(spark):
+    from kubernetes_logs_datalake_spark.operators.layout import (
+        compute_range_bounds,
+    )
+
+    # a sample dominated by one repeated key: several rank targets land
+    # on equal values; the result must carry each boundary value once
+    df = spark.createDataFrame(
+        [(v,) for v in list(range(1, 40)) + [7] * 200], "k long"
+    )
+    bounds = compute_range_bounds(df, "k", n_buckets=8, sample_prefix_lt="ff")
+    assert len(bounds) == len(set(bounds))
+    assert bounds == sorted(bounds)
+
+
+def test_range_bounds_undersized_sample_raises(spark):
+    from kubernetes_logs_datalake_spark.operators.layout import (
+        compute_range_bounds,
+    )
+
+    df = spark.createDataFrame([(v,) for v in range(3)], "k long")
+    with pytest.raises(ValueError, match="widen sample_prefix_lt"):
+        compute_range_bounds(df, "k", n_buckets=8, sample_prefix_lt="ff")
+
+
+# ------------------------------------------- fk check with NULL dim keys
+
+
+def test_expectations_fk_counts_violations_despite_null_dim_key(spark):
+    from kubernetes_logs_datalake_spark.operators.expectations import (
+        expectations_audit,
+    )
+
+    facts = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, ref long"
+    )
+    dim = spark.createDataFrame(
+        [(10,), (20,), (None,)], "k long"
+    )
+    out = expectations_audit(
+        facts,
+        checks=[("fk_ref", "fk", "ref", "dim")],
+        refs={"dim": (dim, "k")},
+    ).collect()
+    row = next(r for r in out if r.check_id == "fk_ref")
+    # ref=99 violates; ref=NULL is skipped; the NULL dim key must not
+    # turn the count into 0 (the NOT IN trap the oracle used to have)
+    assert row.n_violations == 1 and not row.passed
