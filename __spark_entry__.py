@@ -4152,7 +4152,8 @@ def _events_burn_rate(spark: SparkSession, sf: str) -> DataFrame:
 # sibling plus a pytest agreement test:
 #   approx_distinct_users   (built-in HLL sketch; exact sibling
 #                            approx_distinct_kmv is hash-checked;
-#                            agreement: tests/test_sketch.py)
+#                            agreement: tests/test_round8_ops.py::
+#                            test_approx_distinct_users_agrees_with_exact)
 #   doc_length_bins_approx  (approx_percentile cutpoints; exact sibling
 #                            doc_length_bins is hash-checked)
 #   ann_topk_arrow          (Arrow/numpy kernel; exact sibling

@@ -97,6 +97,33 @@ def test_range_bounds_undersized_sample_raises(spark):
         compute_range_bounds(df, "k", n_buckets=8, sample_prefix_lt="ff")
 
 
+# ------------------------------------------------ HLL agreement gate
+
+
+def test_approx_distinct_users_agrees_with_exact(spark):
+    """The no-oracle-manifest contract for approx_distinct_users: the
+    HLL estimate must track exact COUNT(DISTINCT) within the declared
+    rsd bounds (rsd=0.02, gate at 5·rsd — HLL is deterministic for a
+    fixed input, so this is a regression pin, not a flaky bound)."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    approx = {
+        r.event_type: r.approx_users
+        for r in entrymod.queries()["approx_distinct_users"](spark, sf).collect()
+    }
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(1, 0.10 * n), (et, approx[et], n)
+
+
 # ------------------------------------------- fk check with NULL dim keys
 
 
