@@ -3480,6 +3480,82 @@ def _events_pagerank(spark: SparkSession, sf: str) -> DataFrame:
 
 _TRI_MIN_SHARED = 3
 _TRI_MAX_NODES_PER_KEY = 64
+# auto-occupancy window (round 8): the co-activity bucket is no longer
+# a fixed hour — auto_time_bucket picks the widest halving of an hour
+# whose context occupancy stays ≤ _TRI_TARGET_OCC for ≥95% of contexts,
+# so a 10×-denser corpus self-narrows the bucket instead of requiring
+# the manual density rule (SCALE.md round 7) or tripping the cap to 0
+# rows. Target is half the hot-key cap: the cap stays as the loud
+# last-resort guard for the ≤5% tail. At the shipped SFs the pick IS
+# the hour (occupancy ~3 at sf0.01), so results are unchanged there.
+_TRI_BASE_WIDTH_US = 3600 * 1_000_000
+_TRI_TARGET_OCC = 32
+_TRI_OVER_PCT = 5
+_TRI_N_HALVINGS = 8
+
+
+def _coactivity_keyed(spark: SparkSession, sf: str) -> DataFrame:
+    """(user_id, event_type, bucket_us) context rows for the
+    co-occurrence family, bucket width chosen by the occupancy
+    pre-pass. One extra tiny-collect job; the kernel plan is unchanged."""
+    from kubernetes_logs_datalake_spark.operators.graph import (
+        auto_time_bucket,
+    )
+
+    e = _t(spark, sf, "events")
+    width = auto_time_bucket(
+        e.select("user_id", "event_type", _ts_us(e).alias("_ts")),
+        "user_id",
+        "_ts",
+        ["event_type"],
+        base_width=_TRI_BASE_WIDTH_US,
+        target_occupancy=_TRI_TARGET_OCC,
+        over_pct=_TRI_OVER_PCT,
+        n_halvings=_TRI_N_HALVINGS,
+    )
+    return e.select(
+        "user_id",
+        "event_type",
+        (_ts_us(e) - _ts_us(e) % width).alias("bucket_us"),
+    )
+
+
+def _ddb_autowidth_keys_cte() -> str:
+    """Oracle prefix replaying auto_time_bucket's width pick with pure
+    integer arithmetic, then the guarded context/key CTEs every
+    co-occurrence oracle shares. Ends with `keysf` (capped contexts)."""
+    ladder = ", ".join(
+        str(_TRI_BASE_WIDTH_US >> i) for i in range(_TRI_N_HALVINGS + 1)
+    )
+    return f"""
+            cand AS (SELECT unnest([{ladder}]) AS w),
+            wocc AS (
+                SELECT c.w, event_type,
+                       (epoch_us(ts) - epoch_us(ts) % c.w) AS b,
+                       count(DISTINCT user_id) AS occ
+                FROM events, cand c GROUP BY 1, 2, 3),
+            wst AS (
+                SELECT w, count(*) AS n_ctx,
+                       sum(CASE WHEN occ > {_TRI_TARGET_OCC}
+                                THEN 1 ELSE 0 END) AS n_over
+                FROM wocc GROUP BY 1),
+            pick AS (
+                SELECT coalesce(
+                    (SELECT max(w) FROM wst
+                     WHERE n_over * 100 <= n_ctx * {_TRI_OVER_PCT}),
+                    (SELECT min(w) FROM wst)) AS w),
+            keys AS MATERIALIZED (
+                SELECT DISTINCT user_id, event_type,
+                       (epoch_us(ts) - epoch_us(ts)
+                            % (SELECT w FROM pick)) AS bucket_us
+                FROM events),
+            kc AS MATERIALIZED (
+                SELECT event_type, bucket_us, count(*) AS c
+                FROM keys GROUP BY 1, 2),
+            keysf AS MATERIALIZED (
+                SELECT k.user_id, k.event_type, k.bucket_us
+                FROM keys k JOIN kc USING (event_type, bucket_us)
+                WHERE kc.c <= {_TRI_MAX_NODES_PER_KEY})"""
 _PATHS_GAP_US = 30 * 60 * 1_000_000
 _NDCG_K = 10
 _PQ_REFINE_CANDS = 50
@@ -3500,12 +3576,7 @@ def _events_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
         triangle_counts,
     )
 
-    e = _t(spark, sf, "events")
-    keyed = e.select(
-        "user_id",
-        "event_type",
-        (_ts_us(e) - _ts_us(e) % (3600 * 1_000_000)).alias("bucket_us"),
-    )
+    keyed = _coactivity_keyed(spark, sf)
     edges = cooccurrence_edges(
         keyed,
         "user_id",
@@ -3671,12 +3742,7 @@ def _events_user_similarity(spark: SparkSession, sf: str) -> DataFrame:
         cooccurrence_similarity,
     )
 
-    e = _t(spark, sf, "events")
-    keyed = e.select(
-        "user_id",
-        "event_type",
-        (_ts_us(e) - _ts_us(e) % (3600 * 1_000_000)).alias("bucket_us"),
-    )
+    keyed = _coactivity_keyed(spark, sf)
     sim = cooccurrence_similarity(
         keyed,
         "user_id",
@@ -3939,12 +4005,7 @@ def _events_kcore(spark: SparkSession, sf: str) -> DataFrame:
         kcore,
     )
 
-    e = _t(spark, sf, "events")
-    keyed = e.select(
-        "user_id",
-        "event_type",
-        (_ts_us(e) - _ts_us(e) % (3600 * 1_000_000)).alias("bucket_us"),
-    )
+    keyed = _coactivity_keyed(spark, sf)
     edges = cooccurrence_edges(
         keyed,
         "user_id",
@@ -3977,16 +4038,7 @@ def _ddb_kcore_sql(k: int, rounds: int) -> str:
                 JOIN alive{i} y ON s._b = y._a),"""
         prev = f"sym{i}"
     return f"""
-        WITH keys AS MATERIALIZED (
-            SELECT DISTINCT user_id, event_type,
-                   (epoch_us(ts) - epoch_us(ts) % 3600000000) AS bucket_us
-            FROM events),
-        kc AS MATERIALIZED (SELECT event_type, bucket_us, count(*) AS c
-               FROM keys GROUP BY 1, 2),
-        keysf AS MATERIALIZED (
-            SELECT k.user_id, k.event_type, k.bucket_us
-            FROM keys k JOIN kc USING (event_type, bucket_us)
-            WHERE kc.c <= {_TRI_MAX_NODES_PER_KEY}),
+        WITH {_ddb_autowidth_keys_cte()},
         e AS MATERIALIZED (
             SELECT a.user_id AS u, b.user_id AS v
             FROM keysf a JOIN keysf b USING (event_type, bucket_us)
@@ -4180,8 +4232,12 @@ _R8_WINDOW = [
     "lineitem_range_audit",
     "events_temporal_join",
     "docs_score_agreement",
-    # 2. new in round 8
+    # 2. new or semantically changed in round 8 (the co-occurrence
+    # pair switched to the auto-occupancy window; kcore, the third
+    # kernel user, already leads via group 1)
     "events_burn_rate",
+    "events_triangle_count",
+    "events_user_similarity",
     # 3. set-op shapes deferred from r7 (last driver row r3;
     # except_nation_keys now non-vacuous — 21 rows at sf0.01)
     "intersect_nation_keys",
@@ -4220,8 +4276,6 @@ _R8_WINDOW = [
     "q18_large_orders",
     "q19_disjunctive_filters",
     "q22_inactive_rich_customers",
-    "q9_nation_profit",
-    "q11_important_parts",
     # sentinel (green in every round since r1)
     "q1_pricing_summary",
 ]
@@ -7134,17 +7188,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ------------------------------------------ round-7 additions
         "events_triangle_count": f"""
-            WITH keys AS (
-                SELECT DISTINCT user_id, event_type,
-                       (epoch_us(ts) - epoch_us(ts) % 3600000000)
-                           AS bucket_us
-                FROM events),
-            kc AS (SELECT event_type, bucket_us, count(*) AS c
-                   FROM keys GROUP BY 1, 2),
-            keysf AS (
-                SELECT k.user_id, k.event_type, k.bucket_us
-                FROM keys k JOIN kc USING (event_type, bucket_us)
-                WHERE kc.c <= {_TRI_MAX_NODES_PER_KEY}),
+            WITH {_ddb_autowidth_keys_cte()},
             e AS (
                 SELECT a.user_id AS u, b.user_id AS v
                 FROM keysf a JOIN keysf b USING (event_type, bucket_us)
@@ -7348,17 +7392,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_hits_scores": _ddb_hits_sql(_HITS_ITERS),
         "events_user_similarity": f"""
-            WITH keys AS (
-                SELECT DISTINCT user_id, event_type,
-                       (epoch_us(ts) - epoch_us(ts) % 3600000000)
-                           AS bucket_us
-                FROM events),
-            kc AS (SELECT event_type, bucket_us, count(*) AS c
-                   FROM keys GROUP BY 1, 2),
-            keysf AS (
-                SELECT k.user_id, k.event_type, k.bucket_us
-                FROM keys k JOIN kc USING (event_type, bucket_us)
-                WHERE kc.c <= {_TRI_MAX_NODES_PER_KEY}),
+            WITH {_ddb_autowidth_keys_cte()},
             sz AS (SELECT user_id, CAST(count(*) AS BIGINT) AS s
                    FROM keysf GROUP BY 1),
             e AS (

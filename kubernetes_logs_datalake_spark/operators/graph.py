@@ -277,6 +277,79 @@ def label_propagation(
     return labels
 
 
+def auto_time_bucket(
+    df: DataFrame,
+    node_col: str,
+    ts_col: str,
+    key_cols: list[str],
+    base_width: int,
+    target_occupancy: int = 32,
+    over_pct: int = 5,
+    n_halvings: int = 8,
+) -> int:
+    """Self-tuning co-occurrence window: the widest time bucket (from
+    the halving ladder base, base/2, …, base/2^n_halvings) whose
+    context occupancy stays at or under ``target_occupancy`` for all
+    but ``over_pct`` percent of contexts. This replaces the manual
+    density rule (SCALE.md round 7: "narrow the bucket ∝ density by
+    hand or the cap returns 0 rows") with a measured pre-pass — when
+    activity density grows 10×, the chosen bucket narrows ~10×,
+    holding per-context pair work constant, the same scaling family as
+    LSH bits ∝ log2(n) and SemDeDup k ∝ n.
+
+    The pre-pass is ONE aggregation: explode each (node, keys, ts) row
+    across the candidate widths (a ladder of ≤ n_halvings+1 literals),
+    distinct, count nodes per (width, context), then a width-keyed
+    2-counter rollup — n_halvings × the kernel's own distinct scan,
+    all map-side until the tiny final agg. Selection is pure integer
+    arithmetic (n_over · 100 ≤ n_ctx · over_pct), so a SQL oracle
+    replays the pick bit-for-bit. At 100 TB run the pre-pass on a
+    hash-sample of nodes; occupancy quantiles concentrate fast.
+
+    Choose ``target_occupancy`` under the kernel's hot-key cap: the
+    cap stays as the last-resort guard for the over-pct tail, while
+    the width keeps TYPICAL contexts well-behaved. Returns the chosen
+    width (falls back to the narrowest candidate when even it is too
+    dense — the cap then does its loud, cheap refusal).
+    """
+    if base_width < 1:
+        raise ValueError(f"base_width must be >= 1, got {base_width}")
+    if not 0 <= over_pct <= 100:
+        raise ValueError(f"over_pct must be in [0, 100], got {over_pct}")
+    cands = [base_width >> i for i in range(n_halvings + 1) if base_width >> i]
+    occ = (
+        df.select(
+            F.col(node_col).alias("_n"), *key_cols, F.col(ts_col).alias("_ts")
+        )
+        .withColumn("_w", F.explode(F.array(*[F.lit(w) for w in cands])))
+        .select(
+            "_w",
+            *key_cols,
+            (F.col("_ts") - F.col("_ts") % F.col("_w")).alias("_b"),
+            "_n",
+        )
+        .distinct()
+        .groupBy("_w", *key_cols, "_b")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+    )
+    stats = {
+        r._w: (r.n_ctx, r.n_over)
+        for r in occ.groupBy("_w")
+        .agg(
+            F.count(F.lit(1)).alias("n_ctx"),
+            F.sum(
+                F.when(F.col("_occ") > target_occupancy, 1).otherwise(0)
+            ).alias("n_over"),
+        )
+        .collect()
+    }
+    for w in cands:  # widest first
+        n_ctx, n_over = stats.get(w, (0, 0))
+        if n_over * 100 <= n_ctx * over_pct:
+            return w
+    return cands[-1]
+
+
 def cooccurrence_edges(
     df: DataFrame,
     node_col: str,

@@ -61,6 +61,79 @@ def test_idle_close_emits_after_quiet_period(spark, tmp_path):
         q.stop()
 
 
+def test_close_write_latency_bound(spark, tmp_path):
+    """TIMED close-write visibility (the reference asserts last-write →
+    queryable ≤ 30 s, test.sh:592-618): with idle=2 s and a 1 s
+    trigger, the close event must be VISIBLE in the sink within
+    idle + trigger + a fixed local-mode grace (file-source listing +
+    microbatch scheduling; measured ~3-6 s on local[32]). The stream is
+    warmed up BEFORE the write so startup cost doesn't pollute the
+    latency being asserted — this is the wall-clock contract, not the
+    state-machine logic (the hypothesis suite below covers that)."""
+    import uuid
+
+    base = str(tmp_path)
+    d = os.path.join(base, "var/log/pods/qa_app-2_u/app")
+    os.makedirs(d)
+    name = f"idle_lat_{uuid.uuid4().hex[:8]}"
+    idle_seconds, trigger_seconds, grace_seconds = 2, 1, 12
+
+    stream = parse_cri_lines(
+        spark.readStream.format("text")
+        .option("recursiveFileLookup", "true")
+        .load(base)
+        .withColumn("path", F.input_file_name()),
+        path_col="path",
+        cluster="dev",
+    )
+    q = (
+        closed_sessions(stream, idle_seconds=idle_seconds)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+    try:
+        # warm-up: let the (empty-directory) stream run a few batches
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if any(
+                p.get("numInputRows") is not None
+                for p in ([q.lastProgress] if q.lastProgress else [])
+            ):
+                break
+            time.sleep(0.5)
+
+        with open(os.path.join(d, "0.log"), "w") as f:
+            f.write("2024-01-15T10:30:00.0Z stdout F hello\n")
+        t_write = time.time()
+
+        visible_at = None
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            assert q.exception() is None, q.exception()
+            if spark.sql(f"SELECT count(*) c FROM {name}").first().c:
+                visible_at = time.time()
+                break
+            time.sleep(0.2)
+        assert visible_at is not None, "close event never became visible"
+        elapsed = visible_at - t_write
+        bound = idle_seconds + trigger_seconds + grace_seconds
+        assert elapsed <= bound, (
+            f"close-write latency {elapsed:.1f}s exceeds "
+            f"{bound}s (idle {idle_seconds} + trigger {trigger_seconds} "
+            f"+ grace {grace_seconds})"
+        )
+        # and not before the idle window elapsed (timeout semantics)
+        assert elapsed >= idle_seconds - 0.5, (
+            f"close event at {elapsed:.1f}s, before the {idle_seconds}s "
+            f"idle window could have expired"
+        )
+    finally:
+        q.stop()
+
+
 # ---------------------------------------------------------------------
 # Property tests of the T4 state machine itself (reference test.sh
 # asserts these semantics with wall-clock timing windows, 7l/543-619;

@@ -97,6 +97,69 @@ def test_range_bounds_undersized_sample_raises(spark):
         compute_range_bounds(df, "k", n_buckets=8, sample_prefix_lt="ff")
 
 
+# --------------------------------------------- auto-occupancy window
+
+
+def _activity(spark, n_users, n_hours, per_hour_users):
+    """Events where each hour-context holds `per_hour_users` distinct
+    users (round-robin): occupancy is exactly per_hour_users."""
+    hour = 3600 * 1_000_000
+    rows = []
+    for h in range(n_hours):
+        for i in range(per_hour_users):
+            u = (h * per_hour_users + i) % n_users
+            rows.append((u, "t", h * hour + (i * hour) // per_hour_users))
+    return spark.createDataFrame(rows, "user_id long, et string, ts_us long")
+
+
+def test_auto_bucket_sparse_keeps_base_width(spark):
+    from kubernetes_logs_datalake_spark.operators.graph import auto_time_bucket
+
+    base = 3600 * 1_000_000
+    df = _activity(spark, n_users=200, n_hours=12, per_hour_users=4)
+    w = auto_time_bucket(
+        df, "user_id", "ts_us", ["et"], base, target_occupancy=32
+    )
+    assert w == base
+
+
+def test_auto_bucket_narrows_with_density(spark):
+    """Contexts 4x over target: the pick must halve at least twice —
+    the self-tuning that replaces the manual hour/copies rule."""
+    from kubernetes_logs_datalake_spark.operators.graph import auto_time_bucket
+
+    base = 3600 * 1_000_000
+    dense = _activity(spark, n_users=2000, n_hours=6, per_hour_users=128)
+    w = auto_time_bucket(
+        dense, "user_id", "ts_us", ["et"], base, target_occupancy=32
+    )
+    assert w <= base // 4
+    # and the chosen width actually satisfies the occupancy contract
+    occ = (
+        dense.select(
+            "et", (F.col("ts_us") - F.col("ts_us") % w).alias("b"), "user_id"
+        )
+        .distinct()
+        .groupBy("et", "b")
+        .count()
+        .collect()
+    )
+    n_over = sum(1 for r in occ if r["count"] > 32)
+    assert n_over * 100 <= len(occ) * 5
+
+
+def test_auto_bucket_rejects_bad_args(spark):
+    from kubernetes_logs_datalake_spark.operators.graph import auto_time_bucket
+
+    df = _activity(spark, 10, 1, 2)
+    with pytest.raises(ValueError, match="base_width"):
+        auto_time_bucket(df, "user_id", "ts_us", ["et"], 0)
+    with pytest.raises(ValueError, match="over_pct"):
+        auto_time_bucket(
+            df, "user_id", "ts_us", ["et"], 3600, over_pct=101
+        )
+
+
 # ------------------------------------------------ HLL agreement gate
 
 

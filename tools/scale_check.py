@@ -302,101 +302,15 @@ def main() -> None:
 
     thunks["events_skew_plain_join"] = _skew_plain_join
 
-    # Triangle counting's scale knob is the CO-OCCURRENCE WINDOW, not
-    # the hot-context cap: the replicated fixture multiplies every
-    # (event_type, hour) context's user count by `copies`, so the
-    # registered cap (64, sized for the bench SF's density) drops EVERY
-    # key — the guard correctly refusing a corpus whose contexts are
-    # `copies`x denser. Raising the cap instead admits Σc² pair work
-    # ~copies² — measured: cap*10 at x10 ran past 600 s where 1x is
-    # 5 s, the exact cliff the cap exists to prevent. The honest
-    # re-parameterization keeps per-context occupancy constant by
-    # narrowing the bucket with density (hour/copies), the same family
-    # of rules as LSH bits ∝ log2(n) and SemDeDup k ∝ n.
-    def _triangles_scaled(copies=copies):
-        from pyspark.sql import functions as F
-        from kubernetes_logs_datalake_spark.operators.graph import (
-            cooccurrence_edges,
-            triangle_counts,
-        )
-
-        e = spark.read.parquet(f"{dest}/events.parquet")
-        ts_us = entrymod._ts_us(e)
-        bucket = (3600 * 1_000_000) // copies
-        keyed = e.select(
-            "user_id",
-            "event_type",
-            (ts_us - ts_us % bucket).alias("bucket_us"),
-        )
-        edges = cooccurrence_edges(
-            keyed,
-            "user_id",
-            ["event_type", "bucket_us"],
-            min_shared=entrymod._TRI_MIN_SHARED,
-            max_nodes_per_key=entrymod._TRI_MAX_NODES_PER_KEY,
-        )
-        return triangle_counts(edges).select(
-            F.col("node").alias("user_id"), "degree", "n_triangles"
-        )
-
-    thunks["events_triangle_count"] = _triangles_scaled
-
-    # same density rule for the k-core peel over the same edge kernel
-    def _kcore_scaled(copies=copies):
-        from pyspark.sql import functions as F
-        from kubernetes_logs_datalake_spark.operators.graph import (
-            cooccurrence_edges,
-            kcore,
-        )
-
-        e = spark.read.parquet(f"{dest}/events.parquet")
-        ts_us = entrymod._ts_us(e)
-        bucket = (3600 * 1_000_000) // copies
-        keyed = e.select(
-            "user_id",
-            "event_type",
-            (ts_us - ts_us % bucket).alias("bucket_us"),
-        )
-        edges = cooccurrence_edges(
-            keyed,
-            "user_id",
-            ["event_type", "bucket_us"],
-            min_shared=entrymod._TRI_MIN_SHARED,
-            max_nodes_per_key=entrymod._TRI_MAX_NODES_PER_KEY,
-        )
-        return kcore(
-            edges, k=entrymod._KCORE_K, rounds=entrymod._KCORE_ROUNDS
-        ).select(F.col("node").alias("user_id"), "core_degree")
-
-    thunks["events_kcore"] = _kcore_scaled
-
-    # same density rule for the pairwise-similarity sibling
-    def _usersim_scaled(copies=copies):
-        from pyspark.sql import functions as F
-        from kubernetes_logs_datalake_spark.operators.graph import (
-            cooccurrence_similarity,
-        )
-
-        e = spark.read.parquet(f"{dest}/events.parquet")
-        ts_us = entrymod._ts_us(e)
-        bucket = (3600 * 1_000_000) // copies
-        keyed = e.select(
-            "user_id",
-            "event_type",
-            (ts_us - ts_us % bucket).alias("bucket_us"),
-        )
-        sim = cooccurrence_similarity(
-            keyed,
-            "user_id",
-            ["event_type", "bucket_us"],
-            min_shared=entrymod._TRI_MIN_SHARED,
-            max_nodes_per_key=entrymod._TRI_MAX_NODES_PER_KEY,
-        )
-        return sim.orderBy(
-            F.desc("jaccard"), "src", "dst"
-        ).limit(entrymod._USERSIM_K)
-
-    thunks["events_user_similarity"] = _usersim_scaled
+    # Round 8: the co-occurrence family self-tunes — auto_time_bucket
+    # picks the window from a measured occupancy pre-pass, so the
+    # REGISTERED query functions (no custom thunks) are what runs here.
+    # The replicated fixture multiplies every context's user count by
+    # `copies`; the pre-pass detects it and narrows the bucket until
+    # per-context occupancy is back under target, the rule this
+    # harness previously applied by hand (hour/copies — see the r7
+    # SCALE.md section for the measured cliff when the cap is raised
+    # instead). The cap (64) remains the loud last-resort guard.
 
     if only:
         thunks = {n: t for n, t in thunks.items() if n in only}
