@@ -174,12 +174,28 @@ def _resolve_fs(dest: str):
     """
     from pyarrow import fs as pafs
 
-    uri = dest
-    if uri.startswith(("s3a://", "s3n://")):
-        uri = "s3://" + uri.split("://", 1)[1]
+    uri = _normalize_uri(dest)
     if "://" not in uri:
         return pafs.LocalFileSystem(), uri
+    return _fs_from_uri(uri)
+
+
+def _fs_from_uri(uri: str):
+    """Thin seam over ``pyarrow.fs.FileSystem.from_uri`` (a C-extension
+    static that cannot be monkeypatched directly)."""
+    from pyarrow import fs as pafs
+
     return pafs.FileSystem.from_uri(uri)
+
+
+def _normalize_uri(dest: str) -> str:
+    """Scheme normalization only (separable from filesystem
+    construction so the routing rule is testable in builds where
+    pyarrow lacks the S3 filesystem): the Hadoop connector schemes
+    s3a/s3n become the s3 scheme pyarrow's from_uri understands."""
+    if dest.startswith(("s3a://", "s3n://")):
+        return "s3://" + dest.split("://", 1)[1]
+    return dest
 
 
 def _to_arrow_compact(table: pa.Table) -> pa.Table:

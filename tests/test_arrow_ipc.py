@@ -128,23 +128,42 @@ def test_write_arrow_via_uri_root(spark, tmp_path):
     assert {r.message for r in df.collect()} == {"hello", "world", "again"}
 
 
-def test_resolve_fs_schemes():
+def test_resolve_fs_schemes(monkeypatch):
     """URI → filesystem routing: plain paths and file:// hit the local
-    FS; the Hadoop S3 connector schemes (s3a/s3n) map to pyarrow's
-    S3FileSystem with the scheme normalized."""
+    FS; the Hadoop S3 connector schemes (s3a/s3n) are normalized to the
+    s3 scheme and handed to pyarrow's from_uri. The s3 leg asserts OUR
+    routing decision (normalize + delegate) with from_uri stubbed, so
+    it runs — and passes — even in pyarrow builds without the S3
+    filesystem compiled in (this sandbox); constructing a real
+    S3FileSystem is upstream behavior, not this repo's logic."""
     from pyarrow import fs as pafs
 
-    from kubernetes_logs_datalake_spark.sources.arrow_ipc import _resolve_fs
+    from kubernetes_logs_datalake_spark.sources.arrow_ipc import (
+        _normalize_uri,
+        _resolve_fs,
+    )
 
     f, p = _resolve_fs("/plain/local/path.arrow")
     assert isinstance(f, pafs.LocalFileSystem) and p == "/plain/local/path.arrow"
     f, p = _resolve_fs("file:///tmp/x/y.arrow")
     assert isinstance(f, pafs.LocalFileSystem) and p == "/tmp/x/y.arrow"
-    try:
-        f, p = _resolve_fs("s3a://bucket/k/v.arrow")
-    except Exception:  # pyarrow built without S3 support
-        pytest.skip("pyarrow lacks S3 filesystem support in this env")
-    assert type(f).__name__ == "S3FileSystem" and p == "bucket/k/v.arrow"
+
+    assert _normalize_uri("s3a://bucket/k/v.arrow") == "s3://bucket/k/v.arrow"
+    assert _normalize_uri("s3n://b/k") == "s3://b/k"
+    assert _normalize_uri("/local/x") == "/local/x"
+
+    from kubernetes_logs_datalake_spark.sources import arrow_ipc
+
+    seen = {}
+
+    def fake_from_uri(uri):
+        seen["uri"] = uri
+        return ("S3STUB", uri.split("://", 1)[1])
+
+    monkeypatch.setattr(arrow_ipc, "_fs_from_uri", fake_from_uri)
+    f, p = _resolve_fs("s3a://bucket/k/v.arrow")
+    assert seen["uri"] == "s3://bucket/k/v.arrow"
+    assert f == "S3STUB" and p == "bucket/k/v.arrow"
 
 
 def test_read_arrow_rejects_heterogeneous_schema(spark, tmp_path):

@@ -63,6 +63,66 @@ def test_lake_roundtrip_and_compaction_contract(spark, tmp_path):
         assert lake.read(spark).count() == 30
 
 
+def test_substitution_concurrent_append_survives_compaction(
+    spark, tmp_path, monkeypatch
+):
+    """Commit-log semantic #1 the substitution must honor: a writer
+    appending WHILE compaction runs loses nothing. Delta gets this
+    from optimistic concurrency on the log; the parquet path gets it
+    from snapshot discipline (read and delete EXACTLY the snapshot
+    listing). Injected at the seam: the listing hook appends a batch
+    AFTER the snapshot is taken but BEFORE any rewrite/delete — the
+    worst-case interleaving — and the appended rows must survive."""
+    from kubernetes_logs_datalake_spark.sources.logs import LogLake
+    from kubernetes_logs_datalake_spark.streaming import ingest as ing
+
+    root = str(tmp_path / "plake")
+    lake = LogLake(root)
+    lake.write_batch(_records(spark, 20, "a"))
+    lake.write_batch(_records(spark, 10, "b"))
+    assert lake.read(spark).count() == 30
+
+    real_listing = ing._parquet_files_by_dir
+    fired = {"n": 0}
+
+    def listing_then_append(fs, r):
+        out = real_listing(fs, r)
+        if fired["n"] == 0:  # only the snapshot call, not the temp-tree one
+            fired["n"] += 1
+            lake.write_batch(_records(spark, 5, "mid"))
+        return out
+
+    monkeypatch.setattr(ing, "_parquet_files_by_dir", listing_then_append)
+    ing.compact_lake(spark, root, min_files=2)
+    assert fired["n"] == 1
+    df = lake.read(spark)
+    assert df.count() == 35  # 30 compacted + 5 appended mid-compaction
+    assert df.filter(df.message.startswith("mid-")).count() == 5
+
+
+def test_substitution_compaction_replay_is_idempotent(spark, tmp_path):
+    """Commit-log semantic #2: replaying compaction (the at-least-once
+    re-run after a crash or a duplicate scheduler fire) converges —
+    same rows, and the second run finds nothing above min_files to
+    rewrite, so the file set is stable."""
+    import glob as globmod
+
+    from kubernetes_logs_datalake_spark.sources.logs import LogLake
+    from kubernetes_logs_datalake_spark.streaming.ingest import compact_lake
+
+    root = str(tmp_path / "plake2")
+    lake = LogLake(root)
+    lake.write_batch(_records(spark, 20, "a"))
+    lake.write_batch(_records(spark, 10, "b"))
+    compact_lake(spark, root, min_files=2)
+    rows = sorted(r.message for r in lake.read(spark).collect())
+    files = sorted(globmod.glob(f"{root}/**/*.parquet", recursive=True))
+
+    compact_lake(spark, root, min_files=2)  # replay
+    assert sorted(r.message for r in lake.read(spark).collect()) == rows
+    assert sorted(globmod.glob(f"{root}/**/*.parquet", recursive=True)) == files
+
+
 def test_delta_unavailable_is_import_safe():
     """Even without delta-spark the module imports and the lake object
     constructs; only use raises, with a clear message."""
