@@ -4135,6 +4135,39 @@ def _docs_score_agreement(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ann_topk_ivfpq_refined(spark: SparkSession, sf: str) -> DataFrame:
+    """IVFADC-R serving path: the full IVFADC index emits
+    _PQ_REFINE_CANDS candidates, exact cosine re-ranks them (fixed
+    full-precision work, independent of corpus size). Raw ADC ordering
+    is quantization-bounded (recall@10 ≈ 0.2 on the clustered
+    fixture); with refine the registered defaults hit ≥0.9 — the
+    recall-vs-n_probe curve is in SCALE.md round 8."""
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivfadc_refine_topk,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    q = _query_vec(spark, sf)
+    centers, books = _ivfadc_trained(spark, sf)
+    return ivfadc_refine_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        q,
+        dim=EMBEDDING_DIM,
+        n_centroids=_IVFADC_CENTROIDS,
+        n_probe=_IVFADC_PROBE,
+        m=_PQ_M,
+        k=_PQ_K,
+        coarse_iters=_IVFADC_COARSE_ITERS,
+        pq_iters=_PQ_ITERS,
+        n_candidates=_PQ_REFINE_CANDS,
+        topk=10,
+        centers=centers,
+        codebooks=books,
+    )
+
+
 def _ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     """Recall@10 of the full IVFADC index against exact brute force —
     the companion harness to ann_recall_pq/ann_recall_lsh. On the
@@ -4236,6 +4269,7 @@ _R8_WINDOW = [
     # pair switched to the auto-occupancy window; kcore, the third
     # kernel user, already leads via group 1)
     "events_burn_rate",
+    "ann_topk_ivfpq_refined",
     "events_triangle_count",
     "events_user_similarity",
     # 3. set-op shapes deferred from r7 (last driver row r3;
@@ -4275,7 +4309,6 @@ _R8_WINDOW = [
     "q17_small_quantity_revenue",
     "q18_large_orders",
     "q19_disjunctive_filters",
-    "q22_inactive_rich_customers",
     # sentinel (green in every round since r1)
     "q1_pricing_summary",
 ]
@@ -4486,6 +4519,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_filter_ablation": _docs_filter_ablation,
         "orders_incremental_rollup": _orders_incremental_rollup,
         "ann_topk_ivfpq": _ann_topk_ivfpq,
+        "ann_topk_ivfpq_refined": _ann_topk_ivfpq_refined,
         "ann_recall_ivfpq": _ann_recall_ivfpq,
         "docs_phrase_search": _docs_phrase_search,
         "events_attribution": _events_attribution,
@@ -7690,6 +7724,20 @@ def oracle_sql() -> dict[str, str]:
             _IVFADC_CENTROIDS, _IVFADC_PROBE, _PQ_M, _PQ_K,
             _IVFADC_COARSE_ITERS, _PQ_ITERS, EMBEDDING_DIM, topk=10,
         ),
+        "ann_topk_ivfpq_refined": f"""
+            WITH cand AS ({_ddb_ivfadc_sql(
+                _IVFADC_CENTROIDS, _IVFADC_PROBE, _PQ_M, _PQ_K,
+                _IVFADC_COARSE_ITERS, _PQ_ITERS, EMBEDDING_DIM,
+                topk=_PQ_REFINE_CANDS)}),
+            qq AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round({_ddb_cos("e.embedding", "qq.embedding")}, 4)
+                       AS cos
+            FROM embeddings e
+            JOIN cand c ON c.vec_id = e.vec_id
+            CROSS JOIN qq
+            ORDER BY cos DESC, e.vec_id LIMIT 10
+        """,
         # the TRUE literal is the merge invariant the engine must
         # reproduce via the actual two-state merge (Bloom pattern)
         "orders_incremental_rollup": """

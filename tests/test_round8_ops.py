@@ -187,6 +187,87 @@ def test_approx_distinct_users_agrees_with_exact(spark):
         assert abs(approx[et] - n) <= max(1, 0.10 * n), (et, approx[et], n)
 
 
+# ---------------------------------------------- IVFADC-R refined recall
+
+
+def _structured_corpus(rng_seed=20260815, n_base=10, n_dup=8, n_bg=100, dim=64):
+    """Corpus where recall@10 is MEANINGFUL: each base vector has
+    n_dup planted near-neighbors (its true top-k), over a background
+    whose pairwise similarity is noise. (On the noise-background bench
+    fixture the true top-10 beyond the one planted dup is itself noise
+    — no quantizer resolves it; SCALE.md round 8 records those honest
+    curves.)"""
+    import numpy as np
+
+    rng = np.random.default_rng(rng_seed)
+    rows, truth, qvecs, vid = [], {}, {}, 0
+    for b in range(n_base):
+        base = rng.standard_normal(dim) * 3
+        qid = vid
+        qvecs[qid] = [float(x) for x in base]
+        truth[qid] = []
+        rows.append((vid, [float(x) for x in base])); vid += 1
+        for _ in range(n_dup):
+            v = base + 0.15 * rng.standard_normal(dim)
+            truth[qid].append(vid)
+            rows.append((vid, [float(x) for x in v])); vid += 1
+    for _ in range(n_bg):
+        rows.append((vid, [float(x) for x in rng.standard_normal(dim)]))
+        vid += 1
+    return rows, truth, qvecs
+
+
+def test_ivfadc_refined_recall_at_registered_defaults(spark):
+    """IVFADC-R at the registered defaults (n_probe=4, 50 candidates)
+    must reach recall@10 ≥ 0.9 against exact top-10 on the structured
+    corpus, and refine must never score below the raw ADC ordering on
+    the same candidates (exact re-rank of a superset can only help)."""
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivfadc_refine_topk,
+        ivfadc_topk,
+        kmeans_fit,
+    )
+
+    rows, truth, qvecs = _structured_corpus()
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).cache()
+    emb.count()
+    dim, n_cent, m, k = 64, 8, 4, 16
+    centers, _ = kmeans_fit(emb, "vec_id", "embedding", k=n_cent, iters=3,
+                            scale=6)
+
+    queries = list(qvecs)[:4]
+    raw_tot = ref_tot = 0.0
+    for qi in queries:
+        rest = emb.filter(F.col("vec_id") != qi)
+        exact = set(
+            r.vec_id
+            for r in brute_force_topk(rest, "embedding", qvecs[qi], k=10)
+            .collect()
+        )
+        common = dict(dim=dim, n_centroids=n_cent, n_probe=4, m=m, k=k,
+                      centers=centers)
+        raw = set(
+            r.vec_id
+            for r in ivfadc_topk(rest, "vec_id", "embedding", qvecs[qi],
+                                 topk=10, **common).collect()
+        )
+        ref = set(
+            r.vec_id
+            for r in ivfadc_refine_topk(rest, "vec_id", "embedding",
+                                        qvecs[qi], n_candidates=50,
+                                        topk=10, **common).collect()
+        )
+        raw_tot += len(raw & exact) / 10
+        ref_tot += len(ref & exact) / 10
+    assert ref_tot / len(queries) >= 0.9
+    assert ref_tot >= raw_tot
+
+
 # ------------------------------------------- fk check with NULL dim keys
 
 
