@@ -4186,6 +4186,43 @@ def _ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _docs_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps-law curve over the documents corpus: cumulative token
+    count and distinct vocabulary at 10 doc-id checkpoints. Integers
+    end to end (the β fit stays downstream — ln() ulp drift between
+    engines is why); vocab is first-occurrence counting, never a
+    per-checkpoint cumulative DISTINCT."""
+    from kubernetes_logs_datalake_spark.operators.textstats import (
+        vocab_growth,
+    )
+
+    return vocab_growth(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 500.0, 100
+_HIST_QS = [0.5, 0.9, 0.99]
+
+
+def _events_value_hist_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable histogram-quantile sketch: p50/p90/p99 of event value
+    per type from a fixed-grid state (error ≤ one bin width). The state
+    is count-addition mergeable across days/partitions/clusters (the
+    KLL/t-digest role with a deterministic, oracle-replayable grid);
+    serving windows over ≤ n_bins rows per key, never the corpus."""
+    from kubernetes_logs_datalake_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_state,
+    )
+
+    e = _t(spark, sf, "events")
+    state = histogram_state(
+        e, "value", ["event_type"], _HIST_LO, _HIST_HI, _HIST_BINS
+    )
+    return histogram_quantiles(
+        state, ["event_type"], _HIST_LO, _HIST_HI, _HIST_BINS, _HIST_QS
+    )
+
+
 def _events_burn_rate(spark: SparkSession, sf: str) -> DataFrame:
     """Multiwindow burn-rate alerting (SRE-workbook pattern): hourly
     error rate must exceed 1.1× the enclosing day's rate AND the hour
@@ -4270,6 +4307,8 @@ _R8_WINDOW = [
     # kernel user, already leads via group 1)
     "events_burn_rate",
     "ann_topk_ivfpq_refined",
+    "events_value_hist_quantiles",
+    "docs_vocab_growth",
     "events_triangle_count",
     "events_user_similarity",
     # 3. set-op shapes deferred from r7 (last driver row r3;
@@ -4307,8 +4346,6 @@ _R8_WINDOW = [
     "q14_promo_revenue",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_filters",
     # sentinel (green in every round since r1)
     "q1_pricing_summary",
 ]
@@ -4529,6 +4566,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_range_audit": _lineitem_range_audit,
         "events_temporal_join": _events_temporal_join,
         "events_burn_rate": _events_burn_rate,
+        "events_value_hist_quantiles": _events_value_hist_quantiles,
+        "docs_vocab_growth": _docs_vocab_growth,
         "docs_score_agreement": _docs_score_agreement,
     }
 
@@ -7560,6 +7599,74 @@ def oracle_sql() -> dict[str, str]:
             FROM s JOIN l
               ON (s.bucket_us - s.bucket_us % 86400000000) = l.lb
             ORDER BY s.bucket_us
+        """,
+        "events_value_hist_quantiles": f"""
+            WITH st AS (
+                SELECT event_type,
+                       CAST(least(greatest(floor(
+                           (CAST(value AS DOUBLE)
+                            - CAST({_HIST_LO!r} AS DOUBLE))
+                           * {_HIST_BINS}
+                           / CAST({_HIST_HI - _HIST_LO!r} AS DOUBLE)),
+                           0), {_HIST_BINS - 1}) AS INT) AS bin,
+                       count(*) AS n
+                FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ), c AS (
+                SELECT event_type, bin, n,
+                       sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS cum,
+                       sum(n) OVER (PARTITION BY event_type) AS tot
+                FROM st
+            ), e AS (
+                SELECT c.*, CAST(q AS DOUBLE) AS q
+                FROM c, (SELECT unnest({_HIST_QS!r}) AS q)
+            ), hit AS (
+                SELECT event_type, q, min(bin) AS b
+                FROM e
+                WHERE cum >= floor((q * 10000 * tot + 9999) / 10000)
+                GROUP BY 1, 2
+            )
+            SELECT event_type, q,
+                   round(CAST({_HIST_LO!r} AS DOUBLE) + (b + 1)
+                         * CAST({(_HIST_HI - _HIST_LO) / _HIST_BINS!r}
+                                AS DOUBLE), 6) AS est,
+                   round(CAST({(_HIST_HI - _HIST_LO) / _HIST_BINS!r}
+                              AS DOUBLE), 6) AS max_err
+            FROM hit ORDER BY event_type, q
+        """,
+        "docs_vocab_growth": f"""
+            WITH ranked AS (
+                SELECT doc_id AS _id,
+                       row_number() OVER (ORDER BY doc_id) AS r
+                FROM documents
+            ), nn AS (SELECT count(*) AS n FROM documents),
+            tok AS (
+                SELECT doc_id AS _id,
+                       unnest(list_filter({_DDB_WORDS.format(t="text")},
+                                          x -> x != '')) AS tk
+                FROM documents
+            ), prt AS (
+                SELECT r, count(*) AS nt
+                FROM tok JOIN ranked USING (_id) GROUP BY 1
+            ), fo AS (
+                SELECT tk, min(_id) AS fid FROM tok GROUP BY 1
+            ), prv AS (
+                SELECT ranked.r, count(*) AS nv
+                FROM fo JOIN ranked ON ranked._id = fo.fid GROUP BY 1
+            ), cps AS (
+                SELECT CAST(t.range AS INT) AS k,
+                       (t.range * n + 9) // 10 AS ck
+                FROM range(1, 11) t, nn
+            ), a AS (
+                SELECT k, CAST(sum(nt) AS BIGINT) AS n_tokens
+                FROM cps JOIN prt ON prt.r <= cps.ck GROUP BY 1
+            ), b AS (
+                SELECT k, CAST(sum(nv) AS BIGINT) AS vocab
+                FROM cps JOIN prv ON prv.r <= cps.ck GROUP BY 1
+            )
+            SELECT a.k AS decile, n_tokens, vocab
+            FROM a JOIN b USING (k) ORDER BY 1
         """,
         "lineitem_range_audit": """
             WITH s AS MATERIALIZED (

@@ -296,3 +296,103 @@ def kmv_overlap(
         .otherwise(F.lit(0.0))
         .alias("est_jaccard"),
     )
+
+
+def histogram_state(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Mergeable fixed-grid histogram state: (keys, bin, n) — the
+    quantile-sketch family member whose merge is plain count addition
+    (union two states, sum n), so partial states from different days /
+    partitions / clusters combine exactly like the incremental-agg
+    states. One map-only binning expression + one keyed agg.
+
+    Binning is a single deterministic double expression —
+    floor((v − lo) · n_bins / (hi − lo)) clamped to [0, n_bins−1] —
+    identical IEEE operand order in the DuckDB oracle, so states are
+    bit-comparable across engines. NULLs and out-of-range values clamp
+    into the edge bins (a production histogram never silently drops;
+    pick [lo, hi) from a profile pass — see orders_table_profile).
+    """
+    if hi <= lo:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) * n_bins / F.lit(float(hi - lo)))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    return (
+        df.filter(v.isNotNull())
+        .select(*keys, bin_.alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def merge_histogram_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """merge(state(x), state(y)) ≡ state(x ∪ y), bit-identical — the
+    mergeability invariant (same contract as incremental.merge_agg_states)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*keys, "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def histogram_quantiles(
+    state: DataFrame,
+    keys: list[str],
+    lo: float,
+    hi: float,
+    n_bins: int,
+    qs: list[float],
+) -> DataFrame:
+    """Quantile estimates from a histogram state: for each q, the
+    UPPER EDGE of the first bin whose cumulative count reaches
+    ⌈q·N⌉ — a deterministic order statistic over the grid, error
+    bounded by one bin width ((hi−lo)/n_bins), which is the knob the
+    caller sizes. Integer rank arithmetic (ceil via (num + den − 1)
+    DIV den) so the DuckDB oracle reproduces every estimate exactly.
+
+    Plan: one key-partitioned cumsum window over ≤ n_bins rows per key
+    (the STATE, not the data), then a ≤ |qs|-row semi-explode — the
+    serving side never rescans the corpus; states stream in from
+    :func:`histogram_state` / :func:`merge_histogram_states`.
+    Output: (keys, q, est, max_err), ordered by keys, q.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy(*keys)
+    width = (hi - lo) / n_bins
+    cum = state.withColumn("_cum", F.sum("n").over(w)).withColumn(
+        "_tot", F.sum("n").over(tot_w)
+    )
+    qarr = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    # rank = ceil(q * tot) in exact integer arithmetic over basis points
+    exploded = cum.select(*keys, "bin", "_cum", "_tot", qarr)
+    rank = F.floor(
+        (exploded.q * F.lit(10_000) * F.col("_tot") + F.lit(9_999))
+        / F.lit(10_000)
+    )
+    hit = exploded.filter(F.col("_cum") >= rank)
+    first_bin = hit.groupBy(*keys, "q").agg(F.min("bin").alias("_b"))
+    return first_bin.select(
+        *keys,
+        "q",
+        F.round(
+            F.lit(float(lo)) + (F.col("_b") + 1) * F.lit(float(width)), 6
+        ).alias("est"),
+        F.round(F.lit(float(width)), 6).alias("max_err"),
+    ).orderBy(*keys, "q")

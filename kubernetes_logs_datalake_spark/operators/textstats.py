@@ -580,3 +580,80 @@ def rake_keyphrases(
         .orderBy(F.desc("score"), "phrase")
         .limit(k)
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_checkpoints: int = 10,
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative (token count,
+    distinct vocabulary) at ``n_checkpoints`` evenly-spaced document
+    checkpoints in id order — the V(N) ≈ K·N^β curve whose flattening
+    tells a corpus curator when additional data stops buying new
+    vocabulary (the companion diagnostic to zipf_fit's frequency
+    slope). Output: (decile, n_tokens, vocab) — pure integers, so the
+    SQL oracle matches bit-for-bit; fit β downstream on the 10 points
+    if wanted (ln() cross-engine ulp drift is why the fit is not baked
+    in here).
+
+    Scale shape: cumulative DISTINCT is NOT computed per checkpoint —
+    each token contributes via its FIRST-occurrence doc rank (one
+    groupBy(token).min pass), so vocab(ck) is a count of first
+    occurrences at rank ≤ ck. Two corpus-scan aggregations (token
+    totals per rank, first occurrences per rank) reduce to ≤ |docs|
+    metadata rows; the checkpoint join runs over THOSE, never the
+    corpus. Checkpoint ranks use exact integer ceil (k·N + c−1) DIV c.
+    """
+    if n_checkpoints < 1:
+        raise ValueError(f"n_checkpoints must be >= 1, got {n_checkpoints}")
+    from pyspark.sql import Window
+
+    from kubernetes_logs_datalake_spark.functions.text import words
+
+    ranked = df.select(F.col(id_col).alias("_id")).withColumn(
+        "_r", F.row_number().over(Window.orderBy("_id"))
+    )
+    n_docs = df.count()
+    cks = [
+        (k, (k * n_docs + n_checkpoints - 1) // n_checkpoints)
+        for k in range(1, n_checkpoints + 1)
+    ]
+    cps = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(k).alias("k"), F.lit(ck).alias("ck"))
+                for k, ck in cks
+            ]
+        )
+    ).alias("_c")
+    tok = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(words(F.col(text_col))).alias("_tk"),
+    ).filter(F.col("_tk") != "")
+    per_rank_tokens = (
+        tok.join(ranked, "_id").groupBy("_r").agg(F.count(F.lit(1)).alias("_nt"))
+    )
+    first = tok.groupBy("_tk").agg(F.min("_id").alias("_fid"))
+    per_rank_vocab = (
+        first.join(ranked, first["_fid"] == ranked["_id"])
+        .groupBy("_r")
+        .agg(F.count(F.lit(1)).alias("_nv"))
+    )
+    cp_df = df.sparkSession.range(1).select(cps).select("_c.k", "_c.ck")
+    a = (
+        cp_df.join(per_rank_tokens, per_rank_tokens["_r"] <= cp_df["ck"])
+        .groupBy("k")
+        .agg(F.sum("_nt").alias("n_tokens"))
+    )
+    b = (
+        cp_df.join(per_rank_vocab, per_rank_vocab["_r"] <= cp_df["ck"])
+        .groupBy("k")
+        .agg(F.sum("_nv").alias("vocab"))
+    )
+    return (
+        a.join(b, "k")
+        .select(F.col("k").alias("decile"), "n_tokens", "vocab")
+        .orderBy("decile")
+    )

@@ -187,6 +187,116 @@ def test_approx_distinct_users_agrees_with_exact(spark):
         assert abs(approx[et] - n) <= max(1, 0.10 * n), (et, approx[et], n)
 
 
+# --------------------------------------- histogram-quantile sketch
+
+
+def test_histogram_merge_equals_recompute(spark):
+    """The mergeability invariant: merge(state(a), state(b)) must be
+    bit-identical to state(a ∪ b) — including a bin present on only
+    one side — and quantiles served from either must agree."""
+    from kubernetes_logs_datalake_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_state,
+        merge_histogram_states,
+    )
+
+    a = spark.createDataFrame(
+        [("x", 1.0), ("x", 2.5), ("x", 9.9), ("y", 4.0)], "g string, v double"
+    )
+    b = spark.createDataFrame(
+        [("x", 2.6), ("z", 0.1)], "g string, v double"
+    )
+    lo, hi, nb = 0.0, 10.0, 10
+    merged = {
+        (r.g, r.bin): r.n
+        for r in merge_histogram_states(
+            histogram_state(a, "v", ["g"], lo, hi, nb),
+            histogram_state(b, "v", ["g"], lo, hi, nb),
+            ["g"],
+        ).collect()
+    }
+    full_state = histogram_state(a.unionByName(b), "v", ["g"], lo, hi, nb)
+    full = {(r.g, r.bin): r.n for r in full_state.collect()}
+    assert merged == full
+    qs = {
+        (r.g, r.q): r.est
+        for r in histogram_quantiles(
+            full_state, ["g"], lo, hi, nb, [0.5, 1.0]
+        ).collect()
+    }
+    # x values {1.0, 2.5, 2.6, 9.9}: p50 rank=2 -> bin 2 -> est 3.0;
+    # p100 rank=4 -> bin 9 -> est 10.0
+    assert qs[("x", 0.5)] == pytest.approx(3.0)
+    assert qs[("x", 1.0)] == pytest.approx(10.0)
+
+
+def test_histogram_clamps_out_of_range(spark):
+    from kubernetes_logs_datalake_spark.operators.sketch import (
+        histogram_state,
+    )
+
+    df = spark.createDataFrame(
+        [("g", -5.0), ("g", 999.0), ("g", None)], "g string, v double"
+    )
+    st = {r.bin: r.n for r in histogram_state(df, "v", ["g"], 0.0, 10.0, 10).collect()}
+    assert st == {0: 1, 9: 1}  # clamped edges; NULL dropped
+
+
+def test_histogram_rejects_bad_args(spark):
+    from kubernetes_logs_datalake_spark.operators.sketch import (
+        histogram_state,
+    )
+
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="lo < hi"):
+        histogram_state(df, "v", ["g"], 5.0, 5.0, 10)
+    with pytest.raises(ValueError, match="n_bins"):
+        histogram_state(df, "v", ["g"], 0.0, 1.0, 0)
+
+
+# ------------------------------------------------- Heaps vocab growth
+
+
+def test_vocab_growth_first_occurrence_counting(spark):
+    """Hand-computed curve: 4 docs in id order; vocab counts each token
+    at its FIRST doc only; token totals accumulate; empty docs hold
+    rank slots without contributing."""
+    from kubernetes_logs_datalake_spark.operators.textstats import (
+        vocab_growth,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a"),      # tokens 3, vocab {a, b}
+            (2, "b c"),        # tokens 2, new vocab {c}
+            (3, "!!!"),        # tokens 0 (punctuation only)
+            (4, "c d d"),      # tokens 3, new vocab {d}
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.decile: (r.n_tokens, r.vocab)
+        for r in vocab_growth(docs, "doc_id", "text", n_checkpoints=4).collect()
+    }
+    # checkpoints at ranks 1..4
+    assert out == {
+        1: (3, 2),
+        2: (5, 3),
+        3: (5, 3),
+        4: (8, 4),
+    }
+
+
+def test_vocab_growth_rejects_bad_args(spark):
+    from kubernetes_logs_datalake_spark.operators.textstats import (
+        vocab_growth,
+    )
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_checkpoints"):
+        vocab_growth(docs, "doc_id", "text", n_checkpoints=0)
+
+
 # ---------------------------------------------- IVFADC-R refined recall
 
 
