@@ -211,3 +211,55 @@ def range_partition_audit(
         )
         .orderBy("bucket")
     )
+
+
+def export_manifest(spark, path: str) -> DataFrame:
+    """Content-hash manifest of an exported shard tree: one row per
+    data file — (path, n_rows, n_bytes, sha256) — plus the fact that
+    re-hashing a byte-stable re-export reproduces it exactly, which is
+    what makes a training run reproducible ("which bytes did we train
+    on?") and a transfer verifiable end-to-end.
+
+    Distributed end to end: the sha256 leg is a binaryFile scan with
+    ``sha2`` in codegen (each file hashed where it lives — no bytes
+    move to the driver), the row-count leg is a parquet scan grouped by
+    ``input_file_name`` (column-pruned to zero columns, so it reads
+    footers + row-group headers, not data pages). At 100 TB both legs
+    are embarrassingly parallel over files; raise
+    ``spark.sql.files.maxPartitionBytes`` awareness: binaryFile loads
+    a file per row, so shard size (export_training_shards' n_shards
+    knob) is what bounds executor memory here.
+    """
+    from pyspark.sql import functions as F
+
+    # binaryFile reports file:/x, input_file_name file:///x — normalize
+    # both to a bare path before the join
+    def norm(c):
+        return F.regexp_replace(c, "^file:/+", "/")
+
+    glob = path.rstrip("/") + "/*/*.parquet"
+    hashes = (
+        spark.read.format("binaryFile")
+        .load(glob)
+        .select(
+            norm(F.col("path")).alias("path"),
+            F.col("length").alias("n_bytes"),
+            F.sha2(F.col("content"), 256).alias("sha256"),
+        )
+    )
+    rows = (
+        spark.read.parquet(path)
+        .select(norm(F.input_file_name()).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return (
+        hashes.join(rows, "path", "left")
+        .select(
+            "path",
+            F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+            "n_bytes",
+            "sha256",
+        )
+        .orderBy("path")
+    )
