@@ -7636,34 +7636,29 @@ def oracle_sql() -> dict[str, str]:
             FROM hit ORDER BY event_type, q
         """,
         "docs_vocab_growth": f"""
-            WITH ranked AS (
-                SELECT doc_id AS _id,
-                       row_number() OVER (ORDER BY doc_id) AS r
-                FROM documents
-            ), nn AS (SELECT count(*) AS n FROM documents),
-            tok AS (
+            WITH nn AS (
+                SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents
+            ), tok AS (
                 SELECT doc_id AS _id,
                        unnest(list_filter({_DDB_WORDS.format(t="text")},
                                           x -> x != '')) AS tk
                 FROM documents
             ), prt AS (
-                SELECT r, count(*) AS nt
-                FROM tok JOIN ranked USING (_id) GROUP BY 1
-            ), fo AS (
-                SELECT tk, min(_id) AS fid FROM tok GROUP BY 1
+                SELECT _id, count(*) AS nt FROM tok GROUP BY 1
             ), prv AS (
-                SELECT ranked.r, count(*) AS nv
-                FROM fo JOIN ranked ON ranked._id = fo.fid GROUP BY 1
+                SELECT fid, count(*) AS nv
+                FROM (SELECT tk, min(_id) AS fid FROM tok GROUP BY 1)
+                GROUP BY 1
             ), cps AS (
                 SELECT CAST(t.range AS INT) AS k,
-                       (t.range * n + 9) // 10 AS ck
+                       lo + (t.range * (hi - lo + 1) + 9) // 10 - 1 AS tk
                 FROM range(1, 11) t, nn
             ), a AS (
                 SELECT k, CAST(sum(nt) AS BIGINT) AS n_tokens
-                FROM cps JOIN prt ON prt.r <= cps.ck GROUP BY 1
+                FROM cps JOIN prt ON prt._id <= cps.tk GROUP BY 1
             ), b AS (
                 SELECT k, CAST(sum(nv) AS BIGINT) AS vocab
-                FROM cps JOIN prv ON prv.r <= cps.ck GROUP BY 1
+                FROM cps JOIN prv ON prv.fid <= cps.tk GROUP BY 1
             )
             SELECT a.k AS decile, n_tokens, vocab
             FROM a JOIN b USING (k) ORDER BY 1

@@ -599,32 +599,38 @@ def vocab_growth(
     in here).
 
     Scale shape: cumulative DISTINCT is NOT computed per checkpoint —
-    each token contributes via its FIRST-occurrence doc rank (one
-    groupBy(token).min pass), so vocab(ck) is a count of first
-    occurrences at rank ≤ ck. Two corpus-scan aggregations (token
-    totals per rank, first occurrences per rank) reduce to ≤ |docs|
-    metadata rows; the checkpoint join runs over THOSE, never the
-    corpus. Checkpoint ranks use exact integer ceil (k·N + c−1) DIV c.
+    each token contributes via its FIRST-occurrence doc id (one
+    groupBy(token).min pass), so vocab(t) is a count of first
+    occurrences at id ≤ t. Checkpoints are VALUE-space deciles of the
+    id range (exact integer arithmetic over min/max — one 2-value
+    agg), NOT rank-space: a global row_number() would funnel the doc
+    table through one partition, the unpartitioned-window anti-pattern
+    the plan gates forbid. On contiguous ids the two definitions
+    coincide; on sparse ids the curve is sampled at id-density rather
+    than doc-count deciles — document order is what Heaps' law walks
+    either way. Two corpus-scan aggregations (token totals per id,
+    first occurrences per id) reduce to ≤ |docs| metadata rows; the
+    checkpoint join runs over THOSE, never the corpus.
     """
     if n_checkpoints < 1:
         raise ValueError(f"n_checkpoints must be >= 1, got {n_checkpoints}")
-    from pyspark.sql import Window
-
     from kubernetes_logs_datalake_spark.functions.text import words
 
-    ranked = df.select(F.col(id_col).alias("_id")).withColumn(
-        "_r", F.row_number().over(Window.orderBy("_id"))
-    )
-    n_docs = df.count()
+    lo, hi = df.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).first()
+    if lo is None:
+        raise ValueError("vocab_growth needs a non-empty corpus")
+    span = hi - lo + 1
     cks = [
-        (k, (k * n_docs + n_checkpoints - 1) // n_checkpoints)
+        (k, lo + (k * span + n_checkpoints - 1) // n_checkpoints - 1)
         for k in range(1, n_checkpoints + 1)
     ]
     cps = F.explode(
         F.array(
             *[
-                F.struct(F.lit(k).alias("k"), F.lit(ck).alias("ck"))
-                for k, ck in cks
+                F.struct(F.lit(k).alias("k"), F.lit(t).alias("t"))
+                for k, t in cks
             ]
         )
     ).alias("_c")
@@ -632,23 +638,21 @@ def vocab_growth(
         F.col(id_col).alias("_id"),
         F.explode(words(F.col(text_col))).alias("_tk"),
     ).filter(F.col("_tk") != "")
-    per_rank_tokens = (
-        tok.join(ranked, "_id").groupBy("_r").agg(F.count(F.lit(1)).alias("_nt"))
-    )
-    first = tok.groupBy("_tk").agg(F.min("_id").alias("_fid"))
-    per_rank_vocab = (
-        first.join(ranked, first["_fid"] == ranked["_id"])
-        .groupBy("_r")
+    per_id_tokens = tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_nt"))
+    per_id_vocab = (
+        tok.groupBy("_tk")
+        .agg(F.min("_id").alias("_fid"))
+        .groupBy("_fid")
         .agg(F.count(F.lit(1)).alias("_nv"))
     )
-    cp_df = df.sparkSession.range(1).select(cps).select("_c.k", "_c.ck")
+    cp_df = df.sparkSession.range(1).select(cps).select("_c.k", "_c.t")
     a = (
-        cp_df.join(per_rank_tokens, per_rank_tokens["_r"] <= cp_df["ck"])
+        cp_df.join(per_id_tokens, per_id_tokens["_id"] <= cp_df["t"])
         .groupBy("k")
         .agg(F.sum("_nt").alias("n_tokens"))
     )
     b = (
-        cp_df.join(per_rank_vocab, per_rank_vocab["_r"] <= cp_df["ck"])
+        cp_df.join(per_id_vocab, per_id_vocab["_fid"] <= cp_df["t"])
         .groupBy("k")
         .agg(F.sum("_nv").alias("vocab"))
     )
