@@ -4186,6 +4186,21 @@ def _ann_recall_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _events_decayed_engagement(spark: SparkSession, sf: str) -> DataFrame:
+    """Recency-weighted engagement: each event scores 2^(−age_days)
+    against the corpus's latest event — exact dyadic decay summed as
+    scaled DECIMAL integers (no float-order hazard), one double
+    division at the end. Top 25 users, ties by user."""
+    from kubernetes_logs_datalake_spark.operators.funnel import (
+        decayed_engagement,
+    )
+
+    e = _t(spark, sf, "events")
+    return decayed_engagement(
+        e.select("user_id", _ts_us(e).alias("ts_us")), "user_id", "ts_us"
+    ).limit(25)
+
+
 def _docs_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
     """Heaps-law curve over the documents corpus: cumulative token
     count and distinct vocabulary at 10 doc-id checkpoints. Integers
@@ -4309,6 +4324,7 @@ _R8_WINDOW = [
     "ann_topk_ivfpq_refined",
     "events_value_hist_quantiles",
     "docs_vocab_growth",
+    "events_decayed_engagement",
     "events_triangle_count",
     "events_user_similarity",
     # 3. set-op shapes deferred from r7 (last driver row r3;
@@ -4345,7 +4361,6 @@ _R8_WINDOW = [
     "q13_order_count_distribution",
     "q14_promo_revenue",
     "q15_top_supplier",
-    "q17_small_quantity_revenue",
     # sentinel (green in every round since r1)
     "q1_pricing_summary",
 ]
@@ -4568,6 +4583,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_burn_rate": _events_burn_rate,
         "events_value_hist_quantiles": _events_value_hist_quantiles,
         "docs_vocab_growth": _docs_vocab_growth,
+        "events_decayed_engagement": _events_decayed_engagement,
         "docs_score_agreement": _docs_score_agreement,
     }
 
@@ -7634,6 +7650,26 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST({(_HIST_HI - _HIST_LO) / _HIST_BINS!r}
                               AS DOUBLE), 6) AS max_err
             FROM hit ORDER BY event_type, q
+        """,
+        "events_decayed_engagement": """
+            WITH r AS (SELECT max(epoch_us(ts)) AS ref FROM events),
+            t AS (
+                SELECT user_id,
+                       least(CAST(
+                           ((ref - epoch_us(ts))
+                            - (ref - epoch_us(ts)) % 86400000000)
+                           / 86400000000 AS INT), 62) AS age
+                FROM events, r
+            ), s AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                       round(CAST(sum(CAST((1::BIGINT << (62 - age))
+                                           AS DECIMAL(38,0))) AS DOUBLE)
+                             / CAST(4611686018427387904 AS DOUBLE),
+                             9) AS score
+                FROM t GROUP BY 1
+            )
+            SELECT user_id, n_events, score
+            FROM s ORDER BY score DESC, user_id LIMIT 25
         """,
         "docs_vocab_growth": f"""
             WITH nn AS (

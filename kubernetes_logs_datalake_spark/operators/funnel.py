@@ -260,3 +260,68 @@ def attribution_credit(
         )
         .orderBy("channel")
     )
+
+
+def decayed_engagement(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    bucket_us: int = 86400 * 1_000_000,
+    max_age: int = 62,
+) -> DataFrame:
+    """Recency-weighted engagement score per user: each event counts
+    2^(−age) where age = whole ``bucket_us`` buckets between the event
+    and the corpus's latest event — the classic half-life-per-bucket
+    decay, the batch companion to the streaming EWMA detector.
+
+    The decay base is FIXED at 2 so the score is exact: each term is a
+    dyadic rational, summed as Σ 2^(max_age − age) in DECIMAL(38,0) —
+    integer addition, associative, immune to the float-summation
+    order hazard a shuffled partial aggregation would otherwise have
+    (adding 1.0 + 2⁻⁴⁰ + … loses bits depending on arrival order; an
+    integer sum cannot). One double division at the very end converts
+    the scaled sum back, identically on any engine. Ages clamp to
+    ``max_age`` (a 2⁻⁶² event contributes nothing at double precision
+    anyway).
+
+    Plan: 1-row max-timestamp aggregate broadcast-cross-joined (the
+    repo's scalar-join idiom — never a collect), then one map-only
+    age/term expression and one user-keyed agg. Output: (user,
+    n_events, score) with score descending, ties by user.
+    """
+    if bucket_us < 1:
+        raise ValueError(f"bucket_us must be >= 1, got {bucket_us}")
+    if not 0 <= max_age <= 62:
+        raise ValueError(f"max_age must be in [0, 62], got {max_age}")
+    ts = F.col(ts_col)
+    ref = df.agg(F.max(ts_col).alias("_ref"))
+    # integer-exact bucket age: subtract the remainder before dividing
+    # so the division is over an exact multiple (Spark casts double→int
+    # by truncation, DuckDB by rounding — an inexact quotient would
+    # diverge between engines; an exact one cannot)
+    diff = F.col("_ref") - ts
+    age = F.least(
+        ((diff - diff % F.lit(bucket_us)) / F.lit(bucket_us)).cast("int"),
+        F.lit(max_age),
+    )
+    # SQL shiftleft accepts a column shift amount (the DataFrame
+    # function demands a Python int)
+    term = F.expr(
+        f"CAST(shiftleft(CAST(1 AS BIGINT), {int(max_age)} - _age) "
+        f"AS DECIMAL(38,0))"
+    )
+    return (
+        df.crossJoin(F.broadcast(ref))
+        .select(F.col(user_col), age.alias("_age"))
+        .select(F.col(user_col), term.alias("_t"))
+        .groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum("_t").cast("double")
+                / F.lit(float(1 << max_age)),
+                9,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), user_col)
+    )

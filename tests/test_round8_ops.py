@@ -297,6 +297,57 @@ def test_vocab_growth_rejects_bad_args(spark):
         vocab_growth(docs, "doc_id", "text", n_checkpoints=0)
 
 
+# ------------------------------------------------ decayed engagement
+
+
+def test_decayed_engagement_exact_dyadic_scores(spark):
+    """Hand-computed decay: with 1-bucket spacing, a user's events at
+    ages 0,1,2 score 1 + 1/2 + 1/4 exactly (dyadic sums are exact by
+    construction); ages past max_age clamp to one last contribution."""
+    from kubernetes_logs_datalake_spark.operators.funnel import (
+        decayed_engagement,
+    )
+
+    B = 100
+    rows = [
+        ("u1", 300), ("u1", 200), ("u1", 100),   # ages 0,1,2 -> 1.75
+        ("u2", 300), ("u2", 299),                # ages 0,0   -> 2.0
+        ("u3", 0),                                # age 3      -> 0.125
+    ]
+    out = {
+        r.user_id: (r.n_events, r.score)
+        for r in decayed_engagement(
+            spark.createDataFrame(rows, "user_id string, ts_us long"),
+            "user_id",
+            "ts_us",
+            bucket_us=B,
+        ).collect()
+    }
+    assert out == {
+        "u1": (3, 1.75),
+        "u2": (2, 2.0),
+        "u3": (1, 0.125),
+    }
+
+
+def test_decayed_engagement_clamps_and_rejects(spark):
+    from kubernetes_logs_datalake_spark.operators.funnel import (
+        decayed_engagement,
+    )
+
+    df = spark.createDataFrame(
+        [("u", 0), ("u", 10_000_000)], "user_id string, ts_us long"
+    )
+    out = decayed_engagement(df, "user_id", "ts_us", bucket_us=100,
+                             max_age=5).collect()
+    # age 100000 clamps to 5: score = 1 + 2^-5
+    assert out[0].score == pytest.approx(1.03125)
+    with pytest.raises(ValueError, match="bucket_us"):
+        decayed_engagement(df, "user_id", "ts_us", bucket_us=0)
+    with pytest.raises(ValueError, match="max_age"):
+        decayed_engagement(df, "user_id", "ts_us", max_age=63)
+
+
 # ------------------------------------------------- export manifest
 
 
