@@ -4273,11 +4273,14 @@ def _events_burn_rate(spark: SparkSession, sf: str) -> DataFrame:
 # driver-checked (all 12 were replica-verified hash-green during r7
 # judging). This round's window, oldest-debt-first:
 #   1. the 12 never-driver-checked round-7 late additions,
-#   2. queries added or semantically changed in round 8
-#      (events_burn_rate is new; except_nation_keys gained the
-#      non-vacuity predicate; orders_expectations' oracle moved to
-#      NOT EXISTS; lineitem_range_audit dedupes bounds by value —
-#      the latter three already lead via group 1/3),
+#   2. queries added or semantically changed in round 8 — new:
+#      events_burn_rate, ann_topk_ivfpq_refined,
+#      events_value_hist_quantiles, docs_vocab_growth,
+#      events_decayed_engagement; changed: the co-occurrence pair
+#      (auto-occupancy window; kcore leads via group 1),
+#      except_nation_keys (non-vacuity predicate), orders_expectations
+#      (NOT EXISTS oracle), lineitem_range_audit (value-deduped
+#      bounds) — the last three lead via group 1/3,
 #   3. the 3 set-op shapes deferred from r7 (last driver row r3),
 #   4. the no-oracle trio windowed beside their exact siblings,
 #   5. fill to 50 with the oldest r4-vintage rows.
