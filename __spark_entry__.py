@@ -3494,25 +3494,42 @@ _TRI_OVER_PCT = 5
 _TRI_N_HALVINGS = 8
 
 
+# the chosen width is a deterministic pure function of (corpus, params)
+# — same contract (and caveats) as _IVFADC_CACHE; three queries share
+# the kernel, so caching saves two of the three pre-pass jobs per run
+_COACTIVITY_WIDTH_CACHE: dict[tuple, int] = {}
+
+
 def _coactivity_keyed(spark: SparkSession, sf: str) -> DataFrame:
     """(user_id, event_type, bucket_us) context rows for the
     co-occurrence family, bucket width chosen by the occupancy
-    pre-pass. One extra tiny-collect job; the kernel plan is unchanged."""
+    pre-pass. One extra tiny-collect job (cached across the three
+    kernel queries); the kernel plan is unchanged."""
     from kubernetes_logs_datalake_spark.operators.graph import (
         auto_time_bucket,
     )
 
     e = _t(spark, sf, "events")
-    width = auto_time_bucket(
-        e.select("user_id", "event_type", _ts_us(e).alias("_ts")),
-        "user_id",
-        "_ts",
-        ["event_type"],
-        base_width=_TRI_BASE_WIDTH_US,
-        target_occupancy=_TRI_TARGET_OCC,
-        over_pct=_TRI_OVER_PCT,
-        n_halvings=_TRI_N_HALVINGS,
+    key = (
+        sf,
+        _TRI_BASE_WIDTH_US,
+        _TRI_TARGET_OCC,
+        _TRI_OVER_PCT,
+        _TRI_N_HALVINGS,
     )
+    width = _COACTIVITY_WIDTH_CACHE.get(key)
+    if width is None:
+        width = auto_time_bucket(
+            e.select("user_id", "event_type", _ts_us(e).alias("_ts")),
+            "user_id",
+            "_ts",
+            ["event_type"],
+            base_width=_TRI_BASE_WIDTH_US,
+            target_occupancy=_TRI_TARGET_OCC,
+            over_pct=_TRI_OVER_PCT,
+            n_halvings=_TRI_N_HALVINGS,
+        )
+        _COACTIVITY_WIDTH_CACHE[key] = width
     return e.select(
         "user_id",
         "event_type",
