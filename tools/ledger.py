@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Correctness-ledger report: fold every CORRECTNESS_r*.json into
+per-query driver-check history and print what the next rotation window
+should lead with — never-checked queries first, then the stalest green
+rows. This is the computation the `_R*_WINDOW` comment in
+`__spark_entry__.py` documents; run it when planning a round.
+
+Usage: python tools/ledger.py [--stale N]   (N = how many stale rows to list)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> int:
+    n_stale = 40
+    if "--stale" in sys.argv:
+        n_stale = int(sys.argv[sys.argv.index("--stale") + 1])
+
+    import __spark_entry__ as entrymod
+
+    hist: dict[str, list] = {}
+    rounds: list[int] = []
+    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(f.split("_r")[1].split(".")[0])
+        rounds.append(rnd)
+        for name, row in json.load(open(f)).items():
+            hist.setdefault(name, []).append((rnd, row))
+
+    registered = list(entrymod._all_queries())
+    no_oracle = set(getattr(entrymod, "_NO_ORACLE_SIBLINGS", {}))
+
+    never = [q for q in registered if q not in hist]
+    last_green: dict[str, int] = {}
+    last_err: dict[str, str] = {}
+    for q, rows in hist.items():
+        for rnd, row in rows:
+            ok = row.get("hash_match") or (
+                q in no_oracle and row.get("rows_match")
+            )
+            if ok:
+                last_green[q] = max(last_green.get(q, 0), rnd)
+            elif row.get("err"):
+                last_err[q] = f"r{rnd}: {row['err'][:80]}"
+
+    checked_never_green = [
+        q for q in registered if q in hist and q not in last_green
+    ]
+    stale = sorted(
+        ((last_green[q], q) for q in registered if q in last_green),
+        key=lambda t: (t[0], t[1]),
+    )
+
+    print(f"rounds seen: {rounds}")
+    print(f"registered: {len(registered)}; with any driver row: "
+          f"{sum(q in hist for q in registered)}; green: {len(last_green)}")
+    print(f"\nnever driver-checked ({len(never)}) — lead the next window:")
+    for q in never:
+        print(f"  {q}")
+    if checked_never_green:
+        print(f"\nchecked but NEVER green ({len(checked_never_green)}) — "
+              f"these are failures or rows-only contracts:")
+        for q in checked_never_green:
+            note = " [no-oracle contract]" if q in no_oracle else ""
+            err = f"  last err {last_err[q]}" if q in last_err else ""
+            print(f"  {q}{note}{err}")
+    print(f"\nstalest green rows (top {n_stale}):")
+    for rnd, q in stale[:n_stale]:
+        print(f"  r{rnd}  {q}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -148,6 +148,14 @@ QUERIES = [
     "lineitem_range_audit",
     "events_temporal_join",
     "docs_score_agreement",
+    # round-8 additions: nested-window rollup equi-join, IVFADC +
+    # exact-refine serving, fixed-grid mergeable quantile state,
+    # first-occurrence Heaps curve, scaled-decimal decay agg
+    "events_burn_rate",
+    "ann_topk_ivfpq_refined",
+    "events_value_hist_quantiles",
+    "docs_vocab_growth",
+    "events_decayed_engagement",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
