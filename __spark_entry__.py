@@ -4255,6 +4255,34 @@ def _events_value_hist_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_DRIFT_SPLIT_US = 1704585600000000  # 2024-01-07T00:00:00Z
+
+
+def _events_value_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution drift monitor: total variation distance between
+    the first week's event-value histogram and the rest of the
+    corpus, per event type — over the SAME mergeable fixed-grid state
+    the quantile sketch serves. TVD is exact integer cross-product
+    algebra with one final double division, so partial-agg order
+    cannot drift the answer (pun intended)."""
+    from kubernetes_logs_datalake_spark.operators.sketch import (
+        histogram_drift,
+        histogram_state,
+    )
+
+    e = _t(spark, sf, "events")
+    ev = e.select("event_type", "value", _ts_us(e).alias("ts_us"))
+    sa = histogram_state(
+        ev.filter(F.col("ts_us") < _DRIFT_SPLIT_US),
+        "value", ["event_type"], _HIST_LO, _HIST_HI, _HIST_BINS,
+    )
+    sb = histogram_state(
+        ev.filter(F.col("ts_us") >= _DRIFT_SPLIT_US),
+        "value", ["event_type"], _HIST_LO, _HIST_HI, _HIST_BINS,
+    )
+    return histogram_drift(sa, sb, ["event_type"])
+
+
 def _events_burn_rate(spark: SparkSession, sf: str) -> DataFrame:
     """Multiwindow burn-rate alerting (SRE-workbook pattern): hourly
     error rate must exceed 1.1× the enclosing day's rate AND the hour
@@ -4345,6 +4373,7 @@ _R8_WINDOW = [
     "events_value_hist_quantiles",
     "docs_vocab_growth",
     "events_decayed_engagement",
+    "events_value_drift",
     "events_triangle_count",
     "events_user_similarity",
     # 3. set-op shapes deferred from r7 (last driver row r3;
@@ -4380,7 +4409,6 @@ _R8_WINDOW = [
     "q8_market_share",
     "q13_order_count_distribution",
     "q14_promo_revenue",
-    "q15_top_supplier",
     # sentinel (green in every round since r1)
     "q1_pricing_summary",
 ]
@@ -4604,6 +4632,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_hist_quantiles": _events_value_hist_quantiles,
         "docs_vocab_growth": _docs_vocab_growth,
         "events_decayed_engagement": _events_decayed_engagement,
+        "events_value_drift": _events_value_drift,
         "docs_score_agreement": _docs_score_agreement,
     }
 
@@ -7690,6 +7719,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, n_events, score
             FROM s ORDER BY score DESC, user_id LIMIT 25
+        """,
+        "events_value_drift": f"""
+            WITH binned AS (
+                SELECT event_type,
+                       epoch_us(ts) < {_DRIFT_SPLIT_US} AS in_a,
+                       CAST(least(greatest(floor(
+                           (CAST(value AS DOUBLE)
+                            - CAST({_HIST_LO!r} AS DOUBLE))
+                           * {_HIST_BINS}
+                           / CAST({_HIST_HI - _HIST_LO!r} AS DOUBLE)),
+                           0), {_HIST_BINS - 1}) AS INT) AS bin
+                FROM events WHERE value IS NOT NULL
+            ), st AS (
+                SELECT event_type, bin,
+                       CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END)
+                            AS DECIMAL(38,0)) AS na,
+                       CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END)
+                            AS DECIMAL(38,0)) AS nb
+                FROM binned GROUP BY 1, 2
+            ), tots AS (
+                SELECT event_type,
+                       CAST(sum(na) AS DECIMAL(38,0)) AS ta,
+                       CAST(sum(nb) AS DECIMAL(38,0)) AS tb
+                FROM st GROUP BY 1
+            )
+            SELECT s.event_type,
+                   CAST(count(*) AS BIGINT) AS n_bins_compared,
+                   CAST(t.ta AS BIGINT) AS n_a,
+                   CAST(t.tb AS BIGINT) AS n_b,
+                   round(CAST(sum(abs(s.na * t.tb - s.nb * t.ta))
+                              AS DOUBLE)
+                         / nullif(CAST(2 AS DOUBLE)
+                                  * CAST(t.ta AS DOUBLE)
+                                  * CAST(t.tb AS DOUBLE), 0.0),
+                         9) AS tvd
+            FROM st s JOIN tots t USING (event_type)
+            WHERE s.na > 0 OR s.nb > 0
+            GROUP BY 1, 3, 4, t.ta, t.tb
+            ORDER BY 1
         """,
         "docs_vocab_growth": f"""
             WITH nn AS (

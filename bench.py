@@ -152,6 +152,7 @@ HEADLINE = [
     "events_value_hist_quantiles",
     "docs_vocab_growth",
     "events_decayed_engagement",
+    "events_value_drift",
     # events_hits_scores is deliberately NOT benched for the same
     # reason as docs_bpe_merges: 8 mutual-reinforcement rounds = 16
     # sequential half-round actions whose per-action data is a 5-row

@@ -396,3 +396,69 @@ def histogram_quantiles(
         ).alias("est"),
         F.round(F.lit(float(width)), 6).alias("max_err"),
     ).orderBy(*keys, "q")
+
+
+def histogram_drift(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Distribution drift between two histogram states (same grid):
+    per key, the total variation distance ½·Σ|pᵢ − qᵢ| — the PSI-role
+    drift monitor between a reference window and a current window
+    (training-data mix drift, feature drift before a model refresh).
+
+    TVD is computed in EXACT integer algebra: Σ|nᵃᵢ·Nᵇ − nᵇᵢ·Nᵃ| over
+    bins as DECIMAL(38,0) (counts ≤ 1e12 keep the cross-products under
+    1e24 — far inside DECIMAL38), with ONE double division by 2·Nᵃ·Nᵇ
+    at the end. Per-bin probability division first would leave a
+    float SUM whose value depends on partial-aggregation order; the
+    integer form is associative, so the result is bit-stable on any
+    partitioning and any engine. Missing bins on either side count as
+    zero via the full outer join. Output: (keys, n_bins_compared,
+    n_a, n_b, tvd ∈ [0,1]) ordered by keys.
+
+    Plan: the states are ≤ n_bins rows per key — this is sketch-serving
+    arithmetic, the corpus is never rescanned. Σ and N ride one keyed
+    agg after a bin-keyed full outer join of the two states.
+    """
+    a = state_a.select(*keys, "bin", F.col("n").alias("_na"))
+    b = state_b.select(*keys, "bin", F.col("n").alias("_nb"))
+    both = a.join(b, [*keys, "bin"], "full_outer").select(
+        *keys,
+        F.coalesce("_na", F.lit(0)).cast("decimal(38,0)").alias("_na"),
+        F.coalesce("_nb", F.lit(0)).cast("decimal(38,0)").alias("_nb"),
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy(*keys)
+    w = both.withColumn("_ta", F.sum("_na").over(tot)).withColumn(
+        "_tb", F.sum("_nb").over(tot)
+    )
+    num = F.sum(
+        F.abs(F.col("_na") * F.col("_tb") - F.col("_nb") * F.col("_ta"))
+    )
+    return (
+        w.groupBy(*keys, "_ta", "_tb")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins_compared"),
+            num.alias("_num"),
+        )
+        .select(
+            *keys,
+            "n_bins_compared",
+            F.col("_ta").cast("long").alias("n_a"),
+            F.col("_tb").cast("long").alias("n_b"),
+            F.round(
+                F.col("_num").cast("double")
+                / F.nullif(
+                    F.lit(2.0)
+                    * F.col("_ta").cast("double")
+                    * F.col("_tb").cast("double"),
+                    F.lit(0.0),
+                ),
+                9,
+            ).alias("tvd"),  # NULL (not Inf) when a side is empty
+        )
+        .orderBy(*keys)
+    )

@@ -297,6 +297,43 @@ def test_vocab_growth_rejects_bad_args(spark):
         vocab_growth(docs, "doc_id", "text", n_checkpoints=0)
 
 
+# --------------------------------------------------- histogram drift
+
+
+def test_histogram_drift_hand_computed(spark):
+    """TVD on hand-built states: identical distributions → 0; disjoint
+    → 1; a half-shifted mass → 0.5. Missing bins count as zero via the
+    full outer join; an empty side yields NULL, never Infinity."""
+    from kubernetes_logs_datalake_spark.operators.sketch import (
+        histogram_drift,
+    )
+
+    def st(rows):
+        return spark.createDataFrame(rows, "g string, bin int, n long")
+
+    same = histogram_drift(
+        st([("g", 0, 5), ("g", 1, 5)]), st([("g", 0, 10), ("g", 1, 10)]),
+        ["g"],
+    ).collect()[0]
+    assert same.tvd == 0.0 and same.n_bins_compared == 2
+
+    disjoint = histogram_drift(
+        st([("g", 0, 7)]), st([("g", 3, 9)]), ["g"]
+    ).collect()[0]
+    assert disjoint.tvd == 1.0
+
+    half = histogram_drift(
+        st([("g", 0, 1), ("g", 1, 1)]), st([("g", 1, 1), ("g", 2, 1)]),
+        ["g"],
+    ).collect()[0]
+    assert half.tvd == 0.5
+
+    empty_side = histogram_drift(
+        st([("g", 0, 3)]), st([("h", 0, 3)]), ["g"]
+    ).collect()
+    assert all(r.tvd is None for r in empty_side)
+
+
 # ------------------------------------------------ decayed engagement
 
 

@@ -156,6 +156,7 @@ QUERIES = [
     "events_value_hist_quantiles",
     "docs_vocab_growth",
     "events_decayed_engagement",
+    "events_value_drift",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
