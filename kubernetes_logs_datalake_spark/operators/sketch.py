@@ -298,6 +298,20 @@ def kmv_overlap(
     )
 
 
+def histogram_bin_col(value_col: str, lo: float, hi: float, n_bins: int):
+    """The ONE deterministic binning expression the histogram family
+    shares (batch state, streaming state, drift): floor((v − lo) ·
+    n_bins / (hi − lo)) clamped to [0, n_bins−1] — identical IEEE
+    operand order in the DuckDB oracles."""
+    if hi <= lo:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) * n_bins / F.lit(float(hi - lo)))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+
+
 def histogram_state(
     df: DataFrame,
     value_col: str,
@@ -319,13 +333,8 @@ def histogram_state(
     into the edge bins (a production histogram never silently drops;
     pick [lo, hi) from a profile pass — see orders_table_profile).
     """
-    if hi <= lo:
-        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
-    if n_bins < 1:
-        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    bin_ = histogram_bin_col(value_col, lo, hi, n_bins)
     v = F.col(value_col).cast("double")
-    raw = F.floor((v - F.lit(float(lo))) * n_bins / F.lit(float(hi - lo)))
-    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
     return (
         df.filter(v.isNotNull())
         .select(*keys, bin_.alias("bin"))

@@ -432,3 +432,48 @@ def streaming_rate_alerts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_histogram_state(
+    records: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    window: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+    keys: list[str] | None = None,
+    time_col: str = "time",
+) -> DataFrame:
+    """Windowed histogram state from a stream: (window_start, keys,
+    bin, n) per event-time tumbling window — the streaming producer for
+    the mergeable histogram family (operators.sketch). Downstream,
+    windows merge by plain count addition (merge_histogram_states) and
+    serve quantiles (histogram_quantiles) or drift (histogram_drift)
+    without ever rescanning events: the stream maintains the state, the
+    batch side consumes it — the classic serving split.
+
+    Identical plan on a batch DataFrame (the agreement test's lever);
+    with a stream, the watermark bounds state to live windows × keys ×
+    ≤ n_bins counters. Binning is the family's ONE shared expression
+    (sketch.histogram_bin_col), so stream-built and batch-built states
+    are interchangeable bit-for-bit.
+    """
+    from kubernetes_logs_datalake_spark.operators.sketch import (
+        histogram_bin_col,
+    )
+
+    keys = keys or []
+    out = records.withColumn(time_col, F.col(time_col).cast("timestamp"))
+    if records.isStreaming:
+        out = out.withWatermark(time_col, watermark_delay)
+    binned = out.filter(F.col(value_col).isNotNull()).select(
+        F.window(time_col, window).alias("w"),
+        *[F.col(k) for k in keys],
+        histogram_bin_col(value_col, lo, hi, n_bins).alias("bin"),
+    )
+    return (
+        binned.groupBy("w", *keys, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), *keys, "bin", "n")
+    )

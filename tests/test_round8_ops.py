@@ -297,6 +297,91 @@ def test_vocab_growth_rejects_bad_args(spark):
         vocab_growth(docs, "doc_id", "text", n_checkpoints=0)
 
 
+# --------------------------------------- streaming histogram state
+
+
+def test_streaming_histogram_agrees_with_batch(spark, tmp_path):
+    """The stream-built histogram state must equal the batch-built one
+    bit-for-bit (same shared binning expression), and quantiles served
+    from the streamed state must equal quantiles from batch
+    sketch.histogram_state over the same rows — the mergeable-state
+    interchange contract."""
+    import json as jsonmod
+
+    from kubernetes_logs_datalake_spark.operators.sketch import (
+        histogram_quantiles,
+        histogram_state,
+    )
+    from kubernetes_logs_datalake_spark.streaming.analytics import (
+        streaming_histogram_state,
+    )
+
+    data_dir = tmp_path / "in"
+    data_dir.mkdir()
+    rows = [
+        {"time": f"2024-01-15T10:30:{i % 60:02d}.000", "v": float(i % 10)}
+        for i in range(120)
+    ]
+    (data_dir / "a.json").write_text(
+        "\n".join(jsonmod.dumps(r) for r in rows) + "\n"
+    )
+    schema = "time timestamp, v double"
+
+    batch = spark.read.schema(schema).json(str(data_dir))
+    got_batch = {
+        (str(r.window_start), r.bin, r.n)
+        for r in streaming_histogram_state(
+            batch, "v", 0.0, 10.0, n_bins=10, window="1 minute"
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(schema).json(str(data_dir))
+    q = (
+        streaming_histogram_state(
+            stream, "v", 0.0, 10.0, n_bins=10, window="1 minute"
+        )
+        .writeStream.format("memory")
+        .queryName("hist_state")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got_stream = {
+            (str(r.window_start), r.bin, r.n)
+            for r in spark.sql("SELECT * FROM hist_state").collect()
+        }
+        assert got_stream == got_batch and got_stream
+
+        # the streamed state serves quantiles identically to the batch
+        # operator's state over the same rows (drop the window dim)
+        streamed_state = (
+            spark.sql("SELECT bin, n FROM hist_state")
+            .groupBy("bin")
+            .agg(F.sum("n").alias("n"))
+            .withColumn("g", F.lit("all"))
+        )
+        from_stream = {
+            r.q: r.est
+            for r in histogram_quantiles(
+                streamed_state, ["g"], 0.0, 10.0, 10, [0.5, 0.9]
+            ).collect()
+        }
+        from_batch = {
+            r.q: r.est
+            for r in histogram_quantiles(
+                histogram_state(
+                    batch.withColumn("g", F.lit("all")),
+                    "v", ["g"], 0.0, 10.0, 10,
+                ),
+                ["g"], 0.0, 10.0, 10, [0.5, 0.9],
+            ).collect()
+        }
+        assert from_stream == from_batch
+    finally:
+        q.stop()
+
+
 # --------------------------------------------------- histogram drift
 
 
