@@ -4255,6 +4255,119 @@ def _events_value_hist_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ann_topk_sq8(spark: SparkSession, sf: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN: per-dim 8-bit codes (one training agg
+    for per-dim min/max — 2·dim expressions, no explode), asymmetric
+    decode-in-expression scoring against the float query. The
+    1-byte/dim sibling of PQ: 4× the code size, far lower distortion;
+    oracle replays bounds, codes, and the sequential fold."""
+    from kubernetes_logs_datalake_spark.operators.vectors import sq8_topk
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    q = _query_vec(spark, sf)
+    return sq8_topk(emb, "vec_id", "embedding", q, dim=EMBEDDING_DIM, topk=10)
+
+
+def _embedding_sq8_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """SQ8 encode audit slice: exact integer codes for the first 50
+    vectors (codes are floor outputs — bit-exact across engines)."""
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        sq8_bounds,
+        sq8_encode,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    bounds = sq8_bounds(emb, "embedding", EMBEDDING_DIM)
+    return sq8_encode(
+        emb.filter(F.col("vec_id") < 50),
+        "vec_id",
+        "embedding",
+        EMBEDDING_DIM,
+        bounds=bounds,
+    ).orderBy("vec_id")
+
+
+def _ddb_sq8_sql(topk: int | None, codes_only: bool, dim: int = 64) -> str:
+    """Oracle for the SQ8 family: per-dim min/max as 2·dim aggregate
+    expressions over the vec_id≠0 corpus, scale/inverse lists derived
+    with the SAME operand order as the Spark driver (scale = 255/(mx−mn)
+    computed FIRST, then multiplied), codes via clamped floor, and the
+    asymmetric score as the sequential list_sum fold."""
+    mins = ", ".join(
+        f"min((embedding[{i}])::DOUBLE) AS mn{i}" for i in range(1, dim + 1)
+    )
+    maxs = ", ".join(
+        f"max((embedding[{i}])::DOUBLE) AS mx{i}" for i in range(1, dim + 1)
+    )
+    mn_list = "list_value(" + ", ".join(f"mn{i}" for i in range(1, dim + 1)) + ")"
+    sc_list = "list_value(" + ", ".join(
+        f"CASE WHEN mx{i} > mn{i} "
+        f"THEN CAST(255 AS DOUBLE) / (mx{i} - mn{i}) "
+        f"ELSE CAST(0 AS DOUBLE) END"
+        for i in range(1, dim + 1)
+    ) + ")"
+    iv_list = "list_value(" + ", ".join(
+        f"CASE WHEN mx{i} > mn{i} "
+        f"THEN (mx{i} - mn{i}) / CAST(255 AS DOUBLE) "
+        f"ELSE CAST(0 AS DOUBLE) END"
+        for i in range(1, dim + 1)
+    ) + ")"
+    code_expr = (
+        "CAST(least(greatest(floor(((e.embedding[i])::DOUBLE - b.mn[i])"
+        " * b.sc[i]), 0), 255) AS INT)"
+    )
+    prefix = f"""
+            WITH bb AS (
+                SELECT {mins}, {maxs}
+                FROM embeddings WHERE vec_id <> 0
+            ), b AS (
+                SELECT {mn_list} AS mn, {sc_list} AS sc, {iv_list} AS iv
+                FROM bb
+            )"""
+    if codes_only:
+        return f"""{prefix}
+            SELECT e.vec_id,
+                   list_transform(range(1, {dim + 1}),
+                                  i -> {code_expr}) AS codes
+            FROM embeddings e, b
+            WHERE e.vec_id <> 0 AND e.vec_id < 50
+            ORDER BY e.vec_id
+        """
+    return f"""{prefix},
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_sum(list_transform(range(1, {dim + 1}),
+                       i -> (q.qv[i])::DOUBLE
+                            * (b.mn[i] + ({code_expr})::DOUBLE * b.iv[i])
+                   )), 6) AS score
+            FROM embeddings e, b, q
+            WHERE e.vec_id <> 0
+            ORDER BY score DESC, e.vec_id LIMIT {topk}
+        """
+
+
+def _docs_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-version diff: two synthetic snapshots derived from the
+    documents table (old = ids < 90% of max, new = ids ≥ 10% with every
+    10th text amended) diffed by content hash — all four statuses
+    non-vacuous at every SF. Digests ride the shuffle, never text."""
+    from kubernetes_logs_datalake_spark.operators.incremental import (
+        snapshot_diff,
+    )
+
+    d = _t(spark, sf, "documents")
+    hi = d.agg(F.max("doc_id")).first()[0]
+    lo_cut, hi_cut = hi // 10, hi - hi // 10
+    old = d.filter(F.col("doc_id") <= hi_cut).select("doc_id", "text")
+    new = d.filter(F.col("doc_id") >= lo_cut).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(old, new, "doc_id", "text")
+
+
 _DRIFT_SPLIT_US = 1704585600000000  # 2024-01-07T00:00:00Z
 
 
@@ -4374,6 +4487,9 @@ _R8_WINDOW = [
     "docs_vocab_growth",
     "events_decayed_engagement",
     "events_value_drift",
+    "docs_snapshot_diff",
+    "ann_topk_sq8",
+    "embedding_sq8_codes",
     "events_triangle_count",
     "events_user_similarity",
     # 3. set-op shapes deferred from r7 (last driver row r3;
@@ -4406,9 +4522,6 @@ _R8_WINDOW = [
     "regex_source_extract",
     "monthly_order_trend",
     "array_stats_embeddings",
-    "q8_market_share",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
     # sentinel (green in every round since r1)
     "q1_pricing_summary",
 ]
@@ -4633,6 +4746,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_vocab_growth": _docs_vocab_growth,
         "events_decayed_engagement": _events_decayed_engagement,
         "events_value_drift": _events_value_drift,
+        "docs_snapshot_diff": _docs_snapshot_diff,
+        "ann_topk_sq8": _ann_topk_sq8,
+        "embedding_sq8_codes": _embedding_sq8_codes,
         "docs_score_agreement": _docs_score_agreement,
     }
 
@@ -7719,6 +7835,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, n_events, score
             FROM s ORDER BY score DESC, user_id LIMIT 25
+        """,
+        "ann_topk_sq8": _ddb_sq8_sql(topk=10, codes_only=False),
+        "embedding_sq8_codes": _ddb_sq8_sql(topk=None, codes_only=True),
+        "docs_snapshot_diff": """
+            WITH bounds AS (
+                SELECT max(doc_id) AS hi FROM documents
+            ), old AS (
+                SELECT doc_id AS _id, md5(text) AS h,
+                       CAST(length(text) AS BIGINT) AS l
+                FROM documents, bounds
+                WHERE doc_id <= hi - hi // 10
+            ), neww AS (
+                SELECT doc_id AS _id,
+                       md5(CASE WHEN doc_id % 10 = 0
+                                THEN text || ' v2' ELSE text END) AS h,
+                       CAST(length(CASE WHEN doc_id % 10 = 0
+                                        THEN text || ' v2' ELSE text END)
+                            AS BIGINT) AS l
+                FROM documents, bounds
+                WHERE doc_id >= hi // 10
+            )
+            SELECT CASE WHEN o.h IS NULL THEN 'added'
+                        WHEN n.h IS NULL THEN 'removed'
+                        WHEN o.h = n.h THEN 'unchanged'
+                        ELSE 'modified' END AS status,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(coalesce(n.l, o.l)) AS BIGINT) AS n_chars
+            FROM old o FULL OUTER JOIN neww n USING (_id)
+            GROUP BY 1 ORDER BY 1
         """,
         "events_value_drift": f"""
             WITH binned AS (

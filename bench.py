@@ -153,6 +153,9 @@ HEADLINE = [
     "docs_vocab_growth",
     "events_decayed_engagement",
     "events_value_drift",
+    "docs_snapshot_diff",
+    "ann_topk_sq8",
+    "embedding_sq8_codes",
     # events_hits_scores is deliberately NOT benched for the same
     # reason as docs_bpe_merges: 8 mutual-reinforcement rounds = 16
     # sequential half-round actions whose per-action data is a 5-row

@@ -48,3 +48,52 @@ def merge_agg_states(
     for c in measures:
         aggs.append(F.sum(F.col(c).cast(_DEC)).cast(_DEC).alias(c))
     return merged.groupBy(*keys).agg(*aggs)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    content_col: str,
+) -> DataFrame:
+    """Corpus-snapshot diff by content hash: per status (added /
+    removed / modified / unchanged), document and character counts —
+    the data-versioning report behind "what changed between last
+    week's corpus and this one" (retrain triggers, lineage audits,
+    incremental-dedup planning).
+
+    Both snapshots reduce to (id, md5(content), length) rows before the
+    id-keyed full outer join — content bytes never ride the shuffle,
+    only 32-hex digests. Char counts use the relevant side (added/
+    modified → new, removed → unchanged-side semantics documented per
+    column). One shuffle each side + the join; output ≤ 4 rows.
+    """
+    a = old.select(
+        F.col(id_col).alias("_id"),
+        F.md5(F.col(content_col)).alias("_ha"),
+        F.length(content_col).cast("long").alias("_la"),
+    )
+    b = new.select(
+        F.col(id_col).alias("_id"),
+        F.md5(F.col(content_col)).alias("_hb"),
+        F.length(content_col).cast("long").alias("_lb"),
+    )
+    j = a.join(b, "_id", "full_outer")
+    status = (
+        F.when(F.col("_ha").isNull(), F.lit("added"))
+        .when(F.col("_hb").isNull(), F.lit("removed"))
+        .when(F.col("_ha") == F.col("_hb"), F.lit("unchanged"))
+        .otherwise(F.lit("modified"))
+    )
+    # chars column: the side that exists "after" the change — new for
+    # added/modified/unchanged, old for removed (what was lost)
+    chars = F.coalesce("_lb", "_la")
+    return (
+        j.select(status.alias("status"), chars.alias("_c"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_c").alias("n_chars"),
+        )
+        .orderBy("status")
+    )

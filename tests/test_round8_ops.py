@@ -523,6 +523,91 @@ def test_export_manifest_reproducible_and_tamper_evident(spark, tmp_path):
     assert sum(a != b for a, b in zip(m1b, [h for *_, h in m1])) == 1
 
 
+# --------------------------------------------------- snapshot diff
+
+
+def test_snapshot_diff_all_statuses(spark):
+    from kubernetes_logs_datalake_spark.operators.incremental import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "bb"), (3, "ccc")], "id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "bb"), (3, "CCC!"), (4, "dddd")], "id long, text string"
+    )
+    out = {r.status: (r.n_docs, r.n_chars)
+           for r in snapshot_diff(old, new, "id", "text").collect()}
+    assert out == {
+        "added": (1, 4),       # id 4, new chars
+        "removed": (1, 1),     # id 1, old chars
+        "modified": (1, 4),    # id 3, new chars
+        "unchanged": (1, 2),   # id 2
+    }
+
+
+# ------------------------------------------------------- SQ8 family
+
+
+def test_sq8_codes_bounds_and_roundtrip_distortion(spark):
+    """Codes live in [0, 255]; decode error per dimension is at most
+    one quantization step; a constant dimension codes to 0 everywhere."""
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        sq8_bounds,
+        sq8_encode,
+    )
+
+    rows = [(i, [float(i), 7.0, float(-i)]) for i in range(11)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    mins, maxs = sq8_bounds(df, "embedding", 3)
+    assert mins == [0.0, 7.0, -10.0] and maxs == [10.0, 7.0, 0.0]
+    codes = {r.vec_id: r.codes
+             for r in sq8_encode(df, "vec_id", "embedding", 3,
+                                 bounds=(mins, maxs)).collect()}
+    step = 10.0 / 255
+    for i, c in codes.items():
+        assert all(0 <= x <= 255 for x in c)
+        assert c[1] == 0  # constant dim -> code 0
+        assert abs((mins[0] + c[0] * step) - float(i)) <= step + 1e-9
+
+
+def test_sq8_topk_recall_on_structured_corpus(spark):
+    """SQ8 distortion is one 8-bit step per dimension — top-10 by
+    asymmetric SQ8 score must recover ≥0.9 of the exact top-10 on the
+    structured-neighborhood corpus."""
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        sq8_bounds,
+        sq8_topk,
+    )
+
+    rows, truth, qvecs = _structured_corpus(n_base=8, n_dup=8, n_bg=80)
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).cache()
+    emb.count()
+    bounds = sq8_bounds(emb, "embedding", 64)
+    tot = 0.0
+    queries = list(qvecs)[:4]
+    for qi in queries:
+        rest = emb.filter(F.col("vec_id") != qi)
+        exact = set(
+            r.vec_id
+            for r in brute_force_topk(rest, "embedding", qvecs[qi], k=10)
+            .collect()
+        )
+        got = set(
+            r.vec_id
+            for r in sq8_topk(rest, "vec_id", "embedding", qvecs[qi],
+                              dim=64, topk=10, bounds=bounds).collect()
+        )
+        tot += len(got & exact) / 10
+    assert tot / len(queries) >= 0.9
+
+
 # ---------------------------------------------- IVFADC-R refined recall
 
 

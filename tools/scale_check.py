@@ -157,6 +157,9 @@ QUERIES = [
     "docs_vocab_growth",
     "events_decayed_engagement",
     "events_value_drift",
+    "docs_snapshot_diff",
+    "ann_topk_sq8",
+    "embedding_sq8_codes",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
