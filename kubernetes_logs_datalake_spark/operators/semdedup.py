@@ -34,7 +34,10 @@ from pyspark.sql import functions as F
 
 from kubernetes_logs_datalake_spark.functions.vectors import cosine_prenorm, norm
 from kubernetes_logs_datalake_spark.operators.dedup import connected_components
-from kubernetes_logs_datalake_spark.operators.vectors import kmeans_fit
+from kubernetes_logs_datalake_spark.operators.vectors import (
+    kmeans_assign,
+    kmeans_fit,
+)
 
 
 def semdedup_pairs(
@@ -89,6 +92,7 @@ def semdedup(
     iters: int = 3,
     threshold: float = 0.35,
     max_cluster: int = 20_000,
+    centers: list[list[float]] | None = None,
 ) -> DataFrame:
     """End-to-end SemDeDup: one verdict row per input —
     (cluster, ``id_col``, component, dist, keep).
@@ -106,7 +110,16 @@ def semdedup(
     it the operator raises with the fix (raise ``k`` — SemDeDup's knob
     for exactly this) instead of silently running a quadratic cell.
     """
-    _, assigned = kmeans_fit(df, id_col, vec_col, k=k, iters=iters)
+    # pre-trained coarse centers skip the Lloyd iterations entirely —
+    # the fit is a deterministic pure function of (corpus, k, iters),
+    # so callers may cache it (same contract as the PQ/IVFADC caches);
+    # kmeans_fit's own tail is this exact kmeans_assign call
+    if centers is not None:
+        if len(centers) != k:
+            raise ValueError(f"{len(centers)} centers != k {k}")
+        assigned = kmeans_assign(df, id_col, vec_col, centers)
+    else:
+        _, assigned = kmeans_fit(df, id_col, vec_col, k=k, iters=iters)
     # the assignment feeds three consumers (guard, both pair sides, the
     # final verdict join) — materialize it once instead of re-scanning
     # and re-assigning the corpus per consumer; lazy so the guard count

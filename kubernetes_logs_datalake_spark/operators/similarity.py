@@ -582,6 +582,7 @@ def ivf_knn_join(
     k: int = 3,
     cells: int = 8,
     iters: int = 3,
+    centers: list[list[float]] | None = None,
 ) -> DataFrame:
     """Corpus×corpus approximate kNN join through an IVF coarse
     quantizer: every vector is assigned to its nearest deterministic
@@ -607,9 +608,19 @@ def ivf_knn_join(
         cosine_prenorm,
         norm,
     )
-    from kubernetes_logs_datalake_spark.operators.vectors import kmeans_fit
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        kmeans_assign,
+        kmeans_fit,
+    )
 
-    _, assigned = kmeans_fit(df, id_col, vec_col, k=cells, iters=iters)
+    # pre-trained centers skip the Lloyd fit (deterministic pure
+    # function of (corpus, cells, iters) — cacheable, the PQ contract)
+    if centers is not None:
+        if len(centers) != cells:
+            raise ValueError(f"{len(centers)} centers != cells {cells}")
+        assigned = kmeans_assign(df, id_col, vec_col, centers)
+    else:
+        _, assigned = kmeans_fit(df, id_col, vec_col, k=cells, iters=iters)
     # one materialization feeds both join sides (the semdedup shape)
     assigned = assigned.localCheckpoint(eager=False)
     base = assigned.select(
