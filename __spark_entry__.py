@@ -4308,6 +4308,22 @@ def _ann_topk_sq8(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ann_recall_sq8(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@10 of SQ8 asymmetric scoring against exact brute force —
+    the honest-recall harness, same shape as ann_recall_ivfpq. SQ8's
+    distortion is one 8-bit step per dimension, so unlike the PQ
+    indexes it stays high even on the structureless uniform fixture."""
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    q = _query_vec(spark, sf)
+    bf = brute_force_topk(emb, "embedding", q, k=10).select("vec_id")
+    ap = _ann_topk_sq8(spark, sf).select("vec_id")
+    return bf.join(ap, "vec_id").agg(
+        F.lit(10).alias("k"),
+        F.count("*").alias("n_hits"),
+        (F.count("*") / F.lit(10)).alias("recall"),
+    )
+
+
 def _embedding_sq8_codes(spark: SparkSession, sf: str) -> DataFrame:
     """SQ8 encode audit slice: exact integer codes for the first 50
     vectors (codes are floor outputs — bit-exact across engines)."""
@@ -4529,6 +4545,7 @@ _R8_WINDOW = [
     "events_value_drift",
     "docs_snapshot_diff",
     "ann_topk_sq8",
+    "ann_recall_sq8",
     "embedding_sq8_codes",
     "events_triangle_count",
     "events_user_similarity",
@@ -4561,7 +4578,6 @@ _R8_WINDOW = [
     "cube_order_counts",
     "regex_source_extract",
     "monthly_order_trend",
-    "array_stats_embeddings",
     # sentinel (green in every round since r1)
     "q1_pricing_summary",
 ]
@@ -4788,6 +4804,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_drift": _events_value_drift,
         "docs_snapshot_diff": _docs_snapshot_diff,
         "ann_topk_sq8": _ann_topk_sq8,
+        "ann_recall_sq8": _ann_recall_sq8,
         "embedding_sq8_codes": _embedding_sq8_codes,
         "docs_score_agreement": _docs_score_agreement,
     }
@@ -8112,6 +8129,22 @@ def oracle_sql() -> dict[str, str]:
             FROM pos GROUP BY 1 ORDER BY 1
         """,
         "docs_phrase_search": _ddb_phrase_sql(_PHRASE),
+        "ann_recall_sq8": f"""
+            WITH bf AS (
+                SELECT vec_id FROM (
+                    SELECT e.vec_id,
+                           {_ddb_cos("e.embedding", "q.embedding")} AS cos
+                    FROM embeddings e,
+                         (SELECT embedding FROM embeddings
+                          WHERE vec_id = 0) q
+                    WHERE e.vec_id <> 0)
+                ORDER BY cos DESC, vec_id LIMIT 10
+            ), ap AS (
+                {_ddb_sq8_sql(topk=10, codes_only=False)}
+            )
+            SELECT 10 AS k, count(*) AS n_hits, count(*) / 10.0 AS recall
+            FROM bf JOIN ap USING (vec_id)
+        """,
         "ann_recall_ivfpq": f"""
             WITH bf AS (
                 SELECT vec_id FROM (

@@ -155,6 +155,7 @@ HEADLINE = [
     "events_value_drift",
     "docs_snapshot_diff",
     "ann_topk_sq8",
+    "ann_recall_sq8",
     "embedding_sq8_codes",
     # events_hits_scores is deliberately NOT benched for the same
     # reason as docs_bpe_merges: 8 mutual-reinforcement rounds = 16

@@ -608,6 +608,32 @@ def test_sq8_topk_recall_on_structured_corpus(spark):
     assert tot / len(queries) >= 0.9
 
 
+# ------------------------------------- trained-artifact passthrough
+
+
+def test_semdedup_centers_passthrough_identical(spark):
+    """semdedup(centers=kmeans_fit(...)) must equal semdedup() row for
+    row — the cacheability contract the entry-layer caches rely on
+    (kmeans_fit's own tail is the same kmeans_assign call)."""
+    from kubernetes_logs_datalake_spark.operators.semdedup import semdedup
+    from kubernetes_logs_datalake_spark.operators.vectors import kmeans_fit
+
+    rows, _, _ = _structured_corpus(n_base=4, n_dup=4, n_bg=30)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centers, _ = kmeans_fit(emb, "vec_id", "embedding", k=4, iters=2)
+    direct = sorted(
+        map(tuple, semdedup(emb, "vec_id", "embedding", k=4, iters=2,
+                            threshold=0.35).collect())
+    )
+    cached = sorted(
+        map(tuple, semdedup(emb, "vec_id", "embedding", k=4, iters=2,
+                            threshold=0.35, centers=centers).collect())
+    )
+    assert direct == cached
+    with pytest.raises(ValueError, match="centers"):
+        semdedup(emb, "vec_id", "embedding", k=4, centers=centers[:2])
+
+
 # ---------------------------------------------- IVFADC-R refined recall
 
 
