@@ -4402,6 +4402,23 @@ def _ddb_sq8_sql(topk: int | None, codes_only: bool, dim: int = 64) -> str:
         """
 
 
+_EPOCH_TARGET = 300
+
+
+def _docs_epoch_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    """Epoch-plan apportionment: a 300-doc epoch budget split across
+    sources by the largest-remainder method — exact integers summing
+    to the budget (per-group float rounding drifts off it). Remainder
+    ranking is a tiny groups×groups join, never a window."""
+    from kubernetes_logs_datalake_spark.operators.sampling import (
+        largest_remainder_allocation,
+    )
+
+    return largest_remainder_allocation(
+        _t(spark, sf, "documents"), "source", _EPOCH_TARGET
+    )
+
+
 def _docs_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-version diff: two synthetic snapshots derived from the
     documents table (old = ids < 90% of max, new = ids ≥ 10% with every
@@ -4544,6 +4561,7 @@ _R8_WINDOW = [
     "events_decayed_engagement",
     "events_value_drift",
     "docs_snapshot_diff",
+    "docs_epoch_allocation",
     "ann_topk_sq8",
     "ann_recall_sq8",
     "embedding_sq8_codes",
@@ -4577,7 +4595,6 @@ _R8_WINDOW = [
     "stringagg_region_nations",
     "cube_order_counts",
     "regex_source_extract",
-    "monthly_order_trend",
     # sentinel (green in every round since r1)
     "q1_pricing_summary",
 ]
@@ -4803,6 +4820,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_decayed_engagement": _events_decayed_engagement,
         "events_value_drift": _events_value_drift,
         "docs_snapshot_diff": _docs_snapshot_diff,
+        "docs_epoch_allocation": _docs_epoch_allocation,
         "ann_topk_sq8": _ann_topk_sq8,
         "ann_recall_sq8": _ann_recall_sq8,
         "embedding_sq8_codes": _embedding_sq8_codes,
@@ -7895,6 +7913,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_topk_sq8": _ddb_sq8_sql(topk=10, codes_only=False),
         "embedding_sq8_codes": _ddb_sq8_sql(topk=None, codes_only=True),
+        "docs_epoch_allocation": f"""
+            WITH counts AS (
+                SELECT source AS g, count(*) AS n FROM documents GROUP BY 1
+            ), tot AS (SELECT sum(n) AS nn FROM counts),
+            base AS (
+                SELECT g, n,
+                       CAST({_EPOCH_TARGET} AS BIGINT) * n // nn AS b,
+                       (CAST({_EPOCH_TARGET} AS BIGINT) * n) % nn AS rem
+                FROM counts, tot
+            ), lo AS (
+                SELECT {_EPOCH_TARGET} - sum(b) AS l FROM base
+            ), ahead AS (
+                SELECT a.g, a.n, a.b, a.rem,
+                       (SELECT count(*) FROM base h
+                        WHERE h.rem > a.rem
+                           OR (h.rem = a.rem AND h.g < a.g)) AS k
+                FROM base a
+            )
+            SELECT g AS source, CAST(n AS BIGINT) AS n_rows,
+                   CAST(b + CASE WHEN k < l THEN 1 ELSE 0 END AS BIGINT)
+                       AS alloc
+            FROM ahead, lo ORDER BY source
+        """,
         "docs_snapshot_diff": """
             WITH bounds AS (
                 SELECT max(doc_id) AS hi FROM documents

@@ -154,6 +154,7 @@ HEADLINE = [
     "events_decayed_engagement",
     "events_value_drift",
     "docs_snapshot_diff",
+    "docs_epoch_allocation",
     "ann_topk_sq8",
     "ann_recall_sq8",
     "embedding_sq8_codes",

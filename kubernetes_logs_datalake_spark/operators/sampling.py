@@ -512,3 +512,73 @@ def temperature_mix_rates(
         rate.alias("rate"),
         F.round(rate / share, scale).alias("boost"),
     )
+
+
+def largest_remainder_allocation(
+    df: DataFrame,
+    group_col: str,
+    target: int,
+) -> DataFrame:
+    """Epoch-plan allocation: split an exact ``target`` row budget
+    across groups proportionally to their corpus counts with the
+    largest-remainder method (Hamilton apportionment) — the step after
+    temperature_mix_rates when a pretrain epoch needs an INTEGER
+    document count per source that sums to the budget exactly (floats
+    rounded per-group drift off the budget; largest remainder never
+    does).
+
+    All integer arithmetic: base_g = ⌊target·n_g / N⌋ and remainder
+    rem_g = (target·n_g) mod N; the target − Σbase leftover goes to
+    the largest rem_g (ties to the group key ascending). The remainder
+    ranking is a groups×groups self-join — groups are FEW by
+    definition (sources/languages), so the tiny quadratic join beats
+    an unpartitioned window (banned by the plan gates) and stays
+    engine-portable. Output: (group, n_rows, alloc), Σalloc = target.
+    """
+    if target < 0:
+        raise ValueError(f"target must be >= 0, got {target}")
+    counts = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    tot = counts.agg(F.sum("_n").alias("_tot"))
+    base = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "_g",
+            "_n",
+            F.expr(f"CAST({target} AS BIGINT) * _n DIV _tot").alias("_base"),
+            F.expr(f"(CAST({target} AS BIGINT) * _n) % _tot").alias("_rem"),
+        )
+    )
+    # leftover = target − Σbase, computed as a 1-row aggregate and
+    # broadcast back (the scalar-join idiom, not a window)
+    lo = base.agg(
+        (F.lit(target) - F.sum("_base")).cast("long").alias("_lo")
+    )
+    a = base.alias("a")
+    b = base.select(
+        F.col("_g").alias("_g2"), F.col("_rem").alias("_rem2")
+    ).alias("b")
+    ahead = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b._rem2") > F.col("a._rem"))
+            | ((F.col("b._rem2") == F.col("a._rem"))
+               & (F.col("b._g2") < F.col("a._g"))),
+            "left",
+        )
+        .groupBy("a._g", "a._n", "a._base", "a._rem")
+        .agg(F.count(F.col("b._g2")).alias("_ahead"))
+    )
+    return (
+        ahead.crossJoin(F.broadcast(lo))
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_n").alias("n_rows"),
+            (
+                F.col("_base")
+                + F.when(F.col("_ahead") < F.col("_lo"), 1).otherwise(0)
+            ).alias("alloc"),
+        )
+        .orderBy(group_col)
+    )

@@ -547,6 +547,36 @@ def test_snapshot_diff_all_statuses(spark):
     }
 
 
+# --------------------------------------------- epoch apportionment
+
+
+def test_largest_remainder_allocation_sums_exactly(spark):
+    """Hamilton apportionment: Σalloc == target exactly (per-group
+    float rounding would drift), monotone in group size, and the
+    leftover goes to the largest remainders with id tiebreak."""
+    from kubernetes_logs_datalake_spark.operators.sampling import (
+        largest_remainder_allocation,
+    )
+
+    # counts 7, 2, 1 over target 5: quotas 3.5/1.0/0.5 -> base 3/1/0,
+    # leftover 1 -> largest remainder is a (rem 5 of 10) over c (rem 5)?
+    # rem_a = 35 % 10 = 5, rem_b = 10 % 10 = 0, rem_c = 5 % 10 = 5;
+    # tie a vs c -> group key ascending -> 'a' gets it
+    rows = [("a",)] * 7 + [("b",)] * 2 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "g string")
+    out = {r.g: r.alloc
+           for r in largest_remainder_allocation(df, "g", 5).collect()}
+    assert out == {"a": 4, "b": 1, "c": 0}
+    assert sum(out.values()) == 5
+
+    for target in [0, 1, 3, 10, 17]:
+        s = sum(r.alloc for r in
+                largest_remainder_allocation(df, "g", target).collect())
+        assert s == target, (target, s)
+    with pytest.raises(ValueError, match="target"):
+        largest_remainder_allocation(df, "g", -1)
+
+
 # ------------------------------------------------------- SQ8 family
 
 
