@@ -72,6 +72,17 @@ def main() -> int:
     print(f"\nstalest green rows (top {n_stale}):")
     for rnd, q in stale[:n_stale]:
         print(f"  r{rnd}  {q}")
+
+    # guard: the CURRENT window (first 50 queries()) must contain every
+    # never-checked query — the invariant each round's rotation restores
+    window = list(entrymod.queries())[:50]
+    missed = [q for q in never if q not in window]
+    if missed:
+        print(f"\nWARNING: {len(missed)} never-checked queries are NOT "
+              f"in the current 50-query window: {missed}")
+        return 1
+    print(f"\nwindow OK: all {len(never)} never-checked queries are in "
+          f"the current 50-query driver window")
     return 0
 
 
