@@ -2887,6 +2887,28 @@ def _docs_topic_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _docs_cluster_labels(spark: SparkSession, sf: str) -> DataFrame:
+    """Topic-cluster labels: top-3 distinctive terms per hashed-TF
+    k-means cluster by relative document-frequency lift — the
+    interpretability companion to docs_topic_clusters (same assignment
+    chain, so the oracle reuses the unrolled k-means CTEs)."""
+    from kubernetes_logs_datalake_spark.operators.classify import (
+        cluster_labels,
+        hashed_tf_vectors,
+    )
+    from kubernetes_logs_datalake_spark.operators.vectors import kmeans_fit
+
+    d = _t(spark, sf, "documents")
+    vecs = hashed_tf_vectors(d, "doc_id", "text", dim=_TOPIC_DIM)
+    _, assigned = kmeans_fit(
+        vecs, "doc_id", "embedding", k=_TOPIC_K, iters=_TOPIC_ITERS
+    )
+    return cluster_labels(
+        assigned.select("doc_id", "cluster"), d, "doc_id", "text",
+        top_n=3, min_df=5,
+    )
+
+
 def _dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
     """Exact bigram-Jaccard pairs (t=0.7) through PPJoin-style prefix
     filtering: only each document's s−⌈t·s⌉+1 rarest shingles enter the
@@ -4562,6 +4584,7 @@ _R8_WINDOW = [
     "events_value_drift",
     "docs_snapshot_diff",
     "docs_epoch_allocation",
+    "docs_cluster_labels",
     "ann_topk_sq8",
     "ann_recall_sq8",
     "embedding_sq8_codes",
@@ -4594,7 +4617,6 @@ _R8_WINDOW = [
     "range_join_error_context",
     "stringagg_region_nations",
     "cube_order_counts",
-    "regex_source_extract",
     # sentinel (green in every round since r1)
     "q1_pricing_summary",
 ]
@@ -4821,6 +4843,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_drift": _events_value_drift,
         "docs_snapshot_diff": _docs_snapshot_diff,
         "docs_epoch_allocation": _docs_epoch_allocation,
+        "docs_cluster_labels": _docs_cluster_labels,
         "ann_topk_sq8": _ann_topk_sq8,
         "ann_recall_sq8": _ann_recall_sq8,
         "embedding_sq8_codes": _embedding_sq8_codes,
@@ -4969,6 +4992,53 @@ def _ddb_topic_clusters_sql() -> str:
                round(CAST(sum(CAST(dist AS DECIMAL(25,6))) AS DOUBLE)
                      / count(*), 6) AS avg_dist
         FROM asg GROUP BY cluster
+    """
+
+
+def _ddb_cluster_labels_sql() -> str:
+    """Same hashed-TF + unrolled-k-means chain as the topic-clusters
+    oracle, extended with the label algebra: relative-DF lift as one
+    double division of two integer products, rank window per cluster."""
+    from kubernetes_logs_datalake_spark.operators.classify import _DDB_BUCKET
+
+    w = _DDB_WORDS.format(t="text")
+    bucket = _DDB_BUCKET.format(dim=_TOPIC_DIM)
+    src = f"""(
+        SELECT doc_id AS vec_id,
+               list_transform(range(0, {_TOPIC_DIM}), j ->
+                   round(len(list_filter(bl, b -> b = j)) * 1.0 / len(wl), 6))
+                   AS embedding
+        FROM (
+            SELECT doc_id, wl, list_transform(wl, w -> {bucket}) AS bl
+            FROM (SELECT doc_id, list_filter({w}, x -> x != '') AS wl
+                  FROM documents))
+        WHERE len(wl) > 0)"""
+    ctes = _ddb_kmeans_ctes(_TOPIC_K, _TOPIC_ITERS, _TOPIC_DIM, src=src)
+    return f"""
+        WITH {ctes},
+        asg AS (SELECT vec_id AS _id, CAST(j AS INT) AS cluster
+                FROM a{_TOPIC_ITERS + 1} WHERE rk = 1),
+        dw AS (SELECT DISTINCT doc_id AS _id,
+                      unnest(list_filter({w}, x -> x != '')) AS t
+               FROM documents),
+        dfg AS (SELECT t, count(*) AS dfg FROM dw
+                GROUP BY 1 HAVING count(*) >= 5),
+        dwc AS (SELECT a.cluster, d.t, count(*) AS dfc
+                FROM dw d JOIN asg a USING (_id) GROUP BY 1, 2),
+        sz AS (SELECT cluster, count(*) AS sz FROM asg GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM asg),
+        scored AS (
+            SELECT c.cluster, c.t AS term, c.dfc,
+                   round(CAST(c.dfc * n AS DOUBLE)
+                         / CAST(s.sz * g.dfg AS DOUBLE), 6) AS score
+            FROM dwc c JOIN dfg g ON g.t = c.t
+                 JOIN sz s USING (cluster), nn),
+        rkd AS (SELECT *, row_number() OVER (
+                    PARTITION BY cluster ORDER BY score DESC, term
+                ) AS rank FROM scored)
+        SELECT cluster, term, CAST(dfc AS BIGINT) AS df_in_cluster,
+               score, CAST(rank AS INT) AS rank
+        FROM rkd WHERE rank <= 3 ORDER BY cluster, rank
     """
 
 
@@ -6645,6 +6715,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_table_profile": _ddb_table_profile_sql(),
         "events_sliding_distinct": _kmv_sliding_oracle(),
         "docs_topic_clusters": _ddb_topic_clusters_sql(),
+        "docs_cluster_labels": _ddb_cluster_labels_sql(),
         "dedup_jaccard_prefix": f"""
             WITH ws AS (
                 SELECT DISTINCT doc_id AS _id,

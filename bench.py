@@ -155,6 +155,7 @@ HEADLINE = [
     "events_value_drift",
     "docs_snapshot_diff",
     "docs_epoch_allocation",
+    "docs_cluster_labels",
     "ann_topk_sq8",
     "ann_recall_sq8",
     "embedding_sq8_codes",

@@ -243,3 +243,77 @@ def score_agreement_bins(
         )
         .orderBy("bin")
     )
+
+
+def cluster_labels(
+    assigned: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 3,
+    min_df: int = 5,
+) -> DataFrame:
+    """Topic-cluster interpretability: the ``top_n`` most DISTINCTIVE
+    terms per cluster, scored by relative document frequency —
+    (df_in_cluster / cluster_size) ÷ (df_global / N) — the lift a term
+    gets from being in this cluster. ``min_df`` drops corpus-rare noise
+    terms that would otherwise dominate on tiny denominators.
+
+    The score is computed as ONE double division of two exact integer
+    products (df_c·N) / (size_c·df_g) — no per-term float chain, so any
+    engine reproduces it. Plan: word explode → distinct (doc, term) →
+    one doc-keyed join to the assignment → (cluster, term) and term
+    aggs → broadcast of the tiny cluster-size/N scalars → a
+    cluster-partitioned rank window over ≤ |vocab| rows per cluster.
+    Output: (cluster, term, df_in_cluster, score, rank ≤ top_n).
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    from pyspark.sql import Window
+
+    from kubernetes_logs_datalake_spark.functions.text import words
+
+    dw = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(words(F.col(text_col))).alias("_t"),
+        )
+        .filter(F.col("_t") != "")
+        .distinct()
+    )
+    asg = assigned.select(F.col(id_col).alias("_id"), "cluster")
+    dfg = (
+        dw.groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_dfg"))
+        .filter(F.col("_dfg") >= min_df)
+    )
+    dwc = (
+        dw.join(asg, "_id")
+        .groupBy("cluster", "_t")
+        .agg(F.count(F.lit(1)).alias("_dfc"))
+    )
+    sizes = asg.groupBy("cluster").agg(F.count(F.lit(1)).alias("_sz"))
+    n_docs = asg.agg(F.count(F.lit(1)).alias("_nn"))
+    scored = (
+        dwc.join(dfg, "_t")
+        .join(F.broadcast(sizes), "cluster")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "cluster",
+            F.col("_t").alias("term"),
+            F.col("_dfc").alias("df_in_cluster"),
+            F.round(
+                (F.col("_dfc") * F.col("_nn")).cast("double")
+                / (F.col("_sz") * F.col("_dfg")).cast("double"),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("score"), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .orderBy("cluster", "rank")
+    )

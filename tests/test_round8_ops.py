@@ -547,6 +547,37 @@ def test_snapshot_diff_all_statuses(spark):
     }
 
 
+# ---------------------------------------------------- cluster labels
+
+
+def test_cluster_labels_pick_distinctive_terms(spark):
+    """Terms exclusive to a cluster outrank shared ones; min_df drops
+    corpus-rare noise; ranks are dense per cluster."""
+    from kubernetes_logs_datalake_spark.operators.classify import (
+        cluster_labels,
+    )
+
+    docs, asg = [], []
+    for i in range(6):  # cluster 0: 'alpha' everywhere + shared 'the'
+        docs.append((i, "alpha the rare%d" % i))
+        asg.append((i, 0))
+    for i in range(6, 12):  # cluster 1: 'beta' everywhere + shared 'the'
+        docs.append((i, "beta the"))
+        asg.append((i, 1))
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    a = spark.createDataFrame(asg, "doc_id long, cluster int")
+    out = cluster_labels(a, d, "doc_id", "text", top_n=2, min_df=3)
+    rows = {(r.cluster, r.rank): (r.term, r.score) for r in out.collect()}
+    # alpha: df_c=6, sz=6, df_g=6, N=12 -> lift 2.0; the: lift 1.0
+    assert rows[(0, 1)] == ("alpha", 2.0)
+    assert rows[(0, 2)][0] == "the"
+    assert rows[(1, 1)] == ("beta", 2.0)
+    # rare%d terms (df_g=1 < min_df) never appear
+    assert all("rare" not in t for t, _ in rows.values())
+    with pytest.raises(ValueError, match="top_n"):
+        cluster_labels(a, d, "doc_id", "text", top_n=0)
+
+
 # --------------------------------------------- epoch apportionment
 
 
