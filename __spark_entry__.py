@@ -4348,7 +4348,11 @@ def _ann_recall_sq8(spark: SparkSession, sf: str) -> DataFrame:
 
 def _embedding_sq8_codes(spark: SparkSession, sf: str) -> DataFrame:
     """SQ8 encode audit slice: exact integer codes for the first 50
-    vectors (codes are floor outputs — bit-exact across engines)."""
+    vectors (codes are floor outputs — bit-exact across engines).
+    Codes ride as a comma-joined string, not array<int> — the driver's
+    pandas canonicalization hashes scalar columns only (r8 red row:
+    `unhashable type: 'list'`); every registered query emits flat
+    scalars, enforced by tools/canon_audit.py."""
     from kubernetes_logs_datalake_spark.operators.vectors import (
         sq8_bounds,
         sq8_encode,
@@ -4356,12 +4360,18 @@ def _embedding_sq8_codes(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
     bounds = _sq8_bounds_cached(emb, sf)
-    return sq8_encode(
+    enc = sq8_encode(
         emb.filter(F.col("vec_id") < 50),
         "vec_id",
         "embedding",
         EMBEDDING_DIM,
         bounds=bounds,
+    )
+    return enc.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("codes"), lambda c: c.cast("string")), ","
+        ).alias("codes"),
     ).orderBy("vec_id")
 
 
@@ -4405,8 +4415,9 @@ def _ddb_sq8_sql(topk: int | None, codes_only: bool, dim: int = 64) -> str:
     if codes_only:
         return f"""{prefix}
             SELECT e.vec_id,
-                   list_transform(range(1, {dim + 1}),
-                                  i -> {code_expr}) AS codes
+                   array_to_string(list_transform(range(1, {dim + 1}),
+                                  i -> CAST({code_expr} AS VARCHAR)), ',')
+                       AS codes
             FROM embeddings e, b
             WHERE e.vec_id <> 0 AND e.vec_id < 50
             ORDER BY e.vec_id

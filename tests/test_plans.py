@@ -15,6 +15,18 @@ import __spark_entry__ as entrymod
 
 SF = "/root/testdata/sf0.001"
 
+# One registry-wide DataFrame build, shared by every whole-registry
+# gate below (each fn(spark, SF) call re-runs any eager fit/collect the
+# query does, so building 200+ frames twice would double suite time).
+_REGISTRY_FRAMES: dict = {}
+
+
+def _registry_frames(spark) -> dict:
+    if not _REGISTRY_FRAMES:
+        for name, fn in entrymod.queries().items():
+            _REGISTRY_FRAMES[name] = fn(spark, SF)
+    return _REGISTRY_FRAMES
+
 
 def plan_of(spark, name: str) -> str:
     # default metadata truncation (100 chars) hides ReadSchema/filters
@@ -144,9 +156,9 @@ def test_no_unpartitioned_window_in_contract_queries(spark):
     Window node. (This gate would have caught r2's global-ntile
     doc_length_bins.)"""
     spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
-    for name, fn in entrymod.queries().items():
+    for name, df in _registry_frames(spark).items():
         lines = (
-            fn(spark, SF)._jdf.queryExecution().executedPlan().toString().splitlines()
+            df._jdf.queryExecution().executedPlan().toString().splitlines()
         )
         for i, line in enumerate(lines):
             if "Window " not in line:
@@ -154,6 +166,22 @@ def test_no_unpartitioned_window_in_contract_queries(spark):
             below = "\n".join(lines[i + 1 : i + 4])
             assert "Exchange SinglePartition" not in below, (
                 f"{name} has an unpartitioned Window (single-partition sort)"
+            )
+
+
+def test_registry_canon_hashable_output_types(spark):
+    """Driver-canon gate: no registered query may emit a top-level
+    array/map/struct column. The driver's pandas canonicalization
+    hashes scalar cells, so a nested output type is a guaranteed red
+    row even when values are correct (r8's only red,
+    embedding_sq8_codes: `unhashable type: 'list'` on array<int>).
+    Complex payloads ride as joined strings or hex instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for name, df in _registry_frames(spark).items():
+        for f in df.schema.fields:
+            assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), (
+                f"{name}.{f.name} has driver-unhashable type {f.dataType.simpleString()}"
             )
 
 

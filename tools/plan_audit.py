@@ -63,13 +63,21 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            plan = (
-                fn(spark, SF_DIR)
-                ._jdf.queryExecution()
-                .executedPlan()
-                .toString()
-            )
+            df = fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
             out[name] = {k: plan.count(tok) for k, tok in METRICS.items()}
+            # driver-canon lint: the correctness gate's pandas canon
+            # hashes scalar cells only — a top-level array/map/struct
+            # column is a guaranteed red row even with correct values
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            bad = [
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in df.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if bad:
+                out[name]["unhashable_cols"] = bad
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
     dest = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_AUDIT.json")
@@ -82,6 +90,9 @@ def main() -> int:
             n for n, m in out.items() if m["python_eval"]
         ),
         "with_cartesian": sorted(n for n, m in out.items() if m["cartesian"]),
+        "with_unhashable_output": sorted(
+            n for n, m in out.items() if m.get("unhashable_cols")
+        ),
         "with_single_partition": sorted(
             n for n, m in out.items() if m["single_partition"]
         ),
@@ -89,7 +100,7 @@ def main() -> int:
         "written": dest,
     }
     print(json.dumps(summary))
-    return 1 if errors else 0
+    return 1 if errors or summary["with_unhashable_output"] else 0
 
 
 if __name__ == "__main__":
