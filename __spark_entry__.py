@@ -2466,12 +2466,15 @@ def _docs_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
 _KMEANS_CACHE: dict[tuple, list] = {}
 
 
-def _kmeans_centers_cached(df, sf: str, family: str, k: int, iters: int):
+def _kmeans_centers_cached(
+    df, sf: str, family: str, k: int, iters: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+):
     from kubernetes_logs_datalake_spark.operators.vectors import kmeans_fit
 
     key = (sf, family, k, iters)
     if key not in _KMEANS_CACHE:
-        centers, _ = kmeans_fit(df, "vec_id", "embedding", k=k, iters=iters)
+        centers, _ = kmeans_fit(df, id_col, vec_col, k=k, iters=iters)
         _KMEANS_CACHE[key] = centers
     return _KMEANS_CACHE[key]
 
@@ -2862,22 +2865,33 @@ def _dedup_exact_masked(spark: SparkSession, sf: str) -> DataFrame:
 _TOPIC_DIM, _TOPIC_K, _TOPIC_ITERS = 16, 5, 2
 
 
+def _topic_assignments(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared fit for the topic family: hashed-TF vectors → k-means
+    centers through the session cache (one Lloyd fit per (sf, k,
+    iters) however many topic queries run) → map-only assignment.
+    Identical output to kmeans_fit's returned assignment — that is
+    itself kmeans_assign against the final centers — so the cached
+    path can never drift from the oracle's unrolled iterations."""
+    from kubernetes_logs_datalake_spark.operators.classify import (
+        hashed_tf_vectors,
+    )
+    from kubernetes_logs_datalake_spark.operators.vectors import kmeans_assign
+
+    d = _t(spark, sf, "documents")
+    vecs = hashed_tf_vectors(d, "doc_id", "text", dim=_TOPIC_DIM)
+    centers = _kmeans_centers_cached(
+        vecs, sf, "topic", k=_TOPIC_K, iters=_TOPIC_ITERS, id_col="doc_id"
+    )
+    return kmeans_assign(vecs, "doc_id", "embedding", centers)
+
+
 def _docs_topic_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Text → hashed-TF vector → deterministic k-means → cluster
     profile: the topic-discovery composition (feature hashing, no
     vocabulary table; Lloyd iterations unroll into the oracle like
     every k-means query). Output per cluster: size + exact-decimal
     centroid-distance stats."""
-    from kubernetes_logs_datalake_spark.operators.classify import (
-        hashed_tf_vectors,
-    )
-    from kubernetes_logs_datalake_spark.operators.vectors import kmeans_fit
-
-    d = _t(spark, sf, "documents")
-    vecs = hashed_tf_vectors(d, "doc_id", "text", dim=_TOPIC_DIM)
-    _, assigned = kmeans_fit(
-        vecs, "doc_id", "embedding", k=_TOPIC_K, iters=_TOPIC_ITERS
-    )
+    assigned = _topic_assignments(spark, sf)
     dec = F.col("dist").cast("decimal(25,6)")
     return assigned.groupBy("cluster").agg(
         F.count("*").alias("n_docs"),
@@ -2894,15 +2908,10 @@ def _docs_cluster_labels(spark: SparkSession, sf: str) -> DataFrame:
     chain, so the oracle reuses the unrolled k-means CTEs)."""
     from kubernetes_logs_datalake_spark.operators.classify import (
         cluster_labels,
-        hashed_tf_vectors,
     )
-    from kubernetes_logs_datalake_spark.operators.vectors import kmeans_fit
 
     d = _t(spark, sf, "documents")
-    vecs = hashed_tf_vectors(d, "doc_id", "text", dim=_TOPIC_DIM)
-    _, assigned = kmeans_fit(
-        vecs, "doc_id", "embedding", k=_TOPIC_K, iters=_TOPIC_ITERS
-    )
+    assigned = _topic_assignments(spark, sf)
     return cluster_labels(
         assigned.select("doc_id", "cluster"), d, "doc_id", "text",
         top_n=3, min_df=5,
@@ -4330,6 +4339,23 @@ def _ann_topk_sq8(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ann_topk_sq8_packed(spark: SparkSession, sf: str) -> DataFrame:
+    """SQ8 ANN over PACKED binary codes — 1 byte/dim in flight instead
+    of array<int>'s ~16 B/dim, the representation a 100 TB serving
+    corpus would actually store. Unpack-on-read is one hex() per row +
+    a 2-char substring per dim, all whole-stage codegen; the fold
+    replays sq8_topk's exact accumulation order, so scores are
+    bit-identical and this shares ann_topk_sq8's oracle."""
+    from kubernetes_logs_datalake_spark.operators.vectors import sq8_topk_packed
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    q = _query_vec(spark, sf)
+    return sq8_topk_packed(
+        emb, "vec_id", "embedding", q, dim=EMBEDDING_DIM, topk=10,
+        bounds=_sq8_bounds_cached(emb, sf),
+    )
+
+
 def _ann_recall_sq8(spark: SparkSession, sf: str) -> DataFrame:
     """Recall@10 of SQ8 asymmetric scoring against exact brute force —
     the honest-recall harness, same shape as ann_recall_ivfpq. SQ8's
@@ -4856,6 +4882,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_epoch_allocation": _docs_epoch_allocation,
         "docs_cluster_labels": _docs_cluster_labels,
         "ann_topk_sq8": _ann_topk_sq8,
+        "ann_topk_sq8_packed": _ann_topk_sq8_packed,
         "ann_recall_sq8": _ann_recall_sq8,
         "embedding_sq8_codes": _embedding_sq8_codes,
         "docs_score_agreement": _docs_score_agreement,
@@ -7994,6 +8021,9 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY score DESC, user_id LIMIT 25
         """,
         "ann_topk_sq8": _ddb_sq8_sql(topk=10, codes_only=False),
+        # packed variant decodes to the same values in the same fold
+        # order — one oracle pins both representations
+        "ann_topk_sq8_packed": _ddb_sq8_sql(topk=10, codes_only=False),
         "embedding_sq8_codes": _ddb_sq8_sql(topk=None, codes_only=True),
         "docs_epoch_allocation": f"""
             WITH counts AS (

@@ -282,16 +282,16 @@ def cluster_labels(
         .distinct()
     )
     asg = assigned.select(F.col(id_col).alias("_id"), "cluster")
+    # lift is (df_c/size_c)/(df_g/N) over ONE corpus: restrict the
+    # global-df leg to assigned docs too, so a caller whose `assigned`
+    # is a subset of `df` doesn't silently mix denominators
+    dwa = dw.join(asg, "_id")
     dfg = (
-        dw.groupBy("_t")
+        dwa.groupBy("_t")
         .agg(F.count(F.lit(1)).alias("_dfg"))
         .filter(F.col("_dfg") >= min_df)
     )
-    dwc = (
-        dw.join(asg, "_id")
-        .groupBy("cluster", "_t")
-        .agg(F.count(F.lit(1)).alias("_dfc"))
-    )
+    dwc = dwa.groupBy("cluster", "_t").agg(F.count(F.lit(1)).alias("_dfc"))
     sizes = asg.groupBy("cluster").agg(F.count(F.lit(1)).alias("_sz"))
     n_docs = asg.agg(F.count(F.lit(1)).alias("_nn"))
     scored = (

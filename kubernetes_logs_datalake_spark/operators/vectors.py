@@ -865,6 +865,81 @@ def sq8_encode(
     return df.select(F.col(id_col), codes.alias("codes"))
 
 
+def sq8_pack(df: DataFrame, id_col: str, codes_col: str = "codes") -> DataFrame:
+    """Pack SQ8 ``array<int>`` codes into a 1-byte/dim ``binary``
+    column — the storage/shuffle representation for a serving fleet.
+    An int array carries ~16 B/dim in flight (4 B value + offsets +
+    validity) for 1 B/dim of information; the packed binary is exactly
+    ``dim`` bytes. Pure expression work (hex + lpad + concat_ws +
+    unhex), whole-stage codegen, no Python. Output: (id, packed).
+    """
+    packed = F.unhex(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.col(codes_col), lambda c: F.lpad(F.hex(c), 2, "0")
+            ),
+        )
+    )
+    return df.select(F.col(id_col), packed.alias("packed"))
+
+
+def sq8_topk_packed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    dim: int,
+    topk: int = 10,
+    scale: int = 6,
+    bounds: tuple[list, list] | None = None,
+) -> DataFrame:
+    """SQ8 asymmetric top-k over PACKED binary codes — the scale path
+    of :func:`sq8_topk`. Codes ride as ``dim`` bytes/row (vs ~16·dim
+    for ``array<int>``); scoring unpacks on read with ONE ``hex()``
+    per row and a 2-char substring per dimension, all inside
+    whole-stage codegen. The fold accumulates left-to-right over the
+    same decoded values as :func:`sq8_topk`, so scores are
+    bit-identical and the two share one DuckDB oracle.
+    """
+    if len(query) != dim:
+        raise ValueError(f"query dim {len(query)} != dim {dim}")
+    mins, maxs = bounds if bounds is not None else sq8_bounds(df, vec_col, dim)
+    from kubernetes_logs_datalake_spark.functions.vectors import literal_vector
+
+    enc = sq8_pack(
+        sq8_encode(df, id_col, vec_col, dim, bounds=(mins, maxs)), id_col
+    )
+    Mn = literal_vector(mins)
+    inv = [
+        ((mx - mn) / 255.0) if mx > mn else 0.0
+        for mn, mx in zip(mins, maxs)
+    ]
+    Iv = literal_vector(inv)
+    Q = literal_vector([float(q) for q in query])
+    hexed = F.hex(F.col("packed"))
+    score = F.aggregate(
+        F.sequence(F.lit(1), F.lit(dim)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(Q, i.cast("int"))
+        * (
+            F.element_at(Mn, i.cast("int"))
+            + F.conv(
+                F.substring(hexed, (i * 2 - F.lit(1)).cast("int"), F.lit(2)),
+                16,
+                10,
+            ).cast("double")
+            * F.element_at(Iv, i.cast("int"))
+        ),
+    )
+    return (
+        enc.select(F.col(id_col), F.round(score, scale).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(topk)
+    )
+
+
 def sq8_topk(
     df: DataFrame,
     id_col: str,

@@ -1,4 +1,4 @@
-"""Executing small-file compactor: plan → rewrite bins → swap.
+"""Executing small-file compactor: plan → claim → rewrite bins → swap.
 
 The planner (``sources.metadata.compaction_plan``) bins a file LISTING;
 this module executes the rewrite the plan describes, with the
@@ -9,21 +9,37 @@ sink keeps):
 * The target file name is a **pure function of the bin's source file
   list** (sha256 over the sorted source paths), so every re-run of the
   same plan derives the same target — replay never forks.
+* Before any source file is deleted, the bin's membership is pinned by
+  a **sidecar manifest** (``.compact-<hash>.sources`` — hidden, so no
+  reader sees it): the sorted source list plus the published target's
+  expected byte length. Planning EXCLUDES claimed files, so a crash in
+  the middle of the source-delete loop can never shift the survivors
+  into a fresh bin and rewrite rows that already live in the published
+  target (the r8 replay-duplication hole: exclusive-cumsum bins are
+  only deterministic while the listing is). Replay of a found manifest
+  finishes exactly the claimed bin: republish if the target is absent
+  or torn (length ≠ expected), then delete surviving sources, then
+  retire the manifest.
 * Per bin, the rewrite is a tiny state machine replayed idempotently:
-    target absent,  sources present → write target (staged), delete
-                                      sources
+    target absent,  sources present → stage, claim, publish, delete
     target present, sources present → crashed between publish and
-                                      delete → just delete sources
+                                      delete → claim, delete sources
     target present, sources absent  → bin already done → no-op
 * The staged write goes to a ``_compact-…`` name in the SAME directory:
   Hadoop/Spark readers ignore ``_``/``.``-prefixed files, so a
-  half-written stage is invisible, and the publish is a same-directory
-  ``os.replace`` — one atomic syscall on a real filesystem. (On an
-  object store the publish is copy+delete; the commit-log of a table
-  format is what makes THAT atomic — see sources/delta_lake.py for the
-  contract. The replay matrix above is what keeps plain-parquet
-  correctness anyway: worst case a reader between publish and
-  source-delete sees a bin twice, never torn and never missing.)
+  half-written stage is invisible. Publish is pluggable:
+    - ``publish_mode="rename"`` — one ``FileSystem.rename`` (atomic on
+      a real filesystem / HDFS).
+    - ``publish_mode="copy"`` — object-store semantics (S3 has no
+      rename): ``FileUtil.copy`` stage→target, verify the target's
+      length against the manifest, then delete the stage. A torn
+      target (crash mid-copy on a store without atomic PUT) fails the
+      length check on replay and is re-published from the stage or
+      re-staged from the still-present sources.
+  Worst case in either mode, a reader between publish and source-delete
+  sees a bin twice, never torn and never missing — at-least-once, like
+  the ingest sink; a table format's commit log is what upgrades that to
+  exactly-once (see sources/delta_lake.py for the contract).
 
 Bins are metadata rows: the driver iterates the PLAN (thousands of
 rows at 100 TB, not bytes of data) and each bin's rewrite is one
@@ -37,7 +53,7 @@ from __future__ import annotations
 
 import hashlib
 import os
-import shutil
+import tempfile
 from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,7 +63,10 @@ from kubernetes_logs_datalake_spark.sources.metadata import _local, glob_files
 
 
 def compaction_bins(
-    spark: SparkSession, pattern: str, target_bytes: int
+    spark: SparkSession,
+    pattern: str,
+    target_bytes: int,
+    claimed: set[str] | None = None,
 ) -> DataFrame:
     """Per-FILE bin assignment — the executable form of
     ``compaction_plan`` (which aggregates this to a report). Same
@@ -55,14 +74,18 @@ def compaction_bins(
     exclusive-cumsum DIV target; an oversized file closes its bin.
     Output: (dir, bin, path, length), deterministic under re-listing.
 
-    Files this compactor itself published (``compact-<hash>.parquet``)
-    are EXCLUDED from binning: including them would shift every
-    neighbor's cumsum on replay — a crashed run's published target
-    would land inside its own sources' bin, fork the target name, and
-    the rewrite would double the rows. Exclusion keeps replay bins
-    byte-identical to the crashed run's. (Consequence: compact outputs
-    are terminal for this compactor — re-compacting compacted files
-    into larger ones is a different generation with its own plan.)
+    Two exclusions keep replay bins byte-identical to a crashed run's
+    (the cumsum makes every bin a function of its NEIGHBORS, so a file
+    that re-enters or leaves the listing forks every downstream bin):
+
+    * Files this compactor itself published
+      (``compact-<hash>.parquet``) — a crashed run's target would land
+      inside its own sources' bin and double the rows. Compact outputs
+      are terminal for this compactor; re-compacting them is a
+      different generation with its own plan.
+    * Files named in ``claimed`` — sources pinned by a live manifest
+      (crash happened after the claim); their bin is finished by the
+      manifest replay, never by re-planning.
     """
     if target_bytes < 1:
         raise ValueError(f"target_bytes must be >= 1, got {target_bytes}")
@@ -77,6 +100,8 @@ def compaction_bins(
             "length",
         )
     )
+    if claimed:
+        files = files.filter(~F.col("path").isin(sorted(claimed)))
     w = (
         Window.partitionBy("dir")
         .orderBy("path")
@@ -91,50 +116,223 @@ def compaction_bins(
     )
 
 
+def _bin_hash(paths: list[str]) -> str:
+    return hashlib.sha256("\n".join(sorted(paths)).encode()).hexdigest()[:16]
+
+
 def _target_name(paths: list[str]) -> str:
-    h = hashlib.sha256("\n".join(sorted(paths)).encode()).hexdigest()[:16]
-    return f"compact-{h}.parquet"
+    return f"compact-{_bin_hash(paths)}.parquet"
 
 
-def _rewrite_bin(spark: SparkSession, dir_: str, paths: list[str]) -> str:
-    """Execute one bin's state machine; returns the action taken."""
-    ldir = _local(dir_)
-    lpaths = [_local(p) for p in paths]
-    target = os.path.join(ldir, _target_name(paths))
-    existing = [p for p in lpaths if os.path.exists(p)]
-    if os.path.exists(target):
-        action = "replayed_delete" if existing else "already_done"
+def _manifest_name(paths: list[str]) -> str:
+    return f".compact-{_bin_hash(paths)}.sources"
+
+
+class _Fs:
+    """Thin driver-side seam over the Hadoop FileSystem API — the one
+    code path that works on file://, hdfs:// and s3a:// alike (same
+    abstraction as ``maintenance._fs``). All operations here touch
+    METADATA or single staged files; the data rewrite itself is the
+    distributed Spark job in :func:`_rewrite_bin`.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        from kubernetes_logs_datalake_spark.sources.maintenance import _fs
+
+        self.jvm = spark.sparkContext._jvm
+        self.conf = spark.sparkContext._jsc.hadoopConfiguration()
+        self.fs, self.hpath, _ = _fs(spark, root)
+
+    def exists(self, p: str) -> bool:
+        return self.fs.exists(self.hpath(p))
+
+    def length(self, p: str) -> int:
+        return int(self.fs.getFileStatus(self.hpath(p)).getLen())
+
+    def delete(self, p: str) -> None:
+        self.fs.delete(self.hpath(p), True)
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self.fs.rename(self.hpath(src), self.hpath(dst)):
+            raise RuntimeError(f"rename failed: {src} -> {dst}")
+
+    def copy(self, src: str, dst: str) -> None:
+        # server-side/stream copy; on an object store this is the PUT
+        self.jvm.org.apache.hadoop.fs.FileUtil.copy(
+            self.fs, self.hpath(src), self.fs, self.hpath(dst),
+            False, True, self.conf,
+        )
+
+    def glob(self, pattern: str) -> list[str]:
+        statuses = self.fs.globStatus(self.hpath(pattern))
+        if statuses is None:
+            return []
+        return sorted(str(s.getPath().toString()) for s in statuses)
+
+    def read_small(self, p: str) -> bytes:
+        stream = self.fs.open(self.hpath(p))
+        try:
+            return bytes(
+                self.jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+
+    def write_small_atomic(self, p: str, data: bytes) -> None:
+        """Stage to a local temp file, upload under a ``.tmp`` name
+        (doesn't match the manifest glob, so a crashed upload is
+        invisible), then rename into place."""
+        tmp_remote = p + ".tmp"
+        fd, local = tempfile.mkstemp(prefix="kld-manifest-")
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(data)
+            self.fs.copyFromLocalFile(
+                True, True, self.hpath("file:" + local), self.hpath(tmp_remote)
+            )
+        finally:
+            if os.path.exists(local):
+                os.remove(local)
+        if self.exists(p):
+            self.delete(p)
+        self.rename(tmp_remote, p)
+
+
+def _write_manifest(
+    fsx: _Fs, dir_: str, paths: list[str], expected_len: int
+) -> str:
+    mpath = os.path.join(dir_, _manifest_name(paths))
+    body = str(expected_len) + "\n" + "\n".join(sorted(paths)) + "\n"
+    fsx.write_small_atomic(mpath, body.encode())
+    return mpath
+
+
+def _read_manifest(fsx: _Fs, mpath: str) -> tuple[int, list[str]]:
+    lines = fsx.read_small(mpath).decode().splitlines()
+    return int(lines[0]), [ln for ln in lines[1:] if ln]
+
+
+def _stage_part(
+    spark: SparkSession, fsx: _Fs, dir_: str, paths: list[str]
+) -> tuple[str, str]:
+    """One distributed read of exactly this bin's files, one output
+    file, into a hidden ``_compact-stage-…`` dir. The shuffle-free
+    coalesce(1) narrows the write, it does NOT re-sort — row order is
+    concatenation in path order. Returns (stage_dir, part_path)."""
+    stage_dir = os.path.join(dir_, f"_compact-stage-{_bin_hash(paths)}")
+    fsx.delete(stage_dir)
+    (
+        spark.read.parquet(*sorted(paths))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(_local(stage_dir))
+    )
+    parts = fsx.glob(os.path.join(stage_dir, "part-*.parquet"))
+    if len(parts) != 1:
+        raise RuntimeError(f"expected 1 staged part in {stage_dir}, got {parts}")
+    return stage_dir, parts[0]
+
+
+def _publish(
+    fsx: _Fs, part: str, target: str, expected_len: int, publish_mode: str
+) -> None:
+    if publish_mode == "rename":
+        fsx.rename(part, target)
+    elif publish_mode == "copy":
+        fsx.copy(part, target)
+        got = fsx.length(target)
+        if got != expected_len:
+            raise RuntimeError(
+                f"torn publish of {target}: {got} bytes != {expected_len}"
+            )
     else:
-        if len(existing) < len(lpaths):
+        raise ValueError(f"unknown publish_mode {publish_mode!r}")
+
+
+def _finish_claim(
+    fsx: _Fs, paths: list[str], existing: list[str], mpath: str
+) -> None:
+    """The post-publish half of every bin: delete claimed sources, then
+    retire the manifest. Crash anywhere inside → the manifest survives,
+    the claim replays, planning never sees the survivors."""
+    for p in existing:
+        fsx.delete(p)
+    fsx.delete(mpath)
+
+
+def _rewrite_bin(
+    spark: SparkSession,
+    fsx: _Fs,
+    dir_: str,
+    paths: list[str],
+    publish_mode: str,
+) -> str:
+    """Execute one planned bin's state machine; returns the action."""
+    target = os.path.join(dir_, _target_name(paths))
+    existing = [p for p in paths if fsx.exists(p)]
+    if fsx.exists(target):
+        action = "replayed_delete" if existing else "already_done"
+        # claim before the first source delete even on this path, where
+        # a pre-manifest-era target exists but sources linger
+        mpath = _write_manifest(fsx, dir_, paths, fsx.length(target))
+    else:
+        if len(existing) < len(paths):
             # target missing AND some sources gone: a concurrent writer
             # broke the plan's snapshot — refuse rather than guess
             raise RuntimeError(
-                f"bin in {dir_} lost {len(lpaths) - len(existing)} source "
+                f"bin in {dir_} lost {len(paths) - len(existing)} source "
                 f"files without a published target; re-plan before rerun"
             )
-        stage_dir = os.path.join(ldir, f"_compact-stage-{_target_name(paths)}")
-        shutil.rmtree(stage_dir, ignore_errors=True)
-        # one distributed read of exactly this bin's files, one output
-        # file: the shuffle-free coalesce(1) narrows the write, it does
-        # NOT re-sort — row order is concatenation in path order
-        (
-            spark.read.parquet(*sorted(paths))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(stage_dir)
-        )
-        part = next(
-            os.path.join(stage_dir, f)
-            for f in os.listdir(stage_dir)
-            if f.startswith("part-") and f.endswith(".parquet")
-        )
-        os.replace(part, target)  # atomic publish, same filesystem
-        shutil.rmtree(stage_dir, ignore_errors=True)
+        stage_dir, part = _stage_part(spark, fsx, dir_, paths)
+        expected_len = fsx.length(part)
+        mpath = _write_manifest(fsx, dir_, paths, expected_len)
+        _publish(fsx, part, target, expected_len, publish_mode)
+        fsx.delete(stage_dir)
         action = "rewritten"
-    for p in lpaths:
-        if os.path.exists(p):
-            os.remove(p)
+    _finish_claim(fsx, paths, existing, mpath)
     return action
+
+
+def _replay_claim(
+    spark: SparkSession,
+    fsx: _Fs,
+    dir_: str,
+    mpath: str,
+    publish_mode: str,
+) -> tuple[str, str, int, int]:
+    """Finish an interrupted claimed bin found via its manifest.
+    Returns (target, action, n_sources, bytes_remaining)."""
+    expected_len, paths = _read_manifest(fsx, mpath)
+    target = os.path.join(dir_, _target_name(paths))
+    existing = [p for p in paths if fsx.exists(p)]
+    bytes_left = sum(fsx.length(p) for p in existing)
+    target_ok = fsx.exists(target) and fsx.length(target) == expected_len
+    if target_ok:
+        action = "replayed_delete" if existing else "already_done"
+    else:
+        if fsx.exists(target):  # torn copy-mode publish
+            fsx.delete(target)
+        stage_dir = os.path.join(dir_, f"_compact-stage-{_bin_hash(paths)}")
+        parts = fsx.glob(os.path.join(stage_dir, "part-*.parquet"))
+        if parts and fsx.length(parts[0]) == expected_len:
+            part = parts[0]  # publish crashed; the stage is intact
+        else:
+            if len(existing) < len(paths):
+                raise RuntimeError(
+                    f"claimed bin {mpath} has no valid target, a missing "
+                    f"stage, and {len(paths) - len(existing)} missing "
+                    f"sources; the lake was modified outside the compactor"
+                )
+            stage_dir, part = _stage_part(spark, fsx, dir_, paths)
+            # a re-staged parquet can differ in byte length (writer
+            # metadata); re-pin the claim to the bytes we will publish
+            expected_len = fsx.length(part)
+            _write_manifest(fsx, dir_, paths, expected_len)
+        _publish(fsx, part, target, expected_len, publish_mode)
+        fsx.delete(stage_dir)
+        action = "replayed_publish"
+    _finish_claim(fsx, paths, existing, mpath)
+    return target, action, len(paths), bytes_left
 
 
 def compact_files(
@@ -142,6 +340,7 @@ def compact_files(
     pattern: str,
     target_bytes: int,
     max_parallel_bins: int = 4,
+    publish_mode: str = "rename",
 ) -> DataFrame:
     """Execute the compaction plan for ``pattern``: every multi-file
     bin is rewritten to one deterministically-named file and its
@@ -150,16 +349,34 @@ def compact_files(
     query-preserving: the compacted lake returns byte-identical results
     (order-insensitive; compaction concatenates, never drops/edits).
 
+    Replays any interrupted claims (sidecar manifests) FIRST, excludes
+    their sources from planning, then executes fresh bins.
+
     Returns the execution report: (dir, bin, n_source_files, bytes_in,
-    target, action), action ∈ {rewritten, replayed_delete,
-    already_done, skip_single}.
+    target, action), action ∈ {rewritten, replayed_publish,
+    replayed_delete, already_done, skip_single}; replayed claims carry
+    bin = -1 (their membership comes from the manifest, not the plan).
     """
-    rows = compaction_bins(spark, pattern, target_bytes).collect()
+    fsx = _Fs(spark, pattern)
+    report = []
+
+    # phase 0: finish interrupted claims before planning
+    dir_pattern = pattern.rsplit("/", 1)[0]
+    claimed: set[str] = set()
+    for mpath in fsx.glob(os.path.join(dir_pattern, ".compact-*.sources")):
+        mdir = mpath.rsplit("/", 1)[0]
+        _, cpaths = _read_manifest(fsx, mpath)
+        claimed.update(cpaths)
+        target, action, n_src, bytes_left = _replay_claim(
+            spark, fsx, mdir, mpath, publish_mode
+        )
+        report.append((mdir, -1, n_src, bytes_left, target, action))
+
+    # phase 1: plan over unclaimed files, execute fresh bins
+    rows = compaction_bins(spark, pattern, target_bytes, claimed=claimed).collect()
     bins: dict[tuple[str, int], list] = {}
     for r in rows:
         bins.setdefault((r.dir, r.bin), []).append(r)
-
-    report = []
 
     def run_bin(key):
         dir_, b = key
@@ -169,12 +386,12 @@ def compact_files(
         if len(paths) == 1:
             action, target = "skip_single", None
         else:
-            action = _rewrite_bin(spark, dir_, paths)
-            target = os.path.join(_local(dir_), _target_name(paths))
+            action = _rewrite_bin(spark, fsx, dir_, paths, publish_mode)
+            target = os.path.join(dir_, _target_name(paths))
         return (dir_, b, len(paths), total, target, action)
 
     with ThreadPoolExecutor(max_workers=max_parallel_bins) as pool:
-        report = list(pool.map(run_bin, sorted(bins)))
+        report += list(pool.map(run_bin, sorted(bins)))
 
     return spark.createDataFrame(
         report,

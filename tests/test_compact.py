@@ -142,3 +142,162 @@ def test_compact_oversized_file_untouched(spark, tmp_path):
 def test_compaction_bins_rejects_bad_target(spark):
     with pytest.raises(ValueError, match="target_bytes"):
         compaction_bins(spark, "/tmp/nope/*.parquet", 0)
+
+
+def test_compact_crash_mid_source_delete_does_not_duplicate(
+    spark, tmp_path, monkeypatch
+):
+    """THE replay-duplication hole (r8 ADVICE, high): crash partway
+    through the source-delete loop. The survivors' exclusive-cumsum bin
+    assignment would shift on re-listing — landing them in a NEW bin
+    whose target is absent, so the old code rewrote their rows a second
+    time next to the published target. The sidecar manifest pins the
+    bin before the first delete; replay must finish the claimed bin,
+    never re-bin the survivors."""
+    import kubernetes_logs_datalake_spark.sources.compact as compact_mod
+
+    root = str(tmp_path / "lake")
+    total = _write_lake(spark, root, n_parts=1, files_per_part=6)
+    d = os.path.join(root, "part=0")
+
+    real_finish = compact_mod._finish_claim
+
+    def crash_after_two(fsx, paths, existing, mpath):
+        for p in existing[:2]:
+            fsx.delete(p)
+        raise RuntimeError("injected crash mid source-delete")
+
+    monkeypatch.setattr(compact_mod, "_finish_claim", crash_after_two)
+    with pytest.raises(Exception, match="injected crash"):
+        compact_files(spark, f"{root}/part=*/*.parquet", target_bytes=1 << 30)
+
+    # crashed state: target published, manifest live, 4 of 6 sources left
+    assert len(_data_files(d)) == 1 + 4
+    assert any(f.startswith(".compact-") for f in os.listdir(d))
+
+    monkeypatch.setattr(compact_mod, "_finish_claim", real_finish)
+    rep = compact_files(
+        spark, f"{root}/part=*/*.parquet", target_bytes=1 << 30
+    ).collect()
+    assert [r.action for r in rep] == ["replayed_delete"]
+    assert rep[0].bin == -1  # membership came from the manifest
+    # converged: one compact file, exact rows, no duplicates, no manifest
+    assert len(_data_files(d)) == 1
+    assert spark.read.parquet(d).count() == total
+    # no manifest remnants (the target's hadoop-local .crc sidecar may
+    # remain — it is the checksum of the published file, not state)
+    assert not any(".sources" in f for f in os.listdir(d))
+    # and a further re-run is a clean no-op
+    assert (
+        compact_files(
+            spark, f"{root}/part=*/*.parquet", target_bytes=1 << 30
+        ).collect()
+        == []
+    )
+
+
+def test_compact_crash_before_publish_replays_from_stage(
+    spark, tmp_path, monkeypatch
+):
+    """Crash between writing the claim manifest and publishing the
+    target: the stage is intact, so replay publishes it without
+    re-reading the sources, then finishes the claim."""
+    import kubernetes_logs_datalake_spark.sources.compact as compact_mod
+
+    root = str(tmp_path / "lake")
+    total = _write_lake(spark, root, n_parts=1, files_per_part=4)
+    d = os.path.join(root, "part=0")
+
+    def crash_publish(fsx, part, target, expected_len, publish_mode):
+        raise RuntimeError("injected crash before publish")
+
+    monkeypatch.setattr(compact_mod, "_publish", crash_publish)
+    with pytest.raises(Exception, match="injected crash"):
+        compact_files(spark, f"{root}/part=*/*.parquet", target_bytes=1 << 30)
+    monkeypatch.undo()
+
+    # crashed state: no target, manifest + hidden stage dir + all sources
+    # (_data_files walks into the stage dir; exclude it — readers don't)
+    assert len([f for f in _data_files(d) if "_compact-stage-" not in f]) == 4
+    assert any(f.startswith("_compact-stage-") for f in os.listdir(d))
+
+    rep = compact_files(
+        spark, f"{root}/part=*/*.parquet", target_bytes=1 << 30
+    ).collect()
+    assert [r.action for r in rep] == ["replayed_publish"]
+    assert len(_data_files(d)) == 1
+    assert spark.read.parquet(d).count() == total
+    assert not any(
+        ".sources" in f or f.startswith("_compact-stage-")
+        for f in os.listdir(d)
+    )
+
+
+def test_compact_copy_mode_end_to_end(spark, tmp_path):
+    """Object-store publish semantics (no rename): copy + length-verify
+    + stage delete must converge to the same lake state as rename mode,
+    and re-run must be a no-op."""
+    root = str(tmp_path / "lake")
+    _write_lake(spark, root)
+    before_hash = _lake_hash(spark, root)
+
+    rep = compact_files(
+        spark,
+        f"{root}/part=*/*.parquet",
+        target_bytes=1 << 30,
+        publish_mode="copy",
+    ).collect()
+    assert all(r.action == "rewritten" for r in rep)
+    assert len(_data_files(root)) == 2
+    assert _lake_hash(spark, root) == before_hash
+    assert (
+        compact_files(
+            spark,
+            f"{root}/part=*/*.parquet",
+            target_bytes=1 << 30,
+            publish_mode="copy",
+        ).collect()
+        == []
+    )
+
+
+def test_compact_copy_mode_torn_target_republishes(spark, tmp_path):
+    """A torn copy-mode publish (crash mid-PUT on a store without an
+    atomic one): the target exists but its length disagrees with the
+    manifest. Replay must detect the tear via the length check,
+    republish, and converge — never trust a target by existence."""
+    from kubernetes_logs_datalake_spark.sources.compact import (
+        _Fs,
+        _manifest_name,
+        _stage_part,
+        _write_manifest,
+    )
+
+    root = str(tmp_path / "lake")
+    total = _write_lake(spark, root, n_parts=1, files_per_part=4)
+    d = os.path.join(root, "part=0")
+    paths = [f"file:{p}" for p in _data_files(d)]
+
+    # hand-build the crashed state: stage + manifest + torn target
+    fsx = _Fs(spark, f"file:{d}")
+    stage_dir, part = _stage_part(spark, fsx, f"file:{d}", paths)
+    expected = fsx.length(part)
+    _write_manifest(fsx, f"file:{d}", paths, expected)
+    torn = os.path.join(d, _target_name(paths))
+    with open(torn, "wb") as fh:
+        fh.write(b"\x00" * (expected // 2))  # half the bytes — torn
+
+    rep = compact_files(
+        spark,
+        f"{root}/part=*/*.parquet",
+        target_bytes=1 << 30,
+        publish_mode="copy",
+    ).collect()
+    assert [r.action for r in rep] == ["replayed_publish"]
+    assert len(_data_files(d)) == 1
+    assert spark.read.parquet(d).count() == total
+    assert os.path.getsize(torn) == expected
+    assert not any(
+        ".sources" in f or f.startswith("_compact-stage-")
+        for f in os.listdir(d)
+    )
