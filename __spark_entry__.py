@@ -7984,15 +7984,16 @@ def oracle_sql() -> dict[str, str]:
                        sum(n) OVER (PARTITION BY event_type) AS tot
                 FROM st
             ), e AS (
-                SELECT c.*, CAST(q AS DOUBLE) AS q
-                FROM c, (SELECT unnest({_HIST_QS!r}) AS q)
+                SELECT c.*, CAST(bp AS BIGINT) AS bp
+                FROM c, (SELECT unnest(
+                    {[int(round(q * 10_000)) for q in _HIST_QS]!r}) AS bp)
             ), hit AS (
-                SELECT event_type, q, min(bin) AS b
+                SELECT event_type, bp, min(bin) AS b
                 FROM e
-                WHERE cum >= floor((q * 10000 * tot + 9999) / 10000)
+                WHERE cum >= (bp * tot + 9999) // 10000
                 GROUP BY 1, 2
             )
-            SELECT event_type, q,
+            SELECT event_type, CAST(bp AS DOUBLE) / 10000 AS q,
                    round(CAST({_HIST_LO!r} AS DOUBLE) + (b + 1)
                          * CAST({(_HIST_HI - _HIST_LO) / _HIST_BINS!r}
                                 AS DOUBLE), 6) AS est,

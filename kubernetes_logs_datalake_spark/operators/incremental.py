@@ -68,26 +68,36 @@ def snapshot_diff(
     modified → new, removed → unchanged-side semantics documented per
     column). One shuffle each side + the join; output ≤ 4 rows.
     """
+    # presence is its own flag — NULL content must not read as a
+    # missing ROW (md5(NULL) is NULL, so hash-nullness conflates the
+    # two); hashes compare null-safely so two NULL-content sides are
+    # "unchanged", NULL vs text is "modified"
     a = old.select(
         F.col(id_col).alias("_id"),
+        F.lit(True).alias("_pa"),
         F.md5(F.col(content_col)).alias("_ha"),
         F.length(content_col).cast("long").alias("_la"),
     )
     b = new.select(
         F.col(id_col).alias("_id"),
+        F.lit(True).alias("_pb"),
         F.md5(F.col(content_col)).alias("_hb"),
         F.length(content_col).cast("long").alias("_lb"),
     )
     j = a.join(b, "_id", "full_outer")
     status = (
-        F.when(F.col("_ha").isNull(), F.lit("added"))
-        .when(F.col("_hb").isNull(), F.lit("removed"))
-        .when(F.col("_ha") == F.col("_hb"), F.lit("unchanged"))
+        F.when(F.col("_pa").isNull(), F.lit("added"))
+        .when(F.col("_pb").isNull(), F.lit("removed"))
+        .when(F.col("_ha").eqNullSafe(F.col("_hb")), F.lit("unchanged"))
         .otherwise(F.lit("modified"))
     )
     # chars column: the side that exists "after" the change — new for
-    # added/modified/unchanged, old for removed (what was lost)
-    chars = F.coalesce("_lb", "_la")
+    # added/modified/unchanged, old for removed (what was lost) — keyed
+    # on row PRESENCE, so NULL content counts 0 chars on its own side
+    # instead of falling through to the other side's length
+    chars = F.when(
+        F.col("_pb").isNotNull(), F.coalesce("_lb", F.lit(0))
+    ).otherwise(F.coalesce("_la", F.lit(0)))
     return (
         j.select(status.alias("status"), chars.alias("_c"))
         .groupBy("status")

@@ -253,11 +253,27 @@ def export_manifest(spark, path: str) -> DataFrame:
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+    # a hashed file the parquet leg never counted means the two
+    # listings diverged (path-normalization drift, a non-shard layout,
+    # or a zero-row file no exporter here writes) — a silent n_rows=0
+    # would be a plausible-looking but wrong manifest, so fail loudly
+    n_rows = F.when(
+        F.col("n_rows").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "export_manifest: file hashed but absent from the "
+                    "parquet row-count scan (listing mismatch): "
+                ),
+                F.col("path"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("n_rows"))
     return (
         hashes.join(rows, "path", "left")
         .select(
             "path",
-            F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+            n_rows.alias("n_rows"),
             "n_bytes",
             "sha256",
         )

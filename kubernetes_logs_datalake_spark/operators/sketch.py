@@ -365,8 +365,12 @@ def histogram_quantiles(
     UPPER EDGE of the first bin whose cumulative count reaches
     ⌈q·N⌉ — a deterministic order statistic over the grid, error
     bounded by one bin width ((hi−lo)/n_bins), which is the knob the
-    caller sizes. Integer rank arithmetic (ceil via (num + den − 1)
-    DIV den) so the DuckDB oracle reproduces every estimate exactly.
+    caller sizes. Each q is snapped to integer BASIS POINTS on the
+    driver (round(q·10⁴) — lossless for the p50/p90/p99 family), so
+    the rank really is exact integer ceil((bp·N + 10⁴−1) DIV 10⁴):
+    no float product anywhere, any engine reproduces every estimate.
+    The output q column is bp/10⁴ (identical double to the input for
+    4-decimal qs).
 
     Plan: one key-partitioned cumsum window over ≤ n_bins rows per key
     (the STATE, not the data), then a ≤ |qs|-row semi-explode — the
@@ -386,20 +390,18 @@ def histogram_quantiles(
     cum = state.withColumn("_cum", F.sum("n").over(w)).withColumn(
         "_tot", F.sum("n").over(tot_w)
     )
-    qarr = F.explode(
-        F.array(*[F.lit(float(q)) for q in qs])
-    ).alias("q")
-    # rank = ceil(q * tot) in exact integer arithmetic over basis points
-    exploded = cum.select(*keys, "bin", "_cum", "_tot", qarr)
-    rank = F.floor(
-        (exploded.q * F.lit(10_000) * F.col("_tot") + F.lit(9_999))
-        / F.lit(10_000)
-    )
+    bps = [int(round(float(q) * 10_000)) for q in qs]
+    bparr = F.explode(
+        F.array(*[F.lit(bp).cast("long") for bp in bps])
+    ).alias("_bp")
+    exploded = cum.select(*keys, "bin", "_cum", "_tot", bparr)
+    # rank = ceil(q·N) exactly: all-integer (bp·N + 9999) DIV 10000
+    rank = F.expr("(_bp * _tot + 9999) DIV 10000")
     hit = exploded.filter(F.col("_cum") >= rank)
-    first_bin = hit.groupBy(*keys, "q").agg(F.min("bin").alias("_b"))
+    first_bin = hit.groupBy(*keys, "_bp").agg(F.min("bin").alias("_b"))
     return first_bin.select(
         *keys,
-        "q",
+        (F.col("_bp") / F.lit(10_000.0)).alias("q"),
         F.round(
             F.lit(float(lo)) + (F.col("_b") + 1) * F.lit(float(width)), 6
         ).alias("est"),

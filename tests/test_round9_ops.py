@@ -1,0 +1,116 @@
+"""Round-9 operator behavior: the r8 ADVICE closures (snapshot_diff
+NULL content, cluster_labels subset denominators, export_manifest
+mismatch detection, histogram_quantiles integer ranks), the packed-SQ8
+representation, and the occupancy-sample knob."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------ snapshot_diff NULLs
+
+
+def test_snapshot_diff_null_content_is_presence_not_absence(spark):
+    """A row whose content is NULL is still a PRESENT row: NULL→NULL is
+    unchanged, NULL→text and text→NULL are modified — never added or
+    removed (the md5(NULL)-is-NULL conflation from r8 ADVICE)."""
+    from kubernetes_logs_datalake_spark.operators.incremental import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "ccc"), (4, "dd")],
+        "id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "bb"), (3, None), (5, "e")],
+        "id long, text string",
+    )
+    out = {r.status: (r.n_docs, r.n_chars)
+           for r in snapshot_diff(old, new, "id", "text").collect()}
+    assert out == {
+        "unchanged": (1, 0),   # id 1: NULL == NULL, 0 chars
+        "modified": (2, 2),    # id 2 (NULL→"bb", 2) + id 3 ("ccc"→NULL, 0)
+        "removed": (1, 2),     # id 4, old chars
+        "added": (1, 1),       # id 5, new chars
+    }
+
+
+# ------------------------------------- cluster_labels subset semantics
+
+
+def test_cluster_labels_subset_assigned_uses_one_corpus(spark):
+    """When `assigned` covers only a subset of `df`, BOTH the global
+    document frequency and N must range over the assigned docs — the
+    lift of a term that is everywhere in the assigned corpus is exactly
+    1.0 no matter how many unassigned docs also contain it."""
+    from kubernetes_logs_datalake_spark.operators.classify import (
+        cluster_labels,
+    )
+
+    docs = [(i, "common alpha" if i < 4 else "common beta") for i in range(8)]
+    # 100 unassigned docs that also contain 'common' — they must not
+    # deflate (or inflate) any assigned-corpus lift
+    docs += [(100 + i, "common noise") for i in range(100)]
+    asg = [(i, 0 if i < 4 else 1) for i in range(8)]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    a = spark.createDataFrame(asg, "doc_id long, cluster int")
+    out = cluster_labels(a, d, "doc_id", "text", top_n=2, min_df=2)
+    rows = {(r.cluster, r.term): r.score for r in out.collect()}
+    # over the 8 assigned docs: common df_g=8 N=8 df_c=4 sz=4 → lift 1.0
+    assert rows[(0, "common")] == 1.0
+    assert rows[(1, "common")] == 1.0
+    # alpha: df_c=4/sz=4 over df_g=4/N=8 → lift 2.0
+    assert rows[(0, "alpha")] == 2.0
+    assert rows[(1, "beta")] == 2.0
+    assert not any(t == "noise" for (_, t) in rows)
+
+
+# --------------------------------------- export_manifest mismatch gate
+
+
+def test_export_manifest_raises_on_listing_mismatch(spark, tmp_path):
+    """A data file the sha256 leg hashes but the parquet row-count leg
+    never emits a row for (here: a zero-row parquet smuggled into a
+    shard dir — exporters never write one, so it means the listings
+    diverged) must RAISE, not report a plausible n_rows=0."""
+    import os
+
+    from kubernetes_logs_datalake_spark.operators.layout import (
+        export_manifest,
+        export_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "text %d" % i) for i in range(40)], "doc_id long, text string"
+    )
+    root = str(tmp_path / "export")
+    export_training_shards(docs, "doc_id", root, n_shards=2)
+    # healthy tree: manifest works
+    assert len(export_manifest(spark, root).collect()) >= 2
+
+    # the divergence: a parquet file the glob hashes but the count
+    # scan never yields rows for
+    shard_dir = next(
+        os.path.join(root, d) for d in os.listdir(root) if d.startswith("shard=")
+    )
+    docs.limit(0).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(shard_dir, "_tmp")
+    )
+    part = next(
+        f
+        for f in os.listdir(os.path.join(shard_dir, "_tmp"))
+        if f.endswith(".parquet")
+    )
+    os.replace(
+        os.path.join(shard_dir, "_tmp", part),
+        os.path.join(shard_dir, "stray.parquet"),
+    )
+    import shutil
+
+    shutil.rmtree(os.path.join(shard_dir, "_tmp"))
+
+    with pytest.raises(Exception, match="listing mismatch"):
+        export_manifest(spark, root).collect()
