@@ -286,6 +286,7 @@ def auto_time_bucket(
     target_occupancy: int = 32,
     over_pct: int = 5,
     n_halvings: int = 8,
+    sample_mod: int | None = None,
 ) -> int:
     """Self-tuning co-occurrence window: the widest time bucket (from
     the halving ladder base, base/2, …, base/2^n_halvings) whose
@@ -303,8 +304,17 @@ def auto_time_bucket(
     2-counter rollup — n_halvings × the kernel's own distinct scan,
     all map-side until the tiny final agg. Selection is pure integer
     arithmetic (n_over · 100 ≤ n_ctx · over_pct), so a SQL oracle
-    replays the pick bit-for-bit. At 100 TB run the pre-pass on a
-    hash-sample of nodes; occupancy quantiles concentrate fast.
+    replays the pick bit-for-bit.
+
+    At 100 TB run the pre-pass on a hash-sample of NODES:
+    ``sample_mod=m`` keeps the nodes with ``xxhash64(node) mod m == 0``
+    (deterministic — the same m always samples the same nodes, so the
+    pick is replayable) and compares ``occupancy·m`` against the
+    target, still in exact integers. Occupancy quantiles concentrate
+    fast, so the sampled pick matches the full pick once contexts hold
+    a few sampled nodes each (tests pin agreement on a 10× fixture);
+    the ladder scan then reads 1/m of the rows. Node-sampling (not
+    row-sampling) keeps each surviving node's bucket membership exact.
 
     Choose ``target_occupancy`` under the kernel's hot-key cap: the
     cap stays as the last-resort guard for the over-pct tail, while
@@ -316,9 +326,17 @@ def auto_time_bucket(
         raise ValueError(f"base_width must be >= 1, got {base_width}")
     if not 0 <= over_pct <= 100:
         raise ValueError(f"over_pct must be in [0, 100], got {over_pct}")
+    if sample_mod is not None and sample_mod < 1:
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
     cands = [base_width >> i for i in range(n_halvings + 1) if base_width >> i]
+    scale = sample_mod if sample_mod else 1
+    src = df
+    if sample_mod and sample_mod > 1:
+        src = df.filter(
+            F.pmod(F.xxhash64(F.col(node_col)), F.lit(sample_mod)) == 0
+        )
     occ = (
-        df.select(
+        src.select(
             F.col(node_col).alias("_n"), *key_cols, F.col(ts_col).alias("_ts")
         )
         .withColumn("_w", F.explode(F.array(*[F.lit(w) for w in cands])))
@@ -338,7 +356,9 @@ def auto_time_bucket(
         .agg(
             F.count(F.lit(1)).alias("n_ctx"),
             F.sum(
-                F.when(F.col("_occ") > target_occupancy, 1).otherwise(0)
+                F.when(
+                    F.col("_occ") * F.lit(scale) > target_occupancy, 1
+                ).otherwise(0)
             ).alias("n_over"),
         )
         .collect()

@@ -268,3 +268,80 @@ def test_empty_chunk_does_not_corrupt_state():
     closed = _fire_timeout(fn, state)
     assert closed.iloc[0]["n_lines"] == 2
     assert closed.iloc[0]["last_time_ns"] == 9
+
+
+def test_close_write_latency_bound_many_keys(spark, tmp_path):
+    """25 container keys go idle TOGETHER (the reference's 50-buffer
+    SIGTERM shape, test.sh:482-541: every buffer flushed and visible on
+    shutdown): every key's close event must land within the same
+    idle + trigger + grace bound — per-key timer state must not
+    serialize closes across keys. Grace is wider than the single-key
+    test only for the file-source listing of 25 files, not per-key."""
+    import uuid
+
+    base = str(tmp_path)
+    n_keys = 25
+    dirs = []
+    for i in range(n_keys):
+        d = os.path.join(base, f"var/log/pods/qa_app-m{i}_u/app")
+        os.makedirs(d)
+        dirs.append(d)
+    name = f"idle_lat_many_{uuid.uuid4().hex[:8]}"
+    idle_seconds, trigger_seconds, grace_seconds = 2, 1, 18
+
+    stream = parse_cri_lines(
+        spark.readStream.format("text")
+        .option("recursiveFileLookup", "true")
+        .load(base)
+        .withColumn("path", F.input_file_name()),
+        path_col="path",
+        cluster="dev",
+    )
+    q = (
+        closed_sessions(stream, idle_seconds=idle_seconds)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if q.lastProgress and q.lastProgress.get("numInputRows") is not None:
+                break
+            time.sleep(0.5)
+
+        for i, d in enumerate(dirs):
+            with open(os.path.join(d, "0.log"), "w") as f:
+                f.write(
+                    f"2024-01-15T10:30:00.{i:03d}Z stdout F line-from-{i}\n"
+                )
+        t_write = time.time()
+
+        all_visible_at = None
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            assert q.exception() is None, q.exception()
+            c = spark.sql(f"SELECT count(*) c FROM {name}").first().c
+            if c >= n_keys:
+                all_visible_at = time.time()
+                break
+            time.sleep(0.2)
+        assert all_visible_at is not None, (
+            f"only {spark.sql(f'SELECT count(*) c FROM {name}').first().c}"
+            f"/{n_keys} close events became visible"
+        )
+        elapsed = all_visible_at - t_write
+        bound = idle_seconds + trigger_seconds + grace_seconds
+        assert elapsed <= bound, (
+            f"last of {n_keys} close events at {elapsed:.1f}s exceeds "
+            f"{bound}s bound"
+        )
+        rows = spark.sql(f"SELECT pod, n_lines FROM {name}").collect()
+        assert sorted(r.pod for r in rows) == sorted(
+            f"app-m{i}" for i in range(n_keys)
+        )
+        assert all(r.n_lines == 1 for r in rows)
+    finally:
+        q.stop()

@@ -114,3 +114,88 @@ def test_export_manifest_raises_on_listing_mismatch(spark, tmp_path):
 
     with pytest.raises(Exception, match="listing mismatch"):
         export_manifest(spark, root).collect()
+
+
+# ------------------------------------- auto_time_bucket sample_mod
+
+
+def _activity9(spark, n_users, n_hours, per_hour_users):
+    hour = 3600 * 1_000_000
+    rows = []
+    for h in range(n_hours):
+        for i in range(per_hour_users):
+            u = (h * per_hour_users + i) % n_users
+            rows.append((u, "t", h * hour + (i * hour) // per_hour_users))
+    return spark.createDataFrame(rows, "user_id long, et string, ts_us long")
+
+
+def test_auto_bucket_sampled_pick_matches_full_pick_at_10x(spark):
+    """The 100 TB pre-pass knob: a deterministic 1-in-4 node hash
+    sample must pick the SAME width as the full scan on both the
+    sparse fixture and the 10x-dense fixture (occupancy quantiles
+    concentrate — the sampled estimate occ*mod sits on the same side
+    of the target)."""
+    from kubernetes_logs_datalake_spark.operators.graph import (
+        auto_time_bucket,
+    )
+
+    base = 3600 * 1_000_000
+    sparse = _activity9(spark, n_users=200, n_hours=12, per_hour_users=4)
+    dense = _activity9(spark, n_users=20000, n_hours=6, per_hour_users=1280)
+
+    for df in (sparse, dense):
+        full = auto_time_bucket(
+            df, "user_id", "ts_us", ["et"], base, target_occupancy=32
+        )
+        sampled = auto_time_bucket(
+            df, "user_id", "ts_us", ["et"], base, target_occupancy=32,
+            sample_mod=4,
+        )
+        assert sampled == full
+    # and the dense pick actually narrowed (the knob measures, not skips)
+    assert auto_time_bucket(
+        dense, "user_id", "ts_us", ["et"], base, target_occupancy=32,
+        sample_mod=4,
+    ) <= base // 4
+
+
+def test_auto_bucket_sample_mod_one_is_identity(spark):
+    from kubernetes_logs_datalake_spark.operators.graph import (
+        auto_time_bucket,
+    )
+
+    base = 3600 * 1_000_000
+    df = _activity9(spark, n_users=200, n_hours=6, per_hour_users=4)
+    assert auto_time_bucket(
+        df, "user_id", "ts_us", ["et"], base, sample_mod=1
+    ) == auto_time_bucket(df, "user_id", "ts_us", ["et"], base)
+    with pytest.raises(ValueError, match="sample_mod"):
+        auto_time_bucket(df, "user_id", "ts_us", ["et"], base, sample_mod=0)
+
+
+# ----------------------------- doc_length_bins_approx agreement gate
+
+
+def test_doc_length_bins_approx_agrees_with_exact(spark):
+    """The no-oracle-manifest contract for doc_length_bins_approx
+    (mirrors test_approx_distinct_users_agrees_with_exact): the
+    sketch-cutpoint bin must equal the exact ntile bin for >= 90% of
+    documents, and never differ by more than one bin (sketch error and
+    boundary ties move a row at most one bucket). Deterministic for a
+    fixed input - a regression pin, not a flaky bound."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r.doc_id: r.bin
+        for r in entrymod.queries()["doc_length_bins"](spark, sf).collect()
+    }
+    approx = {
+        r.doc_id: r.bin
+        for r in entrymod.queries()["doc_length_bins_approx"](spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    n = len(exact)
+    agree = sum(1 for k in exact if exact[k] == approx[k])
+    assert agree >= 0.90 * n, f"only {agree}/{n} bins agree"
+    assert all(abs(exact[k] - approx[k]) <= 1 for k in exact)
