@@ -4595,6 +4595,68 @@ _NO_ORACLE_SIBLINGS = {
     "ann_topk_arrow": "ann_topk_bruteforce",
 }
 
+_R9_WINDOW = [
+    # 1. the r8 red row, fixed (codes now a canon-hashable string) +
+    # this round's new query
+    "embedding_sq8_codes",
+    "ann_topk_sq8_packed",
+    # 2. semantically touched this round (shared k-means fit; presence
+    # flags in snapshot_diff; integer basis-point quantile ranks;
+    # one-corpus cluster-label denominators)
+    "docs_topic_clusters",
+    "docs_cluster_labels",
+    "docs_snapshot_diff",
+    "events_value_hist_quantiles",
+    # 3. the full r4-vintage cohort — the ledger's 30 stalest greens,
+    # keeping max staleness <= 4 rounds (r8 VERDICT item 3)
+    "array_functions_showcase",
+    "array_stats_embeddings",
+    "cross_join_region_pairs",
+    "date_functions_showcase",
+    "docs_classifier_score",
+    "docs_curation_verdicts",
+    "embedding_kmeans",
+    "events_interarrival",
+    "events_retention",
+    "events_session_windows",
+    "full_outer_nation_counts",
+    "grouping_sets_orders",
+    "monthly_order_trend",
+    "q11_important_parts",
+    "q12_priority_by_linestatus",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filters",
+    "q20_volume_suppliers",
+    "q21_waiting_suppliers",
+    "q22_inactive_rich_customers",
+    "q8_market_share",
+    "q9_nation_profit",
+    "regex_source_extract",
+    "scalar_null_handling",
+    "text_bm25_search",
+    # 4. freshness fill: the oldest r5-vintage rows
+    "ann_recall_lsh",
+    "bloom_prune_lineitem",
+    "corr_quantity_price",
+    "cri_multiline_roundtrip",
+    "dedup_minhash_calibration",
+    "docs_chunk_passages",
+    "docs_common_ngrams",
+    "docs_corpus_diff",
+    "docs_decontaminate",
+    "docs_decontaminate_semantic",
+    "docs_dedup_incremental",
+    "docs_dsir_sample",
+    "docs_dsir_weights",
+    # sentinel (green in every round since r1)
+    "q1_pricing_summary",
+]
+
 _R8_WINDOW = [
     # 1. never driver-hash-checked (12): the round-7 late additions,
     # all replica-verified green during r7 judging
@@ -4660,7 +4722,7 @@ _R8_WINDOW = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _all_queries()
-    ordered = {name: base[name] for name in _R8_WINDOW}
+    ordered = {name: base[name] for name in _R9_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
     return ordered
 

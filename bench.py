@@ -157,6 +157,7 @@ HEADLINE = [
     "docs_epoch_allocation",
     "docs_cluster_labels",
     "ann_topk_sq8",
+    "ann_topk_sq8_packed",
     "ann_recall_sq8",
     "embedding_sq8_codes",
     # events_hits_scores is deliberately NOT benched for the same

@@ -199,3 +199,52 @@ def test_doc_length_bins_approx_agrees_with_exact(spark):
     agree = sum(1 for k in exact if exact[k] == approx[k])
     assert agree >= 0.90 * n, f"only {agree}/{n} bins agree"
     assert all(abs(exact[k] - approx[k]) <= 1 for k in exact)
+
+
+# --------------------------------------------------- packed SQ8 codes
+
+
+def test_sq8_packed_scores_bit_identical_and_codegen_only(spark):
+    """The packed binary representation must be a pure storage change:
+    sq8_topk_packed returns the exact rows and scores of sq8_topk
+    (same fold order over the same decoded values), with no Python
+    stage in the plan (hex unpack stays in whole-stage codegen) —
+    1 byte/dim in flight instead of array<int>."""
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        sq8_bounds,
+        sq8_pack,
+        sq8_encode,
+        sq8_topk,
+        sq8_topk_packed,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("vec_id") != 0)
+    q = [
+        float(x)
+        for x in spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .first()["embedding"]
+    ]
+    b = sq8_bounds(emb, "embedding", 64)
+    plain = sq8_topk(emb, "vec_id", "embedding", q, 64, bounds=b).collect()
+    packed = sq8_topk_packed(
+        emb, "vec_id", "embedding", q, 64, bounds=b
+    ).collect()
+    assert [(r.vec_id, r.score) for r in plain] == [
+        (r.vec_id, r.score) for r in packed
+    ]
+    plan = (
+        sq8_topk_packed(emb, "vec_id", "embedding", q, 64, bounds=b)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    # and the packed column really is dim bytes
+    enc = sq8_pack(
+        sq8_encode(emb.limit(5), "vec_id", "embedding", 64, bounds=b), "vec_id"
+    )
+    assert all(len(r.packed) == 64 for r in enc.collect())
+    assert dict(enc.dtypes)["packed"] == "binary"
