@@ -896,43 +896,40 @@ def sq8_topk_packed(
 ) -> DataFrame:
     """SQ8 asymmetric top-k over PACKED binary codes — the scale path
     of :func:`sq8_topk`. Codes ride as ``dim`` bytes/row (vs ~16·dim
-    for ``array<int>``); scoring unpacks on read with ONE ``hex()``
-    per row and a 2-char substring per dimension, all inside
-    whole-stage codegen. The fold accumulates left-to-right over the
-    same decoded values as :func:`sq8_topk`, so scores are
-    bit-identical and the two share one DuckDB oracle.
+    for ``array<int>``); scoring unpacks on read with a 1-byte binary
+    substring per dimension (hex+conv of one byte) inside a FLAT
+    unrolled sum — never a higher-order-function fold. A HOF lambda is
+    interpreted, and projection collapse inlines the whole encode+pack
+    expression into every lambda body, re-evaluating it per dimension
+    (measured 5.2 s → 0.3 s warm at x10 for the unroll). The flat
+    left-to-right sum is IEEE-identical to the sequential fold
+    (0.0 + t₁ = t₁), so scores stay bit-identical to :func:`sq8_topk`
+    and the two share one DuckDB oracle.
     """
     if len(query) != dim:
         raise ValueError(f"query dim {len(query)} != dim {dim}")
-    mins, maxs = bounds if bounds is not None else sq8_bounds(df, vec_col, dim)
-    from kubernetes_logs_datalake_spark.functions.vectors import literal_vector
+    import functools
+    import operator as _op
 
+    mins, maxs = bounds if bounds is not None else sq8_bounds(df, vec_col, dim)
     enc = sq8_pack(
         sq8_encode(df, id_col, vec_col, dim, bounds=(mins, maxs)), id_col
     )
-    Mn = literal_vector(mins)
     inv = [
         ((mx - mn) / 255.0) if mx > mn else 0.0
         for mn, mx in zip(mins, maxs)
     ]
-    Iv = literal_vector(inv)
-    Q = literal_vector([float(q) for q in query])
-    hexed = F.hex(F.col("packed"))
-    score = F.aggregate(
-        F.sequence(F.lit(1), F.lit(dim)),
-        F.lit(0.0),
-        lambda acc, i: acc
-        + F.element_at(Q, i.cast("int"))
+    packed = F.col("packed")
+    terms = [
+        F.lit(float(query[i - 1]))
         * (
-            F.element_at(Mn, i.cast("int"))
-            + F.conv(
-                F.substring(hexed, (i * 2 - F.lit(1)).cast("int"), F.lit(2)),
-                16,
-                10,
-            ).cast("double")
-            * F.element_at(Iv, i.cast("int"))
-        ),
-    )
+            F.lit(mins[i - 1])
+            + F.conv(F.hex(F.substring(packed, i, 1)), 16, 10).cast("double")
+            * F.lit(inv[i - 1])
+        )
+        for i in range(1, dim + 1)
+    ]
+    score = functools.reduce(_op.add, terms)
     return (
         enc.select(F.col(id_col), F.round(score, scale).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
@@ -952,38 +949,37 @@ def sq8_topk(
 ) -> DataFrame:
     """SQ8 asymmetric top-k: score each row's CODES against the
     full-precision query (decode-in-expression: v̂_i = min_i +
-    code_i/scale_i) with the repo's fixed left-to-right position fold,
-    so the double sum is order-deterministic and the oracle replays it.
-    Serving reads dim bytes/row conceptually (here an int array —
-    Spark has no uint8 column; the byte layout is a storage-format
-    choice, the plan shape is what this operator pins). Output:
-    (id, score) descending dot product, ties by id.
+    code_i/scale_i) with a FLAT left-to-right unrolled sum — the same
+    accumulation order as a sequential fold (so the double sum is
+    order-deterministic and the oracle replays it) without a
+    higher-order-function lambda: HOF lambdas are interpreted and
+    projection collapse inlines the encode expression into each lambda
+    body, re-evaluating it per dimension (see sq8_topk_packed for the
+    measured cost). Serving reads dim bytes/row conceptually (here an
+    int array; sq8_pack/sq8_topk_packed is the packed-byte layout).
+    Output: (id, score) descending dot product, ties by id.
     """
     if len(query) != dim:
         raise ValueError(f"query dim {len(query)} != dim {dim}")
-    mins, maxs = bounds if bounds is not None else sq8_bounds(df, vec_col, dim)
-    from kubernetes_logs_datalake_spark.functions.vectors import literal_vector
+    import functools
+    import operator as _op
 
+    mins, maxs = bounds if bounds is not None else sq8_bounds(df, vec_col, dim)
     enc = sq8_encode(df, id_col, vec_col, dim, bounds=(mins, maxs))
-    Mn = literal_vector(mins)
     inv = [
         ((mx - mn) / 255.0) if mx > mn else 0.0
         for mn, mx in zip(mins, maxs)
     ]
-    Iv = literal_vector(inv)
-    Q = literal_vector([float(q) for q in query])
     c = F.col("codes")
-    score = F.aggregate(
-        F.sequence(F.lit(1), F.lit(dim)),
-        F.lit(0.0),
-        lambda acc, i: acc
-        + F.element_at(Q, i.cast("int"))
+    terms = [
+        F.lit(float(query[i - 1]))
         * (
-            F.element_at(Mn, i.cast("int"))
-            + c[(i - F.lit(1)).cast("int")].cast("double")
-            * F.element_at(Iv, i.cast("int"))
-        ),
-    )
+            F.lit(mins[i - 1])
+            + F.element_at(c, i).cast("double") * F.lit(inv[i - 1])
+        )
+        for i in range(1, dim + 1)
+    ]
+    score = functools.reduce(_op.add, terms)
     return (
         enc.select(F.col(id_col), F.round(score, scale).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))

@@ -161,6 +161,7 @@ QUERIES = [
     "docs_epoch_allocation",
     "docs_cluster_labels",
     "ann_topk_sq8",
+    "ann_topk_sq8_packed",
     "ann_recall_sq8",
     "embedding_sq8_codes",
 ]
