@@ -167,7 +167,14 @@ def kmeans_assign(
     plan-time-constant centroid set. The centroid matrix is ONE packed
     literal; per row the k squared distances are HOF folds and the
     argmin is array_position of the min — a pure map stage, no shuffle,
-    no UDF. Ties break to the lowest cluster index."""
+    no UDF. Ties break to the lowest cluster index.
+
+    The distance array materializes through a single-element explode (a
+    Generate node): CollapseProject would otherwise inline the k-fold
+    distance expression into all three downstream references
+    (array_position + two array_min), and HOF folds are interpreted, so
+    the k·dim work would run 3× per row (measured 1.04 s → 0.40 s at
+    x10 for the barrier; results bit-identical)."""
     from kubernetes_logs_datalake_spark.functions.vectors import literal_vector
 
     k = len(centroids)
@@ -194,7 +201,7 @@ def kmeans_assign(
     return df.select(
         F.col(id_col),
         vec.alias("_v"),
-        d2.alias("_d2"),
+        F.explode(F.array(d2)).alias("_d2"),
     ).select(
         F.col(id_col),
         (F.array_position(F.col("_d2"), F.array_min(F.col("_d2"))) - 1)
