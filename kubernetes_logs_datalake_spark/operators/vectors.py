@@ -314,23 +314,13 @@ def pq_encode(
         codebooks = pq_codebooks(df, id_col, vec_col, dim, m, k, iters, scale)
     _validate_codebooks(codebooks, dim, m, k)
     subdim = dim // m
+    mid = _subspace_d2_struct(
+        df, [F.col(id_col)], F.col(vec_col), codebooks, subdim
+    )
     cols: list[F.Column] = [F.col(id_col)]
     total_d2 = None
-    for s, cents in enumerate(codebooks):
-        C = literal_vector([float(v) for c in cents for v in c])
-        sub = F.slice(F.col(vec_col), s * subdim + 1, subdim)
-        d2 = F.transform(
-            F.sequence(F.lit(0), F.lit(k - 1)),
-            lambda j: F.aggregate(
-                F.zip_with(
-                    sub,
-                    F.slice(C, j * subdim + 1, subdim),
-                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
-        )
+    for s in range(m):
+        d2 = F.col("_d2s").getField(f"d{s}")
         cols.append(
             (F.array_position(d2, F.array_min(d2)) - 1)
             .cast("int")
@@ -339,7 +329,48 @@ def pq_encode(
         md2 = F.array_min(d2)
         total_d2 = md2 if total_d2 is None else total_d2 + md2
     cols.append(F.round(F.sqrt(total_d2), scale).alias("recon_err"))
-    return df.select(*cols)
+    return mid.select(*cols)
+
+
+def _subspace_d2_struct(df, keep, vec_expr, codebooks, subdim):
+    """Materialize every subspace's k-distance array through ONE
+    single-element explode (a Generate node). CollapseProject would
+    otherwise inline each interpreted k-fold distance expression into
+    its 2-3 downstream references (argmin + min + error sum), tripling
+    the per-row fold work — the same pathology and fix as
+    :func:`kmeans_assign`'s barrier. Returns ``keep`` columns plus a
+    ``_d2s`` struct with one ``d<s>`` array field per subspace; field
+    reads downstream are attribute access, evaluated once."""
+    from kubernetes_logs_datalake_spark.functions.vectors import (
+        literal_vector,
+    )
+
+    def make_d2(sub, C, k):
+        # separate scope per subspace: a plain loop lambda would
+        # capture the loop variables late, and default-arg binding
+        # would change the lambda's arity for the HOF resolver
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda j: F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.slice(C, j * subdim + 1, subdim),
+                    lambda x, c: (x.cast("double") - c)
+                    * (x.cast("double") - c),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+
+    fields = []
+    for s, cents in enumerate(codebooks):
+        C = literal_vector([float(v) for c in cents for v in c])
+        sub = F.slice(vec_expr, s * subdim + 1, subdim)
+        fields.append(make_d2(sub, C, len(cents)).alias(f"d{s}"))
+    return df.select(
+        *keep, F.explode(F.array(F.struct(*fields))).alias("_d2s")
+    )
 
 
 def _validate_codebooks(codebooks, dim: int, m: int, k: int) -> None:
@@ -421,9 +452,11 @@ def pq_adc_topk(
         codebooks = pq_codebooks(df, id_col, vec_col, dim, m, k, iters, scale)
     _validate_codebooks(codebooks, dim, m, k)
     subdim = dim // m
+    mid = _subspace_d2_struct(
+        df, [F.col(id_col)], F.col(vec_col), codebooks, subdim
+    )
     dist_total = None
     for s, cents in enumerate(codebooks):
-        C = literal_vector([float(v) for c in cents for v in c])
         qsub = query[s * subdim : (s + 1) * subdim]
         # ADC lookup table: ||q_sub - c_j||² for every code, computed in
         # Python with the same left-to-right position fold as the oracle
@@ -432,24 +465,12 @@ def pq_adc_topk(
             for c in cents
         ]
         A = literal_vector([float(v) for v in adc])
-        sub = F.slice(F.col(vec_col), s * subdim + 1, subdim)
-        d2 = F.transform(
-            F.sequence(F.lit(0), F.lit(k - 1)),
-            lambda j: F.aggregate(
-                F.zip_with(
-                    sub,
-                    F.slice(C, j * subdim + 1, subdim),
-                    lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
-        )
+        d2 = F.col("_d2s").getField(f"d{s}")
         code = F.array_position(d2, F.array_min(d2))  # 1-based
         term = F.element_at(A, code.cast("int"))
         dist_total = term if dist_total is None else dist_total + term
     return (
-        df.select(
+        mid.select(
             F.col(id_col), F.round(dist_total, scale).alias("adc_dist")
         )
         .orderBy("adc_dist", id_col)
@@ -682,7 +703,12 @@ def ivfadc_topk(
         lambda i: F.element_at(vec, i.cast("int")).cast("double")
         - F.element_at(Cflat, (F.col("cluster") * dim + i).cast("int")),
     )
-    resdf = asg.select(F.col(id_col), F.col("cluster"), res.alias("_res"))
+    # single-element explode barrier (see kmeans_assign): the residual
+    # transform must materialize once, not re-run per downstream
+    # subspace-slice reference
+    resdf = asg.select(
+        F.col(id_col), F.col("cluster"), F.explode(F.array(res)).alias("_res")
+    )
     books = (
         codebooks
         if codebooks is not None
@@ -698,26 +724,20 @@ def ivfadc_topk(
     ]
     subdim = dim // m
     probed = resdf.filter(F.col("cluster").isin([int(p) for p in probe]))
+    mid = _subspace_d2_struct(
+        probed,
+        [F.col(id_col), F.col("cluster")],
+        F.col("_res"),
+        books,
+        subdim,
+    )
     # 1-based index of the row's cell within the probe list
     probe_arr = F.array(*[F.lit(int(p)) for p in probe])
     pidx = F.array_position(probe_arr, F.col("cluster"))
     dist_total = None
     for s in range(m):
         cents = books[s]
-        Cs = literal_vector([float(v) for c in cents for v in c])
-        sub = F.slice(F.col("_res"), s * subdim + 1, subdim)
-        d2 = F.transform(
-            F.sequence(F.lit(0), F.lit(k - 1)),
-            lambda j: F.aggregate(
-                F.zip_with(
-                    sub,
-                    F.slice(Cs, j * subdim + 1, subdim),
-                    lambda x, c: (x - c) * (x - c),
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
-        )
+        d2 = F.col("_d2s").getField(f"d{s}")
         code = F.array_position(d2, F.array_min(d2))  # 1-based
         # per-probe lookup table: ||(q - coarse_p)_sub − c_j||², same
         # left-to-right position fold as the oracle's list_sum
@@ -733,7 +753,7 @@ def ivfadc_topk(
         term = F.element_at(A, ((pidx - 1) * k + code).cast("int"))
         dist_total = term if dist_total is None else dist_total + term
     return (
-        probed.select(
+        mid.select(
             F.col(id_col), F.round(dist_total, scale).alias("adc_dist")
         )
         .orderBy("adc_dist", id_col)
