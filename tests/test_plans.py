@@ -308,3 +308,20 @@ def test_ivf_knn_join_equi_join_plan(spark):
     p = plan_of(spark, "embedding_ivf_knn_join")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_vector_ops_keep_generate_barriers(spark):
+    """The interpreted-HOF family must keep its single-element explode
+    barriers: without the Generate node, CollapseProject inlines each
+    computed distance/code array into every downstream reference and
+    the k-fold work runs 2-3x per row (SCALE.md round 9 — measured
+    1.04->0.40 s for kmeans_assign, 1.36->0.90 s for IVFADC at x10)."""
+    for name in (
+        "embedding_kmeans",
+        "embedding_pq_codes",
+        "ann_topk_pq",
+        "ann_topk_ivfpq",
+        "embedding_quantize_int8",
+    ):
+        p = plan_of(spark, name)
+        assert "Generate explode" in p, f"{name} lost its explode barrier"
