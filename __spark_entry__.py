@@ -2974,6 +2974,17 @@ def _events_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     return mad_outliers(e, "event_type", "event_id", "value", k=3.0)
 
 
+# corpus size per sf_dir — one count job per session per sf, shared by
+# the self-tuning cell/parameter picks (the SemDeDup cells ∝ n rule)
+_EMB_COUNT_CACHE: dict[str, int] = {}
+
+
+def _emb_count_cached(emb, sf: str) -> int:
+    if sf not in _EMB_COUNT_CACHE:
+        _EMB_COUNT_CACHE[sf] = emb.count()
+    return _EMB_COUNT_CACHE[sf]
+
+
 def _embedding_ivf_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus×corpus approximate kNN join through IVF cells: k-means
     assignment (deterministic, oracle-unrolled), cluster-keyed
@@ -2985,9 +2996,16 @@ def _embedding_ivf_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
-    centers = _kmeans_centers_cached(emb, sf, "ivfknn", k=8, iters=3)
+    # cells ∝ corpus (the measured SemDeDup scaling law): fixed cells
+    # make the cell-local pair stage quadratic in n. ~250 vectors/cell
+    # keeps pair work linear; every driver/test SF (≤2k vectors) still
+    # resolves to 8 cells, so the unrolled k=8 oracle is unchanged —
+    # only genuine scale steps (x10: 79 cells, x20: 159) re-parameterize.
+    cells = max(8, _emb_count_cached(emb, sf) // 250)
+    centers = _kmeans_centers_cached(emb, sf, "ivfknn", k=cells, iters=3)
     out = ivf_knn_join(
-        emb, "vec_id", "embedding", k=3, cells=8, iters=3, centers=centers
+        emb, "vec_id", "embedding", k=3, cells=cells, iters=3,
+        centers=centers,
     )
     return out.select(
         "query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank"
