@@ -4489,6 +4489,49 @@ def _ddb_sq8_sql(topk: int | None, codes_only: bool, dim: int = 64) -> str:
 _EPOCH_TARGET = 300
 
 
+_MRL_DIM = 16
+
+
+def _ann_topk_mrl(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka-truncation ANN: exact cosine top-k over the first 16
+    of 64 dims (Kusupati et al. 2022's serving trick — MRL-trained
+    embeddings make every prefix a valid lower-dim embedding). 4× less
+    scan arithmetic with no index state; ann_recall_mrl reports the
+    cost honestly. Same fold order as the full-dim oracle, just over a
+    shorter range, so the hash check stays exact."""
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        truncated_topk,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    q = _query_vec(spark, sf)
+    top = truncated_topk(emb, "embedding", q, dim_keep=_MRL_DIM, k=10)
+    return top.select("vec_id", F.round("cos", 4).alias("cos"))
+
+
+def _ann_recall_mrl(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@10 of 16-dim truncated scoring against the full-precision
+    brute force — the honest-recall harness (same shape as
+    ann_recall_sq8). On the structureless uniform fixture prefix dims
+    carry only 1/4 of the signal, so this is the lower-bound regime;
+    MRL-trained embeddings front-load variance and land far higher."""
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        truncated_topk,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    q = _query_vec(spark, sf)
+    bf = brute_force_topk(emb, "embedding", q, k=10).select("vec_id")
+    ap = truncated_topk(emb, "embedding", q, dim_keep=_MRL_DIM, k=10).select(
+        "vec_id"
+    )
+    return bf.join(ap, "vec_id").agg(
+        F.lit(10).alias("k"),
+        F.count("*").alias("n_hits"),
+        (F.count("*") / F.lit(10)).alias("recall"),
+    )
+
+
 def _docs_epoch_allocation(spark: SparkSession, sf: str) -> DataFrame:
     """Epoch-plan apportionment: a 300-doc epoch budget split across
     sources by the largest-remainder method — exact integers summing
@@ -4625,6 +4668,8 @@ _R9_WINDOW = [
     # this round's new query
     "embedding_sq8_codes",
     "ann_topk_sq8_packed",
+    "ann_topk_mrl",
+    "ann_recall_mrl",
     # 2. semantically touched this round (shared k-means fit; presence
     # flags in snapshot_diff; integer basis-point quantile ranks;
     # one-corpus cluster-label denominators)
@@ -4674,8 +4719,6 @@ _R9_WINDOW = [
     "docs_common_ngrams",
     "docs_corpus_diff",
     "docs_decontaminate",
-    "docs_decontaminate_semantic",
-    "docs_dedup_incremental",
     "docs_dsir_sample",
     "docs_dsir_weights",
     # sentinel (green in every round since r1)
@@ -4970,6 +5013,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_cluster_labels": _docs_cluster_labels,
         "ann_topk_sq8": _ann_topk_sq8,
         "ann_topk_sq8_packed": _ann_topk_sq8_packed,
+        "ann_topk_mrl": _ann_topk_mrl,
+        "ann_recall_mrl": _ann_recall_mrl,
         "ann_recall_sq8": _ann_recall_sq8,
         "embedding_sq8_codes": _embedding_sq8_codes,
         "docs_score_agreement": _docs_score_agreement,
@@ -8370,6 +8415,40 @@ def oracle_sql() -> dict[str, str]:
             FROM pos GROUP BY 1 ORDER BY 1
         """,
         "docs_phrase_search": _ddb_phrase_sql(_PHRASE),
+        "ann_topk_mrl": f"""
+            SELECT vec_id, round(cos, 4) AS cos FROM (
+                SELECT e.vec_id,
+                       {_ddb_cos("e.embedding", "q.embedding", dim=_MRL_DIM)}
+                           AS cos
+                FROM embeddings e,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+                WHERE e.vec_id <> 0)
+            ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+        "ann_recall_mrl": f"""
+            WITH bf AS (
+                SELECT vec_id FROM (
+                    SELECT e.vec_id,
+                           {_ddb_cos("e.embedding", "q.embedding")} AS cos
+                    FROM embeddings e,
+                         (SELECT embedding FROM embeddings
+                          WHERE vec_id = 0) q
+                    WHERE e.vec_id <> 0)
+                ORDER BY cos DESC, vec_id LIMIT 10
+            ), ap AS (
+                SELECT vec_id FROM (
+                    SELECT e.vec_id,
+                           {_ddb_cos("e.embedding", "q.embedding", dim=_MRL_DIM)}
+                               AS cos
+                    FROM embeddings e,
+                         (SELECT embedding FROM embeddings
+                          WHERE vec_id = 0) q
+                    WHERE e.vec_id <> 0)
+                ORDER BY cos DESC, vec_id LIMIT 10
+            )
+            SELECT 10 AS k, count(*) AS n_hits, count(*) / 10.0 AS recall
+            FROM bf JOIN ap USING (vec_id)
+        """,
         "ann_recall_sq8": f"""
             WITH bf AS (
                 SELECT vec_id FROM (

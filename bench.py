@@ -160,6 +160,8 @@ HEADLINE = [
     "ann_topk_sq8_packed",
     "ann_recall_sq8",
     "embedding_sq8_codes",
+    "ann_topk_mrl",
+    "ann_recall_mrl",
     # events_hits_scores is deliberately NOT benched for the same
     # reason as docs_bpe_merges: 8 mutual-reinforcement rounds = 16
     # sequential half-round actions whose per-action data is a 5-row

@@ -46,6 +46,37 @@ def brute_force_topk(
     )
 
 
+def truncated_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    dim_keep: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka-style truncated-vector ANN (Kusupati et al. 2022):
+    exact cosine top-k over only the FIRST ``dim_keep`` dimensions of
+    the embedding — the serving trick for MRL-trained embeddings, where
+    prefixes of the vector are themselves valid lower-dim embeddings.
+    Cuts scan arithmetic and (when the store is laid out prefix-first)
+    read bytes by dim/dim_keep with zero training or index state; the
+    honest-recall harness reports what the truncation costs on a given
+    corpus. Plan: one slice + cosine map stage, TakeOrderedAndProject —
+    the brute_force_topk shape on a dim_keep-wide column.
+    """
+    if not 1 <= dim_keep <= len(query):
+        raise ValueError(
+            f"dim_keep must be in [1, {len(query)}], got {dim_keep}"
+        )
+    q = literal_vector([float(v) for v in query[:dim_keep]])
+    sub = F.slice(F.col(vec_col), 1, dim_keep)
+    return (
+        df.select(F.col(id_col), cosine(sub, q).alias("cos"))
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def brute_force_topk_arrow(
     df: DataFrame, vec_col: str, query: list[float], k: int = 10, id_col: str = "vec_id"
 ) -> DataFrame:

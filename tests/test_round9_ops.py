@@ -248,3 +248,69 @@ def test_sq8_packed_scores_bit_identical_and_codegen_only(spark):
     )
     assert all(len(r.packed) == 64 for r in enc.collect())
     assert dict(enc.dtypes)["packed"] == "binary"
+
+
+# --------------------------------------------- truncated (MRL) ANN
+
+
+def test_truncated_topk_full_width_equals_bruteforce(spark):
+    """dim_keep = dim must reproduce brute_force_topk exactly (same
+    fold over the same values); dim_keep out of range raises."""
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        brute_force_topk,
+        truncated_topk,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter(F.col("vec_id") != 0)
+    q = [
+        float(x)
+        for x in spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .first()["embedding"]
+    ]
+    full = brute_force_topk(emb, "embedding", q, k=10).collect()
+    trunc = truncated_topk(emb, "embedding", q, dim_keep=64, k=10).collect()
+    assert [(r.vec_id, r.cos) for r in full] == [
+        (r.vec_id, r.cos) for r in trunc
+    ]
+    # narrower prefixes return a valid (possibly different) top-k
+    narrow = truncated_topk(emb, "embedding", q, dim_keep=16, k=10).collect()
+    assert len(narrow) == 10
+    assert all(-1.0 <= r.cos <= 1.0 for r in narrow)
+    with pytest.raises(ValueError, match="dim_keep"):
+        truncated_topk(emb, "embedding", q, dim_keep=0)
+    with pytest.raises(ValueError, match="dim_keep"):
+        truncated_topk(emb, "embedding", q, dim_keep=65)
+
+
+def test_truncated_recall_monotone_in_dim_keep(spark):
+    """Recall@10 vs the full-width ranking must not decrease as the
+    kept prefix widens across the measured ladder (16 -> 32 -> 64; 64
+    is exact so recall there is 1.0) — the property that makes the
+    width knob a meaningful serving dial."""
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        brute_force_topk,
+        truncated_topk,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    ).filter(F.col("vec_id") != 0)
+    q = [
+        float(x)
+        for x in spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .first()["embedding"]
+    ]
+    full = {r.vec_id for r in brute_force_topk(emb, "embedding", q, k=10).collect()}
+    recalls = []
+    for dk in (16, 32, 64):
+        got = {
+            r.vec_id
+            for r in truncated_topk(emb, "embedding", q, dim_keep=dk, k=10).collect()
+        }
+        recalls.append(len(full & got) / 10)
+    assert recalls[-1] == 1.0
+    assert recalls == sorted(recalls), recalls

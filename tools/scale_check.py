@@ -164,6 +164,8 @@ QUERIES = [
     "ann_topk_sq8_packed",
     "ann_recall_sq8",
     "embedding_sq8_codes",
+    "ann_topk_mrl",
+    "ann_recall_mrl",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
