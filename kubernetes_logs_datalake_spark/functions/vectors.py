@@ -17,6 +17,28 @@ from pyspark.sql import functions as F
 from kubernetes_logs_datalake_spark.functions.time_ns import _col  # noqa: E402 — canonical helper
 
 
+def float_round(c: Column, scale: int = 6) -> Column:
+    """Engine-portable decimal rounding: ``floor(x·10^s + 0.5) / 10^s``
+    spelled as explicit IEEE double ops.
+
+    ``F.round(double, s)`` rounds the double's EXACT decimal expansion
+    (BigDecimal HALF_UP) while DuckDB's ``round(double, s)`` float-
+    rounds — near an exact .5 boundary at digit s+1 the two disagree by
+    one ulp of 10^-s (first observed r10: 3 of 500 SemDeDup centroid
+    coordinates flipped at k=22 where k=8 had been lucky). Multiply,
+    add, floor, divide are all correctly-rounded IEEE operations, so
+    this expression is bit-identical across any engine that mirrors the
+    same op sequence — the k-means family (centroid update + dist)
+    standardizes on it, with ``_ddb_fround`` as the oracle twin.
+
+    Half-way values round toward +inf (not away from zero): a different
+    convention than HALF_UP for negatives, applied identically in both
+    engines, which is the property that matters.
+    """
+    p = float(10**scale)
+    return F.floor(c * F.lit(p) + F.lit(0.5)) / F.lit(p)
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     prod = F.zip_with(_col(a), _col(b), lambda x, y: x.cast("double") * y)
     return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)

@@ -20,9 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kubernetes_logs_datalake_spark.functions.vectors import float_round
+
 
 def label_centroids(
-    df: DataFrame, label_col: str, vec_col: str, scale: int = 6
+    df: DataFrame, label_col: str, vec_col: str, scale: int = 6,
+    portable_round: bool = False,
 ) -> DataFrame:
     """(label, n_vectors, centroid: array<double>) — element-exact mean
     vector per label.
@@ -32,17 +35,40 @@ def label_centroids(
     a tiny (|labels|·dim → |labels|) final agg whose collect_list is
     bounded by dim. Ragged inputs are fine: each position averages over
     the vectors that have it.
+
+    ``portable_round=True`` switches the whole mean pipeline to
+    engine-portable arithmetic — the k-means fit path uses it because
+    its oracles re-derive centroids in DuckDB, where BOTH the
+    float→DECIMAL cast (Spark goes through the shortest 17-digit repr,
+    DuckDB through the exact binary expansion — r10 finding: the tails
+    differ at ~1e-17 relative and occasionally flip a 6 dp rounding)
+    and ``round(double)`` half-boundary semantics diverge. The portable recipe uses
+    only correctly-rounded IEEE double ops plus exact integer sums:
+    quantize each element to 1e-10 units with ``floor(v·1e10 + 0.5)``,
+    sum those integers exactly (DECIMAL(38,0) ↔ HUGEINT), ONE double
+    division by ``count·1e10``, then
+    :func:`~kubernetes_logs_datalake_spark.functions.vectors.float_round`
+    — every step bit-identical across engines by construction, at the
+    cost of ≤5e-11 per-element quantization (invisible at 6 dp).
     """
+    if portable_round:
+        u = F.floor(F.col("_val").cast("double") * F.lit(1e10) + F.lit(0.5))
+        mean = F.sum(u.cast("decimal(38,0)")).cast("double") / (
+            F.count(F.lit(1)).cast("double") * F.lit(1e10)
+        )
+        avg = float_round(mean, scale)
+    else:
+        mean = (
+            F.sum(F.col("_val").cast("decimal(25,10)")).cast("double")
+            / F.count(F.lit(1))
+        )
+        avg = F.round(mean, scale)
     pos_val = df.select(
         F.col(label_col),
         F.posexplode(F.col(vec_col)).alias("_pos", "_val"),
     )
     per_pos = pos_val.groupBy(label_col, "_pos").agg(
-        F.round(
-            F.sum(F.col("_val").cast("decimal(25,10)")).cast("double")
-            / F.count(F.lit(1)),
-            scale,
-        ).alias("_avg"),
+        avg.alias("_avg"),
         F.count(F.lit(1)).alias("_n"),
     )
     return (
@@ -240,7 +266,7 @@ def kmeans_assign(
         (F.array_position(F.col("_d2"), F.array_min(F.col("_d2"))) - 1)
         .cast("int")
         .alias("cluster"),
-        F.round(F.sqrt(F.array_min(F.col("_d2"))), scale).alias("dist"),
+        float_round(F.sqrt(F.array_min(F.col("_d2"))), scale).alias("dist"),
         F.col("_v").alias(vec_col),
     )
 
@@ -252,6 +278,7 @@ def kmeans_fit(
     k: int = 8,
     iters: int = 4,
     scale: int = 6,
+    fit_sample_mod: int | None = None,
 ) -> tuple[list[list[float]], DataFrame]:
     """Deterministic distributed Lloyd's k-means over an
     ``array<float>`` column. Returns (centroids, assignments) where
@@ -273,7 +300,22 @@ def kmeans_fit(
     An iterative algorithm by nature (each Lloyd step is a fixpoint
     round); the per-iteration plan is shuffle-minimal, so cost is
     iters × (one scan + one k·dim-key shuffle).
+
+    - **Sampled fit** (``fit_sample_mod=m``, m>1): Lloyd runs on the
+      deterministic ``xxhash64(id) mod m == 0`` sample (seeds included);
+      only the FINAL assignment scans the full corpus. This is what
+      keeps the fit O(n) when k itself grows with the corpus (the √n
+      cells rule): with k ≈ √n and a sample of ~40·√n rows, fit cost
+      is iters·40·√n·k·dim = O(iters·n·dim) instead of the
+      iters·n·k·dim = O(n^1.5) a full-corpus fit would pay — and the
+      full-corpus n·k·dim term is paid exactly once, at assignment.
+      Same design (and same hash) as ``graph.auto_time_bucket``'s
+      ``sample_mod``; ``fit_sample_mod=None``/1 is the exact
+      full-corpus fit, bit-identical to the pre-r10 behavior, which is
+      why every hash-checked oracle resolves to it at sandbox SFs.
     """
+    if fit_sample_mod is not None and fit_sample_mod < 1:
+        raise ValueError(f"fit_sample_mod must be >= 1, got {fit_sample_mod}")
     # The iterations re-read the working set iters+1 times — cache the
     # two needed columns for their duration (the standard Spark shape
     # for Lloyd's; MEMORY_AND_DISK so a huge corpus spills instead of
@@ -281,7 +323,12 @@ def kmeans_fit(
     # so it stays valid after unpersist.
     from pyspark import StorageLevel
 
-    work = df.select(F.col(id_col), F.col(vec_col)).persist(
+    fit_src = df
+    if fit_sample_mod and fit_sample_mod > 1:
+        fit_src = df.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(fit_sample_mod)) == 0
+        )
+    work = fit_src.select(F.col(id_col), F.col(vec_col)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     try:
@@ -297,7 +344,8 @@ def kmeans_fit(
             assigned = kmeans_assign(work, id_col, vec_col, centroids, scale=scale)
             new = {
                 int(r[0]): [float(v) for v in r[2]]
-                for r in label_centroids(assigned, "cluster", vec_col, scale=scale)
+                for r in label_centroids(assigned, "cluster", vec_col, scale=scale,
+                                         portable_round=True)
                 .select("cluster", "n_vectors", "centroid")
                 .collect()
             }
@@ -361,7 +409,7 @@ def pq_encode(
         )
         md2 = F.array_min(d2)
         total_d2 = md2 if total_d2 is None else total_d2 + md2
-    cols.append(F.round(F.sqrt(total_d2), scale).alias("recon_err"))
+    cols.append(float_round(F.sqrt(total_d2), scale).alias("recon_err"))
     return mid.select(*cols)
 
 
