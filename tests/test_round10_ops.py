@@ -1,0 +1,188 @@
+"""Round-10 operator behavior: the √n coarse-quantizer rule
+(`_sqrt_cells`), the sampled k-means fit (`fit_sample_mod`), and the
+engine-portable rounding recipe (`float_round` + the 1e-10-unit
+centroid mean) that keeps the k-means family bit-identical between
+Spark and the DuckDB oracles."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------- _sqrt_cells rule
+
+
+def test_sqrt_cells_rule_values():
+    from __spark_entry__ import _sqrt_cells
+
+    # sandbox corpora: floor of 8 cells, exact full fit (mod 1)
+    assert _sqrt_cells(499) == (22, 1)
+    assert _sqrt_cells(500) == (22, 1)
+    assert _sqrt_cells(1999) == (44, 1)
+    assert _sqrt_cells(64) == (8, 1)
+    # the n/250-vs-√n crossover point: both rules said 250 here, but
+    # the fit starts sampling (~40 vectors/centroid)
+    assert _sqrt_cells(62500) == (250, 6)
+    # at 10^9 the old rule gave 4M cells (assignment n²/250); √n keeps
+    # assignment and pair work balanced at n^1.5
+    cells, mod = _sqrt_cells(10**9)
+    assert cells == 31622 and mod == 790
+    # sample size ≈ 40·√n: enough training points per centroid
+    assert 20 <= (10**9 // mod) // cells <= 80
+
+
+def test_sqrt_cells_monotone_and_balanced():
+    from __spark_entry__ import _sqrt_cells
+
+    prev = 0
+    for n in [10, 10**3, 10**4, 10**5, 10**6, 10**7, 10**8]:
+        cells, mod = _sqrt_cells(n)
+        assert cells >= prev
+        prev = cells
+        if n >= 100:
+            # assignment n·cells and pairs n²/cells within 2× of each
+            # other (the balance that makes both Θ(n^1.5))
+            assert abs(math.log10(n * cells) - math.log10(n * n / cells)) < 0.31
+
+
+# ------------------------------------------- sampled k-means fit
+
+
+def _clustered_corpus(spark, n, dim=8, k=4, seed=7):
+    """Planted k-cluster corpus: cluster centers on coordinate axes,
+    points = center + small deterministic jitter. Planted labels follow
+    the ids' md5 order (the engines' seed order), so kmeans_fit's k
+    seeds land one per planted cluster and Lloyd's answer is the
+    planted partition — the test then isolates the SAMPLING knob
+    instead of Lloyd's sensitivity to a degenerate init."""
+    import hashlib
+
+    rng = random.Random(seed)
+    by_md5 = sorted(
+        range(n), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )
+    planted = {vid: rank % k for rank, vid in enumerate(by_md5)}
+    rows = []
+    for i in range(n):
+        c = planted[i]
+        vec = [0.0] * dim
+        vec[c] = 1.0
+        vec = [float(v + (rng.random() - 0.5) * 0.1) for v in vec]
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_fit_sample_mod_one_is_identity(spark):
+    from kubernetes_logs_datalake_spark.operators.vectors import kmeans_fit
+
+    df = _clustered_corpus(spark, 200)
+    c_full, _ = kmeans_fit(df, "vec_id", "embedding", k=4, iters=2)
+    c_one, _ = kmeans_fit(
+        df, "vec_id", "embedding", k=4, iters=2, fit_sample_mod=1
+    )
+    assert c_full == c_one
+    with pytest.raises(ValueError, match="fit_sample_mod"):
+        kmeans_fit(df, "vec_id", "embedding", k=4, fit_sample_mod=0)
+
+
+def test_kmeans_sampled_fit_agreement(spark):
+    """The sampled fit must induce (almost) the same PARTITION as the
+    full fit — the auto_time_bucket pick-stability contract applied to
+    centroids. Label ids may permute between fits, so the metric is
+    pairwise co-assignment agreement (Rand index) over a deterministic
+    pair sample: with a 1-in-3 hash sample it must stay ≥0.9 (the
+    planted structure dominates, so which rows Lloyd trains on barely
+    moves the partition)."""
+    from kubernetes_logs_datalake_spark.operators.vectors import kmeans_fit
+
+    df = _clustered_corpus(spark, 1200)
+    _, asg_full = kmeans_fit(df, "vec_id", "embedding", k=4, iters=3)
+    _, asg_samp = kmeans_fit(
+        df, "vec_id", "embedding", k=4, iters=3, fit_sample_mod=3
+    )
+    full = {r.vec_id: r.cluster for r in asg_full.collect()}
+    samp = {r.vec_id: r.cluster for r in asg_samp.collect()}
+    assert set(full) == set(samp) and len(full) == 1200
+    rng = random.Random(11)
+    ids = sorted(full)
+    agree = total = 0
+    for _ in range(20000):
+        a, b = rng.sample(ids, 2)
+        total += 1
+        agree += (full[a] == full[b]) == (samp[a] == samp[b])
+    assert agree / total >= 0.9
+
+
+# --------------------------------- portable rounding parity (float_round)
+
+
+def test_float_round_matches_duckdb_bit_for_bit(spark):
+    """float_round's op sequence (mul, add, floor, div — all correctly
+    rounded IEEE) must give bit-identical doubles in Spark and DuckDB,
+    including at the x.xxxxxx5 boundaries where F.round(double) and
+    DuckDB round(double) disagree."""
+    from kubernetes_logs_datalake_spark.functions.vectors import float_round
+
+    vals = [
+        0.0444444, 0.0444445, 0.0444446, 0.9826405, -0.9826405,
+        0.0000005, -0.0000005, 1.5e-7, 123.4567894999, -123.4567895001,
+        0.1, -0.1, 2.675, 1e-12, -1e-12, 987654.3210987,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [
+        r.r for r in df.select(float_round(F.col("v"), 6).alias("r")).collect()
+    ]
+    want = [
+        duckdb.sql(
+            "SELECT floor(? * 1000000.0 + 0.5) / 1000000.0", params=[v]
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want
+
+
+def test_portable_centroid_mean_matches_duckdb(spark):
+    """The full portable mean recipe (quantize to 1e-10 integer units →
+    exact integer sum → one double division → float_round) must be
+    bit-identical across engines on float32 inputs whose decimal
+    expansions differ between Spark's shortest-repr cast and DuckDB's
+    exact-expansion cast — the r10 root cause."""
+    from kubernetes_logs_datalake_spark.operators.vectors import label_centroids
+
+    rng = random.Random(3)
+    vecs = [
+        [float(f"{rng.uniform(-1, 1):.9g}") for _ in range(6)]
+        for _ in range(97)
+    ]
+    df = spark.createDataFrame(
+        [(1, v) for v in vecs], "label long, vec array<float>"
+    )
+    got = label_centroids(df, "label", "vec", portable_round=True).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({v!r}::FLOAT[])" for v in vecs)
+        + ") s(vec)"
+    )
+    want = con.execute(
+        """
+        SELECT list(val ORDER BY pos) FROM (
+            SELECT u.pos,
+                   floor((CAST(sum(CAST(floor(CAST(u.val AS DOUBLE)
+                                              * 10000000000.0 + 0.5)
+                                      AS HUGEINT)) AS DOUBLE)
+                          / (CAST(count(*) AS DOUBLE) * 10000000000.0))
+                         * 1000000.0 + 0.5) / 1000000.0 AS val
+            FROM t,
+                 unnest(list_transform(range(1, len(t.vec) + 1),
+                        i -> {'pos': i - 1, 'val': t.vec[i]})) AS s(u)
+            GROUP BY u.pos)
+        """
+    ).fetchone()[0]
+    assert list(got.centroid) == list(want)
+    assert got.n_vectors == 97
