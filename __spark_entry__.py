@@ -4579,6 +4579,30 @@ def _ann_recall_mrl(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_MRL_REFINE_CANDS = 40
+
+
+def _ann_topk_mrl_refined(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage matryoshka funnel (Kusupati et al. 2022 §4.3 adaptive
+    retrieval): 16-dim truncated prefilter proposes k′=4k candidates,
+    exact 64-dim cosine re-ranks to top-10 — the deployment shape MRL
+    exists for. Full-precision work is 40 rows regardless of corpus
+    size; recall is the prefilter's at k′=40 (measured in SCALE.md's
+    recall-vs-k′ curve, closing most of ann_recall_mrl's truncation
+    gap). Mirrors the ann_topk_pq_refine refine idiom and its exact
+    oracle."""
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        truncated_refine_topk,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    q = _query_vec(spark, sf)
+    return truncated_refine_topk(
+        emb, "embedding", q, dim_keep=_MRL_DIM, k=10,
+        n_candidates=_MRL_REFINE_CANDS,
+    )
+
+
 def _docs_epoch_allocation(spark: SparkSession, sf: str) -> DataFrame:
     """Epoch-plan apportionment: a 300-doc epoch budget split across
     sources by the largest-remainder method — exact integers summing
@@ -5061,6 +5085,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_sq8": _ann_topk_sq8,
         "ann_topk_sq8_packed": _ann_topk_sq8_packed,
         "ann_topk_mrl": _ann_topk_mrl,
+        "ann_topk_mrl_refined": _ann_topk_mrl_refined,
         "ann_recall_mrl": _ann_recall_mrl,
         "ann_recall_sq8": _ann_recall_sq8,
         "embedding_sq8_codes": _embedding_sq8_codes,
@@ -8462,6 +8487,25 @@ def oracle_sql() -> dict[str, str]:
             FROM pos GROUP BY 1 ORDER BY 1
         """,
         "docs_phrase_search": _ddb_phrase_sql(_PHRASE),
+        "ann_topk_mrl_refined": f"""
+            WITH cand AS (
+                SELECT vec_id FROM (
+                    SELECT e.vec_id,
+                           {_ddb_cos("e.embedding", "q.embedding", dim=_MRL_DIM)}
+                               AS cos
+                    FROM embeddings e,
+                         (SELECT embedding FROM embeddings
+                          WHERE vec_id = 0) q
+                    WHERE e.vec_id <> 0)
+                ORDER BY cos DESC, vec_id LIMIT {_MRL_REFINE_CANDS}
+            ), qq AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round({_ddb_cos("e.embedding", "qq.embedding")}, 4) AS cos
+            FROM embeddings e
+            JOIN cand c ON c.vec_id = e.vec_id
+            CROSS JOIN qq
+            ORDER BY cos DESC, e.vec_id LIMIT 10
+        """,
         "ann_topk_mrl": f"""
             SELECT vec_id, round(cos, 4) AS cos FROM (
                 SELECT e.vec_id,

@@ -77,6 +77,50 @@ def truncated_topk(
     )
 
 
+def truncated_refine_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: list[float],
+    dim_keep: int,
+    k: int = 10,
+    n_candidates: int = 40,
+    id_col: str = "vec_id",
+    scale: int = 4,
+) -> DataFrame:
+    """Two-stage matryoshka funnel (adaptive retrieval, Kusupati et al.
+    2022 §4.3) — the deployment shape MRL truncation exists for:
+    :func:`truncated_topk` over the first ``dim_keep`` dims proposes
+    ``n_candidates`` survivors, then EXACT full-dimension cosine
+    re-ranks them to ``topk``. The prefix scan pays dim_keep/dim of the
+    arithmetic on the whole corpus; full-precision work is bounded by
+    ``n_candidates`` rows, independent of corpus size (the
+    ``pq_refine_topk`` refine idiom, with the truncated prefix as the
+    coarse scorer instead of ADC lookups).
+
+    Output: (id, cos) — exact cosine, descending, ties by id. Recall
+    is the prefilter's: refine only reorders survivors, so size
+    ``n_candidates``/``k`` from the measured recall-vs-k′ curve
+    (SCALE.md r10 records it on the uniform fixture).
+
+    Plan: prefix scan + TakeOrdered(n_candidates) → the ≤n_candidates
+    id rows join back onto the corpus (AQE broadcasts the tiny side;
+    the corpus never shuffles) → one more TakeOrdered(k).
+    """
+    cands = truncated_topk(
+        df, vec_col, query, dim_keep=dim_keep, k=n_candidates, id_col=id_col
+    ).select(id_col)
+    qlit = literal_vector([float(v) for v in query])
+    return (
+        df.join(cands, id_col)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), qlit), scale).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def brute_force_topk_arrow(
     df: DataFrame, vec_col: str, query: list[float], k: int = 10, id_col: str = "vec_id"
 ) -> DataFrame:

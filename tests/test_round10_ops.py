@@ -118,6 +118,52 @@ def test_kmeans_sampled_fit_agreement(spark):
     assert agree / total >= 0.9
 
 
+# ------------------------------------------- MRL two-stage funnel
+
+
+def test_truncated_refine_recall_monotone_in_candidates(spark):
+    """The refine stage can only reorder prefilter survivors, so
+    recall@10 vs exact brute force is non-decreasing in k′ and reaches
+    1.0 when k′ covers the corpus; at k′=k it equals the plain
+    truncated recall (same candidate set, reordered)."""
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        brute_force_topk,
+        truncated_refine_topk,
+        truncated_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").filter(
+        F.col("vec_id") != 0
+    )
+    q = [
+        float(v)
+        for v in spark.read.parquet(f"{sf}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .collect()[0]["embedding"]
+    ]
+    n = emb.count()
+    bf = {r.vec_id for r in brute_force_topk(emb, "embedding", q, k=10).collect()}
+    trunc = {
+        r.vec_id
+        for r in truncated_topk(emb, "embedding", q, dim_keep=16, k=10).collect()
+    }
+    recalls = []
+    for cands in (10, 40, 160, n):
+        got = {
+            r.vec_id
+            for r in truncated_refine_topk(
+                emb, "embedding", q, dim_keep=16, k=10, n_candidates=cands
+            ).collect()
+        }
+        recalls.append(len(got & bf) / 10)
+    assert recalls == sorted(recalls)
+    assert recalls[0] == len(trunc & bf) / 10
+    assert recalls[-1] == 1.0
+    with pytest.raises(ValueError, match="dim_keep"):
+        truncated_refine_topk(emb, "embedding", q, dim_keep=0)
+
+
 # --------------------------------- portable rounding parity (float_round)
 
 
