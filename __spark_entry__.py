@@ -4428,6 +4428,58 @@ def _ann_topk_sq8_packed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# packed SQ8 codes are a deterministic pure function of (corpus,
+# bounds); a serving fleet persists them ONCE and scores many queries
+# against the stored bytes. The cache materializes the encode leg once
+# per (session, sf) via localCheckpoint (the DSIR weights idiom; keyed
+# on session identity like the BPE cache, since checkpointed blocks die
+# with their session) so ann_topk_sq8_served benches the true serving
+# leg — decode+scan only — while ann_topk_sq8_packed keeps measuring
+# encode+score end-to-end.
+_SQ8_PACKED_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _sq8_packed_cached(spark: SparkSession, sf: str) -> DataFrame:
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        sq8_encode,
+        sq8_pack,
+    )
+
+    key = (id(spark), sf)
+    if key not in _SQ8_PACKED_CACHE:
+        emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+        enc = sq8_pack(
+            sq8_encode(
+                emb, "vec_id", "embedding", EMBEDDING_DIM,
+                bounds=_sq8_bounds_cached(emb, sf),
+            ),
+            "vec_id",
+            dim=EMBEDDING_DIM,
+        )
+        _SQ8_PACKED_CACHE[key] = enc.localCheckpoint(eager=False)
+    return _SQ8_PACKED_CACHE[key]
+
+
+def _ann_topk_sq8_served(spark: SparkSession, sf: str) -> DataFrame:
+    """SQ8 serving from STORED packed codes (r9 verdict gap 2): scores
+    the session-persisted 1-byte/dim code frame — the query a serving
+    deployment actually runs, paying decode+scan but never the encode
+    leg. Scores are bit-identical to ann_topk_sq8/_packed (same flat
+    unrolled decode expression over the same bytes), so all three share
+    one oracle; the bench separates serve (~this query) from
+    encode+score (ann_topk_sq8_packed)."""
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        sq8_score_packed,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    q = _query_vec(spark, sf)
+    return sq8_score_packed(
+        _sq8_packed_cached(spark, sf), "vec_id", q, EMBEDDING_DIM,
+        _sq8_bounds_cached(emb, sf), topk=10,
+    )
+
+
 def _ann_recall_sq8(spark: SparkSession, sf: str) -> DataFrame:
     """Recall@10 of SQ8 asymmetric scoring against exact brute force —
     the honest-recall harness, same shape as ann_recall_ivfpq. SQ8's
@@ -5084,6 +5136,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_cluster_labels": _docs_cluster_labels,
         "ann_topk_sq8": _ann_topk_sq8,
         "ann_topk_sq8_packed": _ann_topk_sq8_packed,
+        "ann_topk_sq8_served": _ann_topk_sq8_served,
         "ann_topk_mrl": _ann_topk_mrl,
         "ann_topk_mrl_refined": _ann_topk_mrl_refined,
         "ann_recall_mrl": _ann_recall_mrl,
@@ -8229,6 +8282,7 @@ def oracle_sql() -> dict[str, str]:
         # packed variant decodes to the same values in the same fold
         # order — one oracle pins both representations
         "ann_topk_sq8_packed": _ddb_sq8_sql(topk=10, codes_only=False),
+        "ann_topk_sq8_served": _ddb_sq8_sql(topk=10, codes_only=False),
         "embedding_sq8_codes": _ddb_sq8_sql(topk=None, codes_only=True),
         "docs_epoch_allocation": f"""
             WITH counts AS (

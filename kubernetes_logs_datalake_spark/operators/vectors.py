@@ -973,23 +973,99 @@ def sq8_encode(
     return df.select(F.col(id_col), codes.alias("codes"))
 
 
-def sq8_pack(df: DataFrame, id_col: str, codes_col: str = "codes") -> DataFrame:
+def sq8_pack(
+    df: DataFrame, id_col: str, codes_col: str = "codes",
+    dim: int | None = None,
+) -> DataFrame:
     """Pack SQ8 ``array<int>`` codes into a 1-byte/dim ``binary``
     column — the storage/shuffle representation for a serving fleet.
     An int array carries ~16 B/dim in flight (4 B value + offsets +
     validity) for 1 B/dim of information; the packed binary is exactly
     ``dim`` bytes. Pure expression work (hex + lpad + concat_ws +
     unhex), whole-stage codegen, no Python. Output: (id, packed).
+
+    Pass ``dim`` to guard the representation (r9 ADVICE): ``concat_ws``
+    silently SKIPS NULL elements, so a NULL code would shorten the blob
+    below ``dim`` bytes and shift every later dimension's substring
+    decode — plausible-but-wrong scores instead of NULLs. With ``dim``
+    set, a NULL codes array packs to NULL, and a ragged or
+    NULL-element array raises instead of mis-packing.
     """
+    codes = F.col(codes_col)
     packed = F.unhex(
         F.concat_ws(
             "",
-            F.transform(
-                F.col(codes_col), lambda c: F.lpad(F.hex(c), 2, "0")
-            ),
+            F.transform(codes, lambda c: F.lpad(F.hex(c), 2, "0")),
         )
     )
+    if dim is not None:
+        packed = (
+            F.when(codes.isNull(), F.lit(None).cast("binary"))
+            .when(
+                (F.size(codes) == dim)
+                & ~F.exists(codes, lambda c: c.isNull()),
+                packed,
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"sq8_pack: codes must be {dim} non-NULL ints, "
+                            "got a ragged or NULL-element array for id "
+                        ),
+                        F.col(id_col).cast("string"),
+                    )
+                ).cast("binary")
+            )
+        )
     return df.select(F.col(id_col), packed.alias("packed"))
+
+
+def sq8_score_packed(
+    df: DataFrame,
+    id_col: str,
+    query: list[float],
+    dim: int,
+    bounds: tuple[list, list],
+    topk: int = 10,
+    scale: int = 6,
+    packed_col: str = "packed",
+) -> DataFrame:
+    """Score a STORED packed-codes frame (``id, packed: binary``)
+    against a full-precision query — the serving leg of
+    :func:`sq8_topk_packed` without the encode leg, for fleets that
+    persist the packed codes once and serve many queries. ``bounds``
+    must be the train-time per-dim (mins, maxs) the codes were encoded
+    with. Same flat unrolled decode+dot expression as
+    ``sq8_topk_packed`` (one 1-byte substring per dim, whole-stage
+    codegen, sequential-fold-identical sum), so scores are
+    bit-identical to the encode-in-query path and the two share one
+    oracle. Output: (id, score) descending, ties by id.
+    """
+    import functools
+    import operator as _op
+
+    mins, maxs = bounds
+    inv = [
+        ((mx - mn) / 255.0) if mx > mn else 0.0
+        for mn, mx in zip(mins, maxs)
+    ]
+    packed = F.col(packed_col)
+    terms = [
+        F.lit(float(query[i - 1]))
+        * (
+            F.lit(mins[i - 1])
+            + F.conv(F.hex(F.substring(packed, i, 1)), 16, 10).cast("double")
+            * F.lit(inv[i - 1])
+        )
+        for i in range(1, dim + 1)
+    ]
+    score = functools.reduce(_op.add, terms)
+    return (
+        df.select(F.col(id_col), F.round(score, scale).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(topk)
+    )
 
 
 def sq8_topk_packed(
@@ -1016,32 +1092,13 @@ def sq8_topk_packed(
     """
     if len(query) != dim:
         raise ValueError(f"query dim {len(query)} != dim {dim}")
-    import functools
-    import operator as _op
-
     mins, maxs = bounds if bounds is not None else sq8_bounds(df, vec_col, dim)
     enc = sq8_pack(
-        sq8_encode(df, id_col, vec_col, dim, bounds=(mins, maxs)), id_col
+        sq8_encode(df, id_col, vec_col, dim, bounds=(mins, maxs)), id_col,
+        dim=dim,
     )
-    inv = [
-        ((mx - mn) / 255.0) if mx > mn else 0.0
-        for mn, mx in zip(mins, maxs)
-    ]
-    packed = F.col("packed")
-    terms = [
-        F.lit(float(query[i - 1]))
-        * (
-            F.lit(mins[i - 1])
-            + F.conv(F.hex(F.substring(packed, i, 1)), 16, 10).cast("double")
-            * F.lit(inv[i - 1])
-        )
-        for i in range(1, dim + 1)
-    ]
-    score = functools.reduce(_op.add, terms)
-    return (
-        enc.select(F.col(id_col), F.round(score, scale).alias("score"))
-        .orderBy(F.desc("score"), F.col(id_col))
-        .limit(topk)
+    return sq8_score_packed(
+        enc, id_col, query, dim, (mins, maxs), topk=topk, scale=scale
     )
 
 

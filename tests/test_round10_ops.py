@@ -164,6 +164,44 @@ def test_truncated_refine_recall_monotone_in_candidates(spark):
         truncated_refine_topk(emb, "embedding", q, dim_keep=0)
 
 
+# ------------------------------------------- SQ8 pack guard + serving
+
+
+def test_sq8_pack_null_and_ragged_guard(spark):
+    """concat_ws silently skips NULL elements, which would shift every
+    later dimension's substring decode (r9 ADVICE): with dim set, a
+    NULL array packs to NULL, while ragged or NULL-element arrays fail
+    loudly instead of mis-packing."""
+    from kubernetes_logs_datalake_spark.operators.vectors import sq8_pack
+
+    ok = spark.createDataFrame(
+        [(1, [0, 127, 255]), (2, None)], "id long, codes array<int>"
+    )
+    rows = {r.id: r.packed for r in sq8_pack(ok, "id", dim=3).collect()}
+    assert rows[1] == bytes([0, 127, 255])
+    assert rows[2] is None
+
+    for bad_rows in ([(3, [1, 2])], [(4, [1, None, 3])]):
+        bad = spark.createDataFrame(bad_rows, "id long, codes array<int>")
+        with pytest.raises(Exception, match="sq8_pack"):
+            sq8_pack(bad, "id", dim=3).collect()
+
+
+def test_sq8_served_matches_encode_in_query(spark):
+    """The stored-codes serving query must return byte-identical
+    results to the encode-in-query packed path — same decode
+    expression over the same persisted bytes."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    served = e.queries()["ann_topk_sq8_served"](spark, sf).collect()
+    packed = e.queries()["ann_topk_sq8_packed"](spark, sf).collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in packed]
+    # second call reuses the session-persisted frame (cache hit)
+    again = e.queries()["ann_topk_sq8_served"](spark, sf).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in served]
+
+
 # --------------------------------- portable rounding parity (float_round)
 
 
