@@ -198,18 +198,45 @@ class _Fs:
         self.rename(tmp_remote, p)
 
 
+def _sha256_of(spark: SparkSession, path: str) -> str:
+    """Distributed single-file sha256 — the ``export_manifest`` recipe
+    (binaryFile scan + ``sha2`` in codegen): the file is hashed where
+    it lives and only the 64-char digest reaches the driver, so the
+    verify leg costs one executor read of the file, never a
+    driver-side byte round-trip."""
+    rows = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(F.sha2(F.col("content"), 256).alias("h"))
+        .collect()
+    )
+    if len(rows) != 1:
+        raise RuntimeError(
+            f"sha256: expected exactly 1 file at {path}, got {len(rows)}"
+        )
+    return rows[0]["h"]
+
+
 def _write_manifest(
-    fsx: _Fs, dir_: str, paths: list[str], expected_len: int
+    fsx: _Fs, dir_: str, paths: list[str], expected_len: int,
+    expected_sha: str,
 ) -> str:
     mpath = os.path.join(dir_, _manifest_name(paths))
-    body = str(expected_len) + "\n" + "\n".join(sorted(paths)) + "\n"
+    body = (
+        f"{expected_len} {expected_sha}\n" + "\n".join(sorted(paths)) + "\n"
+    )
     fsx.write_small_atomic(mpath, body.encode())
     return mpath
 
 
-def _read_manifest(fsx: _Fs, mpath: str) -> tuple[int, list[str]]:
+def _read_manifest(fsx: _Fs, mpath: str) -> tuple[int, str | None, list[str]]:
+    """(expected_len, expected_sha | None, paths). The sha field landed
+    in r10; a pre-r10 manifest (bare length) still replays, with the
+    weaker length-only target check it was written under."""
     lines = fsx.read_small(mpath).decode().splitlines()
-    return int(lines[0]), [ln for ln in lines[1:] if ln]
+    head = lines[0].split()
+    sha = head[1] if len(head) > 1 else None
+    return int(head[0]), sha, [ln for ln in lines[1:] if ln]
 
 
 def _stage_part(
@@ -234,7 +261,13 @@ def _stage_part(
 
 
 def _publish(
-    fsx: _Fs, part: str, target: str, expected_len: int, publish_mode: str
+    spark: SparkSession,
+    fsx: _Fs,
+    part: str,
+    target: str,
+    expected_len: int,
+    expected_sha: str,
+    publish_mode: str,
 ) -> None:
     if publish_mode == "rename":
         fsx.rename(part, target)
@@ -244,6 +277,16 @@ def _publish(
         if got != expected_len:
             raise RuntimeError(
                 f"torn publish of {target}: {got} bytes != {expected_len}"
+            )
+        # content verify (r9 ADVICE-high follow-up): a torn PUT with a
+        # coincidentally-correct length passed the length check; the
+        # sha256 re-read closes it. One distributed read of the target
+        # per publish — the price of not trusting the store's PUT.
+        got_sha = _sha256_of(spark, target)
+        if got_sha != expected_sha:
+            raise RuntimeError(
+                f"torn publish of {target}: sha256 {got_sha} != "
+                f"{expected_sha} (length matched — content did not)"
             )
     else:
         raise ValueError(f"unknown publish_mode {publish_mode!r}")
@@ -274,7 +317,9 @@ def _rewrite_bin(
         action = "replayed_delete" if existing else "already_done"
         # claim before the first source delete even on this path, where
         # a pre-manifest-era target exists but sources linger
-        mpath = _write_manifest(fsx, dir_, paths, fsx.length(target))
+        mpath = _write_manifest(
+            fsx, dir_, paths, fsx.length(target), _sha256_of(spark, target)
+        )
     else:
         if len(existing) < len(paths):
             # target missing AND some sources gone: a concurrent writer
@@ -285,8 +330,12 @@ def _rewrite_bin(
             )
         stage_dir, part = _stage_part(spark, fsx, dir_, paths)
         expected_len = fsx.length(part)
-        mpath = _write_manifest(fsx, dir_, paths, expected_len)
-        _publish(fsx, part, target, expected_len, publish_mode)
+        expected_sha = _sha256_of(spark, part)
+        mpath = _write_manifest(fsx, dir_, paths, expected_len, expected_sha)
+        _publish(
+            spark, fsx, part, target, expected_len, expected_sha,
+            publish_mode,
+        )
         fsx.delete(stage_dir)
         action = "rewritten"
     _finish_claim(fsx, paths, existing, mpath)
@@ -302,19 +351,37 @@ def _replay_claim(
 ) -> tuple[str, str, int, int]:
     """Finish an interrupted claimed bin found via its manifest.
     Returns (target, action, n_sources, bytes_remaining)."""
-    expected_len, paths = _read_manifest(fsx, mpath)
+    expected_len, expected_sha, paths = _read_manifest(fsx, mpath)
     target = os.path.join(dir_, _target_name(paths))
     existing = [p for p in paths if fsx.exists(p)]
     bytes_left = sum(fsx.length(p) for p in existing)
-    target_ok = fsx.exists(target) and fsx.length(target) == expected_len
+    stage_dir = os.path.join(dir_, f"_compact-stage-{_bin_hash(paths)}")
+    # content verify on replay: a torn target with a coincidentally
+    # correct length (same-length corruption) must NOT count as ok
+    target_ok = (
+        fsx.exists(target)
+        and fsx.length(target) == expected_len
+        and (expected_sha is None or _sha256_of(spark, target) == expected_sha)
+    )
     if target_ok:
         action = "replayed_delete" if existing else "already_done"
+        # a crash between _publish and the stage delete leaves the
+        # stage dir behind this path forever once the manifest retires
+        # (r10 ADVICE): in copy mode it holds a full hidden duplicate
+        # of the bin's bytes — clean it here too
+        fsx.delete(stage_dir)
     else:
         if fsx.exists(target):  # torn copy-mode publish
             fsx.delete(target)
-        stage_dir = os.path.join(dir_, f"_compact-stage-{_bin_hash(paths)}")
         parts = fsx.glob(os.path.join(stage_dir, "part-*.parquet"))
-        if parts and fsx.length(parts[0]) == expected_len:
+        if (
+            parts
+            and fsx.length(parts[0]) == expected_len
+            and (
+                expected_sha is None
+                or _sha256_of(spark, parts[0]) == expected_sha
+            )
+        ):
             part = parts[0]  # publish crashed; the stage is intact
         else:
             if len(existing) < len(paths):
@@ -327,8 +394,16 @@ def _replay_claim(
             # a re-staged parquet can differ in byte length (writer
             # metadata); re-pin the claim to the bytes we will publish
             expected_len = fsx.length(part)
-            _write_manifest(fsx, dir_, paths, expected_len)
-        _publish(fsx, part, target, expected_len, publish_mode)
+            expected_sha = _sha256_of(spark, part)
+            _write_manifest(fsx, dir_, paths, expected_len, expected_sha)
+        if expected_sha is None:
+            # pre-r10 manifest replayed with an intact stage: pin the
+            # content before publish so the verify leg still runs
+            expected_sha = _sha256_of(spark, part)
+        _publish(
+            spark, fsx, part, target, expected_len, expected_sha,
+            publish_mode,
+        )
         fsx.delete(stage_dir)
         action = "replayed_publish"
     _finish_claim(fsx, paths, existing, mpath)
@@ -357,6 +432,15 @@ def compact_files(
     replayed_delete, already_done, skip_single}; replayed claims carry
     bin = -1 (their membership comes from the manifest, not the plan).
     """
+    # the manifest glob derives from the pattern's directory part; a
+    # separator-less pattern would yield a nonsense glob, phase 0 would
+    # silently find no claims, and the replay-duplication protection
+    # would be quietly bypassed (r10 ADVICE) — refuse instead
+    if "/" not in pattern:
+        raise ValueError(
+            f"pattern {pattern!r} has no directory component; pass "
+            "'<dir>/<file-glob>' so claim manifests can be discovered"
+        )
     fsx = _Fs(spark, pattern)
     report = []
 
@@ -365,7 +449,7 @@ def compact_files(
     claimed: set[str] = set()
     for mpath in fsx.glob(os.path.join(dir_pattern, ".compact-*.sources")):
         mdir = mpath.rsplit("/", 1)[0]
-        _, cpaths = _read_manifest(fsx, mpath)
+        _, _, cpaths = _read_manifest(fsx, mpath)
         claimed.update(cpaths)
         target, action, n_src, bytes_left = _replay_claim(
             spark, fsx, mdir, mpath, publish_mode
