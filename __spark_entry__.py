@@ -4786,6 +4786,85 @@ _NO_ORACLE_SIBLINGS = {
     "ann_topk_arrow": "ann_topk_bruteforce",
 }
 
+# every no-oracle query's named agreement pytest — the second half of
+# its contract (sibling = windowed exact analog; agreement test =
+# mechanical check the approximate path tracks it). The registry lint
+# (tests/test_round10_ops.py::test_no_oracle_contract_is_complete)
+# asserts both halves exist for every oracle-less registered query, so
+# the contract stays mechanical as the registry grows (r9 verdict #9).
+_NO_ORACLE_AGREEMENT_TESTS = {
+    "approx_distinct_users":
+        "tests/test_round8_ops.py::test_approx_distinct_users_agrees_with_exact",
+    "doc_length_bins_approx":
+        "tests/test_round9_ops.py::test_doc_length_bins_approx_agrees_with_exact",
+    "ann_topk_arrow":
+        "tests/test_similarity_quality.py::test_arrow_topk_matches_column_topk",
+}
+
+_R10_WINDOW = [
+    # 1. new this round: the MRL two-stage funnel + stored-codes SQ8
+    # serving leg
+    "ann_topk_mrl_refined",
+    "ann_topk_sq8_served",
+    # 2. semantically changed this round: the √n cells rule (r9 verdict
+    # items 1-3) re-parameterizes both coarse quantizers
+    "embedding_ivf_knn_join",
+    "dedup_semantic",
+    # 3. the whole kmeans family rides the r10 portable-rounding recipe
+    # (1e-10-unit integer sums + float_round in fit centroids, dist and
+    # PQ recon_err) — every consumer re-verified
+    "embedding_kmeans",
+    "docs_topic_clusters",
+    "docs_cluster_labels",
+    "docs_decontaminate_semantic",
+    "embedding_pq_codes",
+    "ann_topk_pq",
+    "ann_recall_pq",
+    "ann_topk_pq_refine",
+    "ann_topk_ivf",
+    "ann_topk_ivfpq",
+    "ann_recall_ivfpq",
+    "ann_topk_ivfpq_refined",
+    # 4. the full r5-vintage cohort — the ledger's stalest greens,
+    # keeping max staleness ≤ 4 rounds (r9 verdict item 4)
+    "docs_dedup_incremental",
+    "docs_duplicate_spans",
+    "docs_ngram_novelty",
+    "docs_pack_sequences",
+    "docs_pii_scrub",
+    "docs_repetition_profile",
+    "docs_segment_dedup",
+    "docs_token_budget",
+    "embedding_label_centroids",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
+    "events_funnel",
+    "events_heavy_hitters",
+    "events_hopping_rollup",
+    "events_sliding_topk",
+    "events_value_outliers",
+    "groupingsets_segment_priority",
+    "histogram_order_price",
+    "mix_datasets_by_lang",
+    "pivot_status_priority",
+    "quantiles_price_by_flag",
+    "stratified_sample_docs",
+    "text_entropy",
+    "text_oov_rate",
+    "text_tfidf_topk",
+    "unpivot_lineitem_metrics",
+    "vocab_top50",
+    "weighted_sample_docs",
+    "zorder_orders_key",
+    # 5. freshness fill: the oldest r6-vintage rows
+    "ann_topk_lsh",
+    "dedup_components",
+    "dedup_exact_masked",
+    "dedup_quality_keep",
+    # sentinel (green in every round since r1)
+    "q1_pricing_summary",
+]
+
 _R9_WINDOW = [
     # 1. the r8 red row, fixed (codes now a canon-hashable string) +
     # this round's new query
@@ -4913,7 +4992,7 @@ _R8_WINDOW = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _all_queries()
-    ordered = {name: base[name] for name in _R9_WINDOW}
+    ordered = {name: base[name] for name in _R10_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
     return ordered
 

@@ -162,6 +162,11 @@ HEADLINE = [
     "embedding_sq8_codes",
     "ann_topk_mrl",
     "ann_recall_mrl",
+    # r10: the MRL two-stage funnel, and the stored-codes serving leg
+    # benched NEXT TO the encode+score path so the bench separates the
+    # true serve cost from the one-time encode (r9 verdict item 7)
+    "ann_topk_mrl_refined",
+    "ann_topk_sq8_served",
     # events_hits_scores is deliberately NOT benched for the same
     # reason as docs_bpe_merges: 8 mutual-reinforcement rounds = 16
     # sequential half-round actions whose per-action data is a 5-row

@@ -164,6 +164,42 @@ def test_truncated_refine_recall_monotone_in_candidates(spark):
         truncated_refine_topk(emb, "embedding", q, dim_keep=0)
 
 
+# ------------------------------------- no-oracle contract registry lint
+
+
+def test_no_oracle_contract_is_complete():
+    """Every registered query WITHOUT an oracle must carry the full
+    no-oracle contract: a windowed exact sibling (that itself HAS an
+    oracle) and a named agreement pytest that exists at the declared
+    path — mechanical, so the contract can't silently decay as the
+    registry grows (r9 verdict item 9)."""
+    import os
+    import re
+
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    missing = sorted(set(qs) - set(oracles))
+    assert missing == sorted(e._NO_ORACLE_SIBLINGS), (
+        "oracle-less queries must be declared in _NO_ORACLE_SIBLINGS: "
+        f"{missing}"
+    )
+    assert set(e._NO_ORACLE_AGREEMENT_TESTS) == set(e._NO_ORACLE_SIBLINGS)
+    for name, sibling in e._NO_ORACLE_SIBLINGS.items():
+        assert sibling in qs and sibling in oracles, (
+            f"{name}'s sibling {sibling} must be a registered query "
+            "with an oracle"
+        )
+        ref = e._NO_ORACLE_AGREEMENT_TESTS[name]
+        path, func = ref.split("::")
+        full = os.path.join("/root/repo", path)
+        assert os.path.exists(full), f"{name}: missing test file {path}"
+        src = open(full).read()
+        assert re.search(rf"^def {re.escape(func)}\(", src, re.M), (
+            f"{name}: agreement test {func} not found in {path}"
+        )
+
+
 # ------------------------------------------- SQ8 pack guard + serving
 
 

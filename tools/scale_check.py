@@ -166,6 +166,9 @@ QUERIES = [
     "embedding_sq8_codes",
     "ann_topk_mrl",
     "ann_recall_mrl",
+    # r10: MRL refine funnel + stored-codes SQ8 serving leg
+    "ann_topk_mrl_refined",
+    "ann_topk_sq8_served",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
@@ -255,42 +258,14 @@ def main() -> None:
         pass_err = f"{type(exc).__name__}: {exc}"[:300]
         clustered = None
 
-    # SemDeDup's scale knob is k: cells must stay constant-size as the
-    # corpus grows or the cell-local pair stage grows quadratically
-    # (measured: fixed k=8 at 10x data = 10x wall from 25M in-cell
-    # pairs). Scaling k with the corpus (8 -> 8*copies here) holds
-    # cell size — the paper's own large-corpus regime (k=50k on LAION).
-    def _semdedup_scaled(copies=copies):
-        from pyspark.sql import functions as F  # noqa: F401
-        from kubernetes_logs_datalake_spark.operators.semdedup import semdedup
-
-        emb = spark.read.parquet(f"{dest}/embeddings.parquet")
-        return semdedup(
-            emb, "vec_id", "embedding", k=8 * copies, iters=3, threshold=0.35
-        ).select("cluster", "vec_id", "component", "dist", "keep")
-
-    thunks["dedup_semantic"] = _semdedup_scaled
-
-    # Same scaling law for the IVF kNN join: cells ∝ corpus keeps the
-    # cell-local pair stage linear (measured: fixed cells=8 at 10x =
-    # 40.6 s; cells=80 = 11.3 s).
-    def _ivf_knn_scaled(copies=copies):
-        from pyspark.sql import functions as F
-        from kubernetes_logs_datalake_spark.operators.similarity import (
-            ivf_knn_join,
-        )
-
-        emb = spark.read.parquet(f"{dest}/embeddings.parquet").filter(
-            F.col("vec_id") != 0
-        )
-        out = ivf_knn_join(
-            emb, "vec_id", "embedding", k=3, cells=8 * copies, iters=3
-        )
-        return out.select(
-            "query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank"
-        )
-
-    thunks["embedding_ivf_knn_join"] = _ivf_knn_scaled
+    # SemDeDup and the IVF kNN join need NO override since r10: the
+    # registered queries derive cells = max(8, isqrt(n)) and the
+    # sampled-fit mod from the scaled corpus count themselves
+    # (_sqrt_cells), so running them against `dest` measures the
+    # shipped rule. History of the knob, for the curve in SCALE.md:
+    # fixed k=8 at 10x = 10x wall (quadratic pair stage, r5); linear
+    # k = n/250 balanced the pair stage but left assignment n²/250
+    # (r9 verdict); √n balances both at n^1.5 with an O(n) fit.
 
     # Skew A/B: the same hot-key join (70% of events on one key) WITHOUT
     # the salting operator — measured against the registered
