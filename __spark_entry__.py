@@ -3066,6 +3066,42 @@ def _embedding_ivf_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ann_recall_ivf_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Honest recall of the cell-local kNN JOIN (the quality price of
+    √n cells, r10): on a bounded probe panel (vec_id % 100 == 1, the
+    hard_negatives idiom — probes broadcast, corpus never shuffles),
+    exact top-3 neighbors vs the ivf_knn_join's cell-local top-3.
+    recall = |∩| / (3·probes). Smaller √n cells buy the n^1.5 cost
+    curve at the price of more cross-cell misses; this query is the
+    measured number for that trade at each SF (SCALE.md r10). On the
+    STRUCTURELESS uniform fixture cell assignment carries little
+    neighbor signal, so this is the lower-bound regime (~0.1–0.3 —
+    same caveat as ann_recall_mrl/ivfpq); clustered corpora land far
+    higher (the round-6 planted-dup pytest is the quality claim)."""
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    probes = emb.filter(F.col("vec_id") % 50 == 1)
+    exact = hard_negatives(
+        emb, probes, "embedding", "vec_id", max_cos=2.0, k=3
+    ).select("query_id", "neighbor_id")
+    approx = (
+        _embedding_ivf_knn_join(spark, sf)
+        .filter(F.col("query_id") % 50 == 1)
+        .select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    )
+    return exact.join(approx, ["query_id", "neighbor_id"], "left").agg(
+        F.lit(3).alias("k"),
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count("_hit").cast("long").alias("n_hits"),
+        F.round(
+            F.count("_hit") / (F.lit(3) * F.countDistinct("query_id")), 4
+        ).alias("recall"),
+    )
+
+
 def _embedding_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     """Contrastive hard-negative mining (DPR-style): for each probe
     vector, the 3 most-similar corpus vectors BELOW the cos<0.95
@@ -4809,6 +4845,7 @@ _R10_WINDOW = [
     # 2. semantically changed this round: the √n cells rule (r9 verdict
     # items 1-3) re-parameterizes both coarse quantizers
     "embedding_ivf_knn_join",
+    "ann_recall_ivf_join",
     "dedup_semantic",
     # 3. the whole kmeans family rides the r10 portable-rounding recipe
     # (1e-10-unit integer sums + float_round in fit centroids, dist and
@@ -4859,7 +4896,6 @@ _R10_WINDOW = [
     # 5. freshness fill: the oldest r6-vintage rows
     "ann_topk_lsh",
     "dedup_components",
-    "dedup_exact_masked",
     "dedup_quality_keep",
     # sentinel (green in every round since r1)
     "q1_pricing_summary",
@@ -5176,6 +5212,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clean_export": _docs_clean_export,
         "embedding_hard_negatives": _embedding_hard_negatives,
         "embedding_ivf_knn_join": _embedding_ivf_knn_join,
+        "ann_recall_ivf_join": _ann_recall_ivf_join,
         "orders_table_profile": _orders_table_profile,
         "events_mad_outliers": _events_mad_outliers,
         "events_sliding_distinct": _events_sliding_distinct,
@@ -7086,6 +7123,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_kmeans": _ddb_kmeans_sql(),
         "dedup_semantic": _ddb_semdedup_sql(),
         "embedding_ivf_knn_join": _ddb_ivf_knn_join_sql(),
+        "ann_recall_ivf_join": _ddb_ivf_join_recall_sql(),
         "orders_table_profile": _ddb_table_profile_sql(),
         "events_sliding_distinct": _kmv_sliding_oracle(),
         "docs_topic_clusters": _ddb_topic_clusters_sql(),
@@ -9280,6 +9318,57 @@ def _ddb_ivf_knn_join_sql(
         SELECT query_id, neighbor_id, round(cos, 4) AS cos,
                CAST(rank AS INT) AS rank
         FROM r WHERE rank <= {k}
+    """
+
+
+def _ddb_ivf_join_recall_sql(k: int = 3, iters: int = 3) -> str:
+    """DuckDB mirror of ``ann_recall_ivf_join``: the ivf_knn_join
+    oracle's cell-local top-k (same √n-cells CTE chain), restricted to
+    the vec_id%100==1 probe panel, intersected with the exact
+    probe×corpus top-k (self excluded)."""
+    ctes = _ddb_kmeans_ctes(
+        _ddb_sqrt_cells_limit(), iters, EMBEDDING_DIM,
+        src="(SELECT * FROM embeddings WHERE vec_id <> 0)",
+    )
+    cos = _ddb_cos("a.embedding", "b.embedding")
+    ecos = _ddb_cos("p.embedding", "e.embedding")
+    return f"""
+        WITH {ctes},
+        asg AS (SELECT vec_id, CAST(j AS INT) AS cluster
+                FROM a{iters + 1} WHERE rk = 1),
+        sc AS (
+            SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id, {cos} AS cos
+            FROM asg x
+            JOIN asg y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+            JOIN embeddings a ON a.vec_id = x.vec_id
+            JOIN embeddings b ON b.vec_id = y.vec_id
+            WHERE x.vec_id % 50 = 1),
+        ivf AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id)
+                           AS rank
+                FROM sc)
+            WHERE rank <= {k}),
+        ex AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT p.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY p.vec_id
+                                          ORDER BY {ecos} DESC, e.vec_id)
+                           AS rk
+                FROM embeddings p
+                JOIN embeddings e
+                  ON e.vec_id <> 0 AND e.vec_id <> p.vec_id
+                WHERE p.vec_id <> 0 AND p.vec_id % 50 = 1)
+            WHERE rk <= {k})
+        SELECT {k} AS k,
+               CAST(count(DISTINCT ex.query_id) AS BIGINT) AS n_queries,
+               CAST(count(ivf.neighbor_id) AS BIGINT) AS n_hits,
+               round(count(ivf.neighbor_id)
+                     / ({k} * CAST(count(DISTINCT ex.query_id) AS DOUBLE)),
+                     4) AS recall
+        FROM ex LEFT JOIN ivf USING (query_id, neighbor_id)
     """
 
 
