@@ -3066,6 +3066,70 @@ def _embedding_ivf_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_IVF_JOIN_NPROBE = 4
+
+
+def _embedding_ivf_knn_join_probed(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-probe variant of the cell-local kNN join: the query side
+    explodes over its 4 nearest cells (neighbor side stays primary, so
+    pairs are unique by construction) — the standard IVF recall knob
+    applied to the join. Candidate work ×4; recall climbs toward exact
+    (measured next to ann_recall_ivf_join). Shares the cached √n-cell
+    centers with the 1-probe join, so the fit is paid once per
+    (session, sf)."""
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        ivf_knn_join,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    cells, fit_mod = _sqrt_cells(_emb_count_cached(emb, sf, "nz"))
+    centers = _kmeans_centers_cached(
+        emb, sf, "ivfknn", k=cells, iters=3, fit_sample_mod=fit_mod
+    )
+    out = ivf_knn_join(
+        emb, "vec_id", "embedding", k=3, cells=cells, iters=3,
+        centers=centers, n_probe=_IVF_JOIN_NPROBE,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank"
+    )
+
+
+def _ivf_join_recall(spark: SparkSession, sf: str, approx: DataFrame) -> DataFrame:
+    """Shared recall harness for the kNN-join family: exact bounded
+    probe-panel top-3 (hard_negatives with the ceiling off) left-joined
+    with the approximate join's pairs."""
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    probes = emb.filter(F.col("vec_id") % 50 == 1)
+    exact = hard_negatives(
+        emb, probes, "embedding", "vec_id", max_cos=2.0, k=3
+    ).select("query_id", "neighbor_id")
+    ap = approx.filter(F.col("query_id") % 50 == 1).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    return exact.join(ap, ["query_id", "neighbor_id"], "left").agg(
+        F.lit(3).alias("k"),
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count("_hit").cast("long").alias("n_hits"),
+        F.round(
+            F.count("_hit") / (F.lit(3) * F.countDistinct("query_id")), 4
+        ).alias("recall"),
+    )
+
+
+def _ann_recall_ivf_join_probed(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall of the 4-probe cell-local join on the same probe panel as
+    ann_recall_ivf_join — the measured lift the n_probe knob buys over
+    1-probe on this corpus (SCALE.md r10)."""
+    return _ivf_join_recall(
+        spark, sf, _embedding_ivf_knn_join_probed(spark, sf)
+    )
+
+
 def _ann_recall_ivf_join(spark: SparkSession, sf: str) -> DataFrame:
     """Honest recall of the cell-local kNN JOIN (the quality price of
     √n cells, r10): on a bounded probe panel (vec_id % 100 == 1, the
@@ -3078,28 +3142,7 @@ def _ann_recall_ivf_join(spark: SparkSession, sf: str) -> DataFrame:
     neighbor signal, so this is the lower-bound regime (~0.1–0.3 —
     same caveat as ann_recall_mrl/ivfpq); clustered corpora land far
     higher (the round-6 planted-dup pytest is the quality claim)."""
-    from kubernetes_logs_datalake_spark.operators.similarity import (
-        hard_negatives,
-    )
-
-    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
-    probes = emb.filter(F.col("vec_id") % 50 == 1)
-    exact = hard_negatives(
-        emb, probes, "embedding", "vec_id", max_cos=2.0, k=3
-    ).select("query_id", "neighbor_id")
-    approx = (
-        _embedding_ivf_knn_join(spark, sf)
-        .filter(F.col("query_id") % 50 == 1)
-        .select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
-    )
-    return exact.join(approx, ["query_id", "neighbor_id"], "left").agg(
-        F.lit(3).alias("k"),
-        F.countDistinct("query_id").cast("long").alias("n_queries"),
-        F.count("_hit").cast("long").alias("n_hits"),
-        F.round(
-            F.count("_hit") / (F.lit(3) * F.countDistinct("query_id")), 4
-        ).alias("recall"),
-    )
+    return _ivf_join_recall(spark, sf, _embedding_ivf_knn_join(spark, sf))
 
 
 def _embedding_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
@@ -4846,6 +4889,8 @@ _R10_WINDOW = [
     # items 1-3) re-parameterizes both coarse quantizers
     "embedding_ivf_knn_join",
     "ann_recall_ivf_join",
+    "embedding_ivf_knn_join_probed",
+    "ann_recall_ivf_join_probed",
     "dedup_semantic",
     # 3. the whole kmeans family rides the r10 portable-rounding recipe
     # (1e-10-unit integer sums + float_round in fit centroids, dist and
@@ -4895,8 +4940,6 @@ _R10_WINDOW = [
     "zorder_orders_key",
     # 5. freshness fill: the oldest r6-vintage rows
     "ann_topk_lsh",
-    "dedup_components",
-    "dedup_quality_keep",
     # sentinel (green in every round since r1)
     "q1_pricing_summary",
 ]
@@ -5213,6 +5256,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_hard_negatives": _embedding_hard_negatives,
         "embedding_ivf_knn_join": _embedding_ivf_knn_join,
         "ann_recall_ivf_join": _ann_recall_ivf_join,
+        "embedding_ivf_knn_join_probed": _embedding_ivf_knn_join_probed,
+        "ann_recall_ivf_join_probed": _ann_recall_ivf_join_probed,
         "orders_table_profile": _orders_table_profile,
         "events_mad_outliers": _events_mad_outliers,
         "events_sliding_distinct": _events_sliding_distinct,
@@ -7124,6 +7169,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": _ddb_semdedup_sql(),
         "embedding_ivf_knn_join": _ddb_ivf_knn_join_sql(),
         "ann_recall_ivf_join": _ddb_ivf_join_recall_sql(),
+        "embedding_ivf_knn_join_probed": _ddb_ivf_knn_join_sql(n_probe=_IVF_JOIN_NPROBE),
+        "ann_recall_ivf_join_probed": _ddb_ivf_join_recall_sql(n_probe=_IVF_JOIN_NPROBE),
         "orders_table_profile": _ddb_table_profile_sql(),
         "events_sliding_distinct": _kmv_sliding_oracle(),
         "docs_topic_clusters": _ddb_topic_clusters_sql(),
@@ -9286,7 +9333,7 @@ def _ddb_sqrt_cells_limit(prefix: str = "") -> str:
 
 def _ddb_ivf_knn_join_sql(
     k: int = 3, cells: int | str | None = None, iters: int = 3,
-    dim: int = EMBEDDING_DIM,
+    dim: int = EMBEDDING_DIM, n_probe: int = 1,
 ) -> str:
     """DuckDB mirror of ``similarity.ivf_knn_join`` on the vec_id!=0
     corpus: the unrolled k-means CTEs give the cell assignment, a
@@ -9304,9 +9351,11 @@ def _ddb_ivf_knn_join_sql(
         WITH {ctes},
         asg AS (SELECT vec_id, CAST(j AS INT) AS cluster
                 FROM a{iters + 1} WHERE rk = 1),
+        prb AS (SELECT vec_id, CAST(j AS INT) AS cluster
+                FROM a{iters + 1} WHERE rk <= {n_probe}),
         sc AS (
             SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id, {cos} AS cos
-            FROM asg x
+            FROM prb x
             JOIN asg y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
             JOIN embeddings a ON a.vec_id = x.vec_id
             JOIN embeddings b ON b.vec_id = y.vec_id),
@@ -9321,7 +9370,9 @@ def _ddb_ivf_knn_join_sql(
     """
 
 
-def _ddb_ivf_join_recall_sql(k: int = 3, iters: int = 3) -> str:
+def _ddb_ivf_join_recall_sql(
+    k: int = 3, iters: int = 3, n_probe: int = 1
+) -> str:
     """DuckDB mirror of ``ann_recall_ivf_join``: the ivf_knn_join
     oracle's cell-local top-k (same √n-cells CTE chain), restricted to
     the vec_id%100==1 probe panel, intersected with the exact
@@ -9336,9 +9387,11 @@ def _ddb_ivf_join_recall_sql(k: int = 3, iters: int = 3) -> str:
         WITH {ctes},
         asg AS (SELECT vec_id, CAST(j AS INT) AS cluster
                 FROM a{iters + 1} WHERE rk = 1),
+        prb AS (SELECT vec_id, CAST(j AS INT) AS cluster
+                FROM a{iters + 1} WHERE rk <= {n_probe}),
         sc AS (
             SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id, {cos} AS cos
-            FROM asg x
+            FROM prb x
             JOIN asg y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
             JOIN embeddings a ON a.vec_id = x.vec_id
             JOIN embeddings b ON b.vec_id = y.vec_id

@@ -650,6 +650,61 @@ def hard_negatives(
     )
 
 
+def _multi_probe_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    p: int,
+) -> DataFrame:
+    """(id, vec, cluster) exploded over each vector's ``p`` NEAREST
+    cells (ties by cell index) — the probe-side assignment of a
+    multi-probe IVF join. Same packed-literal + explode-barrier idiom
+    as ``kmeans_assign`` (the d2 struct array materializes once; the
+    slice of the sorted array unnests to p rows), map-only, no UDF."""
+    from kubernetes_logs_datalake_spark.functions.vectors import (
+        literal_vector,
+    )
+
+    kk = len(centroids)
+    dim = len(centroids[0])
+    flat: list[float] = []
+    for c in centroids:
+        flat.extend(float(v) for v in c)
+    C = literal_vector(flat)
+    vec = F.col(vec_col)
+    d2 = F.transform(
+        F.sequence(F.lit(0), F.lit(kk - 1)),
+        lambda j: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.slice(C, j * dim + 1, dim),
+                    lambda x, c: (x.cast("double") - c)
+                    * (x.cast("double") - c),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("d"),
+            j.cast("int").alias("j"),
+        ),
+    )
+    mid = df.select(
+        F.col(id_col),
+        vec.alias("_v"),
+        F.explode(F.array(F.slice(F.array_sort(d2), 1, p))).alias("_top"),
+    )
+    return mid.select(
+        F.col(id_col),
+        F.col("_v").alias(vec_col),
+        F.explode(F.col("_top")).alias("_probe"),
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_probe").getField("j").alias("cluster"),
+    )
+
+
 def ivf_knn_join(
     df: DataFrame,
     id_col: str,
@@ -658,6 +713,7 @@ def ivf_knn_join(
     cells: int = 8,
     iters: int = 3,
     centers: list[list[float]] | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Corpus×corpus approximate kNN join through an IVF coarse
     quantizer: every vector is assigned to its nearest deterministic
@@ -675,7 +731,14 @@ def ivf_knn_join(
     Output: (query_id, neighbor_id, cos, rank ≤ k among same-cell
     neighbors). Approximation: true neighbors in other cells are
     missed — recall grows with cells' balance; eval with the same
-    recall harness as ann_recall_lsh.
+    recall harness as ann_recall_lsh (``ann_recall_ivf_join``).
+
+    ``n_probe > 1`` is the standard IVF recall knob applied to the
+    JOIN: the query side explodes over its ``n_probe`` nearest cells
+    (the neighbor side stays at its one primary cell, so a pair is
+    generated at most once — no dedup stage) and candidate work scales
+    ×n_probe while recall climbs toward exact. n_probe=1 is
+    bit-identical to the pre-r10 operator.
     """
     from pyspark.sql import Window
 
@@ -688,6 +751,8 @@ def ivf_knn_join(
         kmeans_fit,
     )
 
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     # pre-trained centers skip the Lloyd fit (deterministic pure
     # function of (corpus, cells, iters) — cacheable, the PQ contract)
     if centers is not None:
@@ -695,18 +760,29 @@ def ivf_knn_join(
             raise ValueError(f"{len(centers)} centers != cells {cells}")
         assigned = kmeans_assign(df, id_col, vec_col, centers)
     else:
-        _, assigned = kmeans_fit(df, id_col, vec_col, k=cells, iters=iters)
+        centers, assigned = kmeans_fit(
+            df, id_col, vec_col, k=cells, iters=iters
+        )
     # one materialization feeds both join sides (the semdedup shape)
     assigned = assigned.localCheckpoint(eager=False)
     base = assigned.select(
         "cluster", F.col(id_col), F.col(vec_col), norm(vec_col).alias("_n")
     )
-    a = base.select(
-        "cluster",
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_va"),
-        F.col("_n").alias("_na"),
-    )
+    if n_probe > 1:
+        probes = _multi_probe_cells(df, id_col, vec_col, centers, n_probe)
+        a = probes.select(
+            "cluster",
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_va"),
+            norm(vec_col).alias("_na"),
+        )
+    else:
+        a = base.select(
+            "cluster",
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_va"),
+            F.col("_n").alias("_na"),
+        )
     b = base.select(
         "cluster",
         F.col(id_col).alias("neighbor_id"),

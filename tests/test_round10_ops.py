@@ -164,6 +164,55 @@ def test_truncated_refine_recall_monotone_in_candidates(spark):
         truncated_refine_topk(emb, "embedding", q, dim_keep=0)
 
 
+# ------------------------------------------- multi-probe IVF kNN join
+
+
+def test_ivf_knn_join_nprobe_monotone_and_exact_at_full_probe(spark):
+    """n_probe=1 must be bit-identical to the default; recall of the
+    join's pairs is monotone in n_probe, and probing ALL cells
+    generates every pair, i.e. the exact kNN join."""
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        ivf_knn_join,
+    )
+
+    df = _clustered_corpus(spark, 240, dim=8, k=4)
+    base = ivf_knn_join(df, "vec_id", "embedding", k=2, cells=4, iters=2)
+    one = ivf_knn_join(
+        df, "vec_id", "embedding", k=2, cells=4, iters=2, n_probe=1
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, one.collect())
+    )
+
+    def pairs(p):
+        out = ivf_knn_join(
+            df, "vec_id", "embedding", k=2, cells=4, iters=2, n_probe=p
+        )
+        return {(r.query_id, r.neighbor_id) for r in out.collect()}
+
+    exact = pairs(4)  # all cells probed = every pair scored
+    prev = -1.0
+    for p in (1, 2, 4):
+        rec = len(pairs(p) & exact) / len(exact)
+        assert rec >= prev
+        prev = rec
+    assert prev == 1.0
+    with pytest.raises(ValueError, match="n_probe"):
+        ivf_knn_join(df, "vec_id", "embedding", cells=4, n_probe=0)
+
+
+def test_ivf_join_recall_probed_beats_single_probe(spark):
+    """The registered 4-probe recall must dominate the 1-probe recall
+    on the same probe panel (the knob is worthless otherwise)."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    r1 = e.queries()["ann_recall_ivf_join"](spark, sf).collect()[0]
+    r4 = e.queries()["ann_recall_ivf_join_probed"](spark, sf).collect()[0]
+    assert r4.recall >= r1.recall
+    assert r1.n_queries == r4.n_queries > 0
+
+
 # ------------------------------------- no-oracle contract registry lint
 
 
