@@ -167,6 +167,11 @@ HEADLINE = [
     # true serve cost from the one-time encode (r9 verdict item 7)
     "ann_topk_mrl_refined",
     "ann_topk_sq8_served",
+    # the multi-probe join next to its 1-probe sibling (benched above)
+    # and both recall harnesses
+    "embedding_ivf_knn_join_probed",
+    "ann_recall_ivf_join",
+    "ann_recall_ivf_join_probed",
     # events_hits_scores is deliberately NOT benched for the same
     # reason as docs_bpe_merges: 8 mutual-reinforcement rounds = 16
     # sequential half-round actions whose per-action data is a 5-row

@@ -166,9 +166,13 @@ QUERIES = [
     "embedding_sq8_codes",
     "ann_topk_mrl",
     "ann_recall_mrl",
-    # r10: MRL refine funnel + stored-codes SQ8 serving leg
+    # r10: MRL refine funnel + stored-codes SQ8 serving leg + the
+    # multi-probe join and its recall harness
     "ann_topk_mrl_refined",
     "ann_topk_sq8_served",
+    "embedding_ivf_knn_join_probed",
+    "ann_recall_ivf_join",
+    "ann_recall_ivf_join_probed",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
