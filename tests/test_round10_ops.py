@@ -297,22 +297,44 @@ def test_float_round_matches_duckdb_bit_for_bit(spark):
     DuckDB round(double) disagree."""
     from kubernetes_logs_datalake_spark.functions.vectors import float_round
 
+    import math
+
     vals = [
         0.0444444, 0.0444445, 0.0444446, 0.9826405, -0.9826405,
         0.0000005, -0.0000005, 1.5e-7, 123.4567894999, -123.4567895001,
         0.1, -0.1, 2.675, 1e-12, -1e-12, 987654.3210987,
     ]
+    # constructed boundary family: every m.5·1e-6 neighborhood in
+    # [0, 2), plus the nearest representable doubles on either side —
+    # exactly where F.round/duckdb-round historically flipped
+    for m in range(0, 2_000_000, 37_501):
+        b = (m + 0.5) / 1e6
+        vals += [b, math.nextafter(b, 0.0), math.nextafter(b, 2.0), -b]
+    # seeded uniform sweep (python floats ARE IEEE doubles, so the
+    # python mirror below is the ground truth all engines must match)
+    rng = random.Random(20260815)
+    vals += [rng.uniform(-1000, 1000) for _ in range(4000)]
     df = spark.createDataFrame([(v,) for v in vals], "v double")
     got = [
         r.r for r in df.select(float_round(F.col("v"), 6).alias("r")).collect()
     ]
+    py = [math.floor(v * 1e6 + 0.5) / 1e6 for v in vals]
+    assert got == py
+    # feed DuckDB the exact doubles through Arrow — a SQL literal would
+    # round-trip via DECIMAL(18,17), whose →DOUBLE cast is NOT
+    # correctly rounded (one ulp off near boundaries), polluting the
+    # fixture before the expression under test even runs
+    import pyarrow as pa
+
+    con = duckdb.connect()
+    con.register("t", pa.table({"v": pa.array(vals, pa.float64())}))
     want = [
-        duckdb.sql(
-            "SELECT floor(? * 1000000.0 + 0.5) / 1000000.0", params=[v]
-        ).fetchone()[0]
-        for v in vals
+        r[0]
+        for r in con.execute(
+            "SELECT floor(v * 1000000.0 + 0.5) / 1000000.0 FROM t"
+        ).fetchall()
     ]
-    assert got == want
+    assert want == py
 
 
 def test_portable_centroid_mean_matches_duckdb(spark):
