@@ -3104,11 +3104,20 @@ def _ivf_join_recall(spark: SparkSession, sf: str, approx: DataFrame) -> DataFra
     )
 
     emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
-    probes = emb.filter(F.col("vec_id") % 50 == 1)
+    # FIXED probe budget (≤100 probes at any corpus size): the cap is
+    # what keeps the exact leg linear — a %-only panel grows with the
+    # corpus and re-creates the quadratic misuse hard_negatives warns
+    # about. Inactive at sandbox SFs (every vec_id < 5000), so driver
+    # hashes are unchanged.
+    probes = emb.filter(
+        (F.col("vec_id") % 50 == 1) & (F.col("vec_id") < 5000)
+    )
     exact = hard_negatives(
         emb, probes, "embedding", "vec_id", max_cos=2.0, k=3
     ).select("query_id", "neighbor_id")
-    ap = approx.filter(F.col("query_id") % 50 == 1).select(
+    ap = approx.filter(
+        (F.col("query_id") % 50 == 1) & (F.col("query_id") < 5000)
+    ).select(
         "query_id", "neighbor_id", F.lit(1).alias("_hit")
     )
     return exact.join(ap, ["query_id", "neighbor_id"], "left").agg(
@@ -9395,7 +9404,7 @@ def _ddb_ivf_join_recall_sql(
             JOIN asg y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
             JOIN embeddings a ON a.vec_id = x.vec_id
             JOIN embeddings b ON b.vec_id = y.vec_id
-            WHERE x.vec_id % 50 = 1),
+            WHERE x.vec_id % 50 = 1 AND x.vec_id < 5000),
         ivf AS (
             SELECT query_id, neighbor_id FROM (
                 SELECT query_id, neighbor_id,
@@ -9413,7 +9422,7 @@ def _ddb_ivf_join_recall_sql(
                 FROM embeddings p
                 JOIN embeddings e
                   ON e.vec_id <> 0 AND e.vec_id <> p.vec_id
-                WHERE p.vec_id <> 0 AND p.vec_id % 50 = 1)
+                WHERE p.vec_id <> 0 AND p.vec_id % 50 = 1 AND p.vec_id < 5000)
             WHERE rk <= {k})
         SELECT {k} AS k,
                CAST(count(DISTINCT ex.query_id) AS BIGINT) AS n_queries,
