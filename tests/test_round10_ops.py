@@ -377,3 +377,49 @@ def test_portable_centroid_mean_matches_duckdb(spark):
     ).fetchone()[0]
     assert list(got.centroid) == list(want)
     assert got.n_vectors == 97
+
+
+# ---------------------------------- PPJoin positional filter losslessness
+
+
+def test_jaccard_prefix_filters_lossless_on_random_varied_corpus(spark):
+    """The r10 positional + length candidate filters must keep the
+    prefix join EXACTLY equal to brute force on a randomized corpus
+    with heavy-tailed vocabulary and varying doc lengths (the length
+    filter is only exercised when sizes differ), including threshold
+    boundaries where Jaccard == t exactly."""
+    from kubernetes_logs_datalake_spark.operators.dedup import (
+        jaccard_prefix_join,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(20260815)
+    vocab = [f"w{i}" for i in range(120)]
+    docs = []
+    for i in range(120):
+        ln = rng.choice([4, 6, 9, 14, 20])
+        # zipf-ish: hot head words plus a rare tail
+        words = [
+            vocab[min(int(rng.paretovariate(1.1)), 119)] for _ in range(ln)
+        ]
+        docs.append((i, " ".join(words)))
+        if i % 5 == 0:  # planted near-dups, sometimes with extra words
+            docs.append((1000 + i, " ".join(words + ["extra"] * (i % 3))))
+    # exact-boundary pair: |A∩B|/|A∪B| == 0.5 precisely
+    docs += [(5001, "a b c d"), (5002, "a b e f")]  # J = 2/6 = 0.3333
+    docs += [(5003, "p q r s"), (5004, "p q r s t u v w")]  # J = 0.5
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.3333, 0.5, 0.7):
+        brute = {
+            (r.id_a, r.id_b): round(r.jaccard, 4)
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", n=1, threshold=t
+            ).collect()
+        }
+        fast = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in jaccard_prefix_join(
+                df, "doc_id", "text", n=1, threshold=t
+            ).collect()
+        }
+        assert fast == brute, t
