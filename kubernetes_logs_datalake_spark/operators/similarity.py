@@ -657,11 +657,15 @@ def _multi_probe_cells(
     centroids: list[list[float]],
     p: int,
 ) -> DataFrame:
-    """(id, vec, cluster) exploded over each vector's ``p`` NEAREST
-    cells (ties by cell index) — the probe-side assignment of a
-    multi-probe IVF join. Same packed-literal + explode-barrier idiom
-    as ``kmeans_assign`` (the d2 struct array materializes once; the
-    slice of the sorted array unnests to p rows), map-only, no UDF."""
+    """(id, vec, cluster, probe_rank 1..p) exploded over each vector's
+    ``p`` NEAREST cells (ties by cell index) — ONE assignment pass that
+    serves both sides of a multi-probe IVF join: probe_rank=1 is the
+    primary cell, bit-identical to ``kmeans_assign``'s argmin (both
+    break ties toward the lowest cell index), so the n·cells·dim
+    distance work — the dominant term under the √n rule — is paid once,
+    not once per side. Same packed-literal + explode-barrier idiom as
+    ``kmeans_assign`` (the d2 struct array materializes once; the slice
+    of the sorted array unnests to p rows), map-only, no UDF."""
     from kubernetes_logs_datalake_spark.functions.vectors import (
         literal_vector,
     )
@@ -697,11 +701,12 @@ def _multi_probe_cells(
     return mid.select(
         F.col(id_col),
         F.col("_v").alias(vec_col),
-        F.explode(F.col("_top")).alias("_probe"),
+        F.posexplode(F.col("_top")).alias("_pos", "_probe"),
     ).select(
         F.col(id_col),
         F.col(vec_col),
         F.col("_probe").getField("j").alias("cluster"),
+        (F.col("_pos") + 1).cast("int").alias("probe_rank"),
     )
 
 
@@ -755,28 +760,34 @@ def ivf_knn_join(
         raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     # pre-trained centers skip the Lloyd fit (deterministic pure
     # function of (corpus, cells, iters) — cacheable, the PQ contract)
-    if centers is not None:
-        if len(centers) != cells:
-            raise ValueError(f"{len(centers)} centers != cells {cells}")
-        assigned = kmeans_assign(df, id_col, vec_col, centers)
-    else:
-        centers, assigned = kmeans_fit(
-            df, id_col, vec_col, k=cells, iters=iters
-        )
-    # one materialization feeds both join sides (the semdedup shape)
-    assigned = assigned.localCheckpoint(eager=False)
-    base = assigned.select(
-        "cluster", F.col(id_col), F.col(vec_col), norm(vec_col).alias("_n")
-    )
+    if centers is not None and len(centers) != cells:
+        raise ValueError(f"{len(centers)} centers != cells {cells}")
+    if centers is None:
+        centers, _ = kmeans_fit(df, id_col, vec_col, k=cells, iters=iters)
     if n_probe > 1:
-        probes = _multi_probe_cells(df, id_col, vec_col, centers, n_probe)
-        a = probes.select(
+        # ONE assignment pass serves both sides (probe_rank=1 is the
+        # primary cell, bit-identical to kmeans_assign's argmin): the
+        # n·cells·dim distance work is the dominant term under the √n
+        # rule, so paying it per side would double the whole stage
+        multi = _multi_probe_cells(
+            df, id_col, vec_col, centers, n_probe
+        ).localCheckpoint(eager=False)
+        base = multi.withColumn("_n", norm(vec_col))
+        a = base.select(
             "cluster",
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("_va"),
-            norm(vec_col).alias("_na"),
+            F.col("_n").alias("_na"),
         )
+        base = base.filter(F.col("probe_rank") == 1)
     else:
+        # one materialization feeds both join sides (the semdedup shape)
+        assigned = kmeans_assign(df, id_col, vec_col, centers)
+        assigned = assigned.localCheckpoint(eager=False)
+        base = assigned.select(
+            "cluster", F.col(id_col), F.col(vec_col),
+            norm(vec_col).alias("_n"),
+        )
         a = base.select(
             "cluster",
             F.col(id_col).alias("query_id"),
