@@ -2523,7 +2523,10 @@ def _dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     at scale — r9 verdict "What's wrong" #2. With cells = √n and a
     sampled fit, fit is O(n) and assign+pairs are both Θ(n^1.5). The
     oracle's seeds CTE uses the same greatest(8, √count) limit, so the
-    two engines re-parameterize identically at every SF."""
+    two engines re-parameterize identically at every hash-checked SF
+    (n < 6400, where the fit is exact; past that boundary the Spark
+    fit samples and the oracle's guard errors loudly instead of
+    silently diverging — ``_ddb_sqrt_cells_limit``)."""
     from kubernetes_logs_datalake_spark.operators.semdedup import semdedup
 
     emb = _t(spark, sf, "embeddings")
@@ -2538,19 +2541,31 @@ def _dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("cluster", "vec_id", "component", "dist", "keep")
 
 
+def _session_key(spark: SparkSession) -> str:
+    """Stable identity for session-bound DataFrame caches
+    (localCheckpoint blocks live in the context's block manager and
+    die with it). ``applicationId`` is unique per SparkContext within
+    a process lifetime — unlike ``id(spark)``, which the allocator can
+    hand to a NEW session after the old one is garbage-collected,
+    silently resurrecting a cache entry whose checkpointed blocks are
+    gone (r10 ADVICE)."""
+    return spark.sparkContext.applicationId
+
+
 _BPE_MERGES = 20
 # learn once per (session, sf): the two BPE queries share the learned
 # state the way _QUERY_VEC_CACHE shares the ANN query vector. The
 # vocab DataFrame is localCheckpoint-backed and therefore BOUND to the
 # session that created it, so the cache key includes the session
-# identity — a fresh session in the same process must relearn, not
-# reuse a DataFrame whose checkpointed blocks died with the old
-# session.
-_BPE_CACHE: dict[tuple[int, str], tuple] = {}
+# identity (_session_key, not id(spark) — address reuse after GC
+# would resurrect dead checkpoint blocks) — a fresh session in the
+# same process must relearn, not reuse a DataFrame whose checkpointed
+# blocks died with the old session.
+_BPE_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 def _bpe_learned(spark: SparkSession, sf: str):
-    key = (id(spark), sf)
+    key = (_session_key(spark), sf)
     if key not in _BPE_CACHE:
         from kubernetes_logs_datalake_spark.operators.bpe import bpe_learn
 
@@ -3052,7 +3067,9 @@ def _embedding_ivf_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     # sampled Lloyd fit. Replaces the r6–r9 linear n/250 rule, whose
     # assignment stage went n²/250 at scale (r9 verdict #1). The
     # oracle's seeds LIMIT is the same greatest(8, √count) subquery,
-    # so Spark and DuckDB pick identical cells at every SF.
+    # so Spark and DuckDB pick identical cells at every hash-checked
+    # SF (n < 6400 — past the sampled-fit boundary the oracle guard
+    # errors loudly, _ddb_sqrt_cells_limit).
     cells, fit_mod = _sqrt_cells(_emb_count_cached(emb, sf, "nz"))
     centers = _kmeans_centers_cached(
         emb, sf, "ivfknn", k=cells, iters=3, fit_sample_mod=fit_mod
@@ -3141,7 +3158,8 @@ def _ann_recall_ivf_join_probed(spark: SparkSession, sf: str) -> DataFrame:
 
 def _ann_recall_ivf_join(spark: SparkSession, sf: str) -> DataFrame:
     """Honest recall of the cell-local kNN JOIN (the quality price of
-    √n cells, r10): on a bounded probe panel (vec_id % 100 == 1, the
+    √n cells, r10): on a bounded probe panel (vec_id % 50 == 1 and
+    vec_id < 5000 — the fixed ≤100-probe budget in _ivf_join_recall;
     hard_negatives idiom — probes broadcast, corpus never shuffles),
     exact top-3 neighbors vs the ivf_knn_join's cell-local top-3.
     recall = |∩| / (3·probes). Smaller √n cells buy the n^1.5 cost
@@ -4524,7 +4542,7 @@ def _ann_topk_sq8_packed(spark: SparkSession, sf: str) -> DataFrame:
 # with their session) so ann_topk_sq8_served benches the true serving
 # leg — decode+scan only — while ann_topk_sq8_packed keeps measuring
 # encode+score end-to-end.
-_SQ8_PACKED_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SQ8_PACKED_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _sq8_packed_cached(spark: SparkSession, sf: str) -> DataFrame:
@@ -4533,7 +4551,7 @@ def _sq8_packed_cached(spark: SparkSession, sf: str) -> DataFrame:
         sq8_pack,
     )
 
-    key = (id(spark), sf)
+    key = (_session_key(spark), sf)
     if key not in _SQ8_PACKED_CACHE:
         emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
         enc = sq8_pack(
@@ -9333,9 +9351,23 @@ def _ddb_sqrt_cells_limit(prefix: str = "") -> str:
     """Seeds-LIMIT expression mirroring ``_sqrt_cells``'s
     ``max(8, isqrt(n))`` — floor(double sqrt) ≡ ``math.isqrt`` for
     every n below ~2^52 (sandbox corpora are ≤40k), so both engines
-    pick the same cell count at any SF without a hard-coded n."""
+    pick the same cell count without a hard-coded n.
+
+    **Sampled-fit boundary guard (r10 ADVICE)**: parity holds only
+    while the Spark fit is the exact full-corpus Lloyd, i.e. while
+    ``_sqrt_cells`` yields ``fit_sample_mod == 1`` ⟺ n < 6400. Beyond
+    that the Spark side trains on the ``xxhash64(id) % m == 0`` sample
+    (which this unrolled full-corpus CTE chain cannot mirror — DuckDB
+    has no Spark-seeded xxhash64), so instead of silently diverging the
+    expression calls ``error()`` and the harness fails LOUDLY. Every
+    hash-checked sandbox corpus is ≤2k vectors, far inside the guard."""
     return (
-        f"(SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT)) "
+        f"(SELECT CASE WHEN count(*) >= 6400 THEN CAST(error("
+        f"'kmeans oracle boundary: corpus >= 6400 vectors means the "
+        f"Spark fit samples (fit_sample_mod > 1, _sqrt_cells) and this "
+        f"full-corpus unrolled Lloyd oracle would silently diverge') "
+        f"AS BIGINT) "
+        f"ELSE greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT)) END "
         f"FROM {prefix}corpus)"
     )
 
@@ -9349,7 +9381,8 @@ def _ddb_ivf_knn_join_sql(
     cluster-equality self-join scores cell-local cosines, and the same
     (cos DESC, neighbor) rank window cuts top-k per query. Cells
     default to the √n rule (``_ddb_sqrt_cells_limit``), matching the
-    Spark side's ``_sqrt_cells`` at every SF."""
+    Spark side's ``_sqrt_cells`` at every hash-checked SF (guarded
+    past the n≥6400 sampled-fit boundary)."""
     if cells is None:
         cells = _ddb_sqrt_cells_limit()
     ctes = _ddb_kmeans_ctes(

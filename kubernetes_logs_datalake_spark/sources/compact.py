@@ -198,23 +198,60 @@ class _Fs:
         self.rename(tmp_remote, p)
 
 
-def _sha256_of(spark: SparkSession, path: str) -> str:
-    """Distributed single-file sha256 — the ``export_manifest`` recipe
-    (binaryFile scan + ``sha2`` in codegen): the file is hashed where
-    it lives and only the 64-char digest reaches the driver, so the
-    verify leg costs one executor read of the file, never a
-    driver-side byte round-trip."""
-    rows = (
-        spark.read.format("binaryFile")
-        .load(path)
-        .select(F.sha2(F.col("content"), 256).alias("h"))
-        .collect()
-    )
-    if len(rows) != 1:
-        raise RuntimeError(
-            f"sha256: expected exactly 1 file at {path}, got {len(rows)}"
+# Spark's binaryFile source materializes the whole file into one JVM
+# byte[], so it hard-fails at Int.MaxValue content; stay a safe margin
+# under (JVM array headroom) and stream anything bigger.
+_BINARYFILE_MAX = 2**31 - 2**20
+
+
+def _sha256_of(
+    spark: SparkSession, path: str, binaryfile_max: int = _BINARYFILE_MAX
+) -> str:
+    """Single-file sha256. Files under Spark's ~2 GiB binary-content
+    limit go through the ``export_manifest`` recipe (binaryFile scan +
+    ``sha2`` in codegen): hashed where they live, only the 64-char
+    digest reaches the driver. Files AT or past the limit cannot use
+    binaryFile (it materializes one JVM byte[], capped at
+    Int.MaxValue, so the scan hard-fails — and a crashed verify leg
+    used to wedge every replay of a >=2 GiB bin, r10 ADVICE): they
+    stream through the driver JVM's Hadoop input stream into a
+    ``MessageDigest`` in 8 MiB chunks. The bytes stay JVM-side (py4j
+    carries only the buffer handle and the final digest), so the
+    fallback runs at I/O speed; it is a one-node read, which is the
+    honest floor for a serial hash of one oversized object — correct
+    beats wedged. ``binaryfile_max`` is parameterized so tests exercise
+    the streaming path on small files."""
+    fsx = _Fs(spark, path)
+    if fsx.length(path) < binaryfile_max:
+        rows = (
+            spark.read.format("binaryFile")
+            .load(path)
+            .select(F.sha2(F.col("content"), 256).alias("h"))
+            .collect()
         )
-    return rows[0]["h"]
+        if len(rows) != 1:
+            raise RuntimeError(
+                f"sha256: expected exactly 1 file at {path}, got {len(rows)}"
+            )
+        return rows[0]["h"]
+    jvm = fsx.jvm
+    md = jvm.java.security.MessageDigest.getInstance("SHA-256")
+    # the copy loop runs entirely JVM-side (DigestInputStream wraps the
+    # Hadoop stream; transferTo drains it into a null sink) — py4j
+    # byte[] arguments are pass-by-value, so a Python-driven
+    # read-buffer loop would hash a stale copy (and ship every byte
+    # through the gateway besides)
+    stream = jvm.java.security.DigestInputStream(
+        fsx.fs.open(fsx.hpath(path)), md
+    )
+    try:
+        stream.transferTo(jvm.java.io.OutputStream.nullOutputStream())
+    finally:
+        stream.close()
+    digest = md.digest()
+    # hex via BigInteger (always on the classpath) — zero-padded to 64
+    hx = jvm.java.math.BigInteger(1, digest).toString(16)
+    return hx.rjust(64, "0")
 
 
 def _write_manifest(
