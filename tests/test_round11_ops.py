@@ -60,3 +60,192 @@ def test_session_cache_key_is_application_id(spark):
     assert isinstance(k, str) and k
     assert k == spark.sparkContext.applicationId
     assert k == entry._session_key(spark)  # stable within a session
+
+
+@pytest.fixture(scope="module")
+def skewed_corpus(spark):
+    """Planted-hot-cell corpus (r10 verdict directive 1's fixture): 30%
+    of rows sit in one tight Gaussian blob, the rest are uniform, and
+    the handcrafted coarse centers put the entire blob in ONE cell —
+    the skew shape a replicated/uniform fixture can never produce."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n_hot, n_cold, dim = 600, 1400, 8
+    hot = rng.normal(0.9, 0.05, (n_hot, dim))
+    cold = rng.uniform(0, 1, (n_cold, dim))
+    rows = [
+        (i, [float(v) for v in vec])
+        for i, vec in enumerate(np.vstack([hot, cold]))
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    centers = [[0.9] * dim] + [
+        [(j % 5) * 0.25, (j // 5) * 0.25] + [0.4] * (dim - 2)
+        for j in range(10)
+    ]
+    return df.localCheckpoint(), centers
+
+
+def test_split_oversized_cells_bounds_planted_hot_cell(spark, skewed_corpus):
+    """One cell holding ~30% of the corpus (693 rows) must come out of
+    the split with every cell <= cap — the bounded per-cell pair count
+    the r10 verdict asked to see — while preserving rows, parent
+    nesting, and replay parity for the multi-probe query side."""
+    from pyspark.sql import functions as F
+
+    from kubernetes_logs_datalake_spark.operators.cellsplit import (
+        apply_cell_splits,
+        split_oversized_cells,
+    )
+    from kubernetes_logs_datalake_spark.operators.vectors import kmeans_assign
+
+    df, centers = skewed_corpus
+    assigned = kmeans_assign(df, "vec_id", "embedding", centers)
+    sizes = {r[0]: r[1] for r in assigned.groupBy("cluster").count().collect()}
+    cap = 176  # 4 * sqrt(2000) — the _cell_split_cap rule at this n
+    assert max(sizes.values()) > 3 * cap, "fixture must plant a fat cell"
+
+    refined, splits = split_oversized_cells(
+        assigned, "vec_id", "embedding", cap=cap
+    )
+    post = {r[0]: r[1] for r in refined.groupBy("cell").count().collect()}
+    assert max(post.values()) <= cap
+    assert sum(post.values()) == sum(sizes.values())  # no row lost
+    assert splits, "split must have activated"
+    # bounded pair work: worst shuffle key now holds <= cap^2 pairs
+    worst_pairs = max(s * (s - 1) // 2 for s in post.values())
+    assert worst_pairs <= cap * (cap - 1) // 2
+    # children nest inside their parent cell
+    assert (
+        refined.filter(
+            F.split(F.col("cell"), "/")[0]
+            != F.col("cluster").cast("string")
+        ).count()
+        == 0
+    )
+    # replaying the splits onto the same primary rows is bit-identical
+    # (this is what keeps the multi-probe query side consistent with
+    # the neighbor side)
+    replay = apply_cell_splits(
+        assigned.withColumn("cell", F.col("cluster").cast("string")),
+        "embedding",
+        splits,
+    )
+    assert (
+        refined.select("vec_id", "cell")
+        .join(
+            replay.select("vec_id", F.col("cell").alias("c2")), "vec_id"
+        )
+        .filter(F.col("cell") != F.col("c2"))
+        .count()
+        == 0
+    )
+
+
+def test_split_identity_when_no_cell_oversized(spark, skewed_corpus):
+    """With cap above the fattest cell the split must be a pure
+    pass-through (cell == cast(cluster as string), zero split rounds) —
+    the property that keeps every hash-checked sandbox query
+    bit-identical with split_cap wired in."""
+    from pyspark.sql import functions as F
+
+    from kubernetes_logs_datalake_spark.operators.cellsplit import (
+        split_oversized_cells,
+    )
+    from kubernetes_logs_datalake_spark.operators.vectors import kmeans_assign
+
+    df, centers = skewed_corpus
+    assigned = kmeans_assign(df, "vec_id", "embedding", centers)
+    refined, splits = split_oversized_cells(
+        assigned, "vec_id", "embedding", cap=10_000
+    )
+    assert splits == []
+    assert (
+        refined.filter(
+            F.col("cell") != F.col("cluster").cast("string")
+        ).count()
+        == 0
+    )
+
+
+def test_split_raises_on_unsplittable_duplicates(spark):
+    """>cap exact-duplicate vectors can never be separated by k-means;
+    the split must RAISE with the diagnosis (collapse exact dups
+    first), not silently run the quadratic cell."""
+    from kubernetes_logs_datalake_spark.operators.cellsplit import (
+        split_oversized_cells,
+    )
+    from kubernetes_logs_datalake_spark.operators.vectors import kmeans_assign
+
+    rows = [(i, [0.5, 0.5, 0.5, 0.5]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    assigned = kmeans_assign(
+        df, "vec_id", "embedding", [[0.5] * 4, [0.0] * 4]
+    )
+    with pytest.raises(ValueError, match="exact-duplicate"):
+        split_oversized_cells(
+            assigned, "vec_id", "embedding", cap=50, max_rounds=2
+        )
+
+
+def test_semdedup_split_cap_bounds_pairs_and_keeps_contract(
+    spark, skewed_corpus
+):
+    """semdedup with split_cap on the planted-hot-cell corpus: the pair
+    stage is bounded (it completes where max_cluster would raise), the
+    verdict contract holds (one row per input, exactly one keep per
+    component), and the output still reports PARENT cluster/dist."""
+    from pyspark.sql import functions as F
+
+    from kubernetes_logs_datalake_spark.operators.semdedup import semdedup
+
+    df, centers = skewed_corpus
+    out = semdedup(
+        df, "vec_id", "embedding", k=len(centers), iters=3,
+        threshold=0.9, centers=centers, split_cap=176,
+    ).localCheckpoint()
+    assert out.count() == 2000
+    keeps = out.groupBy("component").agg(
+        F.sum(F.col("keep").cast("int")).alias("nk")
+    )
+    assert keeps.filter(F.col("nk") != 1).count() == 0
+    # parent semantics: cluster column is still the coarse assignment
+    assert out.select("cluster").distinct().count() <= len(centers)
+    # the blob IS near-duplicate-dense: split must not have destroyed
+    # dup detection inside the hot region (components > singletons)
+    n_comp = out.select("component").distinct().count()
+    assert n_comp < 2000
+
+
+def test_ivf_knn_join_split_cap_contract(spark, skewed_corpus):
+    """ivf_knn_join with split_cap on the skewed corpus: output contract
+    (rank<=k, unique pairs, no self-pairs) holds for 1-probe and
+    multi-probe; with cap inactive the result is bit-identical to the
+    unsplit join."""
+    from pyspark.sql import functions as F
+
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        ivf_knn_join,
+    )
+
+    df, centers = skewed_corpus
+    for n_probe in (1, 2):
+        out = ivf_knn_join(
+            df, "vec_id", "embedding", k=2, cells=len(centers),
+            centers=centers, n_probe=n_probe, split_cap=176,
+        ).localCheckpoint()
+        assert out.filter(F.col("rank") > 2).count() == 0
+        assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+        assert (
+            out.groupBy("query_id", "neighbor_id").count()
+            .filter(F.col("count") > 1).count() == 0
+        )
+    # inactive cap == unsplit result, row for row
+    a = ivf_knn_join(
+        df, "vec_id", "embedding", k=2, cells=len(centers),
+        centers=centers, split_cap=100_000,
+    )
+    b = ivf_knn_join(
+        df, "vec_id", "embedding", k=2, cells=len(centers), centers=centers
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
