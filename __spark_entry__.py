@@ -3164,6 +3164,52 @@ def _ivf_join_recall(spark: SparkSession, sf: str, approx: DataFrame) -> DataFra
     )
 
 
+_IVF_ADC_REFINE_K = 12
+
+
+def _embedding_ivf_knn_join_adc(spark: SparkSession, sf: str) -> DataFrame:
+    """IVFADC kNN join (r10 verdict item 3): the cell-keyed candidate
+    stage ships the session-persisted SQ8 packed codes (64 B/row +
+    one decoded-norm double) instead of the raw float64 vector
+    (~512 B/row) — at 100 TB the candidate shuffle IS the join's cost,
+    so the ~8× byte cut is the headline — then the per-query top-12
+    symmetric-SQ8 shortlist re-ranks EXACTLY against raw vectors (two
+    narrow id-keyed joins, bucketed-layout-friendly). Output cosines
+    are exact, so the oracle hash-checks values; the shortlist recall
+    price is measured by ann_recall_ivf_join_adc. Shares the √n-cell
+    centers, SQ8 bounds, and packed-codes frame with their caches, so
+    the fit/encode legs are paid once per (session, sf)."""
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        ivf_knn_join_adc,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    cells, fit_mod = _sqrt_cells(_emb_count_cached(emb, sf, "nz"))
+    centers = _kmeans_centers_cached(
+        emb, sf, "ivfknn", k=cells, iters=3, fit_sample_mod=fit_mod
+    )
+    out = ivf_knn_join_adc(
+        emb, "vec_id", "embedding", dim=EMBEDDING_DIM, k=3,
+        refine_k=_IVF_ADC_REFINE_K, cells=cells, iters=3, centers=centers,
+        split_cap=_cell_split_cap(cells),
+        bounds=_sq8_bounds_cached(emb, sf),
+        packed=_sq8_packed_cached(spark, sf),
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank"
+    )
+
+
+def _ann_recall_ivf_join_adc(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall of the IVFADC join on the shared probe panel
+    (vec_id % 50 == 1 and vec_id < 5000) — what the SQ8 shortlist +
+    refine_k=12 funnel costs against exact top-3, next to
+    ann_recall_ivf_join's number for the full-precision cell join."""
+    return _ivf_join_recall(
+        spark, sf, _embedding_ivf_knn_join_adc(spark, sf)
+    )
+
+
 def _ann_recall_ivf_join_probed(spark: SparkSession, sf: str) -> DataFrame:
     """Recall of the 4-probe cell-local join on the same probe panel as
     ann_recall_ivf_join — the measured lift the n_probe knob buys over
@@ -4648,12 +4694,21 @@ def _embedding_sq8_codes(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-def _ddb_sq8_sql(topk: int | None, codes_only: bool, dim: int = 64) -> str:
-    """Oracle for the SQ8 family: per-dim min/max as 2·dim aggregate
-    expressions over the vec_id≠0 corpus, scale/inverse lists derived
-    with the SAME operand order as the Spark driver (scale = 255/(mx−mn)
-    computed FIRST, then multiplied), codes via clamped floor, and the
-    asymmetric score as the sequential list_sum fold."""
+#: SQ8 integer code of embedding dim ``i`` — clamped floor, exactly the
+#: Spark ``sq8_encode`` arithmetic (scale applied AFTER the subtraction,
+#: same operand order); shared by every SQ8-family oracle.
+_DDB_SQ8_CODE_EXPR = (
+    "CAST(least(greatest(floor(((e.embedding[i])::DOUBLE - b.mn[i])"
+    " * b.sc[i]), 0), 255) AS INT)"
+)
+
+
+def _ddb_sq8_bounds_ctes(dim: int = 64) -> str:
+    """``bb``/``b`` CTE text: per-dim min/max as 2·dim aggregates over
+    the vec_id≠0 corpus, plus mn/sc/iv lists derived with the SAME
+    operand order as the Spark driver (scale = 255/(mx−mn) computed
+    FIRST, then multiplied; inverse = (mx−mn)/255). Shared by
+    _ddb_sq8_sql and the IVFADC join oracles."""
     mins = ", ".join(
         f"min((embedding[{i}])::DOUBLE) AS mn{i}" for i in range(1, dim + 1)
     )
@@ -4673,18 +4728,22 @@ def _ddb_sq8_sql(topk: int | None, codes_only: bool, dim: int = 64) -> str:
         f"ELSE CAST(0 AS DOUBLE) END"
         for i in range(1, dim + 1)
     ) + ")"
-    code_expr = (
-        "CAST(least(greatest(floor(((e.embedding[i])::DOUBLE - b.mn[i])"
-        " * b.sc[i]), 0), 255) AS INT)"
-    )
-    prefix = f"""
-            WITH bb AS (
+    return f"""bb AS (
                 SELECT {mins}, {maxs}
                 FROM embeddings WHERE vec_id <> 0
             ), b AS (
                 SELECT {mn_list} AS mn, {sc_list} AS sc, {iv_list} AS iv
                 FROM bb
             )"""
+
+
+def _ddb_sq8_sql(topk: int | None, codes_only: bool, dim: int = 64) -> str:
+    """Oracle for the SQ8 family: bounds via ``_ddb_sq8_bounds_ctes``,
+    codes via the clamped floor ``_DDB_SQ8_CODE_EXPR``, and the
+    asymmetric score as the sequential list_sum fold."""
+    code_expr = _DDB_SQ8_CODE_EXPR
+    prefix = f"""
+            WITH {_ddb_sq8_bounds_ctes(dim)}"""
     if codes_only:
         return f"""{prefix}
             SELECT e.vec_id,
@@ -4924,6 +4983,68 @@ _NO_ORACLE_AGREEMENT_TESTS = {
         "tests/test_similarity_quality.py::test_arrow_topk_matches_column_topk",
 }
 
+_R11_WINDOW = [
+    # 1. new this round: the IVFADC join + its recall harness
+    "embedding_ivf_knn_join_adc",
+    "ann_recall_ivf_join_adc",
+    # 2. semantically touched this round: split_cap (bounded-cell
+    # refinement) wired into the whole cell-local pair family —
+    # inactive at sandbox SFs, but the plans changed, so re-verify
+    "dedup_semantic",
+    "embedding_ivf_knn_join",
+    "ann_recall_ivf_join",
+    "embedding_ivf_knn_join_probed",
+    "ann_recall_ivf_join_probed",
+    # 3. the full r6-vintage cohort — the ledger's stalest greens; the
+    # ≤4-round staleness rule breaches THIS round without them (r10
+    # verdict item 2)
+    "dedup_components",
+    "dedup_exact_masked",
+    "dedup_quality_keep",
+    "docs_bpe_merges",
+    "docs_bpe_tokens",
+    "docs_char_lm_score",
+    "docs_clean_export",
+    "docs_containment_pairs",
+    "docs_gopher_quality",
+    "docs_hash_split",
+    "docs_hybrid_search",
+    "docs_k_anonymity",
+    "docs_lm_perplexity_buckets",
+    "docs_mmr_rerank",
+    "docs_readability",
+    "docs_snippet_lookup",
+    "docs_source_report",
+    "docs_term_pmi",
+    "docs_tokenizer_fertility",
+    "embedding_hard_negatives",
+    "events_audience_overlap",
+    "events_cusum_alerts",
+    "events_ewma_hourly",
+    "events_gapfill_hourly",
+    "events_mad_outliers",
+    "events_markov_transitions",
+    "events_pagerank",
+    "events_salted_join_skew",
+    "events_sliding_distinct",
+    "mix_language_temperature",
+    "q2_cheapest_supplier",
+    "q4_late_shipping_priority",
+    "q7_nation_volume",
+    # 4. freshness fill: the oldest r7-vintage rows
+    "above_avg_customers",
+    "agg_orders_by_priority",
+    "ann_label_ndcg",
+    "anti_join_customers_without_orders",
+    "brand_revenue_broadcast",
+    "dedup_embedding",
+    "dedup_embedding_lsh",
+    "dedup_exact",
+    "dedup_jaccard_prefix",
+    # sentinel (green in every round since r1)
+    "q1_pricing_summary",
+]
+
 _R10_WINDOW = [
     # 1. new this round: the MRL two-stage funnel + stored-codes SQ8
     # serving leg
@@ -5115,7 +5236,7 @@ _R8_WINDOW = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _all_queries()
-    ordered = {name: base[name] for name in _R10_WINDOW}
+    ordered = {name: base[name] for name in _R11_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
     return ordered
 
@@ -5302,6 +5423,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_ivf_join": _ann_recall_ivf_join,
         "embedding_ivf_knn_join_probed": _embedding_ivf_knn_join_probed,
         "ann_recall_ivf_join_probed": _ann_recall_ivf_join_probed,
+        "embedding_ivf_knn_join_adc": _embedding_ivf_knn_join_adc,
+        "ann_recall_ivf_join_adc": _ann_recall_ivf_join_adc,
         "orders_table_profile": _orders_table_profile,
         "events_mad_outliers": _events_mad_outliers,
         "events_sliding_distinct": _events_sliding_distinct,
@@ -7215,6 +7338,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_ivf_join": _ddb_ivf_join_recall_sql(),
         "embedding_ivf_knn_join_probed": _ddb_ivf_knn_join_sql(n_probe=_IVF_JOIN_NPROBE),
         "ann_recall_ivf_join_probed": _ddb_ivf_join_recall_sql(n_probe=_IVF_JOIN_NPROBE),
+        "embedding_ivf_knn_join_adc": _ddb_ivf_knn_join_adc_sql(
+            refine_k=_IVF_ADC_REFINE_K
+        ),
+        "ann_recall_ivf_join_adc": _ddb_ivf_join_recall_adc_sql(
+            refine_k=_IVF_ADC_REFINE_K
+        ),
         "orders_table_profile": _ddb_table_profile_sql(),
         "events_sliding_distinct": _kmv_sliding_oracle(),
         "docs_topic_clusters": _ddb_topic_clusters_sql(),
@@ -9473,6 +9602,111 @@ def _ddb_ivf_join_recall_sql(
                 JOIN embeddings e
                   ON e.vec_id <> 0 AND e.vec_id <> p.vec_id
                 WHERE p.vec_id <> 0 AND p.vec_id % 50 = 1 AND p.vec_id < 5000)
+            WHERE rk <= {k})
+        SELECT {k} AS k,
+               CAST(count(DISTINCT ex.query_id) AS BIGINT) AS n_queries,
+               CAST(count(ivf.neighbor_id) AS BIGINT) AS n_hits,
+               round(count(ivf.neighbor_id)
+                     / ({k} * CAST(count(DISTINCT ex.query_id) AS DOUBLE)),
+                     4) AS recall
+        FROM ex LEFT JOIN ivf USING (query_id, neighbor_id)
+    """
+
+
+def _ddb_adc_join_ctes(iters: int, dim: int, refine_k: int) -> str:
+    """CTE chain for the IVFADC join oracle (shared by
+    ``embedding_ivf_knn_join_adc`` and its recall harness): unrolled
+    √n-cells k-means assignment + SQ8 decode (the ``_ddb_sq8_bounds_ctes``
+    bounds, the ``_DDB_SQ8_CODE_EXPR`` codes) + cell-local symmetric
+    decoded-SQ8 scoring + per-query top-``refine_k`` shortlist + exact
+    re-rank, ending in ``exr(query_id, neighbor_id, cos, rank)``.
+    Decode/dot/norm operand order mirrors the Spark side exactly
+    (DuckDB's sequential ``list_sum`` ≡ Spark's flat left-associative
+    sum; CASE guard ≡ ``F.when(den > 0, …).otherwise(0.0)``)."""
+    kct = _ddb_kmeans_ctes(
+        _ddb_sqrt_cells_limit(), iters, dim,
+        src="(SELECT * FROM embeddings WHERE vec_id <> 0)",
+    )
+    cos = _ddb_cos("ea.embedding", "eb.embedding")
+    return f"""{kct},
+        {_ddb_sq8_bounds_ctes(dim)},
+        dec AS (
+            SELECT e.vec_id,
+                   list_transform(range(1, {dim + 1}),
+                       i -> b.mn[i] + ({_DDB_SQ8_CODE_EXPR})::DOUBLE
+                            * b.iv[i]) AS dv
+            FROM embeddings e, b WHERE e.vec_id <> 0),
+        nrm AS (
+            SELECT vec_id, dv,
+                   sqrt(list_sum(list_transform(range(1, {dim + 1}),
+                        i -> dv[i] * dv[i]))) AS dn
+            FROM dec),
+        adc_asg AS (SELECT vec_id, CAST(j AS INT) AS cluster
+                    FROM a{iters + 1} WHERE rk = 1),
+        adc_sc AS (
+            SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
+                   CASE WHEN xa.dn * yb.dn > 0
+                        THEN list_sum(list_transform(range(1, {dim + 1}),
+                             i -> xa.dv[i] * yb.dv[i])) / (xa.dn * yb.dn)
+                        ELSE 0.0 END AS sq8cos
+            FROM adc_asg x JOIN adc_asg y
+              ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+            JOIN nrm xa ON xa.vec_id = x.vec_id
+            JOIN nrm yb ON yb.vec_id = y.vec_id),
+        sl AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY sq8cos DESC, neighbor_id) AS rs
+                FROM adc_sc)
+            WHERE rs <= {refine_k}),
+        exr AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rank
+            FROM (SELECT s.query_id, s.neighbor_id, {cos} AS cos
+                  FROM sl s
+                  JOIN embeddings ea ON ea.vec_id = s.query_id
+                  JOIN embeddings eb ON eb.vec_id = s.neighbor_id))"""
+
+
+def _ddb_ivf_knn_join_adc_sql(
+    k: int = 3, refine_k: int = 12, iters: int = 3, dim: int = EMBEDDING_DIM
+) -> str:
+    """DuckDB mirror of ``similarity.ivf_knn_join_adc``: SQ8-shortlist
+    the cell-local candidates, exact-re-rank the top-``refine_k`` —
+    output cosines are exact, so this hash-checks VALUES (the
+    ann_topk_pq_refine recipe applied to the join)."""
+    return f"""
+        WITH {_ddb_adc_join_ctes(iters, dim, refine_k)}
+        SELECT query_id, neighbor_id, round(cos, 4) AS cos,
+               CAST(rank AS INT) AS rank
+        FROM exr WHERE rank <= {k}
+    """
+
+
+def _ddb_ivf_join_recall_adc_sql(
+    k: int = 3, refine_k: int = 12, iters: int = 3, dim: int = EMBEDDING_DIM
+) -> str:
+    """DuckDB mirror of ``ann_recall_ivf_join_adc``: the ADC join's
+    top-k pairs on the shared probe panel vs exact probe×corpus top-k."""
+    ecos = _ddb_cos("p.embedding", "e.embedding")
+    return f"""
+        WITH {_ddb_adc_join_ctes(iters, dim, refine_k)},
+        ivf AS (
+            SELECT query_id, neighbor_id FROM exr
+            WHERE rank <= {k} AND query_id % 50 = 1 AND query_id < 5000),
+        ex AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT p.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY p.vec_id
+                                          ORDER BY {ecos} DESC, e.vec_id)
+                           AS rk
+                FROM embeddings p
+                JOIN embeddings e
+                  ON e.vec_id <> 0 AND e.vec_id <> p.vec_id
+                WHERE p.vec_id <> 0 AND p.vec_id % 50 = 1
+                  AND p.vec_id < 5000)
             WHERE rk <= {k})
         SELECT {k} AS k,
                CAST(count(DISTINCT ex.query_id) AS BIGINT) AS n_queries,

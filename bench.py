@@ -172,6 +172,10 @@ HEADLINE = [
     "embedding_ivf_knn_join_probed",
     "ann_recall_ivf_join",
     "ann_recall_ivf_join_probed",
+    # r11: the IVFADC join (SQ8 codes through the cell shuffle + exact
+    # re-rank) next to its full-precision siblings, plus its recall
+    "embedding_ivf_knn_join_adc",
+    "ann_recall_ivf_join_adc",
     # events_hits_scores is deliberately NOT benched for the same
     # reason as docs_bpe_merges: 8 mutual-reinforcement rounds = 16
     # sequential half-round actions whose per-action data is a 5-row
@@ -473,6 +477,16 @@ def main() -> None:
         "metric": f"headline query suite wall-clock (median of {REPEATS}, warmed)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        # intra-run variance band: suite wall if every query had drawn
+        # its fastest / slowest repeat. Cross-run drift inside this band
+        # (±~7% observed r10: 139.8 vs 131.0 s between the BENCH
+        # artifact and the SCALE.md run) is box state, not a plan
+        # regression — the artifact now states the band itself (r10
+        # verdict item 7)
+        "band": [
+            round(sum(min(ts) for ts in samples.values() if ts), 1),
+            round(sum(max(ts) for ts in samples.values() if ts), 1),
+        ],
         "n_queries": len(timings),
         "queries": timings,
         "spread": spread,

@@ -864,6 +864,230 @@ def ivf_knn_join(
     )
 
 
+def _flat_sum(terms: list):
+    """Flat ascending left-associative sum ``t₁ + t₂ + …`` — NOT a HOF
+    fold (interpreted) and IEEE-identical to DuckDB's sequential
+    ``list_sum`` (0.0 + t₁ = t₁), the sq8_topk_packed parity recipe."""
+    import functools
+    import operator as _op
+
+    return functools.reduce(_op.add, terms)
+
+
+def _sq8_decoded_terms(packed, mins: list, inv: list, dim: int) -> list:
+    """Per-dimension decoded doubles ``mn_i + byte_i·inv_i`` from a
+    packed SQ8 binary — the flat (non-HOF) decode of sq8_score_packed,
+    one 1-byte substring + conv per dim, whole-stage codegen."""
+    return [
+        F.lit(mins[i - 1])
+        + F.conv(F.hex(F.substring(packed, i, 1)), 16, 10).cast("double")
+        * F.lit(inv[i - 1])
+        for i in range(1, dim + 1)
+    ]
+
+
+def ivf_knn_join_adc(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 3,
+    refine_k: int = 12,
+    cells: int = 8,
+    iters: int = 3,
+    centers: list[list[float]] | None = None,
+    n_probe: int = 1,
+    split_cap: int | None = None,
+    bounds: tuple[list, list] | None = None,
+    packed: DataFrame | None = None,
+) -> DataFrame:
+    """IVFADC-style corpus×corpus kNN join: the cell-keyed candidate
+    join ships STORED SQ8 codes (``dim`` bytes/row) instead of the raw
+    float64 vector (~8·``dim`` B/row + array overhead), candidates are
+    shortlisted per query by symmetric decoded-SQ8 cosine, and only the
+    top-``refine_k`` shortlist re-ranks against raw vectors for the
+    exact final top-``k`` — Jégou et al. 2011's IVFADC serving recipe
+    applied to the JOIN (the ``ann_topk_pq_refine`` funnel shape, with
+    the coarse quantizer shared with :func:`ivf_knn_join`).
+
+    Why this wins at 100 TB: in the plain join the dominant exchange is
+    (1+n_probe)·n raw vectors through the cell shuffle (~512 B/row at
+    dim 64); here it is (1+n_probe)·n code rows (~72 B: dim bytes +
+    one decoded-norm double) — the ~8× byte cut the r10 verdict asked
+    for, paid for with per-pair byte decodes (CPU local to the reducer,
+    the right side of the shuffle-vs-compute trade) plus two narrow
+    id-keyed re-rank joins that touch only n + n·refine_k rows (and
+    co-locate for free on an id-bucketed corpus table). The
+    approximation is confined to SHORTLISTING — output cosines are
+    exact by construction, so the DuckDB oracle checks values, not just
+    shape; recall-vs-refine_k is measured, not assumed
+    (``ann_recall_ivf_join_adc``, SCALE.md).
+
+    ``packed`` is the stored-codes frame (id, packed binary) a serving
+    fleet persists once (the ``_sq8_packed_cached`` idiom); omitted, it
+    is derived inline (map-only). ``bounds`` must be the train-time
+    per-dim (mins, maxs) the codes were encoded with (derived from the
+    corpus when omitted). ``split_cap``/``n_probe`` behave exactly as
+    in :func:`ivf_knn_join`. Determinism: decode arithmetic follows the
+    SQ8 oracle's operand order, the pair dot/norms are flat ascending
+    left-associative sums (≡ DuckDB's sequential ``list_sum``), and
+    every rank window breaks ties by neighbor id.
+
+    Output: (query_id, neighbor_id, cos, rank ≤ k) with exact cosines.
+    """
+    from pyspark.sql import Window
+
+    from kubernetes_logs_datalake_spark.functions.vectors import (
+        cosine_prenorm,
+        norm,
+    )
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        kmeans_assign,
+        kmeans_fit,
+        sq8_bounds,
+        sq8_encode,
+        sq8_pack,
+    )
+
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    if refine_k < k:
+        raise ValueError(f"refine_k {refine_k} must be >= k {k}")
+    if centers is not None and len(centers) != cells:
+        raise ValueError(f"{len(centers)} centers != cells {cells}")
+    if centers is None:
+        centers, _ = kmeans_fit(df, id_col, vec_col, k=cells, iters=iters)
+    mins, maxs = (
+        bounds if bounds is not None else sq8_bounds(df, vec_col, dim)
+    )
+    inv = [
+        ((mx - mn) / 255.0) if mx > mn else 0.0
+        for mn, mx in zip(mins, maxs)
+    ]
+    if packed is None:
+        packed = sq8_pack(
+            sq8_encode(df, id_col, vec_col, dim, bounds=(mins, maxs)),
+            id_col, dim=dim,
+        )
+
+    # assignment (+ optional skew split) exactly as in ivf_knn_join —
+    # vec is needed only map-side (assignment + split replay) and is
+    # dropped BEFORE the cell shuffle: codes ride instead
+    if n_probe > 1:
+        multi = _multi_probe_cells(
+            df, id_col, vec_col, centers, n_probe
+        ).localCheckpoint(eager=False)
+        multi = multi.withColumn("cell", F.col("cluster").cast("string"))
+        if split_cap is not None:
+            from kubernetes_logs_datalake_spark.operators.cellsplit import (
+                apply_cell_splits,
+                split_oversized_cells,
+            )
+
+            _, cell_splits = split_oversized_cells(
+                multi.filter(F.col("probe_rank") == 1),
+                id_col, vec_col, cap=split_cap,
+            )
+            multi = apply_cell_splits(multi, vec_col, cell_splits)
+        asg = multi.select(id_col, "cell", "probe_rank")
+    else:
+        assigned = kmeans_assign(df, id_col, vec_col, centers)
+        assigned = assigned.localCheckpoint(eager=False)
+        if split_cap is not None:
+            from kubernetes_logs_datalake_spark.operators.cellsplit import (
+                split_oversized_cells,
+            )
+
+            assigned, _ = split_oversized_cells(
+                assigned, id_col, vec_col, cap=split_cap
+            )
+        else:
+            assigned = assigned.withColumn(
+                "cell", F.col("cluster").cast("string")
+            )
+        asg = assigned.select(id_col, "cell").withColumn(
+            "probe_rank", F.lit(1)
+        )
+
+    # attach stored codes + precompute the decoded norm map-side: the
+    # cell shuffle then carries (id, cell, dim-byte codes, one double)
+    pk = F.col("packed")
+    dterms = _sq8_decoded_terms(pk, mins, inv, dim)
+    dnorm = F.sqrt(_flat_sum([t * t for t in dterms]))
+    coded = asg.join(packed, id_col).select(
+        F.col(id_col), F.col("cell"), F.col("probe_rank"),
+        pk.alias("packed"), dnorm.alias("_dn"),
+    )
+    a = coded.select(
+        "cell",
+        F.col(id_col).alias("query_id"),
+        F.col("packed").alias("_pa"),
+        F.col("_dn").alias("_dna"),
+    )
+    b = coded.filter(F.col("probe_rank") == 1).select(
+        "cell",
+        F.col(id_col).alias("neighbor_id"),
+        F.col("packed").alias("_pb"),
+        F.col("_dn").alias("_dnb"),
+    )
+    ta = _sq8_decoded_terms(F.col("_pa"), mins, inv, dim)
+    tb = _sq8_decoded_terms(F.col("_pb"), mins, inv, dim)
+    dot = _flat_sum([x * y for x, y in zip(ta, tb)])
+    den = F.col("_dna") * F.col("_dnb")
+    sq8cos = F.when(den > 0, dot / den).otherwise(F.lit(0.0))
+    cand = (
+        a.join(b, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sq8cos.alias("_sq8cos"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.desc("_sq8cos"), F.col("neighbor_id")
+    )
+    shortlist = (
+        cand.withColumn("_r", F.row_number().over(ws))
+        .filter(F.col("_r") <= refine_k)
+        .select("query_id", "neighbor_id")
+    )
+
+    # exact re-rank: two narrow id-keyed joins (n·refine_k shortlist
+    # rows against the raw corpus — bucketed-by-id storage co-locates
+    # these for free), then the final exact-cos window
+    raw = df.select(
+        F.col(id_col), F.col(vec_col), norm(vec_col).alias("_n")
+    )
+    ex = (
+        shortlist.join(
+            raw.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("_va"),
+                F.col("_n").alias("_na"),
+            ),
+            "query_id",
+        )
+        .join(
+            raw.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("_vb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_prenorm("_va", "_vb", "_na", "_nb").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.col("neighbor_id")
+    )
+    return (
+        ex.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def label_relevance_eval(
     corpus: DataFrame,
     queries: DataFrame,

@@ -249,3 +249,105 @@ def test_ivf_knn_join_split_cap_contract(spark, skewed_corpus):
         df, "vec_id", "embedding", k=2, cells=len(centers), centers=centers
     )
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_ivf_knn_join_adc_contract_and_exact_at_full_refine(
+    spark, skewed_corpus
+):
+    """IVFADC join contract: exact cosines in the output (values match
+    the plain full-precision join's pairs where pairs agree), rank<=k,
+    no self/duplicate pairs; and with refine_k >= the fattest cell the
+    SQ8 shortlist keeps every candidate, so the result is IDENTICAL to
+    the full-precision ivf_knn_join — the funnel only ever loses
+    candidates at the shortlist cut."""
+    from pyspark.sql import functions as F
+
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        ivf_knn_join,
+        ivf_knn_join_adc,
+    )
+
+    df, centers = skewed_corpus
+    adc = ivf_knn_join_adc(
+        df, "vec_id", "embedding", dim=8, k=2, refine_k=2000,
+        cells=len(centers), centers=centers,
+    ).localCheckpoint()
+    assert adc.filter(F.col("rank") > 2).count() == 0
+    assert adc.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+    plain = ivf_knn_join(
+        df, "vec_id", "embedding", k=2, cells=len(centers), centers=centers
+    )
+    assert adc.exceptAll(plain).count() == 0
+    assert plain.exceptAll(adc).count() == 0
+
+
+def test_ivf_knn_join_adc_stored_codes_equal_inline(spark, skewed_corpus):
+    """Passing the pre-encoded packed-codes frame (the stored-codes
+    serving idiom) must be bit-identical to deriving codes inline —
+    same bounds, same bytes, same shortlist."""
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        ivf_knn_join_adc,
+    )
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        sq8_bounds,
+        sq8_encode,
+        sq8_pack,
+    )
+
+    df, centers = skewed_corpus
+    bounds = sq8_bounds(df, "embedding", 8)
+    packed = sq8_pack(
+        sq8_encode(df, "vec_id", "embedding", 8, bounds=bounds),
+        "vec_id", dim=8,
+    )
+    a = ivf_knn_join_adc(
+        df, "vec_id", "embedding", dim=8, k=2, refine_k=6,
+        cells=len(centers), centers=centers, bounds=bounds, packed=packed,
+    )
+    b = ivf_knn_join_adc(
+        df, "vec_id", "embedding", dim=8, k=2, refine_k=6,
+        cells=len(centers), centers=centers, bounds=bounds,
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_ivf_knn_join_adc_split_cap_and_probe(spark, skewed_corpus):
+    """ADC join under skew split + multi-probe: contract holds (unique
+    pairs, rank bound) and multi-probe can only grow each query's
+    candidate pool (hit pairs are a superset at equal refine_k budget
+    measured as: 1-probe top-k pairs that survive at p=2 keep rank)."""
+    from pyspark.sql import functions as F
+
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        ivf_knn_join_adc,
+    )
+
+    df, centers = skewed_corpus
+    out = ivf_knn_join_adc(
+        df, "vec_id", "embedding", dim=8, k=2, refine_k=8,
+        cells=len(centers), centers=centers, n_probe=2, split_cap=176,
+    ).localCheckpoint()
+    assert out.filter(F.col("rank") > 2).count() == 0
+    assert (
+        out.groupBy("query_id", "neighbor_id").count()
+        .filter(F.col("count") > 1).count() == 0
+    )
+    assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+
+
+def test_staleness_rule_is_self_enforcing():
+    """r10 verdict item 5: the ledger must FAIL (nonzero exit) when any
+    green driver row would exceed the 4-round freshness horizon after
+    the upcoming run without being in the current 50-query window —
+    running it inside the suite makes the rule self-enforcing instead
+    of a report someone has to read."""
+    import subprocess
+    import sys
+
+    p = subprocess.run(
+        [sys.executable, "tools/ledger.py"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=120,
+    )
+    assert p.returncode == 0, f"ledger guard failed:\n{p.stdout[-2000:]}"
+    assert "staleness OK" in p.stdout
+    assert "window OK" in p.stdout

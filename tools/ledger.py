@@ -16,6 +16,12 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+#: the freshness invariant the verdicts audit: every query's newest
+#: green driver row must be at most this many rounds old. Enforced at
+#: window-planning time by main() (exit 1 on a would-be breach) and by
+#: the registry lint in tests/test_round11_ops.py.
+MAX_STALE_ROUNDS = 4
+
 
 def main() -> int:
     n_stale = 40
@@ -73,17 +79,42 @@ def main() -> int:
     for rnd, q in stale[:n_stale]:
         print(f"  r{rnd}  {q}")
 
-    # guard: the CURRENT window (first 50 queries()) must contain every
-    # never-checked query — the invariant each round's rotation restores
+    # guard 1: the CURRENT window (first 50 queries()) must contain
+    # every never-checked query — the invariant each rotation restores
     window = list(entrymod.queries())[:50]
+    rc = 0
     missed = [q for q in never if q not in window]
     if missed:
         print(f"\nWARNING: {len(missed)} never-checked queries are NOT "
               f"in the current 50-query window: {missed}")
-        return 1
-    print(f"\nwindow OK: all {len(never)} never-checked queries are in "
-          f"the current 50-query driver window")
-    return 0
+        rc = 1
+    else:
+        print(f"\nwindow OK: all {len(never)} never-checked queries are "
+              f"in the current 50-query driver window")
+
+    # guard 2 (r10 verdict item 5 — the staleness rule, mechanized):
+    # a green row older than MAX_STALE rounds that is ALSO absent from
+    # the current window will breach the ≤MAX_STALE freshness invariant
+    # when this round's driver run lands — fail NOW, at planning time,
+    # not in the next verdict. The horizon counts from the round the
+    # upcoming run will record (max seen + 1).
+    breaches = [
+        (rnd, q)
+        for rnd, q in stale
+        if rnd < (max(rounds) + 1) - MAX_STALE_ROUNDS and q not in window
+    ]
+    if breaches:
+        print(f"\nSTALENESS BREACH: {len(breaches)} green rows are >"
+              f"{MAX_STALE_ROUNDS} rounds old and not in the current "
+              f"window — rotate them in:")
+        for rnd, q in breaches:
+            print(f"  r{rnd}  {q}")
+        rc = 1
+    else:
+        print(f"staleness OK: every green row is either <= "
+              f"{MAX_STALE_ROUNDS} rounds old after the upcoming run or "
+              f"in the current window")
+    return rc
 
 
 if __name__ == "__main__":

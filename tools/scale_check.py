@@ -173,6 +173,10 @@ QUERIES = [
     "embedding_ivf_knn_join_probed",
     "ann_recall_ivf_join",
     "ann_recall_ivf_join_probed",
+    # r11: the IVFADC join (SQ8 codes through the cell shuffle) + its
+    # recall, measured on the organic mixture corpus
+    "embedding_ivf_knn_join_adc",
+    "ann_recall_ivf_join_adc",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
@@ -181,6 +185,47 @@ QUERIES = [
 # builds it at 10x the sf0.1 row counts with the same planted-pair
 # similarity distribution.
 CLUSTERED_QUERIES = ["dedup_embedding_lsh_clustered", "minhash_lsh_clustered"]
+
+
+# ---- organic embeddings (r11, replacing key-offset copies) ----------
+#
+# Replicated embedding copies make every recall harness degenerate:
+# each probe's true nearest neighbors are its own clones, sitting in
+# the same cell by construction, so recall reads 1.0 at any scale (the
+# r10 SCALE.md caveat). The scale corpus is instead GENERATED from a
+# seeded Gaussian mixture — size-parameterized, deterministic, and
+# shaped like a real embedding corpus: Zipf component weights (the
+# biggest mixture component holds ~23% of rows, the clustered-corpus
+# skew the cell split exists for), unit-scale means, per-component
+# noise giving in-component cosine ≈ 0.85-0.9 and cross-component ≈ 0.
+# Relational/events/documents tables keep the key-offset replication
+# (join cardinalities preserved); only the vector corpus is organic.
+ORGANIC_SEED = 11
+MIXTURE_COMPONENTS = 32
+
+
+def write_organic_embeddings(
+    spark, path: str, n: int, dim: int, seed: int = ORGANIC_SEED
+) -> None:
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    means = rng.normal(0.0, 0.35, (MIXTURE_COMPONENTS, dim))
+    w = 1.0 / np.arange(1, MIXTURE_COMPONENTS + 1)  # Zipf s=1
+    w /= w.sum()
+    comp = rng.choice(MIXTURE_COMPONENTS, size=n, p=w)
+    x = (means[comp] + rng.normal(0.0, 0.12, (n, dim))).astype(np.float32)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": list(x),
+            "label": (comp % 10).astype(np.int32),
+        }
+    )
+    spark.createDataFrame(
+        pdf, "vec_id: long, embedding: array<float>, label: int"
+    ).repartition(32).write.mode("overwrite").parquet(path)
 
 
 def build(spark, dest: str, copies: int) -> None:
@@ -203,6 +248,13 @@ def build(spark, dest: str, copies: int) -> None:
 
     for t, offs in OFFSETS.items():
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        if t == "embeddings":
+            n_src = df.count()
+            dim = len(df.select("embedding").first()[0])
+            write_organic_embeddings(
+                spark, f"{dest}/{t}.parquet", n=copies * n_src, dim=dim
+            )
+            continue
         if not offs:
             df.write.mode("overwrite").parquet(f"{dest}/{t}.parquet")
             continue
