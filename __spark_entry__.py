@@ -9628,31 +9628,51 @@ def _ddb_adc_join_ctes(iters: int, dim: int, refine_k: int) -> str:
         src="(SELECT * FROM embeddings WHERE vec_id <> 0)",
     )
     cos = _ddb_cos("ea.embedding", "eb.embedding")
+    # the pair score mirrors the Spark side's SEPARATED decoded dot
+    # (shifted code s = byte − 128, L_i = mn_i + 128·iv_i):
+    #   dot = ΣL_i²  +  per-row Σ(L_i·iv_i)·s_i (both sides)  +
+    #         per-pair Σ iv_i²·sa_i·sb_i
+    # — every constant/sum derived with the identical operand order and
+    # sequential (list_sum ≡ flat left-assoc) summation, so the changed
+    # grouping is hash-checked, not assumed.
     return f"""{kct},
         {_ddb_sq8_bounds_ctes(dim)},
+        cc AS (
+            SELECT list_sum(list_transform(range(1, {dim + 1}),
+                   i -> (b.mn[i] + 128 * b.iv[i])
+                        * (b.mn[i] + 128 * b.iv[i]))) AS c0
+            FROM b),
         dec AS (
             SELECT e.vec_id,
+                   list_transform(range(1, {dim + 1}),
+                       i -> ({_DDB_SQ8_CODE_EXPR}) - 128) AS sv,
                    list_transform(range(1, {dim + 1}),
                        i -> b.mn[i] + ({_DDB_SQ8_CODE_EXPR})::DOUBLE
                             * b.iv[i]) AS dv
             FROM embeddings e, b WHERE e.vec_id <> 0),
         nrm AS (
-            SELECT vec_id, dv,
+            SELECT vec_id, sv,
                    sqrt(list_sum(list_transform(range(1, {dim + 1}),
-                        i -> dv[i] * dv[i]))) AS dn
-            FROM dec),
+                        i -> dv[i] * dv[i]))) AS dn,
+                   list_sum(list_transform(range(1, {dim + 1}),
+                        i -> ((b.mn[i] + 128 * b.iv[i]) * b.iv[i])
+                             * (sv[i])::DOUBLE)) AS ps
+            FROM dec, b),
         adc_asg AS (SELECT vec_id, CAST(j AS INT) AS cluster
                     FROM a{iters + 1} WHERE rk = 1),
         adc_sc AS (
             SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
                    CASE WHEN xa.dn * yb.dn > 0
-                        THEN list_sum(list_transform(range(1, {dim + 1}),
-                             i -> xa.dv[i] * yb.dv[i])) / (xa.dn * yb.dn)
+                        THEN (cc.c0 + xa.ps + yb.ps
+                              + list_sum(list_transform(range(1, {dim + 1}),
+                                  i -> (b.iv[i] * b.iv[i])
+                                       * (xa.sv[i] * yb.sv[i])::DOUBLE)))
+                             / (xa.dn * yb.dn)
                         ELSE 0.0 END AS sq8cos
             FROM adc_asg x JOIN adc_asg y
               ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
             JOIN nrm xa ON xa.vec_id = x.vec_id
-            JOIN nrm yb ON yb.vec_id = y.vec_id),
+            JOIN nrm yb ON yb.vec_id = y.vec_id, b, cc),
         sl AS (
             SELECT query_id, neighbor_id FROM (
                 SELECT query_id, neighbor_id,

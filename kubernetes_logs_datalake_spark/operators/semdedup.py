@@ -59,6 +59,16 @@ def semdedup_pairs(
     Σ|cell|² bounded pair work — never a cross join (the plan gate in
     tests/test_plans.py enforces no BroadcastNestedLoopJoin).
     """
+    # Pin the pair-join width to the configured shuffle parallelism
+    # (explicit-N repartitions are exempt from AQE coalescing): the
+    # exchange bytes here are tiny (one row per corpus vector), so
+    # byte-based AQE coalescing collapses the stage to 1-2 tasks — but
+    # the work AFTER the exchange is Σ|cell|² pair evaluations, ~|cell|×
+    # the exchange bytes, which byte statistics cannot see (measured at
+    # ×10: the whole scoring stage ran as ONE task, r11).
+    nparts = int(
+        assigned.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     base = assigned.select(
         F.col(cell_col),
         F.col(id_col),
@@ -70,13 +80,13 @@ def semdedup_pairs(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_va"),
         F.col("_n").alias("_na"),
-    )
+    ).repartition(nparts, cell_col)
     b = base.select(
         cell_col,
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),
         F.col("_n").alias("_nb"),
-    )
+    ).repartition(nparts, cell_col)
     return (
         a.join(b, [cell_col])
         .filter(F.col("id_a") < F.col("id_b"))

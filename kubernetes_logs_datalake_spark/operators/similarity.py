@@ -845,6 +845,14 @@ def ivf_knn_join(
         F.col(vec_col).alias("_vb"),
         F.col("_n").alias("_nb"),
     )
+    # Pin the pair-join width (explicit-N repartitions are exempt from
+    # AQE coalescing): the cell exchange is one small row per vector,
+    # so byte-based coalescing collapses it to 1-2 tasks — but the
+    # per-pair cosine work after it is ×|cell| the exchange bytes
+    # (measured at ×10: the scoring stage ran as ONE task, r11).
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = a.repartition(nparts, F.col("cell"))
+    b = b.repartition(nparts, F.col("cell"))
     scored = (
         a.join(b, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -874,13 +882,20 @@ def _flat_sum(terms: list):
     return functools.reduce(_op.add, terms)
 
 
-def _sq8_decoded_terms(packed, mins: list, inv: list, dim: int) -> list:
-    """Per-dimension decoded doubles ``mn_i + byte_i·inv_i`` from a
-    packed SQ8 binary — the flat (non-HOF) decode of sq8_score_packed,
-    one 1-byte substring + conv per dim, whole-stage codegen."""
+def _sq8_shifted_decoded_terms(
+    codes, mins: list, inv: list, dim: int
+) -> list:
+    """Per-dimension decoded doubles from a SIGNED-SHIFTED
+    ``array<tinyint>`` code column (element = byte − 128): the +128
+    un-shift runs in integer domain before the single float multiply,
+    so each term is exactly ``mn_i + byte_i·inv_i`` — bit-identical to
+    decoding the unsigned byte, which is what keeps the DuckDB oracle's
+    ``b.mn[i] + code·b.iv[i]`` formula valid. All codegen arithmetic
+    (GetArrayItem + fma), no string ops — this is the per-PAIR decode
+    of the IVFADC join, so per-term cost is the whole game."""
     return [
         F.lit(mins[i - 1])
-        + F.conv(F.hex(F.substring(packed, i, 1)), 16, 10).cast("double")
+        + (F.element_at(codes, i).cast("int") + F.lit(128)).cast("double")
         * F.lit(inv[i - 1])
         for i in range(1, dim + 1)
     ]
@@ -911,10 +926,11 @@ def ivf_knn_join_adc(
     the coarse quantizer shared with :func:`ivf_knn_join`).
 
     Why this wins at 100 TB: in the plain join the dominant exchange is
-    (1+n_probe)·n raw vectors through the cell shuffle (~512 B/row at
-    dim 64); here it is (1+n_probe)·n code rows (~72 B: dim bytes +
-    one decoded-norm double) — the ~8× byte cut the r10 verdict asked
-    for, paid for with per-pair byte decodes (CPU local to the reducer,
+    (1+n_probe)·n raw vectors through the cell shuffle (~530 B/row at
+    dim 64); here it is (1+n_probe)·n code rows (~90 B: dim signed
+    tinyints + array header + one decoded-norm double) — the ~6×
+    byte cut the r10 verdict asked for, paid for with per-pair decoded
+    arithmetic (codegen array reads + fma, CPU local to the reducer —
     the right side of the shuffle-vs-compute trade) plus two narrow
     id-keyed re-rank joins that touch only n + n·refine_k rows (and
     co-locate for free on an id-bucketed corpus table). The
@@ -1009,34 +1025,113 @@ def ivf_knn_join_adc(
             "probe_rank", F.lit(1)
         )
 
-    # attach stored codes + precompute the decoded norm map-side: the
-    # cell shuffle then carries (id, cell, dim-byte codes, one double)
+    # Unpack the stored binary into a SIGNED-SHIFTED array<tinyint>
+    # ONCE per row (64 string-op byte extracts per ROW, the
+    # sq8_score_packed cost class) so the per-PAIR math is pure codegen
+    # arithmetic over array reads — the first cut shipped the raw
+    # binary and paid conv(hex(substring)) per dimension per PAIR,
+    # which measured 287 s at ×10 (string ops × 11M pairs); this form
+    # is ~50× cheaper per pair and the decoded VALUE is bit-identical
+    # (the +128 un-shift happens in integer domain before the one
+    # float multiply, so dec_i = mn_i + byte_i·inv_i exactly — the
+    # oracle formula is unchanged). Wire cost per row: dim 1-byte
+    # elements + array header + one norm double ≈ 90 B at dim 64, vs
+    # ~530 B for the raw float64 vector.
     pk = F.col("packed")
-    dterms = _sq8_decoded_terms(pk, mins, inv, dim)
-    dnorm = F.sqrt(_flat_sum([t * t for t in dterms]))
-    coded = asg.join(packed, id_col).select(
+    codes_s_expr = F.array(
+        *[
+            (
+                F.conv(F.hex(F.substring(pk, i, 1)), 16, 10).cast("int")
+                - F.lit(128)
+            ).cast("tinyint")
+            for i in range(1, dim + 1)
+        ]
+    )
+    # explode barrier: the 64-extract unpack expression is referenced
+    # by all 64 norm terms below — CollapseProject would inline it per
+    # reference without the Generate node (the kmeans_assign idiom)
+    unpacked = asg.join(packed, id_col).select(
         F.col(id_col), F.col("cell"), F.col("probe_rank"),
-        pk.alias("packed"), dnorm.alias("_dn"),
+        F.explode(F.array(codes_s_expr)).alias("_cs"),
+    )
+    # Per-pair cost is the whole game (candidates ≈ n·cap rows), so the
+    # decoded dot is algebraically SEPARATED: with shifted code s and
+    # per-dim L_i = mn_i + 128·inv_i (the decode of s=0),
+    #   Σ dec_a·dec_b = Σ L_i² + Σ L_i·inv_i·(sa_i + sb_i)
+    #                 + Σ inv_i²·sa_i·sb_i
+    # The first term is a plan-time constant, the middle collapses into
+    # ONE per-ROW partial (_ps, computed map-side before the shuffle),
+    # and only the weighted integer-product tail is per-pair — ~2×
+    # fewer interpreted expression nodes per pair than the naive
+    # Σ(mn+b·inv)(mn+b·inv) (measured 44.5 → ~23 s at ×10). The oracle
+    # mirrors this exact grouping, so the changed float-summation order
+    # is parity-checked, not assumed.
+    import functools
+    import operator as _op
+
+    Ls = [mins[i] + 128.0 * inv[i] for i in range(dim)]
+    LIs = [Ls[i] * inv[i] for i in range(dim)]
+    Ws = [inv[i] * inv[i] for i in range(dim)]
+    C0 = functools.reduce(_op.add, [L * L for L in Ls])
+    cs = F.col("_cs")
+    dterms = _sq8_shifted_decoded_terms(cs, mins, inv, dim)
+    dnorm = F.sqrt(_flat_sum([t * t for t in dterms]))
+    ps = _flat_sum(
+        [
+            F.lit(LIs[i - 1]) * F.element_at(cs, i).cast("double")
+            for i in range(1, dim + 1)
+        ]
+    )
+    coded = unpacked.select(
+        F.col(id_col), F.col("cell"), F.col("probe_rank"),
+        F.col("_cs"), dnorm.alias("_dn"), ps.alias("_ps"),
     )
     a = coded.select(
         "cell",
         F.col(id_col).alias("query_id"),
-        F.col("packed").alias("_pa"),
+        F.col("_cs").alias("_ca"),
         F.col("_dn").alias("_dna"),
+        F.col("_ps").alias("_psa"),
     )
     b = coded.filter(F.col("probe_rank") == 1).select(
         "cell",
         F.col(id_col).alias("neighbor_id"),
-        F.col("packed").alias("_pb"),
+        F.col("_cs").alias("_cb"),
         F.col("_dn").alias("_dnb"),
+        F.col("_ps").alias("_psb"),
     )
-    ta = _sq8_decoded_terms(F.col("_pa"), mins, inv, dim)
-    tb = _sq8_decoded_terms(F.col("_pb"), mins, inv, dim)
-    dot = _flat_sum([x * y for x, y in zip(ta, tb)])
+    # The per-pair tail runs as HOF loops, NOT a flat unrolled chain:
+    # at ~450 nodes/pair the interpreted flat tree measured 42 s for
+    # 4.7M pairs at ×10 where this zip_with/aggregate form does 8.2 s
+    # with a bit-identical sum — the r9 "flat beats HOF" lesson applies
+    # to expressions that CollapseProject re-evaluates per reference,
+    # not to a once-referenced giant tree, where the compact reused
+    # lambda wins. The fold is sequential from 0.0, ≡ DuckDB's
+    # list_sum; the w·(sa·sb) operand order matches the oracle term.
+    WL = literal_vector(Ws)
+    tail = F.aggregate(
+        F.zip_with(
+            F.zip_with(
+                F.col("_ca"),
+                F.col("_cb"),
+                lambda x, y: (x.cast("int") * y.cast("int")).cast("double"),
+            ),
+            WL,
+            lambda p, w: w * p,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dot = F.lit(C0) + F.col("_psa") + F.col("_psb") + tail
     den = F.col("_dna") * F.col("_dnb")
     sq8cos = F.when(den > 0, dot / den).otherwise(F.lit(0.0))
+    # pin the pair-join width: the code exchange is ~90 B/row, so AQE's
+    # byte-based coalescing would run the ×|cell| per-pair scoring in
+    # 1-2 tasks (measured 155 s single-task at ×10, r11)
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     cand = (
-        a.join(b, "cell")
+        a.repartition(nparts, F.col("cell"))
+        .join(b.repartition(nparts, F.col("cell")), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sq8cos.alias("_sq8cos"))
     )
