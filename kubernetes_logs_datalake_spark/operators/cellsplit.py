@@ -213,11 +213,11 @@ def split_oversized_cells(
     vec_col: str,
     cap: int,
     cluster_col: str = "cluster",
-    iters: int = 2,
+    iters: int = 3,
     max_rounds: int = 3,
     max_sub_k: int = 64,
     scale: int = 6,
-) -> tuple[DataFrame, list[dict[str, list[list[float]]]]]:
+) -> tuple[DataFrame, list[tuple[str, dict]]]:
     """Refine a coarse assignment so no cell exceeds ``cap`` rows.
 
     Input: any frame with ``cluster_col`` (int cell) and ``vec_col``.
@@ -226,26 +226,42 @@ def split_oversized_cells(
     split happened; every other column — including the parent
     ``cluster`` and its ``dist`` — passes through untouched, so
     consumers keep the PARENT semantics and only the pair/join key
-    tightens), and ``splits`` is one ``{cell: [sub-centroids]}`` dict
-    per round, replayable onto any other frame via
+    tightens), and ``splits`` is one ``("kmeans", {cell:
+    [sub-centroids]})`` or ``("hash", {cell: modulus})`` entry per
+    round, replayable onto any other frame via
     :func:`apply_cell_splits` (the multi-probe query side uses this so
     both join sides descend to identical sub-cells).
 
-    Per round: one (cell → count) agg finds oversized cells (driver
-    rows ≤ n/cap by pigeonhole); each splits into
+    Per k-means round: one (cell → count) agg finds oversized cells
+    (driver rows ≤ n/cap by pigeonhole); each splits into
     ``min(max_sub_k, ceil(size/cap))`` children via the shared grouped
-    Lloyd; rounds repeat so stubborn children re-split. If a cell still
-    exceeds ``cap`` after ``max_rounds`` the operator RAISES with the
-    diagnosis instead of silently running a quadratic pair stage — the
-    usual culprit is ≥cap EXACT-duplicate vectors, which no k-means can
-    separate (collapse exact duplicates first: ``dedup.dedup_exact`` on
-    a vector digest), or an under-provisioned ``max_rounds``/``cap``.
+    Lloyd; rounds repeat so stubborn children re-split. K-means rounds
+    preserve LOCALITY — they cut real pair work wherever the fat cell
+    has geometric structure (a multi-modal cell splits along its modes
+    in one round, measured at ×10).
+
+    **Hash fallback round**: k-means provably stalls on structureless
+    cells — an isotropic high-dim blob has no modes to find (measured:
+    a sampled 4-means on a 64-d Gaussian blob leaves 60–90% of rows in
+    one child, round after round), and ≥cap EXACT-duplicate vectors can
+    never be separated by any geometric method. After the k-means
+    rounds, any still-oversized cell is split by ``xxhash64(id) mod m``
+    with ``m = ceil(2·size/cap)`` — deterministic, always balanced (±
+    hash variance, hence the 2× margin), and semantically honest: a
+    structureless blob has no better-than-random within-cell locality
+    to preserve, so a uniform partition costs exactly the measured
+    recall/keep-count delta and nothing more (for dedup, a giant
+    near-dup blob keeps ~m representatives instead of 1). The raise
+    survives only as the post-hash assertion that can fire solely on
+    adversarial hash collisions.
 
     The hot-row scan per round is bounded: round r only re-touches rows
     in still-oversized cells. The Lloyd fit self-samples at
-    ``max(1, cap // 40)`` (≈40 training rows per sub-centroid, the
-    ``kmeans_fit.fit_sample_mod`` density), so fit cost per round is
-    O(hot_rows/cap · 40 · sub_dim-work), not O(hot_rows · iters).
+    ``max(1, cap // 100)`` (≈100 training rows per sub-centroid —
+    denser than ``kmeans_fit``'s 40 because sub-fits run few iterations
+    on few rows, where sampling noise is what stalls convergence), so
+    fit cost per round is O(hot_rows/cap · 100 · sub_dim-work), not
+    O(hot_rows · iters).
     """
     if cap < 2:
         raise ValueError(f"cap must be >= 2, got {cap}")
@@ -253,8 +269,8 @@ def split_oversized_cells(
         "cell", F.col(cluster_col).cast("string")
     )
     dim: int | None = None
-    splits: list[dict[str, list[list[float]]]] = []
-    fit_mod = max(1, cap // 40)
+    splits: list[tuple[str, dict]] = []
+    fit_mod = max(1, cap // 100)
     for _ in range(max_rounds):
         sizes = (
             refined.groupBy("cell")
@@ -277,46 +293,89 @@ def split_oversized_cells(
             fit_sample_mod=fit_mod, scale=scale,
         )
         if not cents:
-            break  # nothing splittable — fall through to the raise
+            break  # nothing k-means-splittable — the hash round takes over
         cold = refined.filter(~F.col("cell").isin(hot_keys))
         refined = cold.unionByName(
             _refine_once(hot, "cell", vec_col, cents, dim)
         # each round's size-check job otherwise re-executes the whole
         # prior refinement chain; lazy checkpoint truncates the lineage
         ).localCheckpoint(eager=False)
-        splits.append(cents)
+        splits.append(("kmeans", cents))
     leftover = (
         refined.groupBy("cell").count().filter(F.col("count") > cap).collect()
     )
     if leftover:
-        worst = max(int(r["count"]) for r in leftover)
-        raise ValueError(
-            f"split_oversized_cells: {len(leftover)} cell(s) still exceed "
-            f"cap={cap} after {max_rounds} rounds (worst {worst} rows ⇒ "
-            f"~{worst * (worst - 1) // 2:.2g} pairs in one shuffle key). "
-            f"Likely ≥cap exact-duplicate vectors (k-means cannot separate "
-            f"identical points — collapse exact duplicates first), or raise "
-            f"max_rounds/cap."
+        # structureless remainder (isotropic blobs, exact-duplicate
+        # runs): uniform hash split — always balanced, locality-free by
+        # construction because there was no locality left to preserve
+        mods = {
+            r["cell"]: max(2, -(-2 * int(r["count"]) // cap))
+            for r in leftover
+        }
+        refined = _hash_refine(
+            refined, "cell", id_col, mods
+        ).localCheckpoint(eager=False)
+        splits.append(("hash", mods))
+        still = (
+            refined.groupBy("cell").count()
+            .filter(F.col("count") > cap).collect()
         )
+        if still:
+            worst = max(int(r["count"]) for r in still)
+            raise ValueError(
+                f"split_oversized_cells: {len(still)} cell(s) exceed "
+                f"cap={cap} even after the uniform hash round (worst "
+                f"{worst} rows) — adversarial id collisions; raise cap "
+                f"or rehash ids."
+            )
     return refined, splits
+
+
+def _hash_refine(
+    df: DataFrame, cell_col: str, id_col: str, mods: dict[str, int]
+) -> DataFrame:
+    """Map-only uniform split: rows whose cell is in ``mods`` get
+    ``cell := cell / (xxhash64(id) mod m)``; others pass through."""
+    entries: list[F.Column] = []
+    for cell, m in sorted(mods.items()):
+        entries.append(F.lit(cell))
+        entries.append(F.lit(int(m)))
+    modmap = F.create_map(*entries)
+    m = F.element_at(modmap, F.col(cell_col))
+    return df.withColumn(
+        cell_col,
+        F.when(
+            m.isNotNull(),
+            F.concat(
+                F.col(cell_col),
+                F.lit(_SEP),
+                F.pmod(F.xxhash64(F.col(id_col)), m).cast("string"),
+            ),
+        ).otherwise(F.col(cell_col)),
+    )
 
 
 def apply_cell_splits(
     df: DataFrame,
     vec_col: str,
-    splits: list[dict[str, list[list[float]]]],
+    splits: list[tuple[str, dict]],
     cell_col: str = "cell",
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """Replay a :func:`split_oversized_cells` refinement onto another
     frame that carries the same parent ``cell`` keys (e.g. the
     multi-probe query side, whose rows are exploded over several
-    parent cells): per round, rows sitting in a split cell descend to
-    their nearest sub-centroid — all map-only, bit-identical to the
+    parent cells): per k-means round, rows sitting in a split cell
+    descend to their nearest sub-centroid; per hash round, to
+    ``xxhash64`` of their OWN id — all map-only, bit-identical to the
     assignment the split itself produced for primary rows."""
     out = df
-    for cents in splits:
-        if not cents:
+    for kind, cells in splits:
+        if not cells:
             continue
-        dim = len(next(iter(cents.values()))[0])
-        out = _refine_once(out, cell_col, vec_col, cents, dim)
+        if kind == "hash":
+            out = _hash_refine(out, cell_col, id_col, cells)
+        else:
+            dim = len(next(iter(cells.values()))[0])
+            out = _refine_once(out, cell_col, vec_col, cells, dim)
     return out

@@ -138,7 +138,9 @@ def semdedup(
     unseen — applied one level deeper, and only where skew made the
     exact-within-cell stage unpayable. When set, ``split_cap``
     supersedes the ``max_cluster`` raise (cells are bounded by
-    construction, or the split itself raises with the diagnosis).
+    construction — k-means rounds where the fat cell has structure, a
+    uniform hash round for structureless remainders, see
+    ``cellsplit.split_oversized_cells``).
     """
     # pre-trained coarse centers skip the Lloyd iterations entirely —
     # the fit is a deterministic pure function of (corpus, k, iters),

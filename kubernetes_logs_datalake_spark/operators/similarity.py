@@ -804,7 +804,9 @@ def ivf_knn_join(
                 multi.filter(F.col("probe_rank") == 1),
                 id_col, vec_col, cap=split_cap,
             )
-            multi = apply_cell_splits(multi, vec_col, cell_splits)
+            multi = apply_cell_splits(
+                multi, vec_col, cell_splits, id_col=id_col
+            )
         base = multi.withColumn("_n", norm(vec_col))
         a = base.select(
             "cell",
@@ -1004,7 +1006,9 @@ def ivf_knn_join_adc(
                 multi.filter(F.col("probe_rank") == 1),
                 id_col, vec_col, cap=split_cap,
             )
-            multi = apply_cell_splits(multi, vec_col, cell_splits)
+            multi = apply_cell_splits(
+                multi, vec_col, cell_splits, id_col=id_col
+            )
         asg = multi.select(id_col, "cell", "probe_rank")
     else:
         assigned = kmeans_assign(df, id_col, vec_col, centers)

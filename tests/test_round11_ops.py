@@ -168,11 +168,16 @@ def test_split_identity_when_no_cell_oversized(spark, skewed_corpus):
     )
 
 
-def test_split_raises_on_unsplittable_duplicates(spark):
-    """>cap exact-duplicate vectors can never be separated by k-means;
-    the split must RAISE with the diagnosis (collapse exact dups
-    first), not silently run the quadratic cell."""
+def test_split_hash_round_bounds_unsplittable_duplicates(spark):
+    """>cap exact-duplicate vectors can never be separated by k-means
+    (no geometry to find); the final HASH round must still bound every
+    cell — deterministically, nested in the parent, and replayable via
+    apply_cell_splits — instead of raising or silently running the
+    quadratic cell."""
+    from pyspark.sql import functions as F
+
     from kubernetes_logs_datalake_spark.operators.cellsplit import (
+        apply_cell_splits,
         split_oversized_cells,
     )
     from kubernetes_logs_datalake_spark.operators.vectors import kmeans_assign
@@ -182,10 +187,31 @@ def test_split_raises_on_unsplittable_duplicates(spark):
     assigned = kmeans_assign(
         df, "vec_id", "embedding", [[0.5] * 4, [0.0] * 4]
     )
-    with pytest.raises(ValueError, match="exact-duplicate"):
-        split_oversized_cells(
-            assigned, "vec_id", "embedding", cap=50, max_rounds=2
-        )
+    refined, splits = split_oversized_cells(
+        assigned, "vec_id", "embedding", cap=50, max_rounds=2
+    )
+    post = {r[0]: r[1] for r in refined.groupBy("cell").count().collect()}
+    assert max(post.values()) <= 50
+    assert sum(post.values()) == 120
+    assert any(kind == "hash" for kind, _ in splits)
+    assert (
+        refined.filter(
+            F.split(F.col("cell"), "/")[0]
+            != F.col("cluster").cast("string")
+        ).count()
+        == 0
+    )
+    replay = apply_cell_splits(
+        assigned.withColumn("cell", F.col("cluster").cast("string")),
+        "embedding", splits, id_col="vec_id",
+    )
+    assert (
+        refined.select("vec_id", "cell")
+        .join(replay.select("vec_id", F.col("cell").alias("c2")), "vec_id")
+        .filter(F.col("cell") != F.col("c2"))
+        .count()
+        == 0
+    )
 
 
 def test_semdedup_split_cap_bounds_pairs_and_keeps_contract(
