@@ -30,9 +30,20 @@ def main() -> None:
     reps = int(os.environ.get("AB_REPS", "3"))
     spark = get_spark(app_name=f"ab-{label}")
     qs = entrymod.queries()
+    clustered = None
+    if any(n not in qs for n in names):
+        # bench-fixture queries (the *_clustered family) live in
+        # bench.py, not the registry — resolve them lazily so the
+        # drift A/Bs the verdicts ask for can target them too
+        import bench
+
+        sf_num = float(sf.rstrip("/").rsplit("sf", 1)[-1])
+        clustered = bench.clustered_queries(
+            spark, bench.ensure_clustered_fixture(sf_num)
+        )
     out = {"label": label, "sf": sf, "reps": reps, "queries": {}}
     for name in names:
-        fn = qs[name]
+        fn = qs.get(name) or (lambda s, d, _f=clustered[name]: _f())
         times = []
         for _ in range(reps):
             t0 = time.time()
