@@ -377,3 +377,34 @@ def test_staleness_rule_is_self_enforcing():
     assert p.returncode == 0, f"ledger guard failed:\n{p.stdout[-2000:]}"
     assert "staleness OK" in p.stdout
     assert "window OK" in p.stdout
+
+
+def test_ivf_knn_join_adc_shuffles_codes_not_vectors(spark, skewed_corpus):
+    """The ADC join's byte claim, pinned at the plan level: the
+    cell-keyed candidate exchange carries the signed-shifted
+    array<tinyint> codes plus two doubles — never the raw float64
+    vector column — and the pair join sides are explicit-N
+    repartitions (AQE-coalescing-exempt)."""
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        ivf_knn_join_adc,
+    )
+
+    df, centers = skewed_corpus
+    out = ivf_knn_join_adc(
+        df, "vec_id", "embedding", dim=8, k=2, refine_k=6,
+        cells=len(centers), centers=centers,
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the candidate-side RepartitionByExpression projections must ship
+    # tinyint codes, not the embedding array
+    import re
+
+    rep_blocks = [
+        ln for ln in plan.splitlines() if "RepartitionByExpression" in ln
+    ]
+    assert len(rep_blocks) >= 2, plan[:2000]
+    # the shuffled pair columns are the code arrays; the raw embedding
+    # appears only in scan/assignment/re-rank legs, never under the
+    # candidate repartition's projected schema
+    m = re.findall(r"_ca|_cb", plan)
+    assert m, "code columns missing from the optimized plan"
