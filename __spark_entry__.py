@@ -2568,6 +2568,39 @@ def _session_key(spark: SparkSession) -> str:
     return spark.sparkContext.applicationId
 
 
+def _dedup_semantic_collapsed(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-duplicate pre-collapse ∘ SemDeDup (r11): identical vectors
+    group by VALUE (min-id representative), the k-means/pair/component
+    pipeline runs on the distinct corpus only, verdicts re-expand to
+    every member (keep only on the keep-winning representative). The
+    principled answer to exact-dup runs — they never reach the
+    geometric stage, so neither the quadratic-cell risk nor the hash
+    round's keep-count inflation applies to them. Cells follow the √n
+    rule ON THE DISTINCT COUNT (the oracle's seeds LIMIT counts the
+    collapsed CTE, so both engines re-parameterize from the same n);
+    the sandbox corpus has no exact dups, making this hash-identical
+    to dedup_semantic end-to-end while the planted-dup pytest proves
+    the collapse semantics."""
+    from kubernetes_logs_datalake_spark.operators.semdedup import (
+        semdedup_collapsed,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    reps = emb.groupBy("embedding").agg(
+        F.min("vec_id").alias("vec_id")
+    ).select("vec_id", "embedding")
+    cells, fit_mod = _sqrt_cells(_emb_count_cached(reps, sf, "distinct"))
+    centers = _kmeans_centers_cached(
+        reps, sf, "semdedup_collapsed", k=cells, iters=3,
+        fit_sample_mod=fit_mod,
+    )
+    out = semdedup_collapsed(
+        emb, "vec_id", "embedding", k=cells, iters=3, threshold=0.35,
+        centers=centers, split_cap=_cell_split_cap(cells),
+    )
+    return out.select("cluster", "vec_id", "component", "dist", "keep")
+
+
 _BPE_MERGES = 20
 # learn once per (session, sf): the two BPE queries share the learned
 # state the way _QUERY_VEC_CACHE shares the ANN query vector. The
@@ -4991,6 +5024,7 @@ _R11_WINDOW = [
     # refinement) wired into the whole cell-local pair family —
     # inactive at sandbox SFs, but the plans changed, so re-verify
     "dedup_semantic",
+    "dedup_semantic_collapsed",
     "embedding_ivf_knn_join",
     "ann_recall_ivf_join",
     "embedding_ivf_knn_join_probed",
@@ -5040,7 +5074,6 @@ _R11_WINDOW = [
     "dedup_embedding",
     "dedup_embedding_lsh",
     "dedup_exact",
-    "dedup_jaccard_prefix",
     # sentinel (green in every round since r1)
     "q1_pricing_summary",
 ]
@@ -5379,6 +5412,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_duplicate_spans": _docs_duplicate_spans,
         "dedup_quality_keep": _dedup_quality_keep,
         "dedup_semantic": _dedup_semantic,
+        "dedup_semantic_collapsed": _dedup_semantic_collapsed,
         "docs_containment_pairs": _docs_containment_pairs,
         "docs_k_anonymity": _docs_k_anonymity,
         "docs_readability": _docs_readability,
@@ -7334,6 +7368,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_kmeans": _ddb_kmeans_sql(),
         "dedup_semantic": _ddb_semdedup_sql(),
+        "dedup_semantic_collapsed": _ddb_semdedup_sql(collapsed=True),
         "embedding_ivf_knn_join": _ddb_ivf_knn_join_sql(),
         "ann_recall_ivf_join": _ddb_ivf_join_recall_sql(),
         "embedding_ivf_knn_join_probed": _ddb_ivf_knn_join_sql(n_probe=_IVF_JOIN_NPROBE),
@@ -9331,7 +9366,7 @@ def _ddb_dsir_sample_sql(buckets: int, n: int, k: int) -> str:
 
 def _ddb_semdedup_sql(
     k: int | str | None = None, iters: int = 3, dim: int = EMBEDDING_DIM,
-    threshold: float = 0.35,
+    threshold: float = 0.35, collapsed: bool = False,
 ) -> str:
     """DuckDB mirror of ``operators.semdedup.semdedup``: the unrolled
     k-means CTEs give the cluster assignment, cluster-equality joins
@@ -9339,13 +9374,27 @@ def _ddb_semdedup_sql(
     _ddb_cos), a recursive CTE resolves min-label components, and the
     keep verdict is the same dist-DESC/id window in both engines.
     Cells default to the √n rule (``_ddb_sqrt_cells_limit``), matching
-    the Spark side's ``_sqrt_cells`` — r10, replacing fixed k=8."""
+    the Spark side's ``_sqrt_cells`` — r10, replacing fixed k=8.
+
+    ``collapsed=True`` mirrors ``semdedup_collapsed`` (r11): identical
+    vectors group BY VALUE (list GROUP BY/JOIN — exact in both
+    engines), the whole chain runs on the min-id representatives (the
+    √n seeds LIMIT then counts the DISTINCT corpus, matching the Spark
+    side's rep count), and the verdict re-expands through a
+    vector-equality mapping with ``keep`` true only on the
+    keep-winning representative."""
     if k is None:
         k = _ddb_sqrt_cells_limit()
-    ctes = _ddb_kmeans_ctes(k, iters, dim, src="embeddings")
+    src = "collapsed" if collapsed else "embeddings"
+    ctes = _ddb_kmeans_ctes(k, iters, dim, src=src)
     cos = _ddb_cos("a.embedding", "b.embedding")
-    return f"""
-        WITH RECURSIVE {ctes},
+    prefix = "WITH RECURSIVE "
+    if collapsed:
+        prefix += (
+            "collapsed AS (SELECT min(vec_id) AS vec_id, embedding "
+            "FROM embeddings GROUP BY embedding), "
+        )
+    body = f"""{prefix}{ctes},
         asg AS (SELECT vec_id, CAST(j AS INT) AS cluster,
                        floor(sqrt(d2) * 1000000.0 + 0.5) / 1000000.0 AS dist
                 FROM a{iters + 1} WHERE rk = 1),
@@ -9354,8 +9403,8 @@ def _ddb_semdedup_sql(
                 SELECT x.vec_id AS id_a, y.vec_id AS id_b, {cos} AS cos
                 FROM asg x
                 JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
-                JOIN embeddings a ON a.vec_id = x.vec_id
-                JOIN embeddings b ON b.vec_id = y.vec_id)
+                JOIN {src} a ON a.vec_id = x.vec_id
+                JOIN {src} b ON b.vec_id = y.vec_id)
             WHERE cos >= {threshold}),
         edges AS (SELECT id_a AS a, id_b AS b FROM prs
                   UNION SELECT id_b, id_a FROM prs),
@@ -9363,13 +9412,26 @@ def _ddb_semdedup_sql(
             SELECT a, a FROM edges
             UNION
             SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
-        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
-        SELECT asg.cluster, asg.vec_id,
-               COALESCE(comp.component, asg.vec_id) AS component, asg.dist,
-               (row_number() OVER (
-                   PARTITION BY COALESCE(comp.component, asg.vec_id)
-                   ORDER BY asg.dist DESC, asg.vec_id) = 1) AS keep
-        FROM asg LEFT JOIN comp ON comp.node = asg.vec_id
+        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        verd AS (
+            SELECT asg.cluster, asg.vec_id,
+                   COALESCE(comp.component, asg.vec_id) AS component,
+                   asg.dist,
+                   (row_number() OVER (
+                       PARTITION BY COALESCE(comp.component, asg.vec_id)
+                       ORDER BY asg.dist DESC, asg.vec_id) = 1) AS keep
+            FROM asg LEFT JOIN comp ON comp.node = asg.vec_id)"""
+    if not collapsed:
+        return body + """
+        SELECT cluster, vec_id, component, dist, keep FROM verd
+    """
+    return body + """,
+        mapping AS (
+            SELECT e.vec_id, c.vec_id AS rep
+            FROM embeddings e JOIN collapsed c ON e.embedding = c.embedding)
+        SELECT v.cluster, m.vec_id, v.component, v.dist,
+               (v.keep AND m.vec_id = m.rep) AS keep
+        FROM mapping m JOIN verd v ON v.vec_id = m.rep
     """
 
 

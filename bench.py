@@ -173,9 +173,11 @@ HEADLINE = [
     "ann_recall_ivf_join",
     "ann_recall_ivf_join_probed",
     # r11: the IVFADC join (SQ8 codes through the cell shuffle + exact
-    # re-rank) next to its full-precision siblings, plus its recall
+    # re-rank) next to its full-precision siblings, plus its recall,
+    # and the exact-dup-collapsed SemDeDup composition
     "embedding_ivf_knn_join_adc",
     "ann_recall_ivf_join_adc",
+    "dedup_semantic_collapsed",
     # events_hits_scores is deliberately NOT benched for the same
     # reason as docs_bpe_merges: 8 mutual-reinforcement rounds = 16
     # sequential half-round actions whose per-action data is a 5-row

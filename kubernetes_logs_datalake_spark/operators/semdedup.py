@@ -198,3 +198,70 @@ def semdedup(
         F.col("dist").desc(), F.col(id_col)
     )
     return out.withColumn("keep", F.row_number().over(w) == 1)
+
+
+def semdedup_collapsed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.35,
+    max_cluster: int = 20_000,
+    centers: list[list[float]] | None = None,
+    split_cap: int | None = None,
+) -> DataFrame:
+    """Exact-duplicate pre-collapse ∘ SemDeDup — the principled
+    pre-pass the cell split's hash-fallback documentation calls for:
+    identical vectors are grouped BY VALUE first (one narrow
+    vector-keyed shuffle; the min-id member represents the group), the
+    geometric pipeline runs only on the distinct representatives, and
+    verdicts re-expand to every member. Exact-duplicate runs therefore
+    never reach the k-means stage at all — on a web-scale corpus where
+    one vector repeats 10⁸ times (empty pages, boilerplate), the
+    quadratic pair risk and the hash-round's keep-count inflation both
+    vanish, and the geometric stage runs on the (often far smaller)
+    distinct corpus.
+
+    Output: same contract as :func:`semdedup`, one verdict row per
+    INPUT row — (cluster, ``id_col``, component, dist, keep).
+    Collapsed-group members inherit the representative's cluster,
+    component, and dist (their vectors are bit-identical, so the
+    assignment is too); ``keep`` is true only on the representative of
+    the keep-winning member — exactly one keep per component, now with
+    exact duplicates counted INSIDE their component instead of beside
+    it. On a corpus with no exact duplicates this is bit-identical to
+    :func:`semdedup` (representatives = corpus), which is what keeps
+    the hash-checked sandbox oracle meaningful while the planted-dup
+    pytest proves the collapse semantics.
+
+    Scale note: grouping keys on the raw vector value (portable across
+    engines, so the DuckDB oracle can mirror it with GROUP BY/JOIN on
+    the list). A production deployment would key the collapse on a
+    fixed-width binary digest of the packed vector bytes instead —
+    same plan shape, narrower shuffle key — at the cost of the
+    cross-engine value check.
+    """
+    groups = df.groupBy(vec_col).agg(F.min(id_col).alias("_rep"))
+    reps = groups.select(F.col("_rep").alias(id_col), F.col(vec_col))
+    verdicts = semdedup(
+        reps, id_col, vec_col, k=k, iters=iters, threshold=threshold,
+        max_cluster=max_cluster, centers=centers, split_cap=split_cap,
+    )
+    mapping = df.select(F.col(id_col), F.col(vec_col)).join(
+        groups, vec_col
+    ).select(F.col(id_col), F.col("_rep"))
+    v = verdicts.select(
+        F.col("cluster"),
+        F.col(id_col).alias("_rep"),
+        F.col("component"),
+        F.col("dist"),
+        F.col("keep").alias("_rkeep"),
+    )
+    return mapping.join(v, "_rep").select(
+        "cluster",
+        id_col,
+        "component",
+        "dist",
+        (F.col("_rkeep") & (F.col(id_col) == F.col("_rep"))).alias("keep"),
+    )

@@ -408,3 +408,58 @@ def test_ivf_knn_join_adc_shuffles_codes_not_vectors(spark, skewed_corpus):
     # candidate repartition's projected schema
     m = re.findall(r"_ca|_cb", plan)
     assert m, "code columns missing from the optimized plan"
+
+
+def test_semdedup_collapsed_handles_planted_exact_duplicates(spark):
+    """semdedup_collapsed on a corpus with a planted exact-duplicate
+    run: the geometric stage sees only distinct representatives (the
+    run can't recreate a fat cell), every duplicate lands in ONE
+    component with exactly one keep, and on a duplicate-free corpus the
+    operator is bit-identical to plain semdedup."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from kubernetes_logs_datalake_spark.operators.semdedup import (
+        semdedup,
+        semdedup_collapsed,
+    )
+
+    rng = np.random.default_rng(5)
+    uniq = rng.uniform(0, 1, (300, 8))
+    rows = [(i, [float(v) for v in vec]) for i, vec in enumerate(uniq)]
+    # 200 exact copies of vector 7 — more than any sane cell cap
+    dupvec = rows[7][1]
+    rows += [(1000 + i, list(dupvec)) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>"
+    ).localCheckpoint()
+
+    out = semdedup_collapsed(
+        df, "vec_id", "embedding", k=8, iters=2, threshold=0.99,
+        split_cap=50,  # collapse means the run never trips the split
+    ).localCheckpoint()
+    assert out.count() == 500
+    # all 201 copies of vector 7 share one component with one keep
+    dup_ids = [7] + [1000 + i for i in range(200)]
+    grp = out.filter(F.col("vec_id").isin(dup_ids))
+    assert grp.select("component").distinct().count() == 1
+    assert grp.filter(F.col("keep")).count() == 1
+    # exactly one keep per component corpus-wide
+    bad = (
+        out.groupBy("component")
+        .agg(F.sum(F.col("keep").cast("int")).alias("nk"))
+        .filter(F.col("nk") != 1)
+        .count()
+    )
+    assert bad == 0
+
+    # duplicate-free corpus: collapsed == plain, row for row
+    clean = spark.createDataFrame(
+        rows[:300], "vec_id: long, embedding: array<double>"
+    )
+    a = semdedup_collapsed(clean, "vec_id", "embedding", k=8, iters=2,
+                           threshold=0.35)
+    b = semdedup(clean, "vec_id", "embedding", k=8, iters=2,
+                 threshold=0.35)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

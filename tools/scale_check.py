@@ -174,9 +174,11 @@ QUERIES = [
     "ann_recall_ivf_join",
     "ann_recall_ivf_join_probed",
     # r11: the IVFADC join (SQ8 codes through the cell shuffle) + its
-    # recall, measured on the organic mixture corpus
+    # recall, measured on the organic mixture corpus, and the
+    # exact-dup-collapsed SemDeDup composition
     "embedding_ivf_knn_join_adc",
     "ann_recall_ivf_join_adc",
+    "dedup_semantic_collapsed",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
