@@ -5016,6 +5016,68 @@ _NO_ORACLE_AGREEMENT_TESTS = {
         "tests/test_similarity_quality.py::test_arrow_topk_matches_column_topk",
 }
 
+_R12_WINDOW = [
+    # 1. code paths changed this round (r11 verdict tasks #2/#5/#6):
+    #    the reliable-checkpoint knob touches every iterative operator
+    #    (graph family, connected components, the BPE merge loop, the
+    #    SQ8 serving cache), the probed-join hot-cell shortlist cap
+    #    touches the IVF probed family, and the bucketed-re-rank work
+    #    touches the ADC join — re-verify each consumer
+    "dedup_components",
+    "events_pagerank",
+    "events_kcore",
+    "events_triangle_count",
+    "docs_bpe_merges",
+    "docs_bpe_tokens",
+    "ann_topk_sq8_served",
+    "embedding_ivf_knn_join_probed",
+    "ann_recall_ivf_join_probed",
+    "embedding_ivf_knn_join_adc",
+    "ann_recall_ivf_join_adc",
+    "embedding_ivf_knn_join",
+    # 2. the 37 r7-vintage rows the ledger's staleness horizon expires
+    #    this round (r11 verdict task #1 — the one red pytest)
+    "dedup_jaccard_prefix",
+    "dedup_winnow_pairs",
+    "distinct_segments",
+    "doc_winnow_fingerprints",
+    "docs_decontaminate_bloom",
+    "docs_dedup_savings",
+    "docs_pretrain_pipeline",
+    "docs_quality_calibrated",
+    "docs_rake_keyphrases",
+    "docs_zipf_fit",
+    "events_hits_scores",
+    "events_label_propagation",
+    "events_seasonal_anomaly",
+    "events_session_paths",
+    "events_state_snapshot",
+    "events_top_users",
+    "events_user_state_scd2",
+    "fuzzy_name_match",
+    "json_props_extract",
+    "orders_table_profile",
+    "percentile_event_value",
+    "pivot_event_counts",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_revenue_forecast",
+    "rollup_returnflag",
+    "scalar_functions_showcase",
+    "semi_join_parts_ordered",
+    "text_bpe_estimate",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_token_stats",
+    "topk_expensive_orders",
+    "union_priority_orders",
+    "unpivot_order_measures",
+    "window_running_total",
+    # sentinel (green in every round since r1)
+    "q1_pricing_summary",
+]
+
 _R11_WINDOW = [
     # 1. new this round: the IVFADC join + its recall harness
     "embedding_ivf_knn_join_adc",
@@ -5269,7 +5331,7 @@ _R8_WINDOW = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _all_queries()
-    ordered = {name: base[name] for name in _R11_WINDOW}
+    ordered = {name: base[name] for name in _R12_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
     return ordered
 

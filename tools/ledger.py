@@ -97,12 +97,15 @@ def main() -> int:
     # the current window will breach the ≤MAX_STALE freshness invariant
     # when this round's driver run lands — fail NOW, at planning time,
     # not in the next verdict. The horizon counts from the round the
-    # upcoming run will record (max seen + 1).
-    breaches = [
-        (rnd, q)
-        for rnd, q in stale
-        if rnd < (max(rounds) + 1) - MAX_STALE_ROUNDS and q not in window
-    ]
+    # upcoming run will record (max seen + 1). With an empty history
+    # (fresh clone) nothing can be stale — skip the guard (ADVICE r11).
+    breaches = []
+    if rounds:
+        breaches = [
+            (rnd, q)
+            for rnd, q in stale
+            if rnd < (max(rounds) + 1) - MAX_STALE_ROUNDS and q not in window
+        ]
     if breaches:
         print(f"\nSTALENESS BREACH: {len(breaches)} green rows are >"
               f"{MAX_STALE_ROUNDS} rounds old and not in the current "
@@ -114,6 +117,25 @@ def main() -> int:
         print(f"staleness OK: every green row is either <= "
               f"{MAX_STALE_ROUNDS} rounds old after the upcoming run or "
               f"in the current window")
+
+    # forward budget (r11 verdict task #1): with a 50-slot window and a
+    # ≤MAX_STALE-round horizon, each future round's window must absorb
+    # the vintage expiring that round; whatever is left over is the
+    # budget for NEW or voluntarily-refreshed queries. Registry growth
+    # has to be planned against this (ceiling ≈ 50 × (MAX_STALE + 1))
+    # or the staleness rule breaches mathematically.
+    if rounds:
+        vintage: dict[int, int] = {}
+        for q, g in last_green.items():
+            vintage[g] = vintage.get(g, 0) + 1
+        print(f"\nforward new-query budget (window 50, horizon "
+              f"{MAX_STALE_ROUNDS}; ceiling ~{50 * (MAX_STALE_ROUNDS + 1)}"
+              f" registered):")
+        nxt = max(rounds) + 1
+        for future in range(nxt + 1, nxt + 4):
+            expiring = vintage.get(future - 1 - MAX_STALE_ROUNDS, 0)
+            print(f"  r{future}: {expiring} rows expire -> "
+                  f"{max(0, 50 - expiring)} free slots")
     return rc
 
 
