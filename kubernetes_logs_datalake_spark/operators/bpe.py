@@ -95,7 +95,11 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
 
 
 def bpe_learn(
-    df: DataFrame, text_col: str, num_merges: int = 20
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 20,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Learn ``num_merges`` BPE merge rules from a corpus. Returns
     (merges, final_vocab) where merges is [(left, right, freq), …] in
@@ -107,10 +111,17 @@ def bpe_learn(
     a single-row driver fetch (the winning pair) — the same
     driver-traffic contract as k-means (k·dim per iteration there, one
     pair here).
+
+    ``checkpoint_dir``/``checkpoint_every`` route the per-merge vocab
+    truncation through the reliable checkpointer (see :mod:`.lineage`)
+    so a long merge loop survives executor loss; unset keeps the
+    executor-local fast path. Learned merges are identical either way.
     """
-    vocab = word_vocab(df, text_col).localCheckpoint()
+    from .lineage import reliable_this_round, truncate_lineage
+
+    vocab = truncate_lineage(word_vocab(df, text_col), checkpoint_dir, eager=True)
     merges: list[tuple[str, str, int]] = []
-    for _ in range(num_merges):
+    for _it in range(num_merges):
         top = (
             _pair_counts(vocab)
             .orderBy(F.col("freq").desc(), F.col("a"), F.col("b"))
@@ -122,9 +133,13 @@ def bpe_learn(
         else:
             a, b = top[0].a, top[0].b
             merges.append((a, b, int(top[0].freq)))
-        vocab = vocab.select(
-            "word", "cnt", merge_fold(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint()
+        vocab = truncate_lineage(
+            vocab.select(
+                "word", "cnt", merge_fold(F.col("syms"), a, b).alias("syms")
+            ),
+            reliable_this_round(checkpoint_dir, _it, checkpoint_every),
+            eager=True,
+        )
     return merges, vocab
 
 

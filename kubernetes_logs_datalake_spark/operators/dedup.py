@@ -540,6 +540,8 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Resolve near-duplicate *pairs* into duplicate *groups*: each node
     labeled with the minimum id reachable in its connected component
@@ -555,16 +557,25 @@ def connected_components(
     unique, so the shortcut changes round count, never the result.
     Per round: one edges⋈labels shuffle join + one min-aggregate + one
     labels self-join; ``localCheckpoint`` truncates the growing
-    lineage. Deterministic; terminates early on convergence.
+    lineage (or the reliable checkpointer when ``checkpoint_dir`` is
+    set — see :mod:`.lineage` — so the job survives executor loss on
+    dynamic/spot clusters; output is bit-identical either way).
+    Deterministic; terminates early on convergence.
     """
+    from .lineage import reliable_this_round, truncate_lineage
+
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    sym = sym.distinct().localCheckpoint()
-    labels = (
-        sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).localCheckpoint()
+    sym = truncate_lineage(sym.distinct(), checkpoint_dir, eager=True)
+    labels = truncate_lineage(
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node")),
+        checkpoint_dir,
+        eager=True,
+    )
     converged = False
-    for _ in range(max_iter):
+    for _it in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy("src")
@@ -588,14 +599,13 @@ def connected_components(
         # short-circuit after the first changed partition and leave
         # the rest un-checkpointed, letting later rounds recompute
         # them through the accumulated join lineage.)
-        jumped = (
-            prop.join(lab2, prop.label == lab2._n2, "left")
-            .select(
+        jumped = truncate_lineage(
+            prop.join(lab2, prop.label == lab2._n2, "left").select(
                 "node",
                 "_old",
                 F.least(F.col("label"), F.coalesce("_l2", "label")).alias("label"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            reliable_this_round(checkpoint_dir, _it, checkpoint_every),
         )
         changed = jumped.filter(F.col("label") != F.col("_old")).count()
         labels = jumped.select("node", "label")

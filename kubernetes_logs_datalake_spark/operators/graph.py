@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .lineage import reliable_this_round, truncate_lineage
+
 
 def transition_edges(
     df: DataFrame,
@@ -89,6 +91,8 @@ def pagerank(
     iters: int = 10,
     damping: float = 0.85,
     scale: int = 12,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Weighted PageRank, fixed ``iters`` power-method rounds.
 
@@ -96,6 +100,13 @@ def pagerank(
     (bit-deterministic across partitionings — see module docstring).
     Dangling-node mass is redistributed uniformly each round, the
     Page-et-al convention that keeps Σrank = 1.
+
+    ``checkpoint_dir``/``checkpoint_every`` select reliable round-
+    boundary truncation (see :mod:`.lineage`): unset (default) keeps
+    the executor-local fast path; set, the invariant frames and every
+    ``checkpoint_every``-th round's ranks checkpoint to that FS so the
+    job survives executor loss on dynamic/spot clusters. Output is
+    bit-identical either way — only the truncation mechanism changes.
     """
     w = (
         F.col(weight_col).cast("double")
@@ -109,11 +120,11 @@ def pagerank(
         # becomes dangling (or leaves the graph if nothing references
         # it), which is the Page-et-al semantics for "no usable links"
         edges = edges.filter(w > 0)
-    nodes = (
+    nodes = truncate_lineage(
         edges.select(F.col(src_col).alias("node"))
         .union(edges.select(F.col(dst_col).alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        checkpoint_dir,
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
@@ -121,20 +132,23 @@ def pagerank(
 
     out_w = edges.groupBy(src_col).agg(F.sum(w).alias("_ow"))
     # per-edge transition fraction — invariant across rounds, built once
-    frac = (
+    frac = truncate_lineage(
         edges.join(out_w, src_col)
         .select(
             F.col(src_col).alias("_src"),
             F.col(dst_col).alias("_dst"),
             (w / F.col("_ow")).alias("_fr"),
-        )
-        .localCheckpoint(eager=False)
+        ),
+        checkpoint_dir,
     )
-    dangling = nodes.join(
-        edges.select(F.col(src_col).alias("node")).distinct(),
-        "node",
-        "left_anti",
-    ).localCheckpoint(eager=False)
+    dangling = truncate_lineage(
+        nodes.join(
+            edges.select(F.col(src_col).alias("node")).distinct(),
+            "node",
+            "left_anti",
+        ),
+        checkpoint_dir,
+    )
     # FULL count, not limit(1): the count materializes every partition
     # of the checkpoint, so the per-round semi joins below never
     # recompute the anti-join through lineage (the dedup.py
@@ -145,7 +159,7 @@ def pagerank(
     ranks = nodes.select(
         "node", F.round(F.lit(1.0 / n_nodes), scale).alias("rank")
     )
-    for _ in range(iters):
+    for _it in range(iters):
         if has_dangling:
             # 1-row fetch; also materializes this round's pending
             # checkpoint so the second reference below never recomputes
@@ -175,7 +189,7 @@ def pagerank(
                 .alias("_in")
             )
         )
-        ranks = (
+        ranks = truncate_lineage(
             nodes.join(summed, "node", "left")
             .select(
                 "node",
@@ -185,8 +199,8 @@ def pagerank(
                     * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.lit(dangling_share)),
                     scale,
                 ).alias("rank"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            reliable_this_round(checkpoint_dir, _it, checkpoint_every),
         )
     return ranks
 
@@ -200,6 +214,8 @@ def label_propagation(
     label_col: str = "label",
     iters: int = 5,
     symmetric: bool = True,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Semi-supervised label propagation (Zhu & Ghahramani 2002 /
     Raghavan et al. 2007, the clamped variant): seed nodes carry fixed
@@ -218,9 +234,10 @@ def label_propagation(
     Per-round plan: one (src=node) hash join to the label frame, one
     (dst, label)-keyed partial agg, one dst-partitioned window for the
     argmax, one left join back to nodes — label state is |nodes| rows,
-    lineage truncated per round by localCheckpoint. Same 100 TB posture
-    as :func:`pagerank`: everything keyed on node ids, zero driver
-    traffic.
+    lineage truncated per round by localCheckpoint (or reliably, via
+    the :func:`pagerank`-style ``checkpoint_dir``/``checkpoint_every``
+    knob). Same 100 TB posture as :func:`pagerank`: everything keyed
+    on node ids, zero driver traffic.
     """
     from pyspark.sql import Window
 
@@ -238,12 +255,12 @@ def label_propagation(
                 F.col("_d").alias("_s"), F.col("_s").alias("_d"), "_w"
             )
         )
-    base = base.localCheckpoint(eager=False)
-    nodes = (
+    base = truncate_lineage(base, checkpoint_dir)
+    nodes = truncate_lineage(
         base.select(F.col("_s").alias("node"))
         .union(base.select(F.col("_d").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        checkpoint_dir,
     )
     seed = seeds.select(
         F.col(seeds.columns[0]).alias("node"),
@@ -253,7 +270,7 @@ def label_propagation(
         "node", F.col("_seed").alias("label")
     )
     rk = Window.partitionBy("_d").orderBy(F.desc("_ws"), F.asc("label"))
-    for _ in range(iters):
+    for _it in range(iters):
         lab = labels.filter(F.col("label").isNotNull()).select(
             F.col("node").alias("_ln"), "label"
         )
@@ -265,14 +282,14 @@ def label_propagation(
             .filter(F.col("_rk") == 1)
             .select(F.col("_d").alias("node"), F.col("label").alias("_cand"))
         )
-        labels = (
+        labels = truncate_lineage(
             nodes.join(cand, "node", "left")
             .join(seed, "node", "left")
             .select(
                 "node",
                 F.coalesce(F.col("_seed"), F.col("_cand")).alias("label"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            reliable_this_round(checkpoint_dir, _it, checkpoint_every),
         )
     return labels
 
@@ -503,6 +520,8 @@ def hits(
     weight_col: str | None = None,
     iters: int = 8,
     scale: int = 12,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999), fixed ``iters``
     mutual-reinforcement rounds: authority(v) ← Σ w(u,v)·hub(u), then
@@ -529,14 +548,19 @@ def hits(
     )
     if weight_col is not None:
         edges = edges.filter(w > 0)
-    ew = edges.select(
-        F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"), w.alias("_w")
-    ).localCheckpoint(eager=False)
-    nodes = (
+    ew = truncate_lineage(
+        edges.select(
+            F.col(src_col).alias("_s"),
+            F.col(dst_col).alias("_d"),
+            w.alias("_w"),
+        ),
+        checkpoint_dir,
+    )
+    nodes = truncate_lineage(
         ew.select(F.col("_s").alias("node"))
         .union(ew.select(F.col("_d").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        checkpoint_dir,
     )
     n = nodes.count()
     if n == 0:
@@ -545,7 +569,12 @@ def hits(
         )
     dec = "decimal(38,18)"
 
-    def _half_round(scores: DataFrame, score_col: str, inbound: bool):
+    def _half_round(
+        scores: DataFrame,
+        score_col: str,
+        inbound: bool,
+        dir_now: str | None = None,
+    ):
         """One message pass + L1 normalization. ``inbound`` True sums
         into dst (authority update), False into src (hub update)."""
         join_on, group_to = ("_s", "_d") if inbound else ("_d", "_s")
@@ -563,7 +592,7 @@ def hits(
                 .alias("_v")
             )
         )
-        raw = (
+        raw = truncate_lineage(
             nodes.join(
                 msgs.withColumnRenamed(group_to, "node"), "node", "left"
             )
@@ -572,8 +601,8 @@ def hits(
                 F.round(F.coalesce(F.col("_v"), F.lit(0.0)), scale).alias(
                     "_v"
                 ),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            dir_now,
         )
         total = raw.agg(
             F.sum(F.col("_v").cast(dec)).cast("double")
@@ -587,13 +616,14 @@ def hits(
     init = round(1.0 / n, scale)
     hub = nodes.select("node", F.lit(init).alias("h"))
     auth = None
-    for _ in range(iters):
-        auth = _half_round(hub, "h", inbound=True).withColumnRenamed(
-            "h", "a"
-        )
-        hub = _half_round(auth, "a", inbound=False).withColumnRenamed(
-            "a", "h"
-        )
+    for _it in range(iters):
+        dir_now = reliable_this_round(checkpoint_dir, _it, checkpoint_every)
+        auth = _half_round(
+            hub, "h", inbound=True, dir_now=dir_now
+        ).withColumnRenamed("h", "a")
+        hub = _half_round(
+            auth, "a", inbound=False, dir_now=dir_now
+        ).withColumnRenamed("a", "h")
     return hub.join(auth, "node").select(
         "node", F.col("h").alias("hub"), F.col("a").alias("authority")
     )
@@ -664,6 +694,8 @@ def kcore(
     rounds: int,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """k-core extraction by fixed-round peeling: repeatedly remove
     nodes of degree < ``k`` (with the edges they carry) until the graph
@@ -695,19 +727,20 @@ def kcore(
     ).union(
         edges.select(F.col(dst_col).alias("_a"), F.col(src_col).alias("_b"))
     )
-    cur = sym.localCheckpoint(eager=False)
+    cur = truncate_lineage(sym, checkpoint_dir)
     n_edges = cur.count()
-    for _ in range(rounds):
+    for _it in range(rounds):
         alive = (
             cur.groupBy("_a")
             .agg(F.count(F.lit(1)).alias("_d"))
             .filter(F.col("_d") >= k)
             .select("_a")
         )
-        nxt = (
-            cur.join(alive, "_a", "left_semi")
-            .join(alive.select(F.col("_a").alias("_b")), "_b", "left_semi")
-            .localCheckpoint(eager=False)
+        nxt = truncate_lineage(
+            cur.join(alive, "_a", "left_semi").join(
+                alive.select(F.col("_a").alias("_b")), "_b", "left_semi"
+            ),
+            reliable_this_round(checkpoint_dir, _it, checkpoint_every),
         )
         n_next = nxt.count()
         if n_next == n_edges:

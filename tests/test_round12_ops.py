@@ -1,0 +1,179 @@
+"""Round-12 additions: the reliable-checkpoint knob for iterative
+operators (r11 verdict "what's wrong" #2 / task #2).
+
+`localCheckpoint` stores lineage-truncation blocks on executors
+WITHOUT replication — losing one executor on a dynamic/spot cluster
+makes the truncated lineage unrecoverable mid-iteration. The knob
+(`checkpoint_dir` + `checkpoint_every` on every iterative operator)
+routes round-boundary truncation through the reliable
+`DataFrame.checkpoint()` instead. These tests pin the contract: output
+is BIT-IDENTICAL under either mechanism, and the reliable path really
+does write to the given directory.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kubernetes_logs_datalake_spark.operators.bpe import bpe_learn
+from kubernetes_logs_datalake_spark.operators.dedup import (
+    connected_components,
+)
+from kubernetes_logs_datalake_spark.operators.graph import (
+    hits,
+    kcore,
+    label_propagation,
+    pagerank,
+)
+from kubernetes_logs_datalake_spark.operators.lineage import (
+    reliable_this_round,
+    truncate_lineage,
+)
+
+
+def _edges(spark):
+    rows = [
+        # two communities bridged by one edge + a dangling sink
+        ("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+        ("d", "e"), ("e", "f"), ("f", "d"), ("f", "g"),
+        ("g", "g2"),
+    ]
+    return spark.createDataFrame(rows, ["src", "dst"])
+
+
+def _sorted_rows(df):
+    return [tuple(r) for r in df.orderBy(*df.columns).collect()]
+
+
+def test_reliable_this_round_policy():
+    # unset dir -> always local, whatever the cadence
+    assert reliable_this_round(None, 0, 1) is None
+    assert reliable_this_round(None, 5, 3) is None
+    # every=1 -> reliable every round
+    assert reliable_this_round("/tmp/ck", 0, 1) == "/tmp/ck"
+    assert reliable_this_round("/tmp/ck", 7, 1) == "/tmp/ck"
+    # every=3 -> rounds 2, 5, 8 (0-based) take the reliable path
+    picks = [reliable_this_round("/tmp/ck", i, 3) for i in range(6)]
+    assert picks == [None, None, "/tmp/ck", None, None, "/tmp/ck"]
+    # degenerate cadence -> never reliable (defensive, not an error)
+    assert reliable_this_round("/tmp/ck", 4, 0) is None
+
+
+def test_truncate_lineage_reliable_writes_to_dir(spark, tmp_path):
+    ckdir = str(tmp_path / "ck")
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    out = truncate_lineage(df, ckdir, eager=True)
+    assert out.count() == 100
+    # checkpoint files landed under the requested directory
+    found = [
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(ckdir)
+        for f in fs
+    ]
+    assert found, "reliable checkpoint wrote nothing under checkpoint_dir"
+    # and the plan was truncated: the parquet/range scan is gone — the
+    # physical plan reads the checkpointed RDD instead
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    ) if hasattr(out, "_jdf") else ""
+    if plan:
+        assert "Range" not in plan
+
+
+def test_pagerank_identical_under_reliable_checkpoint(spark, tmp_path):
+    e = _edges(spark)
+    base = pagerank(e, iters=6)
+    rel = pagerank(
+        e, iters=6, checkpoint_dir=str(tmp_path / "pr"), checkpoint_every=2
+    )
+    assert _sorted_rows(base) == _sorted_rows(rel)
+
+
+def test_label_propagation_identical_under_reliable_checkpoint(
+    spark, tmp_path
+):
+    e = _edges(spark)
+    seeds = spark.createDataFrame(
+        [("a", "L1"), ("e", "L2")], ["node", "label"]
+    )
+    base = label_propagation(e, seeds, iters=4)
+    rel = label_propagation(
+        e, seeds, iters=4,
+        checkpoint_dir=str(tmp_path / "lp"), checkpoint_every=1,
+    )
+    assert _sorted_rows(base) == _sorted_rows(rel)
+
+
+def test_hits_identical_under_reliable_checkpoint(spark, tmp_path):
+    e = _edges(spark)
+    base = hits(e, iters=4)
+    rel = hits(
+        e, iters=4, checkpoint_dir=str(tmp_path / "h"), checkpoint_every=2
+    )
+    assert _sorted_rows(base) == _sorted_rows(rel)
+
+
+def test_kcore_identical_under_reliable_checkpoint(spark, tmp_path):
+    e = _edges(spark)
+    base = kcore(e, k=2, rounds=6)
+    rel = kcore(
+        e, k=2, rounds=6,
+        checkpoint_dir=str(tmp_path / "kc"), checkpoint_every=1,
+    )
+    assert _sorted_rows(base) == _sorted_rows(rel)
+
+
+def test_connected_components_identical_under_reliable_checkpoint(
+    spark, tmp_path
+):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    base = connected_components(pairs)
+    rel = connected_components(
+        pairs, checkpoint_dir=str(tmp_path / "cc"), checkpoint_every=2
+    )
+    assert _sorted_rows(base) == _sorted_rows(rel)
+
+
+def test_bpe_learn_identical_under_reliable_checkpoint(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [("low lower lowest",), ("new newer newest",), ("low new low",)],
+        ["text"],
+    )
+    m_base, v_base = bpe_learn(docs, "text", num_merges=6)
+    m_rel, v_rel = bpe_learn(
+        docs, "text", num_merges=6,
+        checkpoint_dir=str(tmp_path / "bpe"), checkpoint_every=3,
+    )
+    assert m_base == m_rel
+    assert _sorted_rows(v_base.select("word", "cnt")) == _sorted_rows(
+        v_rel.select("word", "cnt")
+    )
+
+
+def test_sq8_serving_cache_honors_checkpoint_dir(spark, tmp_path, monkeypatch):
+    """The session-persisted SQ8 code frame (the serving fleet's single
+    most durable asset) routes through the reliable checkpointer when
+    the knob is set, and scores stay bit-identical."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    base = entry.queries()["ann_topk_sq8_served"](spark, sf)
+    base_rows = _sorted_rows(base)
+
+    ckdir = str(tmp_path / "sq8")
+    monkeypatch.setattr(entry, "SQ8_CACHE_CHECKPOINT_DIR", ckdir)
+    # fresh cache entry so the knob is exercised, not the memo
+    entry._SQ8_PACKED_CACHE.clear()
+    try:
+        rel = entry.queries()["ann_topk_sq8_served"](spark, sf)
+        assert _sorted_rows(rel) == base_rows
+        found = [f for _r, _d, fs in os.walk(ckdir) for f in fs]
+        assert found, "serving cache did not checkpoint to the reliable dir"
+    finally:
+        entry._SQ8_PACKED_CACHE.clear()
