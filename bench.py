@@ -278,6 +278,17 @@ def ensure_clustered_fixture(sf: float, n_files: int = 16) -> str:
     return dest
 
 
+# the clustered-fixture entries clustered_queries() returns, for
+# callers (tools/ab_isolated.py) that validate names before paying
+# session startup / fixture build
+CLUSTERED_QUERY_NAMES = (
+    "dedup_embedding_lsh_clustered",
+    "minhash_lsh_clustered",
+    "minhash_calibration_clustered",
+    "jaccard_prefix_clustered",
+)
+
+
 def clustered_queries(spark, fixture_dir: str, emb_bits: int = 8, emb_tables: int = 8) -> dict:
     """LSH-family bench entries over the clustered fixture. Parameters
     target the planted similarity levels: hyperplane LSH at cos ≥ 0.8
@@ -299,7 +310,7 @@ def clustered_queries(spark, fixture_dir: str, emb_bits: int = 8, emb_tables: in
 
     emb = spark.read.parquet(f"{fixture_dir}/embeddings")
     docs = spark.read.parquet(f"{fixture_dir}/documents")
-    return {
+    out = {
         "dedup_embedding_lsh_clustered": lambda: lsh_bucketed_pairs(
             emb, "vec_id", "embedding", threshold=0.8,
             bits=emb_bits, tables=emb_tables, dim=64,
@@ -321,6 +332,8 @@ def clustered_queries(spark, fixture_dir: str, emb_bits: int = 8, emb_tables: in
             docs, "doc_id", "text", n=1, threshold=0.8
         ),
     }
+    assert set(out) == set(CLUSTERED_QUERY_NAMES)
+    return out
 
 
 # ------------------------------------------------------ ingest metric

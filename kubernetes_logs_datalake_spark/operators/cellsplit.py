@@ -332,27 +332,42 @@ def split_oversized_cells(
 
 
 def _hash_refine(
-    df: DataFrame, cell_col: str, id_col: str, mods: dict[str, int]
+    df: DataFrame,
+    cell_col: str,
+    id_col: str,
+    mods: dict[str, int],
+    probe_col: str | None = None,
 ) -> DataFrame:
     """Map-only uniform split: rows whose cell is in ``mods`` get
-    ``cell := cell / (xxhash64(id) mod m)``; others pass through."""
+    ``cell := cell / (xxhash64(id) mod m)``; others pass through.
+    With ``probe_col``, probed rows (``probe_col > 1``) in a split
+    cell are exploded across ALL m sub-cells instead (see
+    :func:`apply_cell_splits`)."""
     entries: list[F.Column] = []
     for cell, m in sorted(mods.items()):
         entries.append(F.lit(cell))
         entries.append(F.lit(int(m)))
     modmap = F.create_map(*entries)
     m = F.element_at(modmap, F.col(cell_col))
-    return df.withColumn(
-        cell_col,
-        F.when(
-            m.isNotNull(),
-            F.concat(
-                F.col(cell_col),
-                F.lit(_SEP),
-                F.pmod(F.xxhash64(F.col(id_col)), m).cast("string"),
-            ),
-        ).otherwise(F.col(cell_col)),
+    own = F.concat(
+        F.col(cell_col),
+        F.lit(_SEP),
+        F.pmod(F.xxhash64(F.col(id_col)), m).cast("string"),
     )
+    if probe_col is None:
+        return df.withColumn(
+            cell_col, F.when(m.isNotNull(), own).otherwise(F.col(cell_col))
+        )
+    fanout = F.transform(
+        F.sequence(F.lit(0), m.cast("int") - 1),
+        lambda i: F.concat(F.col(cell_col), F.lit(_SEP), i.cast("string")),
+    )
+    subcells = (
+        F.when(m.isNull(), F.array(F.col(cell_col)))
+        .when(F.col(probe_col) <= 1, F.array(own))
+        .otherwise(fanout)
+    )
+    return df.withColumn(cell_col, F.explode(subcells))
 
 
 def apply_cell_splits(
@@ -361,6 +376,7 @@ def apply_cell_splits(
     splits: list[tuple[str, dict]],
     cell_col: str = "cell",
     id_col: str = "vec_id",
+    probe_col: str | None = None,
 ) -> DataFrame:
     """Replay a :func:`split_oversized_cells` refinement onto another
     frame that carries the same parent ``cell`` keys (e.g. the
@@ -368,13 +384,28 @@ def apply_cell_splits(
     parent cells): per k-means round, rows sitting in a split cell
     descend to their nearest sub-centroid; per hash round, to
     ``xxhash64`` of their OWN id — all map-only, bit-identical to the
-    assignment the split itself produced for primary rows."""
+    assignment the split itself produced for primary rows.
+
+    Hash-round probe semantics (r11 ADVICE): a hash sub-cell is a
+    UNIFORM partition — own-id descent sends a probed (non-primary)
+    query row to one random sub-cell of its probed parent, so the
+    parent's recall contribution would drop ~1/m with zero locality to
+    compensate (worse than the k-means rounds, whose descent follows
+    the geometry). With ``probe_col`` set (the multi-probe rank column;
+    rank 1 = primary), probed rows are instead EXPLODED across all m
+    hash sub-cells of the probed parent, restoring the parent's full
+    candidate set. Cost is bounded: m = ceil(2·size/cap), only
+    hash-split parents, only probe rows. Primary rows always take the
+    own-id descent (they ARE the partition — bit-identity with the
+    split is what keeps pairs unique). Without ``probe_col`` every row
+    descends by own id and the 1/m effect applies — acceptable only
+    when the frame has no probe semantics."""
     out = df
     for kind, cells in splits:
         if not cells:
             continue
         if kind == "hash":
-            out = _hash_refine(out, cell_col, id_col, cells)
+            out = _hash_refine(out, cell_col, id_col, cells, probe_col)
         else:
             dim = len(next(iter(cells.values()))[0])
             out = _refine_once(out, cell_col, vec_col, cells, dim)

@@ -66,9 +66,9 @@ def semdedup_pairs(
     # the work AFTER the exchange is Σ|cell|² pair evaluations, ~|cell|×
     # the exchange bytes, which byte statistics cannot see (measured at
     # ×10: the whole scoring stage ran as ONE task, r11).
-    nparts = int(
-        assigned.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    from ..session import shuffle_partitions
+
+    nparts = shuffle_partitions(assigned.sparkSession)
     base = assigned.select(
         F.col(cell_col),
         F.col(id_col),

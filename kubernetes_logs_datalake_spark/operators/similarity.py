@@ -26,6 +26,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import shuffle_partitions
+
 from kubernetes_logs_datalake_spark.functions.vectors import cosine, literal_vector
 
 
@@ -805,7 +807,8 @@ def ivf_knn_join(
                 id_col, vec_col, cap=split_cap,
             )
             multi = apply_cell_splits(
-                multi, vec_col, cell_splits, id_col=id_col
+                multi, vec_col, cell_splits, id_col=id_col,
+                probe_col="probe_rank",
             )
         base = multi.withColumn("_n", norm(vec_col))
         a = base.select(
@@ -852,7 +855,7 @@ def ivf_knn_join(
     # so byte-based coalescing collapses it to 1-2 tasks — but the
     # per-pair cosine work after it is ×|cell| the exchange bytes
     # (measured at ×10: the scoring stage ran as ONE task, r11).
-    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    nparts = shuffle_partitions(df.sparkSession)
     a = a.repartition(nparts, F.col("cell"))
     b = b.repartition(nparts, F.col("cell"))
     scored = (
@@ -1007,7 +1010,8 @@ def ivf_knn_join_adc(
                 id_col, vec_col, cap=split_cap,
             )
             multi = apply_cell_splits(
-                multi, vec_col, cell_splits, id_col=id_col
+                multi, vec_col, cell_splits, id_col=id_col,
+                probe_col="probe_rank",
             )
         asg = multi.select(id_col, "cell", "probe_rank")
     else:
@@ -1132,7 +1136,7 @@ def ivf_knn_join_adc(
     # pin the pair-join width: the code exchange is ~90 B/row, so AQE's
     # byte-based coalescing would run the ×|cell| per-pair scoring in
     # 1-2 tasks (measured 155 s single-task at ×10, r11)
-    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    nparts = shuffle_partitions(df.sparkSession)
     cand = (
         a.repartition(nparts, F.col("cell"))
         .join(b.repartition(nparts, F.col("cell")), "cell")

@@ -25,6 +25,21 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def shuffle_partitions(spark) -> int:
+    """The session's shuffle-partition count as an int, robust to
+    platforms that set ``spark.sql.shuffle.partitions`` to a
+    non-numeric value such as ``"auto"`` (managed-AQE environments).
+    Falls back to ``sparkContext.defaultParallelism`` — the same
+    cores-derived width AQE itself starts from — so explicit-N
+    repartitions (the pair-stage AQE-coalescing guard) keep working
+    everywhere.
+    """
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return int(spark.sparkContext.defaultParallelism)
+
+
 def s3a_conf(
     endpoint: str | None = None,
     access_key: str | None = None,

@@ -399,13 +399,23 @@ def test_ivf_knn_join_adc_shuffles_codes_not_vectors(spark, skewed_corpus):
     # tinyint codes, not the embedding array
     import re
 
-    rep_blocks = [
-        ln for ln in plan.splitlines() if "RepartitionByExpression" in ln
+    lines = plan.splitlines()
+    rep_idx = [
+        i for i, ln in enumerate(lines) if "RepartitionByExpression" in ln
     ]
-    assert len(rep_blocks) >= 2, plan[:2000]
+    assert len(rep_idx) >= 2, plan[:2000]
     # the shuffled pair columns are the code arrays; the raw embedding
     # appears only in scan/assignment/re-rank legs, never under the
-    # candidate repartition's projected schema
+    # candidate repartition's projected schema — pin it by asserting
+    # the embedding column is absent from each RepartitionByExpression
+    # line AND from its immediate child Project (the projection whose
+    # schema actually crosses the exchange) (r11 ADVICE)
+    for i in rep_idx:
+        block = lines[i : i + 2]
+        assert all("embedding" not in ln for ln in block), (
+            "raw embedding column crosses the candidate exchange:\n"
+            + "\n".join(block)
+        )
     m = re.findall(r"_ca|_cb", plan)
     assert m, "code columns missing from the optimized plan"
 

@@ -177,3 +177,93 @@ def test_sq8_serving_cache_honors_checkpoint_dir(spark, tmp_path, monkeypatch):
         assert found, "serving cache did not checkpoint to the reliable dir"
     finally:
         entry._SQ8_PACKED_CACHE.clear()
+
+
+def test_hash_split_probe_rows_explode_across_subcells(spark):
+    """r11 ADVICE: within a hash-split parent, own-id descent gives a
+    probed query row ~1/m of the parent's candidates with zero
+    locality. With probe_col set, probed rows (rank > 1) must fan out
+    across ALL m sub-cells of the probed parent, primary rows (rank 1)
+    must keep the bit-identical own-id descent, and rows in unsplit
+    cells must pass through unchanged."""
+    from pyspark.sql import functions as F
+
+    from kubernetes_logs_datalake_spark.operators.cellsplit import (
+        apply_cell_splits,
+        split_oversized_cells,
+    )
+    from kubernetes_logs_datalake_spark.operators.vectors import kmeans_assign
+
+    # 120 exact duplicates -> k-means can't split -> hash round fires
+    rows = [(i, [0.5, 0.5, 0.5, 0.5]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    assigned = kmeans_assign(df, "vec_id", "embedding", [[0.5] * 4, [0.0] * 4])
+    refined, splits = split_oversized_cells(
+        assigned, "vec_id", "embedding", cap=50, max_rounds=2
+    )
+    (mods,) = [cells for kind, cells in splits if kind == "hash"]
+    (parent, m) = next(iter(mods.items()))
+    assert m >= 2
+
+    # a probe frame: primary rows in the split parent + probed rows
+    # visiting the split parent + a probed row in an unsplit cell
+    probe = (
+        assigned.withColumn("cell", F.col("cluster").cast("string"))
+        .withColumn("probe_rank", F.lit(1))
+        .select("vec_id", "embedding", "cell", "probe_rank")
+    )
+    visitors = spark.createDataFrame(
+        [(1000, [0.5] * 4, parent, 2), (1001, [0.5] * 4, "1", 2)],
+        "vec_id: long, embedding: array<double>, cell: string, "
+        "probe_rank: int",
+    )
+    replay = apply_cell_splits(
+        probe.unionByName(visitors), "embedding", splits,
+        id_col="vec_id", probe_col="probe_rank",
+    )
+    # probed visitor of the split parent: one row per sub-cell
+    fan = replay.filter(F.col("vec_id") == 1000).select("cell").collect()
+    assert sorted(r["cell"] for r in fan) == [
+        f"{parent}/{i}" for i in range(m)
+    ]
+    # probed visitor of an unsplit cell: passes through once
+    passthru = replay.filter(F.col("vec_id") == 1001).collect()
+    assert len(passthru) == 1 and passthru[0]["cell"] == "1"
+    # primary rows: bit-identical to the split's own assignment
+    assert (
+        refined.select("vec_id", "cell")
+        .join(
+            replay.filter(F.col("probe_rank") == 1).select(
+                "vec_id", F.col("cell").alias("c2")
+            ),
+            "vec_id",
+        )
+        .filter(F.col("cell") != F.col("c2"))
+        .count()
+        == 0
+    )
+
+
+def test_shuffle_partitions_falls_back_on_non_numeric(spark):
+    """Managed platforms set spark.sql.shuffle.partitions to "auto"
+    (OSS Spark refuses the value, so a stub session simulates it); the
+    pair-stage pinning helper must fall back to defaultParallelism
+    instead of raising (r11 ADVICE)."""
+    from types import SimpleNamespace
+
+    from kubernetes_logs_datalake_spark.session import shuffle_partitions
+
+    # real session: returns the configured int
+    assert shuffle_partitions(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    # managed-platform shape: conf value "auto" -> defaultParallelism
+    stub = SimpleNamespace(
+        conf=SimpleNamespace(get=lambda _k: "auto"),
+        sparkContext=SimpleNamespace(defaultParallelism=7),
+    )
+    assert shuffle_partitions(stub) == 7
+    # and a None value (missing conf) also falls back, not TypeError
+    stub.conf = SimpleNamespace(get=lambda _k: None)
+    assert shuffle_partitions(stub) == 7

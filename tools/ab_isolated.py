@@ -24,20 +24,49 @@ from kubernetes_logs_datalake_spark import get_spark
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        print(__doc__, file=sys.stderr)
+        raise SystemExit(2)
     label = sys.argv[1]
     names = sys.argv[2:]
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(os.environ.get("AB_REPS", "3"))
-    spark = get_spark(app_name=f"ab-{label}")
     qs = entrymod.queries()
-    clustered = None
-    if any(n not in qs for n in names):
+    unknown = [n for n in names if n not in qs]
+    if unknown:
         # bench-fixture queries (the *_clustered family) live in
-        # bench.py, not the registry — resolve them lazily so the
-        # drift A/Bs the verdicts ask for can target them too
+        # bench.py, not the registry — they need an sf<number> dir to
+        # size their fixture; validate BOTH up front so a typo'd name
+        # or a scale-fixture path fails with a clear message, not a
+        # KeyError/ValueError mid-run (r11 ADVICE)
         import bench
 
-        sf_num = float(sf.rstrip("/").rsplit("sf", 1)[-1])
+        known_clustered = set(bench.CLUSTERED_QUERY_NAMES)
+        bogus = [n for n in unknown if n not in known_clustered]
+        if bogus:
+            print(
+                f"unknown query name(s): {bogus}\n"
+                f"registered: {len(qs)} registry queries; "
+                f"clustered (bench.py): {sorted(known_clustered)}",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
+        tail = sf.rstrip("/").rsplit("sf", 1)[-1]
+        try:
+            sf_num = float(tail)
+        except ValueError:
+            print(
+                f"clustered queries {sorted(set(unknown))} need "
+                f"SPARK_GRAFT_SF_DIR ending in sf<number> (to size their "
+                f"fixture); got {sf!r}",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
+    spark = get_spark(app_name=f"ab-{label}")
+    clustered = None
+    if unknown:
+        import bench
+
         clustered = bench.clustered_queries(
             spark, bench.ensure_clustered_fixture(sf_num)
         )
