@@ -267,3 +267,72 @@ def test_shuffle_partitions_falls_back_on_non_numeric(spark):
     # and a None value (missing conf) also falls back, not TypeError
     stub.conf = SimpleNamespace(get=lambda _k: None)
     assert shuffle_partitions(stub) == 7
+
+
+def test_panel_recall_legs_agree_with_registered_operators(spark):
+    """The r12 panel-recall instrument (tools/recall_at_scale.py) must
+    score each family with the SAME rule as the registered operator:
+    for a single panel query, the SQ8 leg's top-10 must equal
+    sq8_topk's and the IVFPQ leg's top-10 must equal ivfadc_topk's on
+    the self-excluded corpus. Otherwise the SCALE.md recall-vs-n rows
+    measure a different index than the one shipped."""
+    import importlib.util
+
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location(
+        "recall_at_scale", "tools/recall_at_scale.py"
+    )
+    ras = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ras)
+
+    import __spark_entry__ as entry
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivfadc_topk,
+        sq8_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    dim = entry.EMBEDDING_DIM
+    emb = entry._t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    rows = ras._panel_df(spark, emb, 1)
+    (qrow,) = rows
+    qid = int(qrow["vec_id"])
+    qvec = [float(x) for x in qrow["embedding"]]
+    rest = emb.filter(F.col("vec_id") != qid)
+
+    # run the instrument's own legs at n_panel=1 by monkey-free reuse:
+    # panel_recalls computes recall; here we reproduce its per-leg
+    # top-10 through the registered operators and check the hit count
+    # the instrument reports is consistent with them.
+    out = ras.panel_recalls(spark, sf, n_panel=1)
+    assert out["panel_sq8"]["n_queries"] == 1
+
+    bounds = entry._sq8_bounds_cached(emb, sf)
+    op_sq8 = {
+        int(r["vec_id"])
+        for r in sq8_topk(
+            rest, "vec_id", "embedding", qvec, dim=dim, topk=10,
+            bounds=bounds,
+        ).collect()
+    }
+    centers, books = entry._ivfadc_trained(spark, sf)
+    op_pq = {
+        int(r["vec_id"])
+        for r in ivfadc_topk(
+            rest, "vec_id", "embedding", qvec, dim=dim,
+            n_centroids=entry._IVFADC_CENTROIDS,
+            n_probe=entry._IVFADC_PROBE, m=entry._PQ_M, k=entry._PQ_K,
+            topk=10, centers=centers, codebooks=books,
+        ).collect()
+    }
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    exact = {
+        int(r["vec_id"])
+        for r in brute_force_topk(rest, "embedding", qvec, k=10).collect()
+    }
+    assert abs(out["panel_sq8"]["recall"] - len(exact & op_sq8) / 10) < 1e-9
+    assert abs(out["panel_ivfpq"]["recall"] - len(exact & op_pq) / 10) < 1e-9
