@@ -2510,6 +2510,36 @@ def _sqrt_cells(n: int) -> tuple[int, int]:
     return max(8, isqrt(n)), max(1, isqrt(n) // 40)
 
 
+def _icbrt(n: int) -> int:
+    """Exact integer cube root (largest m with m³ ≤ n): float seed,
+    then integer adjustment — the seed is within ±1 of the true root
+    for every corpus size here (pow error ≪ 1), and the adjustment
+    makes the result exact regardless, which is what lets the DuckDB
+    oracle mirror it with the same floor(pow+0.5)±1 CASE arithmetic
+    (``_ddb_cbrt_cells_limit``) without cube-boundary ulp flakiness."""
+    m = int(n ** (1.0 / 3.0) + 0.5)
+    while m > 0 and m * m * m > n:
+        m -= 1
+    while (m + 1) * (m + 1) * (m + 1) <= n:
+        m += 1
+    return m
+
+
+def _cbrt_cells(n: int) -> tuple[int, int]:
+    """(cells_per_half K, fit_sample_mod) for the IMI coarse-quantizer
+    rule: K = max(4, ∛n) per half gives K² ≈ n^(2/3) product cells —
+    the balance point where assignment (n·2K·dim/2) and cell-local
+    pair work ((n²/K²)·dim) are both Θ(n^(4/3)·dim), the
+    strictly-better curve vs flat IVF's Θ(n^1.5) (imi_knn_join
+    docstring). The fit-sampling boundary is the SAME n<6400 rule as
+    ``_sqrt_cells`` — a ~40·√n-row sample is ~40·n^(1/6) training
+    vectors per ∛n centroid, more than the usual IVF density, and
+    sharing the boundary means one oracle guard
+    (``_ddb_cbrt_cells_limit`` errors loudly past it) covers both
+    families."""
+    return max(4, _icbrt(n)), max(1, isqrt(n) // 40)
+
+
 def _cell_split_cap(cells: int) -> int:
     """Per-cell row cap for the cell-local pair stages: 4× the balanced
     fair share (fair share = n/cells ≈ √n = cells under the √n rule).
@@ -3127,6 +3157,69 @@ def _embedding_ivf_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     out = ivf_knn_join(
         emb, "vec_id", "embedding", k=3, cells=cells, iters=3,
         centers=centers, split_cap=_cell_split_cap(cells),
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank"
+    )
+
+
+def _imi_centers_cached(
+    emb, sf: str, k1: int, iters: int, fit_sample_mod: int | None
+) -> tuple[list[list[float]], list[list[float]]]:
+    """Both IMI half-codebooks, fit once per (session, sf) — the same
+    shared-fit contract as ``_kmeans_centers_cached``, keyed under the
+    "imi" family with the half index."""
+    from kubernetes_logs_datalake_spark.operators.vectors import kmeans_fit
+
+    h = EMBEDDING_DIM // 2
+    out = []
+    for half, off in (("h1", 1), ("h2", h + 1)):
+        key = (sf, f"imi_{half}", k1, iters, fit_sample_mod)
+        if key not in _KMEANS_CACHE:
+            sliced = emb.select(
+                F.col("vec_id"),
+                F.slice(F.col("embedding"), off, h).alias("embedding"),
+            )
+            centers, _ = kmeans_fit(
+                sliced, "vec_id", "embedding", k=k1, iters=iters,
+                fit_sample_mod=fit_sample_mod,
+            )
+            _KMEANS_CACHE[key] = centers
+        out.append(_KMEANS_CACHE[key])
+    return out[0], out[1]
+
+
+def _imi_split_cap(n: int, k1: int) -> int:
+    """Per-product-cell cap for the IMI pair stage: 4× the fair share
+    n/K² (the ``_cell_split_cap`` calibration — measured max/fair is
+    ≤1.96 on every sandbox fixture, so the guard is INACTIVE there and
+    every hash-checked result stays bit-identical, while a clustered
+    corpus whose half-marginals multiply into a hot product cell gets
+    sub-clustered before the pair join)."""
+    return 4 * max(1, n // (k1 * k1))
+
+
+def _embedding_imi_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus×corpus approximate kNN join through an inverted
+    MULTI-index (two half-space codebooks, product cells): K = ∛n
+    centroids per half give n^(2/3) cells from 2·∛n per-row assignment
+    work — assignment and cell-local pair stage BOTH land at
+    Θ(n^(4/3)·dim), the strictly-better scale curve vs the flat IVF
+    join's Θ(n^1.5·dim) (measured head-to-head in SCALE.md r12). The
+    oracle replays both half-fits as prefix-namespaced unrolled Lloyd
+    chains over the sliced corpus and joins pairs on (j1, j2)."""
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        imi_knn_join,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    n = _emb_count_cached(emb, sf, "nz")
+    k1, fit_mod = _cbrt_cells(n)
+    c1, c2 = _imi_centers_cached(emb, sf, k1, iters=3, fit_sample_mod=fit_mod)
+    out = imi_knn_join(
+        emb, "vec_id", "embedding", dim=EMBEDDING_DIM, k=3,
+        cells_per_half=k1, iters=3, centers=(c1, c2),
+        split_cap=_imi_split_cap(n, k1),
     )
     return out.select(
         "query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank"
@@ -4614,6 +4707,34 @@ def _ann_topk_sq8(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ann_topk_sq8_cell(spark: SparkSession, sf: str) -> DataFrame:
+    """SQ8 ANN with PER-CELL bounds (``vectors.sq8_cell_topk``) — the
+    clustered-corpus fix for global SQ8's measured recall collapse
+    (panel recall@10 0.986 uniform → 0.116 organic ×10, SCALE.md r12):
+    bounds train per √n-cell of the shared IVF coarse quantizer, so the
+    8-bit grid adapts to each cell's local range and resolves the
+    within-component margins the global grid loses. One map-only
+    assignment + one broadcast join against the cells-row bounds frame
+    + the flat unrolled decode+dot; the oracle replays the Lloyd fit
+    (shared √n-cells CTE chain), the per-cell GROUP BY bounds, and the
+    sequential fold bit-for-bit. Shares the cached "ivfknn" centers so
+    the fit is paid once per (session, sf)."""
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        sq8_cell_topk,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    cells, fit_mod = _sqrt_cells(_emb_count_cached(emb, sf, "nz"))
+    centers = _kmeans_centers_cached(
+        emb, sf, "ivfknn", k=cells, iters=3, fit_sample_mod=fit_mod
+    )
+    q = _query_vec(spark, sf)
+    return sq8_cell_topk(
+        emb, "vec_id", "embedding", q, dim=EMBEDDING_DIM, topk=10,
+        centers=centers,
+    )
+
+
 def _ann_topk_sq8_packed(spark: SparkSession, sf: str) -> DataFrame:
     """SQ8 ANN over PACKED binary codes — 1 byte/dim in flight instead
     of array<int>'s ~16 B/dim, the representation a 100 TB serving
@@ -4815,6 +4936,65 @@ def _ddb_sq8_sql(topk: int | None, codes_only: bool, dim: int = 64) -> str:
             WHERE e.vec_id <> 0
             ORDER BY score DESC, e.vec_id LIMIT {topk}
         """
+
+
+def _ddb_sq8_cell_sql(topk: int = 10, iters: int = 3, dim: int = 64) -> str:
+    """Oracle for ``ann_topk_sq8_cell``: the shared √n-cells unrolled
+    Lloyd chain (``_ddb_kmeans_ctes`` — identical cells to the IVF
+    family at every hash-checked SF, guarded past the sampled-fit
+    boundary), per-cell per-dim bounds as a GROUP BY cluster of 2·dim
+    aggregates, and the same clamped-floor code + sequential-fold
+    asymmetric score as ``_ddb_sq8_sql`` with ``b`` joined by cluster
+    instead of crossed. Encode scale is the in-engine 255/(mx−mn)
+    division on both sides — no driver float round-trip to diverge."""
+    ctes = _ddb_kmeans_ctes(
+        _ddb_sqrt_cells_limit(), iters, EMBEDDING_DIM,
+        src="(SELECT * FROM embeddings WHERE vec_id <> 0)",
+    )
+    mins = ", ".join(
+        f"min((x.embedding[{i}])::DOUBLE) AS mn{i}" for i in range(1, dim + 1)
+    )
+    maxs = ", ".join(
+        f"max((x.embedding[{i}])::DOUBLE) AS mx{i}" for i in range(1, dim + 1)
+    )
+    mn_list = "list_value(" + ", ".join(
+        f"mn{i}" for i in range(1, dim + 1)
+    ) + ")"
+    sc_list = "list_value(" + ", ".join(
+        f"CASE WHEN mx{i} > mn{i} "
+        f"THEN CAST(255 AS DOUBLE) / (mx{i} - mn{i}) "
+        f"ELSE CAST(0 AS DOUBLE) END"
+        for i in range(1, dim + 1)
+    ) + ")"
+    iv_list = "list_value(" + ", ".join(
+        f"CASE WHEN mx{i} > mn{i} "
+        f"THEN (mx{i} - mn{i}) / CAST(255 AS DOUBLE) "
+        f"ELSE CAST(0 AS DOUBLE) END"
+        for i in range(1, dim + 1)
+    ) + ")"
+    return f"""
+        WITH {ctes},
+        asg AS (SELECT vec_id, CAST(j AS INT) AS cluster
+                FROM a{iters + 1} WHERE rk = 1),
+        cb AS (
+            SELECT a.cluster, {mins}, {maxs}
+            FROM asg a JOIN corpus x ON x.vec_id = a.vec_id
+            GROUP BY a.cluster),
+        b AS (SELECT cluster, {mn_list} AS mn, {sc_list} AS sc,
+                     {iv_list} AS iv
+              FROM cb),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               round(list_sum(list_transform(range(1, {dim + 1}),
+                   i -> (q.qv[i])::DOUBLE
+                        * (b.mn[i] + ({_DDB_SQ8_CODE_EXPR})::DOUBLE
+                           * b.iv[i])
+               )), 6) AS score
+        FROM corpus e
+        JOIN asg a ON a.vec_id = e.vec_id
+        JOIN b ON b.cluster = a.cluster, q
+        ORDER BY score DESC, e.vec_id LIMIT {topk}
+    """
 
 
 _EPOCH_TARGET = 300
@@ -5048,10 +5228,16 @@ _R12_WINDOW = [
     "docs_bpe_tokens",
     "ann_topk_sq8_served",
     "embedding_ivf_knn_join_probed",
-    "ann_recall_ivf_join_probed",
     "embedding_ivf_knn_join_adc",
     "ann_recall_ivf_join_adc",
-    "embedding_ivf_knn_join",
+    # 1b. NEW this round (r12): per-cell SQ8 (the clustered-corpus
+    #     recall fix) and the IMI kNN join (the Θ(n^4/3) coarse
+    #     quantizer). They take the slots of embedding_ivf_knn_join and
+    #     ann_recall_ivf_join_probed — both r11-vintage (fresh until
+    #     r15) and their code paths stay covered by the probed/ADC
+    #     siblings above, which run the same ivf_knn_join machinery
+    "ann_topk_sq8_cell",
+    "embedding_imi_knn_join",
     # 2. the 37 r7-vintage rows the ledger's staleness horizon expires
     #    this round (r11 verdict task #1 — the one red pytest)
     "dedup_jaccard_prefix",
@@ -5533,6 +5719,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_clean_export": _docs_clean_export,
         "embedding_hard_negatives": _embedding_hard_negatives,
         "embedding_ivf_knn_join": _embedding_ivf_knn_join,
+        "embedding_imi_knn_join": _embedding_imi_knn_join,
         "ann_recall_ivf_join": _ann_recall_ivf_join,
         "embedding_ivf_knn_join_probed": _embedding_ivf_knn_join_probed,
         "ann_recall_ivf_join_probed": _ann_recall_ivf_join_probed,
@@ -5576,6 +5763,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_epoch_allocation": _docs_epoch_allocation,
         "docs_cluster_labels": _docs_cluster_labels,
         "ann_topk_sq8": _ann_topk_sq8,
+        "ann_topk_sq8_cell": _ann_topk_sq8_cell,
         "ann_topk_sq8_packed": _ann_topk_sq8_packed,
         "ann_topk_sq8_served": _ann_topk_sq8_served,
         "ann_topk_mrl": _ann_topk_mrl,
@@ -7449,6 +7637,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": _ddb_semdedup_sql(),
         "dedup_semantic_collapsed": _ddb_semdedup_sql(collapsed=True),
         "embedding_ivf_knn_join": _ddb_ivf_knn_join_sql(),
+        "embedding_imi_knn_join": _ddb_imi_knn_join_sql(),
         "ann_recall_ivf_join": _ddb_ivf_join_recall_sql(),
         "embedding_ivf_knn_join_probed": _ddb_ivf_knn_join_sql(n_probe=_IVF_JOIN_NPROBE),
         "ann_recall_ivf_join_probed": _ddb_ivf_join_recall_sql(n_probe=_IVF_JOIN_NPROBE),
@@ -8730,6 +8919,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY score DESC, user_id LIMIT 25
         """,
         "ann_topk_sq8": _ddb_sq8_sql(topk=10, codes_only=False),
+        "ann_topk_sq8_cell": _ddb_sq8_cell_sql(topk=10),
         # packed variant decodes to the same values in the same fold
         # order — one oracle pins both representations
         "ann_topk_sq8_packed": _ddb_sq8_sql(topk=10, codes_only=False),
@@ -9657,6 +9847,88 @@ def _ddb_sqrt_cells_limit(prefix: str = "") -> str:
         f"ELSE greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT)) END "
         f"FROM {prefix}corpus)"
     )
+
+
+def _ddb_cbrt_cells_limit(prefix: str = "") -> str:
+    """Seeds-LIMIT expression mirroring ``_cbrt_cells``'s
+    ``max(4, icbrt(n))``: a floor(pow+0.5) seed corrected by the same
+    ±1 integer adjustments as the Python ``_icbrt`` — both engines end
+    at the unique m with m³ ≤ n < (m+1)³ whenever the float seed is
+    within ±1 of the true root (always, for IEEE pow at these corpus
+    sizes), so cube-boundary ulp noise can't diverge them. Same
+    n ≥ 6400 sampled-fit boundary guard as ``_ddb_sqrt_cells_limit``
+    (past it the Spark fit trains on the xxhash64 sample this unrolled
+    full-corpus chain cannot mirror — error loudly, never silently)."""
+    return (
+        f"(SELECT CASE WHEN n >= 6400 THEN CAST(error("
+        f"'kmeans oracle boundary: corpus >= 6400 vectors means the "
+        f"Spark fit samples (fit_sample_mod > 1, _cbrt_cells) and this "
+        f"full-corpus unrolled Lloyd oracle would silently diverge') "
+        f"AS BIGINT) "
+        f"ELSE greatest(4, m1 + CASE WHEN (m1+1)*(m1+1)*(m1+1) <= n "
+        f"THEN 1 ELSE 0 END) END "
+        f"FROM (SELECT n, m0 - CASE WHEN m0*m0*m0 > n THEN 1 ELSE 0 END "
+        f"AS m1 FROM (SELECT count(*) AS n, "
+        f"CAST(floor(pow(CAST(count(*) AS DOUBLE), 1.0/3.0) + 0.5) "
+        f"AS BIGINT) AS m0 FROM {prefix}corpus)))"
+    )
+
+
+def _ddb_imi_knn_join_sql(
+    k: int = 3, iters: int = 3, dim: int = EMBEDDING_DIM,
+) -> str:
+    """DuckDB mirror of ``similarity.imi_knn_join`` on the vec_id≠0
+    corpus: TWO prefix-namespaced unrolled-Lloyd CTE chains (``ha``/
+    ``hb``), each over one half-slice of the embedding (the ``prefix``
+    machinery the PQ oracles use), K per half from the shared
+    ``_ddb_cbrt_cells_limit`` arithmetic; pairs join on BOTH half
+    assignments (j1, j2) — set-identical to the Spark side's composite
+    j1·K+j2 key since the composite is bijective — then the same
+    (cos DESC, neighbor) rank window as the IVF join oracle."""
+    h1 = dim // 2
+    h2 = dim - h1
+    src1 = (
+        f"(SELECT vec_id, embedding[1:{h1}] AS embedding "
+        f"FROM embeddings WHERE vec_id <> 0)"
+    )
+    src2 = (
+        f"(SELECT vec_id, embedding[{h1 + 1}:{dim}] AS embedding "
+        f"FROM embeddings WHERE vec_id <> 0)"
+    )
+    ctes1 = _ddb_kmeans_ctes(
+        _ddb_cbrt_cells_limit("ha"), iters, h1, src=src1, prefix="ha"
+    )
+    ctes2 = _ddb_kmeans_ctes(
+        _ddb_cbrt_cells_limit("hb"), iters, h2, src=src2, prefix="hb"
+    )
+    cos = _ddb_cos("a.embedding", "b.embedding")
+    return f"""
+        WITH {ctes1},
+        {ctes2},
+        asg AS (
+            SELECT xa.vec_id, CAST(xa.j AS INT) AS j1,
+                   CAST(xb.j AS INT) AS j2
+            FROM (SELECT vec_id, j FROM haa{iters + 1} WHERE rk = 1) xa
+            JOIN (SELECT vec_id, j FROM hba{iters + 1} WHERE rk = 1) xb
+              ON xb.vec_id = xa.vec_id),
+        sc AS (
+            SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
+                   {cos} AS cos
+            FROM asg x
+            JOIN asg y ON x.j1 = y.j1 AND x.j2 = y.j2
+                      AND x.vec_id <> y.vec_id
+            JOIN embeddings a ON a.vec_id = x.vec_id
+            JOIN embeddings b ON b.vec_id = y.vec_id),
+        r AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id)
+                       AS rank
+            FROM sc)
+        SELECT query_id, neighbor_id, round(cos, 4) AS cos,
+               CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= {k}
+    """
 
 
 def _ddb_ivf_knn_join_sql(

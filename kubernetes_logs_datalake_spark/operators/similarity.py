@@ -1291,3 +1291,215 @@ def label_relevance_eval(
         )
         .alias("ndcg"),
     )
+
+
+def _imi_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centers1: list[list[float]],
+    centers2: list[list[float]],
+    dim: int,
+) -> DataFrame:
+    """(id, vec, j1, j2) — product-quantizer coarse assignment for the
+    inverted multi-index: the vector's FIRST half is argmin-assigned
+    against ``centers1`` and its SECOND half against ``centers2``, in
+    ONE map-only projection pass (both distance arrays materialize
+    behind a single explode barrier — the ``kmeans_assign`` idiom, so
+    the interpreted HOF folds run once per row, not once per
+    downstream reference). Ties break to the lowest centroid index on
+    each half, matching ``kmeans_assign``'s argmin exactly — each
+    half's j is bit-identical to running ``kmeans_assign`` on the
+    sliced corpus, which is what the DuckDB oracle replays."""
+    from kubernetes_logs_datalake_spark.functions.vectors import (
+        literal_vector as _lv,
+    )
+
+    h1 = dim // 2
+    h2 = dim - h1
+    k1, k2 = len(centers1), len(centers2)
+    if any(len(c) != h1 for c in centers1):
+        raise ValueError(f"centers1 must be dim {h1}")
+    if any(len(c) != h2 for c in centers2):
+        raise ValueError(f"centers2 must be dim {h2}")
+    flat1: list[float] = []
+    for c in centers1:
+        flat1.extend(float(v) for v in c)
+    flat2: list[float] = []
+    for c in centers2:
+        flat2.extend(float(v) for v in c)
+    C1, C2 = _lv(flat1), _lv(flat2)
+    vec = F.col(vec_col)
+    va = F.slice(vec, 1, h1)
+    vb = F.slice(vec, h1 + 1, h2)
+
+    def d2s(v, C, k, h):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda j: F.aggregate(
+                F.zip_with(
+                    v,
+                    F.slice(C, j * h + 1, h),
+                    lambda x, c: (x.cast("double") - c)
+                    * (x.cast("double") - c),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+
+    mid = df.select(
+        F.col(id_col),
+        vec.alias("_v"),
+        F.explode(
+            F.array(
+                F.struct(
+                    d2s(va, C1, k1, h1).alias("a"),
+                    d2s(vb, C2, k2, h2).alias("b"),
+                )
+            )
+        ).alias("_d"),
+    )
+    da = F.col("_d").getField("a")
+    db = F.col("_d").getField("b")
+    return mid.select(
+        F.col(id_col),
+        F.col("_v").alias(vec_col),
+        (F.array_position(da, F.array_min(da)) - 1).cast("int").alias("j1"),
+        (F.array_position(db, F.array_min(db)) - 1).cast("int").alias("j2"),
+    )
+
+
+def imi_knn_join(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 3,
+    cells_per_half: int = 8,
+    iters: int = 3,
+    centers: tuple[list[list[float]], list[list[float]]] | None = None,
+    fit_sample_mod: int | None = None,
+    split_cap: int | None = None,
+) -> DataFrame:
+    """Corpus×corpus approximate kNN join through an INVERTED
+    MULTI-INDEX coarse quantizer (Babenko & Lempitsky 2012): the
+    vector splits into two halves, each half gets its own k-means
+    codebook of ``cells_per_half`` (= K) centroids, and the cell is
+    the PRODUCT (j1, j2) — K² cells from only 2·K·(dim/2) per-row
+    assignment work. This is the Θ(n^4/3) upgrade over the flat IVF
+    join's Θ(n^1.5) (SCALE.md round 12 "future work", now built):
+
+    - flat IVF balances n·cells·dim assignment against (n²/cells)·dim
+      pair work at cells = √n → both terms Θ(n^1.5·dim);
+    - IMI with K = ∛n yields n^(2/3) product cells for n^(1/3)-wide
+      codebooks → assignment n·2·∛n·(dim/2) = n^(4/3)·dim and pair
+      work (n²/n^(2/3))·dim = n^(4/3)·dim — both terms Θ(n^(4/3)·dim),
+      a √[6]{n}-factor win that widens with the corpus (×2 data →
+      ×2.52 wall instead of ×2.83).
+
+    Same join contract as :func:`ivf_knn_join`: neighbors rank only
+    within the (j1, j2) cell, output (query_id, neighbor_id, cos,
+    rank ≤ k), recall measured not assumed (the recall harness and the
+    organic-corpus panel, SCALE.md). The known IMI caveat — product
+    cells are less balanced than flat k-means cells on clustered data
+    because the two halves' marginals multiply — is exactly what
+    ``split_cap`` bounds: the composite cell id (j1·K₂+j2) feeds the
+    same ``cellsplit.split_oversized_cells`` in-place refinement, so a
+    hot product cell is sub-clustered before the pair join.
+
+    Both half-fits run on the same deterministic md5-seeded Lloyd
+    (``kmeans_fit`` over the sliced corpus; ``fit_sample_mod`` keeps
+    the fit O(n) at scale, exact full-corpus below the same n<6400
+    boundary the oracle guards).
+    """
+    from pyspark.sql import Window
+
+    from kubernetes_logs_datalake_spark.functions.vectors import (
+        cosine_prenorm,
+        norm,
+    )
+    from kubernetes_logs_datalake_spark.operators.vectors import kmeans_fit
+
+    h1 = dim // 2
+    h2 = dim - h1
+    if centers is not None:
+        c1, c2 = centers
+        if len(c1) != cells_per_half or len(c2) != cells_per_half:
+            raise ValueError(
+                f"centers widths ({len(c1)}, {len(c2)}) != "
+                f"cells_per_half {cells_per_half}"
+            )
+    else:
+        half1 = df.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, h1).alias(vec_col)
+        )
+        half2 = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), h1 + 1, h2).alias(vec_col),
+        )
+        c1, _ = kmeans_fit(
+            half1, id_col, vec_col, k=cells_per_half, iters=iters,
+            fit_sample_mod=fit_sample_mod,
+        )
+        c2, _ = kmeans_fit(
+            half2, id_col, vec_col, k=cells_per_half, iters=iters,
+            fit_sample_mod=fit_sample_mod,
+        )
+    assigned = _imi_assign(df, id_col, vec_col, c1, c2, dim)
+    # composite cell id (bijective for 0 <= j2 < K2) so the cellsplit
+    # guard and the pair join see one int key; one materialization
+    # feeds both join sides (the semdedup shape)
+    assigned = assigned.withColumn(
+        "cluster",
+        (F.col("j1") * F.lit(len(c2)) + F.col("j2")).cast("int"),
+    ).localCheckpoint(eager=False)
+    if split_cap is not None:
+        from kubernetes_logs_datalake_spark.operators.cellsplit import (
+            split_oversized_cells,
+        )
+
+        assigned, _ = split_oversized_cells(
+            assigned, id_col, vec_col, cap=split_cap
+        )
+    else:
+        assigned = assigned.withColumn(
+            "cell", F.col("cluster").cast("string")
+        )
+    base = assigned.select(
+        "cell", F.col(id_col), F.col(vec_col), norm(vec_col).alias("_n"),
+    )
+    a = base.select(
+        "cell",
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = base.select(
+        "cell",
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    # pin the pair-join width past AQE byte-coalescing (the r11 lesson:
+    # byte stats undersize stages whose per-row output work is ×|cell|)
+    nparts = shuffle_partitions(df.sparkSession)
+    a = a.repartition(nparts, F.col("cell"))
+    b = b.repartition(nparts, F.col("cell"))
+    scored = (
+        a.join(b, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_prenorm("_va", "_vb", "_na", "_nb").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -1150,3 +1150,147 @@ def sq8_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(topk)
     )
+
+
+def sq8_cell_bounds(
+    assigned: DataFrame,
+    vec_col: str,
+    dim: int,
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Per-CELL per-dimension SQ8 quantization bounds — the clustered-
+    corpus fix for scalar quantization's one measured failure mode.
+
+    Global SQ8 bounds give every dimension one 8-bit grid over the
+    whole corpus range; on a clustered corpus (the realistic regime —
+    SCALE.md's organic Gaussian-mixture panel) within-component
+    neighbor margins fall below the global 8-bit step and recall
+    collapses (panel recall@10 0.986 uniform → 0.116 organic ×10 →
+    0.073 ×20, SCALE.md round 12). Training bounds PER IVF CELL shrinks
+    each grid to the cell's local range, so the same 8 bits resolve the
+    margins that actually matter — the standard locally-adaptive
+    refinement of SQ (per-cell/per-block scalar quantization, the SQ
+    analog of IVFADC's residual idea).
+
+    Input is any frame carrying ``cluster_col`` (the coarse-quantizer
+    assignment, ``kmeans_assign``) and ``vec_col``. One groupBy
+    aggregate of 2·dim expressions per cell — map-side combined to
+    cells·2·dim values, never an n·dim explode — then the per-dim
+    ``mn`` (min), ``sc`` (encode scale 255/(mx−mn)) and ``iv`` (decode
+    inverse (mx−mn)/255) arrays are assembled per cell. A constant
+    dimension WITHIN a cell gets sc=iv=0, so every member decodes to
+    exactly ``mn`` — per-cell bounds quantize locally-constant
+    dimensions losslessly, which is precisely where the global grid
+    wasted its codes. Output: (cluster, mn, sc, iv) — cells rows, a
+    broadcastable dim-scaled frame, never collected to the driver.
+    """
+    mn_aggs = [
+        F.min(F.element_at(F.col(vec_col), i).cast("double")).alias(f"_mn{i}")
+        for i in range(1, dim + 1)
+    ]
+    mx_aggs = [
+        F.max(F.element_at(F.col(vec_col), i).cast("double")).alias(f"_mx{i}")
+        for i in range(1, dim + 1)
+    ]
+    agg = assigned.groupBy(cluster_col).agg(*mn_aggs, *mx_aggs)
+    mn = F.array(*[F.col(f"_mn{i}") for i in range(1, dim + 1)])
+    sc = F.array(*[
+        F.when(
+            F.col(f"_mx{i}") > F.col(f"_mn{i}"),
+            F.lit(255.0) / (F.col(f"_mx{i}") - F.col(f"_mn{i}")),
+        ).otherwise(F.lit(0.0))
+        for i in range(1, dim + 1)
+    ])
+    iv = F.array(*[
+        F.when(
+            F.col(f"_mx{i}") > F.col(f"_mn{i}"),
+            (F.col(f"_mx{i}") - F.col(f"_mn{i}")) / F.lit(255.0),
+        ).otherwise(F.lit(0.0))
+        for i in range(1, dim + 1)
+    ])
+    return agg.select(
+        F.col(cluster_col),
+        mn.alias("mn"),
+        sc.alias("sc"),
+        iv.alias("iv"),
+    )
+
+
+def sq8_cell_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    dim: int,
+    topk: int = 10,
+    scale: int = 6,
+    centers: list[list[float]] | None = None,
+    cells: int = 8,
+    iters: int = 3,
+    bounds_df: DataFrame | None = None,
+) -> DataFrame:
+    """SQ8 asymmetric top-k with PER-CELL bounds (:func:`sq8_cell_bounds`)
+    — same serving contract as :func:`sq8_topk` (score codes against a
+    full-precision query, (id, score) descending, ties by id), but the
+    8-bit grid adapts to each IVF cell's local range instead of the
+    global corpus range, recovering the recall that global SQ8 loses on
+    clustered corpora (SCALE.md round 12 panel numbers).
+
+    Plan shape: one map-only coarse assignment (``kmeans_assign``
+    against plan-literal centroids), one broadcast hash join against
+    the cells-row bounds frame (explicitly ``F.broadcast`` — cells·3·dim
+    doubles, a few MB even at 100 TB's √n cells), then the decode+dot
+    as a FLAT unrolled sum over ``element_at`` accesses on the joined
+    bound arrays — whole-stage codegen, no HOF lambda (interpreted +
+    re-evaluated under projection collapse, the measured r11 lesson),
+    no shuffle before the final top-k. Fold order is left-to-right,
+    IEEE-identical to DuckDB's sequential ``list_sum``, so the oracle
+    hash-checks values. Encode scale is computed IN-ENGINE on both
+    sides (255/(mx−mn) as a column expression here, the same division
+    in the oracle CTE) — bit-identical double ops, no driver float
+    round-trip.
+
+    ``bounds_df`` lets a serving fleet reuse a persisted bounds frame;
+    ``centers`` skips the Lloyd fit (the shared-cache contract of the
+    IVF family).
+    """
+    if len(query) != dim:
+        raise ValueError(f"query dim {len(query)} != dim {dim}")
+    import functools
+    import operator as _op
+
+    if centers is None:
+        centers, _ = kmeans_fit(df, id_col, vec_col, k=cells, iters=iters)
+    assigned = kmeans_assign(df, id_col, vec_col, centers)
+    if bounds_df is None:
+        bounds_df = sq8_cell_bounds(assigned, vec_col, dim)
+    joined = assigned.join(F.broadcast(bounds_df), "cluster")
+    v = F.col(vec_col)
+    mn = F.col("mn")
+    sc = F.col("sc")
+    iv = F.col("iv")
+    terms = []
+    for i in range(1, dim + 1):
+        code = F.least(
+            F.greatest(
+                F.floor(
+                    (F.element_at(v, i).cast("double") - F.element_at(mn, i))
+                    * F.element_at(sc, i)
+                ),
+                F.lit(0),
+            ),
+            F.lit(255),
+        ).cast("int")
+        terms.append(
+            F.lit(float(query[i - 1]))
+            * (
+                F.element_at(mn, i)
+                + code.cast("double") * F.element_at(iv, i)
+            )
+        )
+    score = functools.reduce(_op.add, terms)
+    return (
+        joined.select(F.col(id_col), F.round(score, scale).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(topk)
+    )

@@ -392,3 +392,326 @@ def test_adc_join_rerank_colocates_on_bucketed_corpus(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS emb_b_t12")
+
+
+# ---------------------------------------------------------------------------
+# per-cell SQ8 (ann_topk_sq8_cell) — the clustered-corpus recall fix
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clustered_embed_corpus(spark):
+    """Gaussian-mixture corpus (the organic-panel shape in miniature):
+    8 tight components whose within-component neighbor margins are far
+    below the GLOBAL per-dim range — exactly the regime where global
+    SQ8 bounds collapse (panel recall 0.986 uniform → 0.116 organic,
+    SCALE.md r12) and per-cell bounds must not."""
+    import numpy as np
+
+    rng = np.random.default_rng(12)
+    dim, per = 16, 60
+    comps = rng.uniform(-8.0, 8.0, (8, dim))
+    vecs = np.vstack([
+        c + rng.normal(0.0, 0.02, (per, dim)) for c in comps
+    ])
+    rows = [
+        (i + 1, [float(v) for v in vec]) for i, vec in enumerate(vecs)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>"
+    )
+    query = comps[3] + rng.normal(0.0, 0.02, dim)
+    # ground truth by exact DOT PRODUCT — the metric the SQ8 family
+    # scores (asymmetric q·v̂), so the comparison isolates pure
+    # quantization error from any metric mismatch
+    exact = set(int(i) + 1 for i in (vecs @ query).argsort()[::-1][:10])
+    return df.localCheckpoint(), [float(v) for v in query], dim, exact
+
+
+def _topk_ids(df):
+    return [r[0] for r in df.collect()]
+
+
+def test_sq8_cell_recovers_recall_global_sq8_loses(
+    spark, clustered_embed_corpus
+):
+    """On the mixture corpus the query's true top-10 live inside one
+    tight component whose margins are ~1e-2 of the global range — the
+    global 8-bit grid (step = range/255 ≈ 0.06 per dim) can't resolve
+    them, the per-cell grid (step ≈ component spread/255 ≈ 1e-4) can.
+    Recall@10 per-cell must beat global AND be near-exact."""
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        kmeans_fit, sq8_cell_topk, sq8_topk,
+    )
+
+    df, query, dim, exact = clustered_embed_corpus
+    global_ids = set(_topk_ids(
+        sq8_topk(df, "vec_id", "embedding", query, dim=dim, topk=10)
+        .select("vec_id")
+    ))
+    centers, _ = kmeans_fit(df, "vec_id", "embedding", k=8, iters=3)
+    cell_ids = set(_topk_ids(
+        sq8_cell_topk(
+            df, "vec_id", "embedding", query, dim=dim, topk=10,
+            centers=centers,
+        ).select("vec_id")
+    ))
+    r_global = len(exact & global_ids) / 10
+    r_cell = len(exact & cell_ids) / 10
+    assert r_cell > r_global, (r_cell, r_global)
+    assert r_cell >= 0.9, r_cell
+    # and the failure being fixed is real on this fixture: the global
+    # grid must actually be losing a material part of the ranking
+    # signal (measured 0.6 here vs 1.0 per-cell)
+    assert r_global <= 0.7, r_global
+
+
+def test_sq8_cell_bounds_lossless_on_cellwise_constant_dims(spark):
+    """A dimension CONSTANT within a cell gets sc=iv=0 and decodes to
+    exactly mn — per-cell quantization of locally-constant dims is
+    LOSSLESS, where the global grid must spend codes on the cross-cell
+    spread. With every dim cell-wise constant, per-cell SQ8 scores
+    equal the exact dot products to the rounding scale."""
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        sq8_cell_topk,
+    )
+
+    dim = 6
+    # two point-clusters: all members of a cluster share the vector
+    va = [1.25, -0.5, 3.0, 0.0, 2.5, -1.75]
+    vb = [-2.0, 4.25, 0.5, 1.0, -3.5, 0.25]
+    rows = [(i, va) for i in range(1, 6)] + [(i, vb) for i in range(6, 11)]
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>"
+    )
+    centers = [va, vb]
+    query = [0.5, 1.0, -0.25, 2.0, 1.5, -1.0]
+    out = {
+        r[0]: r[1]
+        for r in sq8_cell_topk(
+            df, "vec_id", "embedding", query, dim=dim, topk=10,
+            centers=centers,
+        ).collect()
+    }
+    ea = round(sum(q * v for q, v in zip(query, va)), 6)
+    eb = round(sum(q * v for q, v in zip(query, vb)), 6)
+    for i in range(1, 6):
+        assert out[i] == ea
+    for i in range(6, 11):
+        assert out[i] == eb
+
+
+# ---------------------------------------------------------------------------
+# IMI kNN join (embedding_imi_knn_join) — the Θ(n^4/3) coarse quantizer
+# ---------------------------------------------------------------------------
+
+
+def test_icbrt_exact_across_cube_boundaries():
+    """_icbrt must be the exact integer cube root at and around every
+    cube boundary — the property that makes the Spark/DuckDB cell-count
+    parity immune to pow() ulp noise."""
+    import __spark_entry__ as entry
+
+    for m in (1, 2, 3, 5, 7, 10, 12, 17, 100, 1000):
+        c = m * m * m
+        assert entry._icbrt(c - 1) == m - 1
+        assert entry._icbrt(c) == m
+        assert entry._icbrt(c + 1) == m
+    for n in (1, 2, 7, 8, 9, 26, 27, 28, 63, 64, 65, 499, 1999, 6399):
+        m = entry._icbrt(n)
+        assert m**3 <= n < (m + 1) ** 3
+
+
+def _cbrt_limit_value(n: int):
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    expr = entry._ddb_cbrt_cells_limit()
+    sql = f"WITH corpus AS (SELECT * FROM range({n}) t(vec_id)) SELECT {expr}"
+    return duckdb.connect().execute(sql).fetchone()[0]
+
+
+def test_cbrt_cells_oracle_parity_and_boundary_guard():
+    """The DuckDB floor(pow+0.5)±1 arithmetic must equal the Python
+    _icbrt for every sandbox-reachable n, and error loudly past the
+    n>=6400 sampled-fit boundary (same contract as the √n-cells
+    guard)."""
+    import __spark_entry__ as entry
+
+    for n in (1, 7, 8, 26, 27, 64, 343, 499, 1000, 1999, 4096, 6399):
+        k1, fit_mod = entry._cbrt_cells(n)
+        assert fit_mod == 1, f"boundary mismatch at n={n}"
+        assert _cbrt_limit_value(n) == k1
+    assert entry._cbrt_cells(6400)[1] > 1
+    with pytest.raises(Exception, match="oracle boundary"):
+        _cbrt_limit_value(6400)
+
+
+def test_imi_assign_matches_per_half_kmeans_assign(spark, skewed_corpus8):
+    """The oracle's premise: each half's j from the single-pass
+    _imi_assign is bit-identical to kmeans_assign run on the sliced
+    corpus (same argmin, same low-index tie-break)."""
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        _imi_assign,
+    )
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        kmeans_assign, kmeans_fit,
+    )
+
+    df, _ = skewed_corpus8
+    dim, h = 8, 4
+    half1 = df.select("vec_id", F.slice("embedding", 1, h).alias("embedding"))
+    half2 = df.select(
+        "vec_id", F.slice("embedding", h + 1, h).alias("embedding")
+    )
+    c1, _ = kmeans_fit(half1, "vec_id", "embedding", k=5, iters=2)
+    c2, _ = kmeans_fit(half2, "vec_id", "embedding", k=5, iters=2)
+    got = {
+        r["vec_id"]: (r["j1"], r["j2"])
+        for r in _imi_assign(df, "vec_id", "embedding", c1, c2, dim).collect()
+    }
+    want1 = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(half1, "vec_id", "embedding", c1).collect()
+    }
+    want2 = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(half2, "vec_id", "embedding", c2).collect()
+    }
+    assert got == {k: (want1[k], want2[k]) for k in want1}
+
+
+@pytest.fixture(scope="module")
+def skewed_corpus8(spark):
+    """The round-11 planted-hot-blob corpus shape (30% of rows in one
+    tight Gaussian), reusable here for the IMI contract tests."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n_hot, n_cold, dim = 600, 1400, 8
+    hot = rng.normal(0.9, 0.05, (n_hot, dim))
+    cold = rng.uniform(0, 1, (n_cold, dim))
+    rows = [
+        (i, [float(v) for v in vec])
+        for i, vec in enumerate(np.vstack([hot, cold]))
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    return df.localCheckpoint(), dim
+
+
+def test_imi_knn_join_finds_planted_twins(spark):
+    """Near-duplicate pairs planted far apart from each other must land
+    in the same product cell on BOTH halves (each twin is within ~1e-3
+    of its sibling on every dim) and come out at rank 1 — the planted
+    quality claim, same shape as the round-6 IVF quality test."""
+    import numpy as np
+
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        imi_knn_join,
+    )
+
+    rng = np.random.default_rng(5)
+    dim, pairs = 8, 40
+    anchors = rng.uniform(-4.0, 4.0, (pairs, dim))
+    rows = []
+    for i, a in enumerate(anchors):
+        rows.append((2 * i + 1, [float(v) for v in a]))
+        rows.append(
+            (2 * i + 2, [float(v) for v in a + rng.normal(0, 1e-3, dim)])
+        )
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    out = imi_knn_join(
+        df, "vec_id", "embedding", dim=dim, k=1, cells_per_half=4, iters=3
+    )
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out.collect()}
+    hits = sum(
+        1
+        for i in range(pairs)
+        if top1.get(2 * i + 1) == 2 * i + 2
+        and top1.get(2 * i + 2) == 2 * i + 1
+    )
+    assert hits == pairs, f"only {hits}/{pairs} twin pairs at rank 1"
+
+
+def test_imi_knn_join_split_cap_bounds_hot_product_cell(
+    spark, skewed_corpus8
+):
+    """With 30% of rows in one blob, both half-marginals concentrate and
+    the product cell goes hot; split_cap must bound every refined cell
+    <= cap while keeping the output contract (ranks 1..k dense per
+    query, no self-pairs, cos in [-1, 1])."""
+    from kubernetes_logs_datalake_spark.operators.cellsplit import (
+        split_oversized_cells,
+    )
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        _imi_assign, imi_knn_join,
+    )
+    from kubernetes_logs_datalake_spark.operators.vectors import kmeans_fit
+
+    df, dim = skewed_corpus8
+    h = dim // 2
+    k1 = 5
+    half1 = df.select("vec_id", F.slice("embedding", 1, h).alias("embedding"))
+    half2 = df.select(
+        "vec_id", F.slice("embedding", h + 1, h).alias("embedding")
+    )
+    c1, _ = kmeans_fit(half1, "vec_id", "embedding", k=k1, iters=2)
+    c2, _ = kmeans_fit(half2, "vec_id", "embedding", k=k1, iters=2)
+    assigned = _imi_assign(df, "vec_id", "embedding", c1, c2, dim)
+    assigned = assigned.withColumn(
+        "cluster", (F.col("j1") * k1 + F.col("j2")).cast("int")
+    )
+    cap = 320  # 4 * fair share at n=2000, 25 cells
+    sizes = [r[1] for r in assigned.groupBy("cluster").count().collect()]
+    assert max(sizes) > cap, "fixture must produce a hot product cell"
+    refined, _ = split_oversized_cells(
+        assigned, "vec_id", "embedding", cap=cap
+    )
+    refined_sizes = [r[1] for r in refined.groupBy("cell").count().collect()]
+    assert max(refined_sizes) <= cap
+
+    out = imi_knn_join(
+        df, "vec_id", "embedding", dim=dim, k=3, cells_per_half=k1,
+        iters=2, centers=(c1, c2), split_cap=cap,
+    )
+    rows = out.collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+    assert all(-1.0001 <= r["cos"] <= 1.0001 for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(
+        sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values()
+    )
+
+
+def test_imi_knn_join_plan_has_no_cartesian_and_pins_width(
+    spark, skewed_corpus8
+):
+    """Plan gate: the pair stage is a cell-keyed equi-join behind
+    explicit-N repartitions (the AQE byte-coalescing guard), never a
+    cartesian."""
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        imi_knn_join,
+    )
+    from kubernetes_logs_datalake_spark.operators.vectors import kmeans_fit
+
+    df, dim = skewed_corpus8
+    h = dim // 2
+    half1 = df.select("vec_id", F.slice("embedding", 1, h).alias("embedding"))
+    half2 = df.select(
+        "vec_id", F.slice("embedding", h + 1, h).alias("embedding")
+    )
+    c1, _ = kmeans_fit(half1, "vec_id", "embedding", k=4, iters=1)
+    c2, _ = kmeans_fit(half2, "vec_id", "embedding", k=4, iters=1)
+    out = imi_knn_join(
+        df, "vec_id", "embedding", dim=dim, k=3, cells_per_half=4,
+        iters=1, centers=(c1, c2),
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join Cross" not in plan
+    assert "RepartitionByExpression [cell" in plan
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
