@@ -178,6 +178,10 @@ HEADLINE = [
     "embedding_ivf_knn_join_adc",
     "ann_recall_ivf_join_adc",
     "dedup_semantic_collapsed",
+    # r12: IMI product-cell join (the Θ(n^4/3) quantizer, timed next
+    # to embedding_ivf_knn_join's flat Θ(n^1.5)) + per-cell SQ8
+    "embedding_imi_knn_join",
+    "ann_topk_sq8_cell",
     # events_hits_scores is deliberately NOT benched for the same
     # reason as docs_bpe_merges: 8 mutual-reinforcement rounds = 16
     # sequential half-round actions whose per-action data is a 5-row

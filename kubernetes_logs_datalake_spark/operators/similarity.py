@@ -1381,6 +1381,7 @@ def imi_knn_join(
     centers: tuple[list[list[float]], list[list[float]]] | None = None,
     fit_sample_mod: int | None = None,
     split_cap: int | None = None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Corpus×corpus approximate kNN join through an INVERTED
     MULTI-INDEX coarse quantizer (Babenko & Lempitsky 2012): the
@@ -1412,6 +1413,17 @@ def imi_knn_join(
     (``kmeans_fit`` over the sliced corpus; ``fit_sample_mod`` keeps
     the fit O(n) at scale, exact full-corpus below the same n<6400
     boundary the oracle guards).
+
+    ``n_probe > 1`` is the IVF recall knob in its multi-index form:
+    the query side explodes over its p nearest PRODUCT cells ranked by
+    the sum of half-distances (``_imi_multi_probe_cells`` — the
+    multi-sequence probing order; probe_rank=1 is bit-identical to the
+    1-probe primary cell), the neighbor side stays at its primary
+    cell so pairs are generated at most once, and under ``split_cap``
+    probed rows replay the primary-side refinement via
+    ``apply_cell_splits`` with probe semantics (hash-split parents
+    explode, the r11 ADVICE rule) — the exact contract of
+    ``ivf_knn_join``'s n_probe, on product cells.
     """
     from pyspark.sql import Window
 
@@ -1445,6 +1457,68 @@ def imi_knn_join(
         c2, _ = kmeans_fit(
             half2, id_col, vec_col, k=cells_per_half, iters=iters,
             fit_sample_mod=fit_sample_mod,
+        )
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    if n_probe > 1:
+        # one assignment pass serves both sides: probe_rank=1 is the
+        # primary product cell (the _imi_assign argmins), so the
+        # neighbor side is the rank-1 filter of the same frame
+        multi = _imi_multi_probe_cells(
+            df, id_col, vec_col, c1, c2, dim, n_probe
+        )
+        multi = multi.withColumn(
+            "cluster",
+            (F.col("j1") * F.lit(len(c2)) + F.col("j2")).cast("int"),
+        ).localCheckpoint(eager=False)
+        multi = multi.withColumn("cell", F.col("cluster").cast("string"))
+        if split_cap is not None:
+            from kubernetes_logs_datalake_spark.operators.cellsplit import (
+                apply_cell_splits,
+                split_oversized_cells,
+            )
+
+            _, cell_splits = split_oversized_cells(
+                multi.filter(F.col("probe_rank") == 1),
+                id_col, vec_col, cap=split_cap,
+            )
+            multi = apply_cell_splits(
+                multi, vec_col, cell_splits, id_col=id_col,
+                probe_col="probe_rank",
+            )
+        base = multi.withColumn("_n", norm(vec_col))
+        a = base.select(
+            "cell",
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_va"),
+            F.col("_n").alias("_na"),
+        )
+        base = base.filter(F.col("probe_rank") == 1)
+        b = base.select(
+            "cell",
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_vb"),
+            F.col("_n").alias("_nb"),
+        )
+        nparts = shuffle_partitions(df.sparkSession)
+        a = a.repartition(nparts, F.col("cell"))
+        b = b.repartition(nparts, F.col("cell"))
+        scored = (
+            a.join(b, "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                cosine_prenorm("_va", "_vb", "_na", "_nb").alias("cos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos", "rank")
         )
     assigned = _imi_assign(df, id_col, vec_col, c1, c2, dim)
     # composite cell id (bijective for 0 <= j2 < K2) so the cellsplit
@@ -1502,4 +1576,100 @@ def imi_knn_join(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _imi_multi_probe_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centers1: list[list[float]],
+    centers2: list[list[float]],
+    dim: int,
+    p: int,
+) -> DataFrame:
+    """(id, vec, j1, j2, probe_rank 1..p) exploded over each vector's
+    ``p`` NEAREST product cells ranked by the SUM of half-distances
+    d²₁(j1) + d²₂(j2) — the multi-sequence probing order of the
+    inverted multi-index (Babenko & Lempitsky 2012), realized as pure
+    expressions: the top-p pairs by sum are provably contained in the
+    (top-p per half) × (top-p per half) grid (if j1 were outside its
+    half's top-p, the p pairs swapping it for a better j1 would all
+    rank ahead), so the per-row work is two sorted-slice passes of the
+    ``_multi_probe_cells`` idiom plus a p² in-expression cross —
+    never k1·k2 combinations. probe_rank=1 is the primary product cell,
+    bit-identical to ``_imi_assign``'s per-half argmins (sum is
+    minimized at the independent argmins; the (d, j1, j2) sort tie-break
+    matches the per-half low-index rule). Map-only, no UDF."""
+    from kubernetes_logs_datalake_spark.functions.vectors import (
+        literal_vector as _lv,
+    )
+
+    h1 = dim // 2
+    h2 = dim - h1
+    k1, k2 = len(centers1), len(centers2)
+    ph = min(p, k1, k2)  # per-half slice width (top-p pairs ⊆ ph×ph grid)
+    if p > k1 * k2:
+        raise ValueError(f"n_probe {p} > product cells {k1 * k2}")
+    flat1: list[float] = []
+    for c in centers1:
+        flat1.extend(float(v) for v in c)
+    flat2: list[float] = []
+    for c in centers2:
+        flat2.extend(float(v) for v in c)
+    C1, C2 = _lv(flat1), _lv(flat2)
+    vec = F.col(vec_col)
+    va = F.slice(vec, 1, h1)
+    vb = F.slice(vec, h1 + 1, h2)
+
+    def d2_structs(v, C, k, h):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda j: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.slice(C, j * h + 1, h),
+                        lambda x, c: (x.cast("double") - c)
+                        * (x.cast("double") - c),
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ).alias("d"),
+                j.cast("int").alias("j"),
+            ),
+        )
+
+    topa = F.slice(F.array_sort(d2_structs(va, C1, k1, h1)), 1, ph)
+    topb = F.slice(F.array_sort(d2_structs(vb, C2, k2, h2)), 1, ph)
+    crossed = F.flatten(
+        F.transform(
+            topa,
+            lambda a: F.transform(
+                topb,
+                lambda b: F.struct(
+                    (a.getField("d") + b.getField("d")).alias("d"),
+                    a.getField("j").alias("j1"),
+                    b.getField("j").alias("j2"),
+                ),
+            ),
+        )
+    )
+    mid = df.select(
+        F.col(id_col),
+        vec.alias("_v"),
+        F.explode(
+            F.array(F.slice(F.array_sort(crossed), 1, p))
+        ).alias("_top"),
+    )
+    return mid.select(
+        F.col(id_col),
+        F.col("_v").alias(vec_col),
+        F.posexplode(F.col("_top")).alias("_pos", "_probe"),
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_probe").getField("j1").alias("j1"),
+        F.col("_probe").getField("j2").alias("j2"),
+        (F.col("_pos") + 1).cast("int").alias("probe_rank"),
     )

@@ -1294,3 +1294,106 @@ def sq8_cell_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(topk)
     )
+
+
+def kmeans_assign_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    scale: int = 6,
+) -> DataFrame:
+    """Arrow-batched numpy twin of :func:`kmeans_assign` — the scale
+    path for the one term that dominates every IVF-family operator at
+    100 TB: the n·k·dim nearest-centroid scan. The expression form runs
+    as interpreted higher-order folds (k·dim lambda steps per row); this
+    form runs the same arithmetic as k·dim VECTORIZED numpy ops per
+    Arrow batch (C speed, one op across the whole batch), measured ~10×
+    faster at ×10 scale (SCALE.md r12).
+
+    BIT-EXACT by construction, not by luck: for each centroid the
+    accumulator starts at 0.0 and adds (vᵢ−cᵢ)² in dimension order —
+    vectorized ACROSS ROWS, so every row's scalar accumulation sequence
+    is IEEE-identical to the ``aggregate``-fold's; ``np.argmin`` takes
+    the FIRST minimum (the ``array_position`` low-index tie-break), and
+    the dist rounding replays ``float_round``'s floor(x·10^s + 0.5)/10^s
+    op sequence. A pytest pins full-frame equality against
+    ``kmeans_assign`` on the sandbox corpus, so either path can serve
+    any consumer interchangeably. Default consumers keep the expression
+    path (whole-stage codegen, zero Python in the plan — the PLAN_AUDIT
+    invariant); flip this in when the assignment scan is the measured
+    bottleneck and a python_eval stage is acceptable.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StructField, StructType,
+    )
+
+    k = len(centroids)
+    dim = len(centroids[0])
+    C = []
+    for c in centroids:
+        if len(c) != dim:
+            raise ValueError("ragged centroid matrix")
+        C.append([float(v) for v in c])
+    Cnp = np.asarray(C, dtype=np.float64)
+    p10 = float(10**scale)
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType([
+        in_fields[id_col],
+        StructField("cluster", IntegerType(), False),
+        StructField("dist", DoubleType(), False),
+        StructField(vec_col, in_fields[vec_col].dataType,
+                    in_fields[vec_col].nullable),
+    ])
+
+    def assign_batches(batches):
+        for b in batches:
+            names = b.schema.names
+            idc = b.column(names.index(id_col))
+            vc = b.column(names.index(vec_col))
+            n = b.num_rows
+            if n == 0:
+                continue
+            if vc.null_count:
+                raise ValueError(
+                    f"kmeans_assign_arrow: NULL {vec_col} in batch"
+                )
+            offs = np.diff(vc.offsets.to_numpy())
+            if not (offs == dim).all():
+                raise ValueError(
+                    f"kmeans_assign_arrow: ragged {vec_col} "
+                    f"(expected {dim} elements per row)"
+                )
+            V = (
+                vc.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n, dim)
+            )
+            D = np.empty((n, k), dtype=np.float64)
+            for j in range(k):
+                acc = np.zeros(n, dtype=np.float64)
+                for i in range(dim):
+                    t = V[:, i] - Cnp[j, i]
+                    acc += t * t
+                D[:, j] = acc
+            cl = np.argmin(D, axis=1)
+            mind = D[np.arange(n), cl]
+            dist = np.floor(np.sqrt(mind) * p10 + 0.5) / p10
+            yield pa.RecordBatch.from_arrays(
+                [
+                    idc,
+                    pa.array(cl.astype(np.int32), type=pa.int32()),
+                    pa.array(dist, type=pa.float64()),
+                    vc,
+                ],
+                names=[id_col, "cluster", "dist", vec_col],
+            )
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInArrow(
+        assign_batches, out_schema
+    )

@@ -715,3 +715,135 @@ def test_imi_knn_join_plan_has_no_cartesian_and_pins_width(
     phys = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in phys
     assert "BroadcastNestedLoopJoin" not in phys
+
+
+def test_imi_multi_probe_rank1_is_primary_cell(spark, skewed_corpus8):
+    """probe_rank=1 of the multi-probe explode must be bit-identical to
+    _imi_assign's per-half argmins (sum of half-distances is minimized
+    at the independent argmins) — the invariant that makes the probed
+    join's neighbor side equal the 1-probe assignment."""
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        _imi_assign, _imi_multi_probe_cells,
+    )
+    from kubernetes_logs_datalake_spark.operators.vectors import kmeans_fit
+
+    df, dim = skewed_corpus8
+    h = dim // 2
+    half1 = df.select("vec_id", F.slice("embedding", 1, h).alias("embedding"))
+    half2 = df.select(
+        "vec_id", F.slice("embedding", h + 1, h).alias("embedding")
+    )
+    c1, _ = kmeans_fit(half1, "vec_id", "embedding", k=5, iters=2)
+    c2, _ = kmeans_fit(half2, "vec_id", "embedding", k=5, iters=2)
+    primary = {
+        r["vec_id"]: (r["j1"], r["j2"])
+        for r in _imi_assign(df, "vec_id", "embedding", c1, c2, dim).collect()
+    }
+    probed = _imi_multi_probe_cells(
+        df, "vec_id", "embedding", c1, c2, dim, p=4
+    )
+    rank1 = {
+        r["vec_id"]: (r["j1"], r["j2"])
+        for r in probed.filter(F.col("probe_rank") == 1).collect()
+    }
+    assert rank1 == primary
+    # p rows per vector, distinct cells per vector
+    counts = probed.groupBy("vec_id").count().select("count").distinct()
+    assert [r[0] for r in counts.collect()] == [4]
+    dup = (
+        probed.groupBy("vec_id", "j1", "j2").count()
+        .filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+
+
+def test_imi_knn_join_exact_at_full_probe_and_unique_pairs(spark):
+    """At n_probe = K² every query probes every product cell, so the
+    probed IMI join must equal the EXACT kNN join (the exact-at-full-
+    probe contract the flat IVF family pins); at any p the output has
+    no duplicate (query, neighbor) pairs."""
+    import numpy as np
+
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        imi_knn_join,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, n = 8, 120
+    vecs = rng.uniform(-2.0, 2.0, (n, dim))
+    rows = [(i + 1, [float(v) for v in vec]) for i, vec in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    # exact ground truth by cosine, ties by neighbor id
+    norms = np.linalg.norm(vecs, axis=1)
+    cos = (vecs @ vecs.T) / np.outer(norms, norms)
+    exact = {}
+    for i in range(n):
+        order = sorted(
+            (j for j in range(n) if j != i),
+            key=lambda j: (-cos[i, j], j + 1),
+        )
+        exact[i + 1] = [j + 1 for j in order[:3]]
+
+    out = imi_knn_join(
+        df, "vec_id", "embedding", dim=dim, k=3, cells_per_half=3,
+        iters=2, n_probe=9,
+    )
+    got = {}
+    for r in out.orderBy("query_id", "rank").collect():
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert got == exact
+
+    out4 = imi_knn_join(
+        df, "vec_id", "embedding", dim=dim, k=3, cells_per_half=3,
+        iters=2, n_probe=4,
+    )
+    dup = (
+        out4.groupBy("query_id", "neighbor_id").count()
+        .filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    # recall is monotone in p on this corpus: p=4 hits at least as many
+    # exact pairs as p=1
+    def hits(df_):
+        g = {}
+        for r in df_.collect():
+            g.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(set(exact[q]) & g.get(q, set())) for q in exact
+        )
+
+    out1 = imi_knn_join(
+        df, "vec_id", "embedding", dim=dim, k=3, cells_per_half=3,
+        iters=2, n_probe=1,
+    )
+    assert hits(out4) >= hits(out1)
+
+
+def test_kmeans_assign_arrow_bit_exact_and_contract(spark, skewed_corpus8):
+    """The Arrow/numpy assignment must be FULL-FRAME bit-identical to
+    the expression path — same clusters (first-min tie-break), same
+    float_round'ed dists — because its per-dim accumulation replays the
+    HOF fold's IEEE order vectorized across rows. Ragged vectors must
+    raise, not mis-assign."""
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        kmeans_assign, kmeans_assign_arrow, kmeans_fit,
+    )
+
+    df, _dim = skewed_corpus8
+    centers, _ = kmeans_fit(df, "vec_id", "embedding", k=7, iters=2)
+    a = kmeans_assign(df, "vec_id", "embedding", centers)
+    b = kmeans_assign_arrow(df, "vec_id", "embedding", centers)
+    cols = ["vec_id", "cluster", "dist"]
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+    assert [f.name for f in b.schema.fields] == [
+        "vec_id", "cluster", "dist", "embedding",
+    ]
+
+    ragged = spark.createDataFrame(
+        [(1, [0.1] * 8), (2, [0.2] * 7)],
+        "vec_id: long, embedding: array<double>",
+    )
+    with pytest.raises(Exception, match="ragged|expected 8"):
+        kmeans_assign_arrow(ragged, "vec_id", "embedding", centers).collect()

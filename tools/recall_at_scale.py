@@ -262,6 +262,56 @@ def panel_recalls(spark, dest: str, n_panel: int = PANEL_SIZE, k: int = K) -> di
         k,
     )
 
+    # ---- per-cell SQ8 (r12): dot(q, per-cell decoded codes) — the
+    # sq8_cell_topk rule: bounds per √n-IVF-cell, so the 8-bit grid
+    # adapts to each cell's local range. Same panel, same ground
+    # truth, so out["panel_sq8_cell"] vs out["panel_sq8"] IS the
+    # measured value of per-cell bounds on this corpus.
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        sq8_cell_bounds,
+    )
+
+    n_corpus = entrymod._emb_count_cached(emb, dest, "nz")
+    cells_n, fit_mod = entrymod._sqrt_cells(n_corpus)
+    cell_centers = entrymod._kmeans_centers_cached(
+        emb, dest, "ivfknn", k=cells_n, iters=3, fit_sample_mod=fit_mod
+    )
+    casg = kmeans_assign(emb, "vec_id", "embedding", cell_centers)
+    cb = sq8_cell_bounds(casg, "embedding", dim)
+    cjoined = casg.join(F.broadcast(cb), "cluster")
+    code_i = lambda i: F.least(  # noqa: E731 — mirror sq8_cell_topk
+        F.greatest(
+            F.floor(
+                (
+                    F.element_at(F.col("embedding"), i.cast("int")).cast(
+                        "double"
+                    )
+                    - F.element_at(F.col("mn"), i.cast("int"))
+                )
+                * F.element_at(F.col("sc"), i.cast("int"))
+            ),
+            F.lit(0),
+        ),
+        F.lit(255),
+    )
+    recon_cell = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: F.element_at(F.col("mn"), i.cast("int"))
+        + code_i(i).cast("double")
+        * F.element_at(F.col("iv"), i.cast("int")),
+    )
+    cellc = cjoined.select("vec_id", recon_cell.alias("_rv"))
+    cell_pairs = cellc.join(qdf, F.col("vec_id") != F.col("query_id"))
+    out["panel_sq8_cell"] = _mean_recall(
+        exact,
+        _topk_ids(
+            cell_pairs.select("query_id", "vec_id", dot_qr.alias("score")),
+            k,
+            ascending=False,
+        ),
+        k,
+    )
+
     # ---- MRL: prefix-dim cosine (truncated_topk's rule)
     dk = entrymod._MRL_DIM
     q16, c16 = F.slice("_qv", 1, dk), F.slice("embedding", 1, dk)
@@ -299,6 +349,22 @@ def main() -> None:
             }
         except Exception as exc:  # noqa: BLE001 — record, continue
             out[name] = {"err": f"{type(exc).__name__}: {exc}"[:200]}
+    # IMI join recall on the SAME fixed probe panel as the registered
+    # ann_recall_ivf_join harnesses (entrymod._ivf_join_recall), so the
+    # IMI-vs-flat-IVF quality comparison shares one metric (r12; the
+    # registered harness query lands with the r13 window budget)
+    try:
+        row = entrymod._ivf_join_recall(
+            spark, dest, entrymod._embedding_imi_knn_join(spark, dest)
+        ).first().asDict()
+        out["ann_recall_imi_join"] = {
+            k: (round(float(v), 4) if isinstance(v, float) else int(v))
+            for k, v in row.items()
+        }
+    except Exception as exc:  # noqa: BLE001 — record, continue
+        out["ann_recall_imi_join"] = {
+            "err": f"{type(exc).__name__}: {exc}"[:200]
+        }
     try:
         out.update(panel_recalls(spark, dest))
     except Exception as exc:  # noqa: BLE001 — record, continue

@@ -179,6 +179,11 @@ QUERIES = [
     "embedding_ivf_knn_join_adc",
     "ann_recall_ivf_join_adc",
     "dedup_semantic_collapsed",
+    # r12: the IMI (product-cell) kNN join measured head-to-head
+    # against the flat IVF join — the Θ(n^4/3)-vs-Θ(n^1.5) claim as a
+    # wall-clock curve — and the per-cell SQ8 serving scan
+    "embedding_imi_knn_join",
+    "ann_topk_sq8_cell",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
