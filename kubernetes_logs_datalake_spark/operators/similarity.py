@@ -722,6 +722,7 @@ def ivf_knn_join(
     centers: list[list[float]] | None = None,
     n_probe: int = 1,
     split_cap: int | None = None,
+    assign_arrow: bool = False,
 ) -> DataFrame:
     """Corpus×corpus approximate kNN join through an IVF coarse
     quantizer: every vector is assigned to its nearest deterministic
@@ -819,8 +820,18 @@ def ivf_knn_join(
         )
         base = base.filter(F.col("probe_rank") == 1)
     else:
-        # one materialization feeds both join sides (the semdedup shape)
-        assigned = kmeans_assign(df, id_col, vec_col, centers)
+        # one materialization feeds both join sides (the semdedup shape).
+        # assign_arrow swaps in the bit-identical numpy scan
+        # (kmeans_assign_arrow — the 100 TB profile knob; expression
+        # path stays the default for the 0-python_eval plan invariant)
+        if assign_arrow:
+            from kubernetes_logs_datalake_spark.operators.vectors import (
+                kmeans_assign_arrow,
+            )
+
+            assigned = kmeans_assign_arrow(df, id_col, vec_col, centers)
+        else:
+            assigned = kmeans_assign(df, id_col, vec_col, centers)
         assigned = assigned.localCheckpoint(eager=False)
         if split_cap is not None:
             from kubernetes_logs_datalake_spark.operators.cellsplit import (

@@ -1228,6 +1228,7 @@ def sq8_cell_topk(
     cells: int = 8,
     iters: int = 3,
     bounds_df: DataFrame | None = None,
+    assign_arrow: bool = False,
 ) -> DataFrame:
     """SQ8 asymmetric top-k with PER-CELL bounds (:func:`sq8_cell_bounds`)
     — same serving contract as :func:`sq8_topk` (score codes against a
@@ -1261,7 +1262,14 @@ def sq8_cell_topk(
 
     if centers is None:
         centers, _ = kmeans_fit(df, id_col, vec_col, k=cells, iters=iters)
-    assigned = kmeans_assign(df, id_col, vec_col, centers)
+    # assign_arrow: the bit-identical numpy scan (kmeans_assign_arrow)
+    # for deployments where the assignment dominates the serve path;
+    # expression default keeps the plan python-free
+    assigned = (
+        kmeans_assign_arrow(df, id_col, vec_col, centers)
+        if assign_arrow
+        else kmeans_assign(df, id_col, vec_col, centers)
+    )
     if bounds_df is None:
         bounds_df = sq8_cell_bounds(assigned, vec_col, dim)
     joined = assigned.join(F.broadcast(bounds_df), "cluster")

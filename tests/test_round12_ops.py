@@ -847,3 +847,36 @@ def test_kmeans_assign_arrow_bit_exact_and_contract(spark, skewed_corpus8):
     )
     with pytest.raises(Exception, match="ragged|expected 8"):
         kmeans_assign_arrow(ragged, "vec_id", "embedding", centers).collect()
+
+
+def test_assign_arrow_knob_is_result_identical(spark, skewed_corpus8):
+    """The opt-in assign_arrow knob on ivf_knn_join / sq8_cell_topk must
+    be output-identical to the expression path (the kernel is bit-exact;
+    this pins the knob PLUMBING end to end)."""
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        ivf_knn_join,
+    )
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        kmeans_fit, sq8_cell_topk,
+    )
+
+    df, dim = skewed_corpus8
+    centers, _ = kmeans_fit(df, "vec_id", "embedding", k=6, iters=2)
+    a = ivf_knn_join(
+        df, "vec_id", "embedding", k=3, cells=6, centers=centers
+    )
+    b = ivf_knn_join(
+        df, "vec_id", "embedding", k=3, cells=6, centers=centers,
+        assign_arrow=True,
+    )
+    assert _sorted_rows(a) == _sorted_rows(b)
+
+    q = [0.5] * dim
+    sa = sq8_cell_topk(
+        df, "vec_id", "embedding", q, dim=dim, topk=10, centers=centers
+    )
+    sb = sq8_cell_topk(
+        df, "vec_id", "embedding", q, dim=dim, topk=10, centers=centers,
+        assign_arrow=True,
+    )
+    assert _sorted_rows(sa) == _sorted_rows(sb)
