@@ -1273,30 +1273,47 @@ def sq8_cell_topk(
     if bounds_df is None:
         bounds_df = sq8_cell_bounds(assigned, vec_col, dim)
     joined = assigned.join(F.broadcast(bounds_df), "cluster")
+    from kubernetes_logs_datalake_spark.functions.vectors import (
+        literal_vector,
+    )
+
+    Q = literal_vector([float(x) for x in query])
     v = F.col(vec_col)
     mn = F.col("mn")
     sc = F.col("sc")
     iv = F.col("iv")
-    terms = []
-    for i in range(1, dim + 1):
+
+    # ONE sequential HOF fold (0.0 + t₁ + t₂ …) instead of a dim-wide
+    # unrolled sum: the accumulation order — and therefore the rounded
+    # double — is IEEE-identical (the oracle's list_sum replays it),
+    # but the expression tree is O(1) instead of O(dim). The unrolled
+    # form paid ~4 s of driver-side Column construction (≈15 py4j
+    # round-trips × dim) plus codegen of a 64-term projection EVERY
+    # run — measured 6.9 s/run at sf0.1 vs 0.9 s for this form, and
+    # the fold's interpreted data path is NOT the bottleneck here
+    # because every per-element operand is a plain array lookup on
+    # join-provided columns, referenced once (no collapse-inlined
+    # re-evaluation, the sq8_topk_packed hazard).
+    def _term(acc, i):
         code = F.least(
             F.greatest(
                 F.floor(
-                    (F.element_at(v, i).cast("double") - F.element_at(mn, i))
-                    * F.element_at(sc, i)
+                    (F.element_at(v, i.cast("int")).cast("double")
+                     - F.element_at(mn, i.cast("int")))
+                    * F.element_at(sc, i.cast("int"))
                 ),
                 F.lit(0),
             ),
             F.lit(255),
         ).cast("int")
-        terms.append(
-            F.lit(float(query[i - 1]))
-            * (
-                F.element_at(mn, i)
-                + code.cast("double") * F.element_at(iv, i)
-            )
+        return acc + F.element_at(Q, i.cast("int")) * (
+            F.element_at(mn, i.cast("int"))
+            + code.cast("double") * F.element_at(iv, i.cast("int"))
         )
-    score = functools.reduce(_op.add, terms)
+
+    score = F.aggregate(
+        F.sequence(F.lit(1), F.lit(dim)), F.lit(0.0), _term
+    )
     return (
         joined.select(F.col(id_col), F.round(score, scale).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
