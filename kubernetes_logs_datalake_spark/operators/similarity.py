@@ -1406,19 +1406,30 @@ def imi_knn_join(
       pair work at cells = √n → both terms Θ(n^1.5·dim);
     - IMI with K = ∛n yields n^(2/3) product cells for n^(1/3)-wide
       codebooks → assignment n·2·∛n·(dim/2) = n^(4/3)·dim and pair
-      work (n²/n^(2/3))·dim = n^(4/3)·dim — both terms Θ(n^(4/3)·dim),
-      a √[6]{n}-factor win that widens with the corpus (×2 data →
-      ×2.52 wall instead of ×2.83).
+      work (n²/n^(2/3))·dim = n^(4/3)·dim — both terms Θ(n^(4/3)·dim).
+
+    MEASURED two-regime result (SCALE.md round 12) — the asymptotic
+    win has a precondition the theory hides: it holds only when the
+    two half-assignments are near-INDEPENDENT. On a uniform corpus the
+    product cells are fully occupied and balanced and the join runs
+    2.2× faster than flat IVF (4.8 s vs 10.5 s at n=20k, holding at
+    n=40k); on the organic clustered corpus component identity
+    correlates the halves, the product collapses to ~#components
+    occupied cells (81/729 measured), Σ|cell|² lands 1.7× WORSE than
+    flat's, and the join runs ~2× slower. Recall-per-candidate also
+    trails flat at small k (half-space cells see dim/2 of the signal).
+    Deployment rule: flat √n + split_cap is the default join;
+    reach for IMI when the subspaces decorrelate (or are rotated to,
+    OPQ-style) and the regime is large-probe candidate generation.
 
     Same join contract as :func:`ivf_knn_join`: neighbors rank only
     within the (j1, j2) cell, output (query_id, neighbor_id, cos,
     rank ≤ k), recall measured not assumed (the recall harness and the
-    organic-corpus panel, SCALE.md). The known IMI caveat — product
-    cells are less balanced than flat k-means cells on clustered data
-    because the two halves' marginals multiply — is exactly what
-    ``split_cap`` bounds: the composite cell id (j1·K₂+j2) feeds the
-    same ``cellsplit.split_oversized_cells`` in-place refinement, so a
-    hot product cell is sub-clustered before the pair join.
+    organic-corpus panel, SCALE.md). The clustered-corpus imbalance is
+    exactly what ``split_cap`` bounds: the composite cell id (j1·K₂+j2)
+    feeds the same ``cellsplit.split_oversized_cells`` in-place
+    refinement, so a hot product cell is sub-clustered before the
+    pair join.
 
     Both half-fits run on the same deterministic md5-seeded Lloyd
     (``kmeans_fit`` over the sliced corpus; ``fit_sample_mod`` keeps

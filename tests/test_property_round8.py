@@ -127,6 +127,16 @@ def test_decayed_engagement_equals_direct_sum(spark, ages):
     df = spark.createDataFrame(rows, "user_id string, ts long")
     got = decayed_engagement(df, "user_id", "ts", bucket_us=B).collect()[0]
     expect = sum(2.0 ** -min(a - min(ages), 62) for a in ages)
-    # ages are relative to the LATEST event (ref - min(ages)*B)
+    # ages are relative to the LATEST event (ref - min(ages)*B).
+    # Mirror Spark's F.round (BigDecimal HALF_UP over the double's
+    # EXACT decimal expansion), not Python's banker's round(): sums of
+    # powers of two land exactly on decimal half-way points (e.g.
+    # 2⁰ + 2⁻¹⁰ = 1.0009765625 at scale 9), where the two conventions
+    # differ by 1e-9 — hypothesis found the boundary after ~4 rounds.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    want = float(
+        Decimal(expect).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+    )
     assert got.n_events == len(ages)
-    assert got.score == round(expect, 9)
+    assert got.score == want
