@@ -3166,26 +3166,21 @@ def _embedding_ivf_knn_join(spark: SparkSession, sf: str) -> DataFrame:
 def _imi_centers_cached(
     emb, sf: str, k1: int, iters: int, fit_sample_mod: int | None
 ) -> tuple[list[list[float]], list[list[float]]]:
-    """Both IMI half-codebooks, fit once per (session, sf) — the same
-    shared-fit contract as ``_kmeans_centers_cached``, keyed under the
-    "imi" family with the half index."""
-    from kubernetes_logs_datalake_spark.operators.vectors import kmeans_fit
-
+    """Both IMI half-codebooks, fit once per (session, sf): one
+    ``_kmeans_centers_cached`` call per half over the sliced corpus,
+    keyed under the "imi_h1"/"imi_h2" families — no second copy of the
+    cache protocol to drift (r12 review)."""
     h = EMBEDDING_DIM // 2
     out = []
     for half, off in (("h1", 1), ("h2", h + 1)):
-        key = (sf, f"imi_{half}", k1, iters, fit_sample_mod)
-        if key not in _KMEANS_CACHE:
-            sliced = emb.select(
-                F.col("vec_id"),
-                F.slice(F.col("embedding"), off, h).alias("embedding"),
-            )
-            centers, _ = kmeans_fit(
-                sliced, "vec_id", "embedding", k=k1, iters=iters,
-                fit_sample_mod=fit_sample_mod,
-            )
-            _KMEANS_CACHE[key] = centers
-        out.append(_KMEANS_CACHE[key])
+        sliced = emb.select(
+            F.col("vec_id"),
+            F.slice(F.col("embedding"), off, h).alias("embedding"),
+        )
+        out.append(_kmeans_centers_cached(
+            sliced, sf, f"imi_{half}", k=k1, iters=iters,
+            fit_sample_mod=fit_sample_mod,
+        ))
     return out[0], out[1]
 
 

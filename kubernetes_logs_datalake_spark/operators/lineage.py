@@ -37,19 +37,26 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-#: applicationId -> base checkpoint dir already installed on that
-#: SparkContext (setCheckpointDir appends a fresh UUID subdir per call,
-#: so repeated set calls would litter the FS; install once per app+dir)
-_INSTALLED: dict[tuple[str, str], bool] = {}
+#: applicationId -> base checkpoint dir CURRENTLY installed on that
+#: SparkContext. ``setCheckpointDir`` is GLOBAL per-context state, so
+#: the memo must track the latest installed dir, not a set of
+#: ever-installed dirs: with a was-ever-installed set, interleaving two
+#: dirs (a durable HDFS dir for a graph job, the local-disk
+#: SPARK_GRAFT_CHECKPOINT_DIR for the SQ8 cache) would skip the
+#: re-install and silently route the durable job's blocks to the
+#: non-durable dir — defeating exactly the executor-loss protection the
+#: caller asked for. Re-installing only on CHANGE still avoids the
+#: one-UUID-subdir-per-set litter for the common single-dir case.
+_INSTALLED: dict[str, str] = {}
 
 
 def _ensure_checkpoint_dir(df: DataFrame, checkpoint_dir: str) -> None:
     spark = df.sparkSession
-    key = (spark.sparkContext.applicationId, checkpoint_dir)
-    if _INSTALLED.get(key):
+    app = spark.sparkContext.applicationId
+    if _INSTALLED.get(app) == checkpoint_dir:
         return
     spark.sparkContext.setCheckpointDir(checkpoint_dir)
-    _INSTALLED[key] = True
+    _INSTALLED[app] = checkpoint_dir
 
 
 def truncate_lineage(
@@ -63,6 +70,17 @@ def truncate_lineage(
     executor-local blocks, zero FS traffic, NOT survivable under
     executor loss. With a directory: reliable ``checkpoint()`` to that
     FS — survivable, one write+read per call. See module docstring.
+
+    RETENTION: Spark does not delete reliable checkpoint files by
+    itself (``spark.cleaner.referenceTracking.cleanCheckpoints`` is off
+    by default, and even on it is GC-driven best-effort), so an
+    iterative run retains rounds/N copies of the |state| frame under
+    ``checkpoint_dir`` until the APPLICATION cleans up. Deployments
+    should point the dir at a path with an FS lifecycle rule (or TTL)
+    and/or enable ``cleanCheckpoints``; budget rounds/N · |state| of
+    transient checkpoint storage per job. This is the storage half of
+    the overhead SCALE.md prices (the time half is the write+read per
+    reliable round).
     """
     if not checkpoint_dir:
         return df.localCheckpoint(eager=eager)
@@ -77,7 +95,17 @@ def reliable_this_round(
     under an every-N policy: the reliable dir on rounds N-1, 2N-1, ...,
     ``None`` (→ localCheckpoint) in between. With ``checkpoint_dir``
     unset, always ``None`` — the zero-overhead default path.
+
+    ``checkpoint_every < 1`` WITH a dir set raises: silently taking
+    the local path would mean the caller configured executor-loss
+    survivability and didn't get it — discovered only when a spot-node
+    loss kills the job the knob was set to protect (r12 review).
     """
-    if not checkpoint_dir or checkpoint_every < 1:
+    if not checkpoint_dir:
         return None
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1 when checkpoint_dir is set, "
+            f"got {checkpoint_every}"
+        )
     return checkpoint_dir if (round_idx + 1) % checkpoint_every == 0 else None

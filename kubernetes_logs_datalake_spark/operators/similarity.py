@@ -1482,6 +1482,7 @@ def imi_knn_join(
         )
     if n_probe < 1:
         raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    composite = (F.col("j1") * F.lit(len(c2)) + F.col("j2")).cast("int")
     if n_probe > 1:
         # one assignment pass serves both sides: probe_rank=1 is the
         # primary product cell (the _imi_assign argmins), so the
@@ -1490,8 +1491,7 @@ def imi_knn_join(
             df, id_col, vec_col, c1, c2, dim, n_probe
         )
         multi = multi.withColumn(
-            "cluster",
-            (F.col("j1") * F.lit(len(c2)) + F.col("j2")).cast("int"),
+            "cluster", composite
         ).localCheckpoint(eager=False)
         multi = multi.withColumn("cell", F.col("cluster").cast("string"))
         if split_cap is not None:
@@ -1508,69 +1508,43 @@ def imi_knn_join(
                 multi, vec_col, cell_splits, id_col=id_col,
                 probe_col="probe_rank",
             )
-        base = multi.withColumn("_n", norm(vec_col))
+        probed = multi.withColumn("_n", norm(vec_col))
+        a = probed.select(
+            "cell",
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_va"),
+            F.col("_n").alias("_na"),
+        )
+        base = probed.filter(F.col("probe_rank") == 1)
+    else:
+        # composite cell id (bijective for 0 <= j2 < K2) so the
+        # cellsplit guard and the pair join see one int key; one
+        # materialization feeds both join sides (the semdedup shape)
+        assigned = _imi_assign(df, id_col, vec_col, c1, c2, dim)
+        assigned = assigned.withColumn(
+            "cluster", composite
+        ).localCheckpoint(eager=False)
+        if split_cap is not None:
+            from kubernetes_logs_datalake_spark.operators.cellsplit import (
+                split_oversized_cells,
+            )
+
+            assigned, _ = split_oversized_cells(
+                assigned, id_col, vec_col, cap=split_cap
+            )
+        else:
+            assigned = assigned.withColumn(
+                "cell", F.col("cluster").cast("string")
+            )
+        base = assigned.withColumn("_n", norm(vec_col))
         a = base.select(
             "cell",
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("_va"),
             F.col("_n").alias("_na"),
         )
-        base = base.filter(F.col("probe_rank") == 1)
-        b = base.select(
-            "cell",
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("_vb"),
-            F.col("_n").alias("_nb"),
-        )
-        nparts = shuffle_partitions(df.sparkSession)
-        a = a.repartition(nparts, F.col("cell"))
-        b = b.repartition(nparts, F.col("cell"))
-        scored = (
-            a.join(b, "cell")
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select(
-                "query_id",
-                "neighbor_id",
-                cosine_prenorm("_va", "_vb", "_na", "_nb").alias("cos"),
-            )
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("cos"), F.col("neighbor_id")
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "cos", "rank")
-        )
-    assigned = _imi_assign(df, id_col, vec_col, c1, c2, dim)
-    # composite cell id (bijective for 0 <= j2 < K2) so the cellsplit
-    # guard and the pair join see one int key; one materialization
-    # feeds both join sides (the semdedup shape)
-    assigned = assigned.withColumn(
-        "cluster",
-        (F.col("j1") * F.lit(len(c2)) + F.col("j2")).cast("int"),
-    ).localCheckpoint(eager=False)
-    if split_cap is not None:
-        from kubernetes_logs_datalake_spark.operators.cellsplit import (
-            split_oversized_cells,
-        )
-
-        assigned, _ = split_oversized_cells(
-            assigned, id_col, vec_col, cap=split_cap
-        )
-    else:
-        assigned = assigned.withColumn(
-            "cell", F.col("cluster").cast("string")
-        )
-    base = assigned.select(
-        "cell", F.col(id_col), F.col(vec_col), norm(vec_col).alias("_n"),
-    )
-    a = base.select(
-        "cell",
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_va"),
-        F.col("_n").alias("_na"),
-    )
+    # shared scoring tail for both probe regimes (a fix applied here —
+    # tie-break, AQE-pinning — cannot diverge them; r12 review)
     b = base.select(
         "cell",
         F.col(id_col).alias("neighbor_id"),
@@ -1630,7 +1604,14 @@ def _imi_multi_probe_cells(
     h1 = dim // 2
     h2 = dim - h1
     k1, k2 = len(centers1), len(centers2)
-    ph = min(p, k1, k2)  # per-half slice width (top-p pairs ⊆ ph×ph grid)
+    # per-HALF slice widths: the top-p pairs by sum live inside the
+    # (top-min(p,k1) on half 1) × (top-min(p,k2) on half 2) grid — the
+    # widths must be computed per half, not as one min(p, k1, k2):
+    # with k1=2, k2=100, p=8 a single width of 2 would cross only 4
+    # pairs and silently drop the true 3rd/4th-nearest j2 cells
+    # (r12 review)
+    pha = min(p, k1)
+    phb = min(p, k2)
     if p > k1 * k2:
         raise ValueError(f"n_probe {p} > product cells {k1 * k2}")
     flat1: list[float] = []
@@ -1662,8 +1643,8 @@ def _imi_multi_probe_cells(
             ),
         )
 
-    topa = F.slice(F.array_sort(d2_structs(va, C1, k1, h1)), 1, ph)
-    topb = F.slice(F.array_sort(d2_structs(vb, C2, k2, h2)), 1, ph)
+    topa = F.slice(F.array_sort(d2_structs(va, C1, k1, h1)), 1, pha)
+    topb = F.slice(F.array_sort(d2_structs(vb, C2, k2, h2)), 1, phb)
     crossed = F.flatten(
         F.transform(
             topa,

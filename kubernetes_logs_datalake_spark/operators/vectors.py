@@ -1257,9 +1257,6 @@ def sq8_cell_topk(
     """
     if len(query) != dim:
         raise ValueError(f"query dim {len(query)} != dim {dim}")
-    import functools
-    import operator as _op
-
     if centers is None:
         centers, _ = kmeans_fit(df, id_col, vec_col, k=cells, iters=iters)
     # assign_arrow: the bit-identical numpy scan (kmeans_assign_arrow)
@@ -1271,6 +1268,10 @@ def sq8_cell_topk(
         else kmeans_assign(df, id_col, vec_col, centers)
     )
     if bounds_df is None:
+        # the assignment feeds BOTH the bounds agg and the join side —
+        # truncate so the dominant n·k·dim scan runs once, not once
+        # per reference (the one-materialization idiom; r12 review)
+        assigned = assigned.localCheckpoint(eager=False)
         bounds_df = sq8_cell_bounds(assigned, vec_col, dim)
     joined = assigned.join(F.broadcast(bounds_df), "cluster")
     from kubernetes_logs_datalake_spark.functions.vectors import (
@@ -1369,8 +1370,10 @@ def kmeans_assign_arrow(
     in_fields = {f.name: f for f in df.schema.fields}
     out_schema = StructType([
         in_fields[id_col],
-        StructField("cluster", IntegerType(), False),
-        StructField("dist", DoubleType(), False),
+        # nullable: a NULL input vector yields a NULL cluster/dist row,
+        # matching the expression path's behavior
+        StructField("cluster", IntegerType(), True),
+        StructField("dist", DoubleType(), True),
         StructField(vec_col, in_fields[vec_col].dataType,
                     in_fields[vec_col].nullable),
     ])
@@ -1383,37 +1386,49 @@ def kmeans_assign_arrow(
             n = b.num_rows
             if n == 0:
                 continue
+            # NULL vectors mirror the expression path — a NULL cluster/
+            # dist row, NOT an error: the "either path serves any
+            # consumer interchangeably" contract includes failure
+            # behavior (r12 review). Ragged NON-null rows still raise
+            # loudly (the expression path would silently mis-slice).
+            valid = np.ones(n, dtype=bool)
             if vc.null_count:
-                raise ValueError(
-                    f"kmeans_assign_arrow: NULL {vec_col} in batch"
-                )
+                valid = ~vc.is_null().to_numpy(zero_copy_only=False)
             offs = np.diff(vc.offsets.to_numpy())
-            if not (offs == dim).all():
+            if not (offs[valid] == dim).all():
                 raise ValueError(
                     f"kmeans_assign_arrow: ragged {vec_col} "
                     f"(expected {dim} elements per row)"
                 )
-            V = (
-                vc.flatten()
-                .to_numpy(zero_copy_only=False)
-                .astype(np.float64, copy=False)
-                .reshape(n, dim)
-            )
-            D = np.empty((n, k), dtype=np.float64)
-            for j in range(k):
-                acc = np.zeros(n, dtype=np.float64)
-                for i in range(dim):
-                    t = V[:, i] - Cnp[j, i]
-                    acc += t * t
-                D[:, j] = acc
-            cl = np.argmin(D, axis=1)
-            mind = D[np.arange(n), cl]
-            dist = np.floor(np.sqrt(mind) * p10 + 0.5) / p10
+            nv = int(valid.sum())
+            cl_out = np.zeros(n, dtype=np.int32)
+            dist_out = np.zeros(n, dtype=np.float64)
+            if nv:
+                flat = (
+                    vc.flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.float64, copy=False)
+                )
+                # flatten() drops NULL slots, so the flat values are
+                # exactly the valid rows' elements in order
+                V = flat.reshape(nv, dim)
+                D = np.empty((nv, k), dtype=np.float64)
+                for j in range(k):
+                    acc = np.zeros(nv, dtype=np.float64)
+                    for i in range(dim):
+                        t = V[:, i] - Cnp[j, i]
+                        acc += t * t
+                    D[:, j] = acc
+                cl = np.argmin(D, axis=1)
+                mind = D[np.arange(nv), cl]
+                cl_out[valid] = cl.astype(np.int32)
+                dist_out[valid] = np.floor(np.sqrt(mind) * p10 + 0.5) / p10
+            mask = None if valid.all() else ~valid
             yield pa.RecordBatch.from_arrays(
                 [
                     idc,
-                    pa.array(cl.astype(np.int32), type=pa.int32()),
-                    pa.array(dist, type=pa.float64()),
+                    pa.array(cl_out, type=pa.int32(), mask=mask),
+                    pa.array(dist_out, type=pa.float64(), mask=mask),
                     vc,
                 ],
                 names=[id_col, "cluster", "dist", vec_col],

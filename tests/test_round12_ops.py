@@ -58,8 +58,13 @@ def test_reliable_this_round_policy():
     # every=3 -> rounds 2, 5, 8 (0-based) take the reliable path
     picks = [reliable_this_round("/tmp/ck", i, 3) for i in range(6)]
     assert picks == [None, None, "/tmp/ck", None, None, "/tmp/ck"]
-    # degenerate cadence -> never reliable (defensive, not an error)
-    assert reliable_this_round("/tmp/ck", 4, 0) is None
+    # degenerate cadence WITH a dir set raises: silently never taking
+    # the reliable path would un-protect a job whose owner explicitly
+    # asked for executor-loss survivability (r12 review)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        reliable_this_round("/tmp/ck", 4, 0)
+    # ...but with no dir it stays the quiet always-local default
+    assert reliable_this_round(None, 4, 0) is None
 
 
 def test_truncate_lineage_reliable_writes_to_dir(spark, tmp_path):

@@ -125,13 +125,19 @@ def main() -> int:
     # has to be planned against this (ceiling ≈ 50 × (MAX_STALE + 1))
     # or the staleness rule breaches mathematically.
     if rounds:
+        # rows sitting in the CURRENT window will be re-greened by the
+        # upcoming run, so their vintage becomes r(max+1) — projecting
+        # their OLD vintage forward would overstate expirations and
+        # understate free slots (r12 review)
         vintage: dict[int, int] = {}
+        nxt = max(rounds) + 1
         for q, g in last_green.items():
-            vintage[g] = vintage.get(g, 0) + 1
+            eff = nxt if q in window else g
+            vintage[eff] = vintage.get(eff, 0) + 1
         print(f"\nforward new-query budget (window 50, horizon "
               f"{MAX_STALE_ROUNDS}; ceiling ~{50 * (MAX_STALE_ROUNDS + 1)}"
-              f" registered):")
-        nxt = max(rounds) + 1
+              f" registered; assumes the upcoming run re-greens the "
+              f"current window):")
         for future in range(nxt + 1, nxt + 4):
             expiring = vintage.get(future - 1 - MAX_STALE_ROUNDS, 0)
             print(f"  r{future}: {expiring} rows expire -> "
