@@ -1273,6 +1273,26 @@ def sq8_cell_topk(
         # per reference (the one-materialization idiom; r12 review)
         assigned = assigned.localCheckpoint(eager=False)
         bounds_df = sq8_cell_bounds(assigned, vec_col, dim)
+    return _sq8_cell_score(
+        assigned, id_col, vec_col, query, dim, topk, scale, bounds_df
+    )
+
+
+def _sq8_cell_score(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    dim: int,
+    topk: int,
+    scale: int,
+    bounds_df: DataFrame,
+) -> DataFrame:
+    """Scoring tail shared by :func:`sq8_cell_topk` (full scan) and
+    :func:`ivf_sq8_topk` (probed scan): broadcast-join the per-cell
+    bounds onto a (id, vec, cluster) frame and rank the sequential
+    decode+dot fold. One tail, two probe regimes — a fix here cannot
+    diverge them."""
     joined = assigned.join(F.broadcast(bounds_df), "cluster")
     from kubernetes_logs_datalake_spark.functions.vectors import (
         literal_vector,
@@ -1436,4 +1456,93 @@ def kmeans_assign_arrow(
 
     return df.select(F.col(id_col), F.col(vec_col)).mapInArrow(
         assign_batches, out_schema
+    )
+
+
+def ivf_sq8_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    dim: int,
+    topk: int = 10,
+    n_probe: int = 1,
+    cells: int = 8,
+    iters: int = 3,
+    scale: int = 6,
+    centers: list[list[float]] | None = None,
+    bounds_df: DataFrame | None = None,
+    assigned_df: DataFrame | None = None,
+    assign_arrow: bool = False,
+) -> DataFrame:
+    """IVF + per-cell SQ8 serving index — the classic ``IVF,SQ8``
+    composition (the FAISS naming) that completes this repo's serving
+    matrix: :func:`ivf_topk` prunes cells but scores full-precision
+    vectors, :func:`ivfadc_topk` prunes cells and scores PQ residual
+    codes, :func:`sq8_cell_topk` scores SQ8 codes but scans the whole
+    corpus. This one does both cuts at once: only the ``n_probe``
+    nearest cells are scanned (probe pick is the ``ivfadc_topk``
+    driver-side idiom — n_probe·cells L2s over the centroid list, no
+    Spark job), and inside them each row costs one per-cell SQ8
+    decode+dot (1 byte/dim conceptually; the encode-in-expression form
+    here, :func:`sq8_pack` for the stored-byte layout).
+
+    At 100 TB the two cuts multiply: scan fraction ≈ n_probe/cells of
+    the corpus (cells as a partition key makes the probe filter
+    partition PRUNING, the ivfadc posture) × ~1/8 the bytes per row
+    vs float64. Scores are EXACTLY :func:`sq8_cell_topk`'s for the
+    probed rows (same assignment, same per-cell bounds, same
+    sequential fold), so at ``n_probe == cells`` the output is
+    bit-identical to the full scan — the exact-at-full-probe contract
+    (pytest-pinned), and the DuckDB oracle composes the per-cell SQ8
+    chain with the probe ``IN`` filter. Recall-vs-probe is measured,
+    not assumed (SCALE.md). Output: (id, score) descending, ties by id.
+
+    LIFECYCLE MATTERS for the scan cut (measured, SCALE.md r12): with
+    only a raw ``df`` the operator must assign EVERY row to find its
+    cell before filtering, so the n·cells·dim assignment scan — the
+    family's dominant term — is paid on the whole corpus and the probe
+    filter saves almost nothing. The serve-many path passes
+    ``assigned_df`` (the stored (id, vec, cluster) frame an index
+    build writes once, cell-partitioned so the probe filter becomes
+    partition pruning) together with ``bounds_df``; then a query costs
+    ~n_probe/cells of the fold scan and no assignment at all — the
+    pq_index_build/pq_index_search lifecycle, applied to SQ8.
+    """
+    if len(query) != dim:
+        raise ValueError(f"query dim {len(query)} != dim {dim}")
+    if centers is None:
+        centers, _ = kmeans_fit(df, id_col, vec_col, k=cells, iters=iters)
+    if n_probe < 1 or n_probe > len(centers):
+        raise ValueError(
+            f"n_probe must be in [1, {len(centers)}], got {n_probe}"
+        )
+
+    def _sqd(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe = sorted(
+        range(len(centers)), key=lambda i: (_sqd(query, centers[i]), i)
+    )[:n_probe]
+    if assigned_df is not None:
+        assigned = assigned_df
+        if bounds_df is None:
+            bounds_df = sq8_cell_bounds(assigned, vec_col, dim)
+    else:
+        assigned = (
+            kmeans_assign_arrow(df, id_col, vec_col, centers)
+            if assign_arrow
+            else kmeans_assign(df, id_col, vec_col, centers)
+        )
+        if bounds_df is None:
+            # bounds train on the FULL corpus (they are an index-build
+            # artifact shared across queries, not a per-probe product);
+            # truncate so the assignment scan feeds bounds + filter once
+            assigned = assigned.localCheckpoint(eager=False)
+            bounds_df = sq8_cell_bounds(assigned, vec_col, dim)
+    probed = assigned.filter(
+        F.col("cluster").isin([int(p) for p in probe])
+    )
+    return _sq8_cell_score(
+        probed, id_col, vec_col, query, dim, topk, scale, bounds_df
     )

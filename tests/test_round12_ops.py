@@ -885,3 +885,97 @@ def test_assign_arrow_knob_is_result_identical(spark, skewed_corpus8):
         assign_arrow=True,
     )
     assert _sorted_rows(sa) == _sorted_rows(sb)
+
+
+def test_ivf_sq8_topk_exact_at_full_probe_and_monotone(
+    spark, clustered_embed_corpus
+):
+    """IVF,SQ8 serving contract: at n_probe == cells the probed scan is
+    bit-identical to the full sq8_cell_topk scan; recall against the
+    full scan's top-10 grows monotonically with n_probe, and even
+    n_probe=1 finds the full top-10 on this corpus (the query's
+    component maps to one cell)."""
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_topk, kmeans_fit, sq8_cell_topk,
+    )
+
+    df, query, dim, _exact = clustered_embed_corpus
+    centers, _ = kmeans_fit(df, "vec_id", "embedding", k=8, iters=3)
+    full = sq8_cell_topk(
+        df, "vec_id", "embedding", query, dim=dim, topk=10, centers=centers
+    ).collect()
+    allp = ivf_sq8_topk(
+        df, "vec_id", "embedding", query, dim=dim, topk=10,
+        n_probe=8, centers=centers,
+    ).collect()
+    assert [tuple(r) for r in allp] == [tuple(r) for r in full]
+
+    full_ids = {r[0] for r in full}
+    hits = []
+    for p in (1, 2, 4, 8):
+        got = {
+            r[0]
+            for r in ivf_sq8_topk(
+                df, "vec_id", "embedding", query, dim=dim, topk=10,
+                n_probe=p, centers=centers,
+            ).collect()
+        }
+        hits.append(len(got & full_ids))
+    assert hits == sorted(hits), hits
+    assert hits[0] == 10, hits  # tight component -> 1 probe suffices
+
+    with pytest.raises(ValueError, match="n_probe"):
+        ivf_sq8_topk(
+            df, "vec_id", "embedding", query, dim=dim, n_probe=9,
+            centers=centers,
+        )
+
+
+def test_ivf_sq8_topk_scans_only_probed_cells(spark, clustered_embed_corpus):
+    """The probe cut is real: with n_probe=1 the scored row count is the
+    probed cell's population, not the corpus (the scan-fraction claim —
+    at scale the cluster filter becomes partition pruning)."""
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_topk, kmeans_fit,
+    )
+
+    df, query, dim, _exact = clustered_embed_corpus
+    centers, _ = kmeans_fit(df, "vec_id", "embedding", k=8, iters=3)
+    n = df.count()
+    # topk = n (not a huge sentinel: TakeOrdered allocates a k-slot
+    # buffer per partition, so a 1e9 limit OOMs the JVM)
+    out = ivf_sq8_topk(
+        df, "vec_id", "embedding", query, dim=dim, topk=n,
+        n_probe=1, centers=centers,
+    )
+    scanned = out.count()
+    assert scanned < n / 2, (scanned, n)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "cluster" in plan and ("IN" in plan or "isin" in plan.lower()
+                                  or "EqualTo" in plan or "=" in plan)
+
+
+def test_ivf_sq8_topk_served_from_stored_assignment(
+    spark, clustered_embed_corpus
+):
+    """The serve-many path (assigned_df = the stored index frame) must
+    be result-identical to the assign-inline path at every probe
+    count."""
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_topk, kmeans_assign, kmeans_fit, sq8_cell_bounds,
+    )
+
+    df, query, dim, _exact = clustered_embed_corpus
+    centers, _ = kmeans_fit(df, "vec_id", "embedding", k=8, iters=3)
+    asg = kmeans_assign(df, "vec_id", "embedding", centers).localCheckpoint()
+    bounds = sq8_cell_bounds(asg, "embedding", dim).localCheckpoint()
+    for p in (1, 3, 8):
+        inline = ivf_sq8_topk(
+            df, "vec_id", "embedding", query, dim=dim, topk=10,
+            n_probe=p, centers=centers,
+        ).collect()
+        served = ivf_sq8_topk(
+            df, "vec_id", "embedding", query, dim=dim, topk=10,
+            n_probe=p, centers=centers, bounds_df=bounds, assigned_df=asg,
+        ).collect()
+        assert [tuple(r) for r in served] == [tuple(r) for r in inline], p
