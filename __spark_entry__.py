@@ -3221,6 +3221,43 @@ def _embedding_imi_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_IVF_SQ8_PROBE = 4
+
+
+def _ann_topk_ivf_sq8(spark: SparkSession, sf: str) -> DataFrame:
+    """r13-QUEUED (r12 window is full; 13 slots open at r13): IVF,SQ8
+    serving — probe the 4 nearest √n cells, score per-cell SQ8 codes
+    only inside them (``vectors.ivf_sq8_topk``; SCALE.md r12 for the
+    measured build-once/serve-many lifecycle). Shares the "ivfknn"
+    centers and the session-cached per-cell bounds. Verified today by
+    the side-by-side engine-parity pytest; registration at r13 is the
+    two dict lines."""
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_topk,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    cells, fit_mod = _sqrt_cells(_emb_count_cached(emb, sf, "nz"))
+    centers = _kmeans_centers_cached(
+        emb, sf, "ivfknn", k=cells, iters=3, fit_sample_mod=fit_mod
+    )
+    q = _query_vec(spark, sf)
+    return ivf_sq8_topk(
+        emb, "vec_id", "embedding", q, dim=EMBEDDING_DIM, topk=10,
+        n_probe=min(_IVF_SQ8_PROBE, cells), centers=centers,
+        bounds_df=_sq8_cell_bounds_cached(spark, sf, centers),
+    )
+
+
+def _ann_recall_imi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """r13-QUEUED: recall of the IMI product-cell join on the shared
+    fixed probe panel (``_ivf_join_recall``) — the quality number next
+    to ann_recall_ivf_join's for the same candidate family, already
+    measured on the organic corpora by ``tools/recall_at_scale.py``
+    (0.253 ×10 / 0.207 ×20 vs flat 0.52 / 0.41, SCALE.md r12)."""
+    return _ivf_join_recall(spark, sf, _embedding_imi_knn_join(spark, sf))
+
+
 _IVF_JOIN_NPROBE = 4
 
 
@@ -9906,6 +9943,76 @@ def _ddb_cbrt_cells_limit(prefix: str = "") -> str:
     )
 
 
+def _ddb_ivf_sq8_sql(
+    topk: int = 10, n_probe: int = 4, iters: int = 3, dim: int = 64,
+) -> str:
+    """Oracle for the r13-QUEUED ``ann_topk_ivf_sq8`` (IVF,SQ8 serving
+    index): the per-cell SQ8 chain of ``_ddb_sq8_cell_sql`` plus the
+    probe cut — the ``n_probe`` nearest final centroids to the query
+    vector by (L2, index), exactly the driver-side pick in
+    ``vectors.ivf_sq8_topk``. Not yet in ``oracle_sql()`` (the r12
+    window is full; 13 slots open at r13) but verified TODAY by
+    ``tests/test_round12_ops.py::test_r13_queued_ivf_sq8_oracle_parity``
+    running both engines side by side."""
+    ctes = _ddb_kmeans_ctes(
+        _ddb_sqrt_cells_limit(), iters, EMBEDDING_DIM,
+        src="(SELECT * FROM embeddings WHERE vec_id <> 0)",
+    )
+    mins = ", ".join(
+        f"min((x.embedding[{i}])::DOUBLE) AS mn{i}" for i in range(1, dim + 1)
+    )
+    maxs = ", ".join(
+        f"max((x.embedding[{i}])::DOUBLE) AS mx{i}" for i in range(1, dim + 1)
+    )
+    mn_list = "list_value(" + ", ".join(
+        f"mn{i}" for i in range(1, dim + 1)
+    ) + ")"
+    sc_list = "list_value(" + ", ".join(
+        f"CASE WHEN mx{i} > mn{i} "
+        f"THEN CAST(255 AS DOUBLE) / (mx{i} - mn{i}) "
+        f"ELSE CAST(0 AS DOUBLE) END"
+        for i in range(1, dim + 1)
+    ) + ")"
+    iv_list = "list_value(" + ", ".join(
+        f"CASE WHEN mx{i} > mn{i} "
+        f"THEN (mx{i} - mn{i}) / CAST(255 AS DOUBLE) "
+        f"ELSE CAST(0 AS DOUBLE) END"
+        for i in range(1, dim + 1)
+    ) + ")"
+    qd2 = (
+        "list_sum(list_transform(range(1, "
+        f"{EMBEDDING_DIM + 1}), i -> ((q.qv[i])::DOUBLE - c.cvec[i])"
+        " * ((q.qv[i])::DOUBLE - c.cvec[i])))"
+    )
+    return f"""
+        WITH {ctes},
+        asg AS (SELECT vec_id, CAST(j AS INT) AS cluster
+                FROM a{iters + 1} WHERE rk = 1),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        probes AS (
+            SELECT c.j FROM cent{iters} c, q
+            ORDER BY {qd2}, c.j LIMIT {n_probe}),
+        cb AS (
+            SELECT a.cluster, {mins}, {maxs}
+            FROM asg a JOIN corpus x ON x.vec_id = a.vec_id
+            GROUP BY a.cluster),
+        b AS (SELECT cluster, {mn_list} AS mn, {sc_list} AS sc,
+                     {iv_list} AS iv
+              FROM cb)
+        SELECT e.vec_id,
+               round(list_sum(list_transform(range(1, {dim + 1}),
+                   i -> (q.qv[i])::DOUBLE
+                        * (b.mn[i] + ({_DDB_SQ8_CODE_EXPR})::DOUBLE
+                           * b.iv[i])
+               )), 6) AS score
+        FROM corpus e
+        JOIN asg a ON a.vec_id = e.vec_id
+        JOIN b ON b.cluster = a.cluster, q
+        WHERE a.cluster IN (SELECT j FROM probes)
+        ORDER BY score DESC, e.vec_id LIMIT {topk}
+    """
+
+
 def _ddb_imi_knn_join_sql(
     k: int = 3, iters: int = 3, dim: int = EMBEDDING_DIM,
 ) -> str:
@@ -9960,6 +10067,80 @@ def _ddb_imi_knn_join_sql(
         SELECT query_id, neighbor_id, round(cos, 4) AS cos,
                CAST(rank AS INT) AS rank
         FROM r WHERE rank <= {k}
+    """
+
+
+def _ddb_imi_join_recall_sql(k: int = 3, iters: int = 3) -> str:
+    """r13-QUEUED oracle for ``ann_recall_imi_join``: the IMI join
+    oracle's product-cell top-k (same two prefix-namespaced Lloyd
+    chains as ``_ddb_imi_knn_join_sql``) restricted to the fixed probe
+    panel, intersected with the exact probe×corpus top-k — the
+    ``_ddb_ivf_join_recall_sql`` shape on (j1, j2) cells. Verified
+    today by the side-by-side engine-parity pytest."""
+    dim = EMBEDDING_DIM
+    h1 = dim // 2
+    h2 = dim - h1
+    src1 = (
+        f"(SELECT vec_id, embedding[1:{h1}] AS embedding "
+        f"FROM embeddings WHERE vec_id <> 0)"
+    )
+    src2 = (
+        f"(SELECT vec_id, embedding[{h1 + 1}:{dim}] AS embedding "
+        f"FROM embeddings WHERE vec_id <> 0)"
+    )
+    ctes1 = _ddb_kmeans_ctes(
+        _ddb_cbrt_cells_limit("ha"), iters, h1, src=src1, prefix="ha"
+    )
+    ctes2 = _ddb_kmeans_ctes(
+        _ddb_cbrt_cells_limit("hb"), iters, h2, src=src2, prefix="hb"
+    )
+    cos = _ddb_cos("a.embedding", "b.embedding")
+    ecos = _ddb_cos("p.embedding", "e.embedding")
+    return f"""
+        WITH {ctes1},
+        {ctes2},
+        asg AS (
+            SELECT xa.vec_id, CAST(xa.j AS INT) AS j1,
+                   CAST(xb.j AS INT) AS j2
+            FROM (SELECT vec_id, j FROM haa{iters + 1} WHERE rk = 1) xa
+            JOIN (SELECT vec_id, j FROM hba{iters + 1} WHERE rk = 1) xb
+              ON xb.vec_id = xa.vec_id),
+        sc AS (
+            SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
+                   {cos} AS cos
+            FROM asg x
+            JOIN asg y ON x.j1 = y.j1 AND x.j2 = y.j2
+                      AND x.vec_id <> y.vec_id
+            JOIN embeddings a ON a.vec_id = x.vec_id
+            JOIN embeddings b ON b.vec_id = y.vec_id
+            WHERE x.vec_id % 50 = 1 AND x.vec_id < 5000),
+        imi AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id)
+                           AS rank
+                FROM sc)
+            WHERE rank <= {k}),
+        ex AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT p.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY p.vec_id
+                                          ORDER BY {ecos} DESC, e.vec_id)
+                           AS rk
+                FROM embeddings p
+                JOIN embeddings e
+                  ON e.vec_id <> 0 AND e.vec_id <> p.vec_id
+                WHERE p.vec_id <> 0 AND p.vec_id % 50 = 1
+                  AND p.vec_id < 5000)
+            WHERE rk <= {k})
+        SELECT {k} AS k,
+               CAST(count(DISTINCT ex.query_id) AS BIGINT) AS n_queries,
+               CAST(count(imi.neighbor_id) AS BIGINT) AS n_hits,
+               round(count(imi.neighbor_id)
+                     / ({k} * CAST(count(DISTINCT ex.query_id) AS DOUBLE)),
+                     4) AS recall
+        FROM ex LEFT JOIN imi USING (query_id, neighbor_id)
     """
 
 

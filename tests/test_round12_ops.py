@@ -979,3 +979,46 @@ def test_ivf_sq8_topk_served_from_stored_assignment(
             n_probe=p, centers=centers, bounds_df=bounds, assigned_df=asg,
         ).collect()
         assert [tuple(r) for r in served] == [tuple(r) for r in inline], p
+
+
+def _duckdb_on(sf_dir: str, sql: str):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    return con.execute(sql).fetchall()
+
+
+def test_r13_queued_ivf_sq8_oracle_parity(spark):
+    """The r13-queued ann_topk_ivf_sq8 query and its oracle agree
+    TODAY (sf0.001, side-by-side engines) — registration at r13 is
+    just the two dict lines, with the parity already pinned."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (int(r[0]), float(r[1]))
+        for r in entry._ann_topk_ivf_sq8(spark, sf).collect()
+    ]
+    want = [
+        (int(a), float(b))
+        for a, b in _duckdb_on(sf, entry._ddb_ivf_sq8_sql())
+    ]
+    assert got == want
+
+
+def test_r13_queued_imi_recall_oracle_parity(spark):
+    """Same contract for the r13-queued ann_recall_imi_join."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in entry._ann_recall_imi_join(spark, sf).collect()]
+    want = _duckdb_on(sf, entry._ddb_imi_join_recall_sql())
+    assert len(got) == len(want) == 1
+    g, w = got[0], want[0]
+    assert (int(g[0]), int(g[1]), int(g[2])) == (
+        int(w[0]), int(w[1]), int(w[2]))
+    assert abs(float(g[3]) - float(w[3])) < 1e-9
