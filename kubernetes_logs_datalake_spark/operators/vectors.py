@@ -1546,3 +1546,114 @@ def ivf_sq8_topk(
     return _sq8_cell_score(
         probed, id_col, vec_col, query, dim, topk, scale, bounds_df
     )
+
+
+def ivf_sq8_index_build(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    dim: int,
+    cells: int = 8,
+    iters: int = 3,
+    scale: int = 6,
+    centers: list[list[float]] | None = None,
+    assign_arrow: bool = False,
+) -> list[list[float]]:
+    """Persist an IVF,SQ8 index with the layout that makes the probe
+    cut REAL: the assigned corpus written ``partitionBy(cluster)`` (so
+    a serve-time probe filter is PARTITION PRUNING — only n_probe of
+    cells directories are ever listed or read), the per-cell bounds as
+    a small parquet, and the centroids + config as a JSON manifest
+    with :func:`pq_index_build`'s torn-build-safe write order
+    (invalidate manifest → write data → atomic-rename manifest).
+    Build once, serve many via :func:`ivf_sq8_index_search` — the
+    measured 6× serve-path cut at ×10 (SCALE.md r12), with the scan
+    fraction scaling as n_probe/cells on top at lake scale. Returns
+    the centroids."""
+    import json as _json
+    import os as _os
+
+    if centers is None:
+        centers, _ = kmeans_fit(df, id_col, vec_col, k=cells, iters=iters)
+    assigned = (
+        kmeans_assign_arrow(df, id_col, vec_col, centers)
+        if assign_arrow
+        else kmeans_assign(df, id_col, vec_col, centers)
+    ).localCheckpoint(eager=False)
+    bounds = sq8_cell_bounds(assigned, vec_col, dim)
+    _os.makedirs(index_dir, exist_ok=True)
+    manifest = f"{index_dir}/manifest.json"
+    if _os.path.exists(manifest):
+        _os.remove(manifest)  # invalidate BEFORE touching data
+    assigned.select(
+        F.col(id_col), F.col(vec_col), F.col("cluster")
+    ).write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{index_dir}/cells"
+    )
+    bounds.write.mode("overwrite").parquet(f"{index_dir}/bounds")
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(
+            {
+                "dim": dim, "cells": len(centers), "scale": scale,
+                "id_col": id_col, "vec_col": vec_col,
+                "centers": [[float(v) for v in c] for c in centers],
+            },
+            fh,
+        )
+    _os.replace(tmp, manifest)
+    return centers
+
+
+def ivf_sq8_index_search(
+    spark,
+    index_dir: str,
+    query: list[float],
+    topk: int = 10,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Serve a stored IVF,SQ8 index (:func:`ivf_sq8_index_build`):
+    load the manifest, pick the ``n_probe`` nearest centroids
+    driver-side, and scan ONLY those cells' partitions — the probe
+    filter on the partition column reaches the scan as
+    ``PartitionFilters`` (plan-gated by pytest), so the other
+    cells' files are never listed, opened, or decoded. Scores are
+    bit-identical to :func:`ivf_sq8_topk` with the same probes (the
+    shared ``_sq8_cell_score`` tail). A missing manifest (torn build)
+    raises instead of serving stale cells."""
+    import json as _json
+    import os as _os
+
+    manifest = f"{index_dir}/manifest.json"
+    if not _os.path.exists(manifest):
+        raise FileNotFoundError(
+            f"ivf_sq8_index_search: no manifest at {manifest} — "
+            "incomplete or torn index build"
+        )
+    with open(manifest) as fh:
+        cfg = _json.load(fh)
+    dim = int(cfg["dim"])
+    if len(query) != dim:
+        raise ValueError(f"query dim {len(query)} != index dim {dim}")
+    centers = cfg["centers"]
+    if n_probe < 1 or n_probe > len(centers):
+        raise ValueError(
+            f"n_probe must be in [1, {len(centers)}], got {n_probe}"
+        )
+
+    def _sqd(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    probe = sorted(
+        range(len(centers)), key=lambda i: (_sqd(query, centers[i]), i)
+    )[:n_probe]
+    cellsdf = spark.read.parquet(f"{index_dir}/cells")
+    bounds = spark.read.parquet(f"{index_dir}/bounds")
+    probed = cellsdf.filter(
+        F.col("cluster").isin([int(p) for p in probe])
+    )
+    return _sq8_cell_score(
+        probed, cfg["id_col"], cfg["vec_col"], query, dim, topk,
+        int(cfg["scale"]), bounds,
+    )

@@ -1022,3 +1022,54 @@ def test_r13_queued_imi_recall_oracle_parity(spark):
     assert (int(g[0]), int(g[1]), int(g[2])) == (
         int(w[0]), int(w[1]), int(w[2]))
     assert abs(float(g[3]) - float(w[3])) < 1e-9
+
+
+def test_ivf_sq8_index_lifecycle_partition_pruning(
+    spark, clustered_embed_corpus, tmp_path
+):
+    """Build-once/serve-many with the REAL scan cut: the stored index
+    is cluster-partitioned, the probe filter reaches the scan as
+    PartitionFilters (not a post-scan Filter), results are
+    bit-identical to the in-memory probed path, and a torn build (no
+    manifest) refuses to serve."""
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_index_build, ivf_sq8_index_search, ivf_sq8_topk,
+        kmeans_fit,
+    )
+
+    df, query, dim, _exact = clustered_embed_corpus
+    centers, _ = kmeans_fit(df, "vec_id", "embedding", k=8, iters=3)
+    idx = str(tmp_path / "ivfsq8")
+    built = ivf_sq8_index_build(
+        df, "vec_id", "embedding", idx, dim=dim, centers=centers
+    )
+    assert built == centers
+
+    for p in (1, 3, 8):
+        served = ivf_sq8_index_search(
+            spark, idx, query, topk=10, n_probe=p
+        )
+        inline = ivf_sq8_topk(
+            df, "vec_id", "embedding", query, dim=dim, topk=10,
+            n_probe=p, centers=centers,
+        )
+        assert [tuple(r) for r in served.collect()] == [
+            tuple(r) for r in inline.collect()
+        ], p
+
+    # the probe filter is partition pruning, not a row filter: the
+    # physical scan's PartitionFilters carry the cluster predicate
+    served1 = ivf_sq8_index_search(spark, idx, query, topk=10, n_probe=1)
+    phys = served1._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in phys
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", phys)
+    assert pf and "cluster" in pf.group(1), phys[:1500]
+
+    # torn build: killing the manifest must make serving refuse loudly
+    import os
+
+    os.remove(f"{idx}/manifest.json")
+    with pytest.raises(FileNotFoundError, match="torn|manifest"):
+        ivf_sq8_index_search(spark, idx, query)
