@@ -4761,7 +4761,14 @@ def _sq8_cell_bounds_cached(
         sq8_cell_bounds,
     )
 
-    key = (_session_key(spark), sf)
+    # the bounds are a function of the CENTERS too — key on the
+    # codebook CONTENT (the nested tuple itself, small: cells×dim
+    # floats) so a caller with a different codebook for the same sf
+    # can never be served another codebook's bounds. NOT a digest:
+    # storing hash() output would discard dict's hash-then-equality
+    # collision safety (hash(-1.0) == hash(-2.0) in CPython, so
+    # near-identical codebooks can share a digest — r12 review).
+    key = (_session_key(spark), sf, tuple(tuple(c) for c in centers))
     if key not in _SQ8_CELL_BOUNDS_CACHE:
         emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
         asg = kmeans_assign(emb, "vec_id", "embedding", centers)
@@ -5007,17 +5014,16 @@ def _ddb_sq8_sql(topk: int | None, codes_only: bool, dim: int = 64) -> str:
         """
 
 
-def _ddb_sq8_cell_sql(topk: int = 10, iters: int = 3, dim: int = 64) -> str:
-    """Oracle for ``ann_topk_sq8_cell``: the shared √n-cells unrolled
-    Lloyd chain (``_ddb_kmeans_ctes`` — identical cells to the IVF
-    family at every hash-checked SF, guarded past the sampled-fit
-    boundary), per-cell per-dim bounds as a GROUP BY cluster of 2·dim
-    aggregates, and the same clamped-floor code + sequential-fold
-    asymmetric score as ``_ddb_sq8_sql`` with ``b`` joined by cluster
-    instead of crossed. Encode scale is the in-engine 255/(mx−mn)
-    division on both sides — no driver float round-trip to diverge."""
+def _ddb_sq8_cell_ctes(iters: int, dim: int) -> str:
+    """Shared CTE text for the per-cell SQ8 family oracles
+    (``_ddb_sq8_cell_sql`` full scan, ``_ddb_ivf_sq8_sql`` probed):
+    the √n-cells unrolled Lloyd chain over the ``dim``-wide vec_id≠0
+    corpus, the rk=1 assignment, the per-cell GROUP BY bounds, and the
+    mn/sc/iv list assembly — ONE copy, so a fix to the bounds/encode
+    algebra cannot diverge the two oracles (the Spark side's
+    ``_sq8_cell_score`` rule, applied to the SQL; r12 review)."""
     ctes = _ddb_kmeans_ctes(
-        _ddb_sqrt_cells_limit(), iters, EMBEDDING_DIM,
+        _ddb_sqrt_cells_limit(), iters, dim,
         src="(SELECT * FROM embeddings WHERE vec_id <> 0)",
     )
     mins = ", ".join(
@@ -5041,8 +5047,7 @@ def _ddb_sq8_cell_sql(topk: int = 10, iters: int = 3, dim: int = 64) -> str:
         f"ELSE CAST(0 AS DOUBLE) END"
         for i in range(1, dim + 1)
     ) + ")"
-    return f"""
-        WITH {ctes},
+    return f"""{ctes},
         asg AS (SELECT vec_id, CAST(j AS INT) AS cluster
                 FROM a{iters + 1} WHERE rk = 1),
         cb AS (
@@ -5052,7 +5057,14 @@ def _ddb_sq8_cell_sql(topk: int = 10, iters: int = 3, dim: int = 64) -> str:
         b AS (SELECT cluster, {mn_list} AS mn, {sc_list} AS sc,
                      {iv_list} AS iv
               FROM cb),
-        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"""
+
+
+def _ddb_sq8_cell_score_select(dim: int) -> str:
+    """Shared final SELECT of the per-cell SQ8 oracles: the clamped
+    floor code + sequential-fold asymmetric score over the chain
+    ``_ddb_sq8_cell_ctes`` builds."""
+    return f"""
         SELECT e.vec_id,
                round(list_sum(list_transform(range(1, {dim + 1}),
                    i -> (q.qv[i])::DOUBLE
@@ -5061,7 +5073,47 @@ def _ddb_sq8_cell_sql(topk: int = 10, iters: int = 3, dim: int = 64) -> str:
                )), 6) AS score
         FROM corpus e
         JOIN asg a ON a.vec_id = e.vec_id
-        JOIN b ON b.cluster = a.cluster, q
+        JOIN b ON b.cluster = a.cluster, q"""
+
+
+def _ddb_sq8_cell_sql(
+    topk: int = 10, iters: int = 3, dim: int = EMBEDDING_DIM,
+) -> str:
+    """Oracle for ``ann_topk_sq8_cell``: the shared per-cell SQ8 chain
+    (``_ddb_sq8_cell_ctes`` — identical cells to the IVF family at
+    every hash-checked SF, guarded past the sampled-fit boundary) plus
+    the full-scan score. Encode scale is the in-engine 255/(mx−mn)
+    division on both sides — no driver float round-trip to diverge."""
+    return f"""
+        WITH {_ddb_sq8_cell_ctes(iters, dim)}
+        {_ddb_sq8_cell_score_select(dim)}
+        ORDER BY score DESC, e.vec_id LIMIT {topk}
+    """
+
+
+def _ddb_ivf_sq8_sql(
+    topk: int = 10, n_probe: int = 4, iters: int = 3,
+    dim: int = EMBEDDING_DIM,
+) -> str:
+    """Oracle for the r13-QUEUED ``ann_topk_ivf_sq8`` (IVF,SQ8 serving
+    index): the SAME shared chain as ``_ddb_sq8_cell_sql`` plus the
+    probe cut — the ``n_probe`` nearest final centroids to the query
+    by (sequential-sum L2, index), replaying ``vectors._pick_probes``.
+    ``dim`` is used consistently through the Lloyd chain, the probe
+    distance, and the decode (r12 review: no EMBEDDING_DIM mixing).
+    Verified by the side-by-side engine-parity pytest."""
+    qd2 = (
+        "list_sum(list_transform(range(1, "
+        f"{dim + 1}), i -> ((q.qv[i])::DOUBLE - c.cvec[i])"
+        " * ((q.qv[i])::DOUBLE - c.cvec[i])))"
+    )
+    return f"""
+        WITH {_ddb_sq8_cell_ctes(iters, dim)},
+        probes AS (
+            SELECT c.j FROM cent{iters} c, q
+            ORDER BY {qd2}, c.j LIMIT {n_probe})
+        {_ddb_sq8_cell_score_select(dim)}
+        WHERE a.cluster IN (SELECT j FROM probes)
         ORDER BY score DESC, e.vec_id LIMIT {topk}
     """
 
@@ -9941,76 +9993,6 @@ def _ddb_cbrt_cells_limit(prefix: str = "") -> str:
         f"CAST(floor(pow(CAST(count(*) AS DOUBLE), 1.0/3.0) + 0.5) "
         f"AS BIGINT) AS m0 FROM {prefix}corpus)))"
     )
-
-
-def _ddb_ivf_sq8_sql(
-    topk: int = 10, n_probe: int = 4, iters: int = 3, dim: int = 64,
-) -> str:
-    """Oracle for the r13-QUEUED ``ann_topk_ivf_sq8`` (IVF,SQ8 serving
-    index): the per-cell SQ8 chain of ``_ddb_sq8_cell_sql`` plus the
-    probe cut — the ``n_probe`` nearest final centroids to the query
-    vector by (L2, index), exactly the driver-side pick in
-    ``vectors.ivf_sq8_topk``. Not yet in ``oracle_sql()`` (the r12
-    window is full; 13 slots open at r13) but verified TODAY by
-    ``tests/test_round12_ops.py::test_r13_queued_ivf_sq8_oracle_parity``
-    running both engines side by side."""
-    ctes = _ddb_kmeans_ctes(
-        _ddb_sqrt_cells_limit(), iters, EMBEDDING_DIM,
-        src="(SELECT * FROM embeddings WHERE vec_id <> 0)",
-    )
-    mins = ", ".join(
-        f"min((x.embedding[{i}])::DOUBLE) AS mn{i}" for i in range(1, dim + 1)
-    )
-    maxs = ", ".join(
-        f"max((x.embedding[{i}])::DOUBLE) AS mx{i}" for i in range(1, dim + 1)
-    )
-    mn_list = "list_value(" + ", ".join(
-        f"mn{i}" for i in range(1, dim + 1)
-    ) + ")"
-    sc_list = "list_value(" + ", ".join(
-        f"CASE WHEN mx{i} > mn{i} "
-        f"THEN CAST(255 AS DOUBLE) / (mx{i} - mn{i}) "
-        f"ELSE CAST(0 AS DOUBLE) END"
-        for i in range(1, dim + 1)
-    ) + ")"
-    iv_list = "list_value(" + ", ".join(
-        f"CASE WHEN mx{i} > mn{i} "
-        f"THEN (mx{i} - mn{i}) / CAST(255 AS DOUBLE) "
-        f"ELSE CAST(0 AS DOUBLE) END"
-        for i in range(1, dim + 1)
-    ) + ")"
-    qd2 = (
-        "list_sum(list_transform(range(1, "
-        f"{EMBEDDING_DIM + 1}), i -> ((q.qv[i])::DOUBLE - c.cvec[i])"
-        " * ((q.qv[i])::DOUBLE - c.cvec[i])))"
-    )
-    return f"""
-        WITH {ctes},
-        asg AS (SELECT vec_id, CAST(j AS INT) AS cluster
-                FROM a{iters + 1} WHERE rk = 1),
-        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        probes AS (
-            SELECT c.j FROM cent{iters} c, q
-            ORDER BY {qd2}, c.j LIMIT {n_probe}),
-        cb AS (
-            SELECT a.cluster, {mins}, {maxs}
-            FROM asg a JOIN corpus x ON x.vec_id = a.vec_id
-            GROUP BY a.cluster),
-        b AS (SELECT cluster, {mn_list} AS mn, {sc_list} AS sc,
-                     {iv_list} AS iv
-              FROM cb)
-        SELECT e.vec_id,
-               round(list_sum(list_transform(range(1, {dim + 1}),
-                   i -> (q.qv[i])::DOUBLE
-                        * (b.mn[i] + ({_DDB_SQ8_CODE_EXPR})::DOUBLE
-                           * b.iv[i])
-               )), 6) AS score
-        FROM corpus e
-        JOIN asg a ON a.vec_id = e.vec_id
-        JOIN b ON b.cluster = a.cluster, q
-        WHERE a.cluster IN (SELECT j FROM probes)
-        ORDER BY score DESC, e.vec_id LIMIT {topk}
-    """
 
 
 def _ddb_imi_knn_join_sql(

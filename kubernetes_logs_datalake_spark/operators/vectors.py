@@ -1459,6 +1459,28 @@ def kmeans_assign_arrow(
     )
 
 
+def _pick_probes(
+    query: list[float], centers: list[list[float]], n_probe: int
+) -> list[int]:
+    """Driver-side probe pick shared by :func:`ivf_sq8_topk` and
+    :func:`ivf_sq8_index_search`: the ``n_probe`` nearest centroid
+    INDICES by (sequential-sum L2, index) — the tie-break the DuckDB
+    oracle's ``ORDER BY qd2, j`` replays, kept in ONE place so the
+    bit-identical served≡inline contract has a single divergence
+    surface (r12 review)."""
+    if n_probe < 1 or n_probe > len(centers):
+        raise ValueError(
+            f"n_probe must be in [1, {len(centers)}], got {n_probe}"
+        )
+
+    def _sqd(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    return sorted(
+        range(len(centers)), key=lambda i: (_sqd(query, centers[i]), i)
+    )[:n_probe]
+
+
 def ivf_sq8_topk(
     df: DataFrame,
     id_col: str,
@@ -1513,20 +1535,24 @@ def ivf_sq8_topk(
         raise ValueError(f"query dim {len(query)} != dim {dim}")
     if centers is None:
         centers, _ = kmeans_fit(df, id_col, vec_col, k=cells, iters=iters)
-    if n_probe < 1 or n_probe > len(centers):
-        raise ValueError(
-            f"n_probe must be in [1, {len(centers)}], got {n_probe}"
-        )
-
-    def _sqd(a, b):
-        return sum((x - y) * (x - y) for x, y in zip(a, b))
-
-    probe = sorted(
-        range(len(centers)), key=lambda i: (_sqd(query, centers[i]), i)
-    )[:n_probe]
+    probe = _pick_probes(query, centers, n_probe)
     if assigned_df is not None:
+        # CONTRACT: assigned_df's cluster labels must come from the
+        # SAME codebook as `centers` (the index-build artifact pair) —
+        # the probe pick is by centroid index, so mismatched labels
+        # probe arbitrary cells with no error to catch it. The stored
+        # lifecycle (ivf_sq8_index_search) enforces this by reading
+        # centers from the index manifest; in-memory callers own it.
+        if "cluster" not in assigned_df.columns:
+            raise ValueError(
+                "assigned_df must carry the 'cluster' column from "
+                "kmeans_assign over the index codebook"
+            )
         assigned = assigned_df
         if bounds_df is None:
+            # one-materialization idiom: the frame feeds both the
+            # bounds agg and the probed join side
+            assigned = assigned.localCheckpoint(eager=False)
             bounds_df = sq8_cell_bounds(assigned, vec_col, dim)
     else:
         assigned = (
@@ -1637,17 +1663,7 @@ def ivf_sq8_index_search(
     if len(query) != dim:
         raise ValueError(f"query dim {len(query)} != index dim {dim}")
     centers = cfg["centers"]
-    if n_probe < 1 or n_probe > len(centers):
-        raise ValueError(
-            f"n_probe must be in [1, {len(centers)}], got {n_probe}"
-        )
-
-    def _sqd(a, b):
-        return sum((x - y) * (x - y) for x, y in zip(a, b))
-
-    probe = sorted(
-        range(len(centers)), key=lambda i: (_sqd(query, centers[i]), i)
-    )[:n_probe]
+    probe = _pick_probes(query, centers, n_probe)
     cellsdf = spark.read.parquet(f"{index_dir}/cells")
     bounds = spark.read.parquet(f"{index_dir}/bounds")
     probed = cellsdf.filter(
