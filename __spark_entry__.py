@@ -3225,13 +3225,12 @@ _IVF_SQ8_PROBE = 4
 
 
 def _ann_topk_ivf_sq8(spark: SparkSession, sf: str) -> DataFrame:
-    """r13-QUEUED (r12 window is full; 13 slots open at r13): IVF,SQ8
-    serving — probe the 4 nearest √n cells, score per-cell SQ8 codes
-    only inside them (``vectors.ivf_sq8_topk``; SCALE.md r12 for the
-    measured build-once/serve-many lifecycle). Shares the "ivfknn"
-    centers and the session-cached per-cell bounds. Verified today by
-    the side-by-side engine-parity pytest; registration at r13 is the
-    two dict lines."""
+    """IVF,SQ8 serving (registered r13; parity pre-pinned at r12 by
+    the side-by-side engine pytest): probe the 4 nearest √n cells,
+    score per-cell SQ8 codes only inside them (``vectors.
+    ivf_sq8_topk``; SCALE.md r12 for the measured build-once/serve-
+    many lifecycle). Shares the "ivfknn" centers and the
+    session-cached per-cell bounds."""
     from kubernetes_logs_datalake_spark.operators.vectors import (
         ivf_sq8_topk,
     )
@@ -3250,11 +3249,12 @@ def _ann_topk_ivf_sq8(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _ann_recall_imi_join(spark: SparkSession, sf: str) -> DataFrame:
-    """r13-QUEUED: recall of the IMI product-cell join on the shared
-    fixed probe panel (``_ivf_join_recall``) — the quality number next
-    to ann_recall_ivf_join's for the same candidate family, already
+    """Recall of the IMI product-cell join on the shared fixed probe
+    panel (``_ivf_join_recall``) — the quality number next to
+    ann_recall_ivf_join's for the same candidate family, already
     measured on the organic corpora by ``tools/recall_at_scale.py``
-    (0.253 ×10 / 0.207 ×20 vs flat 0.52 / 0.41, SCALE.md r12)."""
+    (0.253 ×10 / 0.207 ×20 vs flat 0.52 / 0.41, SCALE.md r12).
+    Registered r13; parity pre-pinned at r12."""
     return _ivf_join_recall(spark, sf, _embedding_imi_knn_join(spark, sf))
 
 
@@ -5334,6 +5334,84 @@ _NO_ORACLE_AGREEMENT_TESTS = {
         "tests/test_similarity_quality.py::test_arrow_topk_matches_column_topk",
 }
 
+#: the round whose driver window `queries()` currently implements —
+#: read by tools/ledger.py to match the window against the committed
+#: NEXT_WINDOW.json plan (r12 verdict task #2: plan-aware staleness).
+_WINDOW_ROUND = 13
+
+_R13_WINDOW = [
+    # 1. NEW this round (r12 verdict task #1): the two pre-verified
+    #    r13-queued rows — IVF,SQ8 probed serving and the IMI join's
+    #    recall instrument. Parity was already pinned at r12 by
+    #    tests/test_round12_ops.py::test_r13_queued_ivf_sq8_oracle_parity
+    #    and ::test_r13_queued_imi_recall_oracle_parity.
+    "ann_topk_ivf_sq8",
+    "ann_recall_imi_join",
+    # 2. code paths changed this round: the per-cell SQ8 scorer now
+    #    left-joins bounds and raises on uncovered clusters (r12
+    #    ADVICE #3), and pack_sequences' partition-count parse went
+    #    through session.shuffle_partitions() (r12 verdict task #4)
+    "ann_topk_sq8_cell",
+    "docs_pack_sequences",
+    # 3. the three rows-only contracts — last driver rows are r8
+    #    vintage; the staleness guard only tracks GREEN rows, but
+    #    their rows-only history should not fossilize either
+    "ann_topk_arrow",
+    "approx_distinct_users",
+    "doc_length_bins_approx",
+    # 4. the 37 r8-vintage rows the ledger's staleness horizon expires
+    #    when CORRECTNESS_r13 lands (r12 verdict task #1)
+    "ann_recall_sq8",
+    "ann_topk_bruteforce",
+    "ann_topk_sq8",
+    "approx_distinct_kmv",
+    "asof_purchase_click",
+    "cube_order_counts",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_length_bins",
+    "docs_epoch_allocation",
+    "docs_filter_ablation",
+    "docs_phrase_search",
+    "docs_score_agreement",
+    "docs_vocab_growth",
+    "events_attribution",
+    "events_burn_rate",
+    "events_decayed_engagement",
+    "events_hourly_rollup",
+    "events_iso_ns_format",
+    "events_sessions",
+    "events_temporal_join",
+    "events_trend_slopes",
+    "events_type_stats",
+    "events_user_similarity",
+    "events_value_drift",
+    "except_nation_keys",
+    "exists_late_shipments",
+    "intersect_nation_keys",
+    "knn_join",
+    "lineitem_range_audit",
+    "orders_expectations",
+    "orders_incremental_rollup",
+    "q10_returned_items",
+    "range_join_error_context",
+    "stringagg_region_nations",
+    "window_top_orders_per_customer",
+    # 5. pre-refreshed r9-vintage rows: 46 rows expire at r14 against
+    #    a 50-slot window (4 free slots). Re-greening these five NOW
+    #    moves them to r13 vintage and buys r14 five extra slots
+    #    (NEXT_WINDOW.json carries the resulting plan). The first two
+    #    are also this round's bench-drift probes (r12 verdict #6).
+    "cri_multiline_roundtrip",
+    "docs_classifier_score",
+    "dedup_minhash_calibration",
+    "q9_nation_profit",
+    "ann_topk_mrl",
+    # sentinel (green in every round since r1)
+    "q1_pricing_summary",
+]
+
 _R12_WINDOW = [
     # 1. code paths changed this round (r11 verdict tasks #2/#5/#6):
     #    the reliable-checkpoint knob touches every iterative operator
@@ -5655,7 +5733,7 @@ _R8_WINDOW = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _all_queries()
-    ordered = {name: base[name] for name in _R12_WINDOW}
+    ordered = {name: base[name] for name in _R13_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
     return ordered
 
@@ -5841,6 +5919,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_hard_negatives": _embedding_hard_negatives,
         "embedding_ivf_knn_join": _embedding_ivf_knn_join,
         "embedding_imi_knn_join": _embedding_imi_knn_join,
+        "ann_recall_imi_join": _ann_recall_imi_join,
         "ann_recall_ivf_join": _ann_recall_ivf_join,
         "embedding_ivf_knn_join_probed": _embedding_ivf_knn_join_probed,
         "ann_recall_ivf_join_probed": _ann_recall_ivf_join_probed,
@@ -5885,6 +5964,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_cluster_labels": _docs_cluster_labels,
         "ann_topk_sq8": _ann_topk_sq8,
         "ann_topk_sq8_cell": _ann_topk_sq8_cell,
+        "ann_topk_ivf_sq8": _ann_topk_ivf_sq8,
         "ann_topk_sq8_packed": _ann_topk_sq8_packed,
         "ann_topk_sq8_served": _ann_topk_sq8_served,
         "ann_topk_mrl": _ann_topk_mrl,
@@ -7759,6 +7839,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic_collapsed": _ddb_semdedup_sql(collapsed=True),
         "embedding_ivf_knn_join": _ddb_ivf_knn_join_sql(),
         "embedding_imi_knn_join": _ddb_imi_knn_join_sql(),
+        "ann_recall_imi_join": _ddb_imi_join_recall_sql(),
         "ann_recall_ivf_join": _ddb_ivf_join_recall_sql(),
         "embedding_ivf_knn_join_probed": _ddb_ivf_knn_join_sql(n_probe=_IVF_JOIN_NPROBE),
         "ann_recall_ivf_join_probed": _ddb_ivf_join_recall_sql(n_probe=_IVF_JOIN_NPROBE),
@@ -9041,6 +9122,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_topk_sq8": _ddb_sq8_sql(topk=10, codes_only=False),
         "ann_topk_sq8_cell": _ddb_sq8_cell_sql(topk=10),
+        "ann_topk_ivf_sq8": _ddb_ivf_sq8_sql(),
         # packed variant decodes to the same values in the same fold
         # order — one oracle pins both representations
         "ann_topk_sq8_packed": _ddb_sq8_sql(topk=10, codes_only=False),
