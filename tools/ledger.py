@@ -22,6 +22,19 @@ sys.path.insert(0, "/root/repo")
 #: the registry lint in tests/test_round11_ops.py.
 MAX_STALE_ROUNDS = 4
 
+#: committed rotation plan (r12 verdict task #2): maps round -> the
+#: rows that round's window MUST include. Relative to cwd, like the
+#: CORRECTNESS_r*.json artifacts.
+PLAN_FILE = "NEXT_WINDOW.json"
+
+
+def _load_plan() -> dict:
+    try:
+        with open(PLAN_FILE) as f:
+            return json.load(f).get("plans", {})
+    except FileNotFoundError:
+        return {}
+
 
 def main() -> int:
     n_stale = 40
@@ -99,6 +112,16 @@ def main() -> int:
     # not in the next verdict. The horizon counts from the round the
     # upcoming run will record (max seen + 1). With an empty history
     # (fresh clone) nothing can be stale — skip the guard (ADVICE r11).
+    #
+    # r12 verdict task #2 (plan-aware exit): the driver's artifact for
+    # round N lands AFTER the builder's last commit, so the cohort that
+    # expires at N's judging horizon is breaching at judge time by
+    # construction — the builder cannot pre-rotate rows into a window
+    # the driver has already consumed. The committed NEXT_WINDOW.json
+    # plan closes this: a breach exits 0 IFF every breaching row is in
+    # plans[max+1].must_include (the builder has already committed to
+    # rotating it in next round); guard 3 below makes the plan binding.
+    plan = _load_plan()
     breaches = []
     if rounds:
         breaches = [
@@ -107,16 +130,43 @@ def main() -> int:
             if rnd < (max(rounds) + 1) - MAX_STALE_ROUNDS and q not in window
         ]
     if breaches:
-        print(f"\nSTALENESS BREACH: {len(breaches)} green rows are >"
-              f"{MAX_STALE_ROUNDS} rounds old and not in the current "
-              f"window — rotate them in:")
-        for rnd, q in breaches:
-            print(f"  r{rnd}  {q}")
-        rc = 1
+        nxt_plan = plan.get(str(max(rounds) + 1), {}) if rounds else {}
+        committed = set(nxt_plan.get("must_include", []))
+        uncovered = [(rnd, q) for rnd, q in breaches if q not in committed]
+        if not uncovered:
+            print(f"\nstaleness OK (plan-covered): {len(breaches)} rows "
+                  f"breach the horizon but every one is in the committed "
+                  f"NEXT_WINDOW plan for r{max(rounds) + 1} — the next "
+                  f"rotation is already bound to re-green them")
+        else:
+            print(f"\nSTALENESS BREACH: {len(uncovered)} green rows are >"
+                  f"{MAX_STALE_ROUNDS} rounds old, not in the current "
+                  f"window, and not covered by a committed NEXT_WINDOW "
+                  f"plan — rotate them in or commit the plan:")
+            for rnd, q in uncovered:
+                print(f"  r{rnd}  {q}")
+            rc = 1
     else:
         print(f"staleness OK: every green row is either <= "
               f"{MAX_STALE_ROUNDS} rounds old after the upcoming run or "
               f"in the current window")
+
+    # guard 3 (r12 verdict task #2, second half): the plan is a real
+    # forcing function only if the window that claims round R actually
+    # implements plans[R] — otherwise a plan could excuse a breach
+    # forever without the rotation ever happening.
+    wr = getattr(entrymod, "_WINDOW_ROUND", None)
+    if wr is not None and str(wr) in plan:
+        owed = [q for q in plan[str(wr)].get("must_include", [])
+                if q not in window]
+        if owed:
+            print(f"\nPLAN NOT IMPLEMENTED: the r{wr} window omits "
+                  f"{len(owed)} rows its committed plan promised: {owed}")
+            rc = 1
+        else:
+            print(f"plan OK: the r{wr} window implements all "
+                  f"{len(plan[str(wr)].get('must_include', []))} rows of "
+                  f"its committed NEXT_WINDOW plan")
 
     # forward budget (r11 verdict task #1): with a 50-slot window and a
     # ≤MAX_STALE-round horizon, each future round's window must absorb
