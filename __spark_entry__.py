@@ -4787,7 +4787,9 @@ def _ann_topk_sq8_cell(spark: SparkSession, sf: str) -> DataFrame:
     8-bit grid adapts to each cell's local range and resolves the
     within-component margins the global grid loses. One map-only
     assignment + one broadcast join against the cells-row bounds frame
-    + the flat unrolled decode+dot; the oracle replays the Lloyd fit
+    + ONE sequential F.aggregate decode+dot fold (the r12 rewrite: an
+    O(1) expression tree vs the 6.9 s/run O(dim) unrolled projection —
+    see vectors._sq8_cell_score); the oracle replays the Lloyd fit
     (shared √n-cells CTE chain), the per-cell GROUP BY bounds, and the
     sequential fold bit-for-bit. Shares the cached "ivfknn" centers and
     the session-persisted bounds frame (``_sq8_cell_bounds_cached`` —
@@ -10087,7 +10089,17 @@ def _ddb_imi_knn_join_sql(
     ``_ddb_cbrt_cells_limit`` arithmetic; pairs join on BOTH half
     assignments (j1, j2) — set-identical to the Spark side's composite
     j1·K+j2 key since the composite is bijective — then the same
-    (cos DESC, neighbor) rank window as the IVF join oracle."""
+    (cos DESC, neighbor) rank window as the IVF join oracle.
+
+    ASYMMETRY TO KNOW AT TRIAGE TIME (r12 ADVICE): the Spark side
+    applies ``split_cap=_imi_split_cap(n, k1)``; this oracle joins raw
+    (j1, j2) with NO split replay. Parity therefore rests on the cap
+    staying INACTIVE on every hash-checked fixture — guaranteed today
+    (measured max/fair ≤1.96 vs the 4× cap) and pinned by
+    tests/test_round13_ops.py::test_imi_split_cap_inactive_on_fixtures.
+    If a regenerated corpus ever concentrates a product cell past the
+    cap, that pytest fails with the cell histogram BEFORE the driver
+    hash check does, pointing here."""
     h1 = dim // 2
     h2 = dim - h1
     src1 = (

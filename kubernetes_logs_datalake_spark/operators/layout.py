@@ -53,11 +53,11 @@ def write_zordered(
     The range exchange is the one shuffle; its sampled bounds keep the
     files size-balanced even when the key space is skewed.
     """
+    from kubernetes_logs_datalake_spark.session import shuffle_partitions
+
     z = zorder_key(cols, bits).alias("_z")
     out = df.withColumn("_z", z)
-    nparts = num_files or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    nparts = num_files or shuffle_partitions(df.sparkSession)
     (
         out.repartitionByRange(nparts, F.col("_z"))
         .sortWithinPartitions("_z")

@@ -264,10 +264,10 @@ def length_bins(
     from kubernetes_logs_datalake_spark.functions.text import token_count
 
     with_len = df.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
+    from kubernetes_logs_datalake_spark.session import shuffle_partitions
+
     spark = df.sparkSession
-    nparts = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    nparts = num_partitions or shuffle_partitions(spark)
     # localCheckpoint pins the range partitioning: the counts job and
     # the rank job must see the SAME partition assignment, but
     # RangePartitioner samples with a nondeterministic seed, so a

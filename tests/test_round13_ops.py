@@ -104,6 +104,259 @@ def test_ledger_red_when_window_breaks_its_own_plan(tmp_path):
     assert "PLAN NOT IMPLEMENTED" in p.stdout
 
 
+def test_length_bins_uses_robust_partition_parse(spark, monkeypatch):
+    """r12 verdict task #4: length_bins (and zorder_write) must derive
+    their partition count through session.shuffle_partitions() — the
+    "auto"-robust parse — not a raw int(conf.get(...)). Pinned by
+    routing the helper through a recorder and checking both the call
+    and the unchanged output."""
+    from kubernetes_logs_datalake_spark import session as sess
+    from kubernetes_logs_datalake_spark.operators.sampling import (
+        length_bins,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (1 + i % 7)) for i in range(40)], "doc_id int, text string"
+    )
+    baseline = sorted(
+        tuple(r) for r in length_bins(docs, "doc_id", "text").collect()
+    )
+
+    calls = []
+    real = sess.shuffle_partitions
+
+    def recorder(s):
+        calls.append(True)
+        return real(s)
+
+    monkeypatch.setattr(sess, "shuffle_partitions", recorder)
+    got = sorted(
+        tuple(r) for r in length_bins(docs, "doc_id", "text").collect()
+    )
+    assert calls, "length_bins bypassed session.shuffle_partitions()"
+    assert got == baseline
+
+    # the repo-wide invariant: no raw int() parse of the conf outside
+    # the helper itself (grep-equivalent, kept in-suite so it cannot
+    # regress silently)
+    import subprocess
+
+    p = subprocess.run(
+        ["grep", "-rn",
+         r'int(.*conf.get("spark.sql.shuffle.partitions"',
+         os.path.join(REPO, "kubernetes_logs_datalake_spark"),
+         os.path.join(REPO, "__spark_entry__.py")],
+        capture_output=True, text=True,
+    )
+    offenders = [
+        ln for ln in p.stdout.splitlines() if "session.py" not in ln
+    ]
+    assert not offenders, offenders
+
+
+def test_ivf_sq8_topk_refuses_assigned_df_without_centers(spark):
+    """r12 ADVICE: assigned_df without the codebook that produced its
+    labels is the mismatched-codebook hazard — refitting from df would
+    probe arbitrary cells silently. Must refuse loudly."""
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_topk, kmeans_assign, kmeans_fit,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3)]) for i in range(1, 40)],
+        "vec_id int, embedding array<double>",
+    )
+    centers, _ = kmeans_fit(df, "vec_id", "embedding", k=3, iters=2)
+    assigned = kmeans_assign(df, "vec_id", "embedding", centers)
+    with pytest.raises(ValueError, match="centers"):
+        ivf_sq8_topk(
+            df, "vec_id", "embedding", [1.0, 2.0], dim=2,
+            assigned_df=assigned,
+        )
+
+
+def test_sq8_cell_score_raises_on_uncovered_cluster(spark):
+    """r12 ADVICE: a bounds_df missing a cluster must ERROR, not
+    silently drop that cluster's rows from the top-k (the
+    recall-shrinking stale/foreign-bounds hazard). Covered clusters
+    keep bit-identical scores through the left-join rewrite."""
+    from pyspark.sql import functions as F
+
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        kmeans_assign, kmeans_fit, sq8_cell_bounds, sq8_cell_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(1, 60)],
+        "vec_id int, embedding array<double>",
+    )
+    centers, _ = kmeans_fit(df, "vec_id", "embedding", k=4, iters=2)
+    assigned = kmeans_assign(df, "vec_id", "embedding", centers)
+    bounds = sq8_cell_bounds(assigned, "embedding", 2)
+    q = [1.0, 1.0]
+
+    full = sq8_cell_topk(
+        df, "vec_id", "embedding", q, dim=2, topk=5,
+        centers=centers, bounds_df=bounds,
+    ).collect()
+    assert len(full) == 5
+
+    # drop one cluster's bounds row -> the serve must raise, not shrink
+    present = sorted(r["cluster"] for r in bounds.select("cluster").collect())
+    broken = bounds.filter(F.col("cluster") != present[0])
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception, match="bounds_df does not cover") as ei:
+        sq8_cell_topk(
+            df, "vec_id", "embedding", q, dim=2, topk=5,
+            centers=centers, bounds_df=broken,
+        ).collect()
+    assert isinstance(ei.value, Py4JJavaError) or "bounds_df" in str(ei.value)
+
+
+def test_imi_split_cap_inactive_on_fixtures(spark):
+    """r12 ADVICE: embedding_imi_knn_join's oracle joins raw (j1, j2)
+    with NO split replay, so hash parity rests on the split cap staying
+    inactive. Pin that precondition on every hash-checked fixture: the
+    max product-cell size must stay <= _imi_split_cap(n, k1). If a
+    regenerated corpus concentrates a product cell, THIS fails with the
+    histogram before the driver's opaque hash mismatch does."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        _imi_assign,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = entry._t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+        n = entry._emb_count_cached(emb, sf, "nz")
+        k1, fit_mod = entry._cbrt_cells(n)
+        c1, c2 = entry._imi_centers_cached(
+            emb, sf, k1, iters=3, fit_sample_mod=fit_mod
+        )
+        cap = entry._imi_split_cap(n, k1)
+        sizes = (
+            _imi_assign(emb, "vec_id", "embedding", c1, c2,
+                        entry.EMBEDDING_DIM)
+            .groupBy("j1", "j2").count()
+            .orderBy(F.desc("count")).limit(5).collect()
+        )
+        mx = sizes[0]["count"]
+        assert mx <= cap, (
+            f"{sf}: max product cell {mx} > cap {cap} — the split cap "
+            f"would activate and the raw-(j1,j2) oracle would diverge; "
+            f"top cells: {[tuple(r) for r in sizes]}"
+        )
+
+
+@pytest.fixture()
+def small_embed_corpus(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim, n = 8, 120
+    vecs = rng.normal(0.0, 1.0, (n, dim))
+    df = spark.createDataFrame(
+        [(i + 1, [float(v) for v in vec]) for i, vec in enumerate(vecs)],
+        "vec_id: long, embedding: array<double>",
+    )
+    query = [float(v) for v in rng.normal(0.0, 1.0, dim)]
+    return df.localCheckpoint(), query, dim
+
+
+def test_ivf_sq8_index_lifecycle_on_hadoop_file_scheme(
+    spark, small_embed_corpus, tmp_path
+):
+    """r12 verdict item 3 (weak flag): the stored-index manifest must
+    travel the Hadoop FileSystem seam, not driver-POSIX os/open() — on
+    an s3://
+    lake POSIX calls misroute the manifest to the driver's local disk
+    while the parquet halves go remote, tearing the build the manifest
+    protocol exists to prevent. Proven here by running the whole
+    lifecycle against a ``file:``-scheme URI (os.path.* returns False
+    on such strings, so any surviving POSIX call would break), then
+    checking the manifest landed on the SAME filesystem as the cells."""
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_index_build, ivf_sq8_index_search, ivf_sq8_topk,
+        kmeans_fit,
+    )
+
+    df, query, dim = small_embed_corpus
+    centers, _ = kmeans_fit(df, "vec_id", "embedding", k=4, iters=2)
+    local = str(tmp_path / "ivfsq8_uri")
+    idx = "file:" + local
+    assert not os.path.exists(idx)  # the URI string is not a POSIX path
+
+    built = ivf_sq8_index_build(
+        df, "vec_id", "embedding", idx, dim=dim, centers=centers
+    )
+    assert built == centers
+    # same-FS check: manifest and cells are siblings under the one
+    # local materialization of the file:-scheme root
+    assert os.path.exists(os.path.join(local, "manifest.json"))
+    assert os.path.isdir(os.path.join(local, "cells"))
+
+    for p in (1, 4):
+        served = ivf_sq8_index_search(spark, idx, query, topk=5, n_probe=p)
+        inline = ivf_sq8_topk(
+            df, "vec_id", "embedding", query, dim=dim, topk=5,
+            n_probe=p, centers=centers,
+        )
+        assert [tuple(r) for r in served.collect()] == [
+            tuple(r) for r in inline.collect()
+        ], p
+
+    # rebuild over the same URI must invalidate-then-rename (no stale
+    # manifest pairing with new cells) and still serve identically
+    built2 = ivf_sq8_index_build(
+        df, "vec_id", "embedding", idx, dim=dim, centers=centers
+    )
+    assert built2 == centers
+    assert os.path.exists(os.path.join(local, "manifest.json"))
+
+    # torn build: removing the manifest through the SAME seam must make
+    # serving refuse loudly
+    os.remove(os.path.join(local, "manifest.json"))
+    with pytest.raises(FileNotFoundError, match="torn|manifest"):
+        ivf_sq8_index_search(spark, idx, query)
+
+
+def test_pq_index_lifecycle_on_hadoop_file_scheme(
+    spark, small_embed_corpus, tmp_path
+):
+    """Same seam contract for the PQ stored index: build + serve over
+    a ``file:``-scheme URI, manifest on the same FS as the codes, torn
+    build refuses."""
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        pq_adc_topk, pq_index_build, pq_index_search,
+    )
+
+    df, query, dim = small_embed_corpus
+    local = str(tmp_path / "pq_uri")
+    idx = "file:" + local
+    books = pq_index_build(
+        df, "vec_id", "embedding", idx, dim=dim, m=4, k=8, iters=2
+    )
+    assert os.path.exists(os.path.join(local, "codebooks.json"))
+    assert os.path.isdir(os.path.join(local, "codes"))
+
+    served = [
+        tuple(r) for r in pq_index_search(spark, idx, query, topk=5).collect()
+    ]
+    inline = [
+        tuple(r) for r in pq_adc_topk(
+            df, "vec_id", "embedding", query, dim=dim, m=4, k=8,
+            iters=2, topk=5, codebooks=books,
+        ).collect()
+    ]
+    assert served == inline
+
+    os.remove(os.path.join(local, "codebooks.json"))
+    with pytest.raises(FileNotFoundError, match="torn|manifest"):
+        pq_index_search(spark, idx, query)
+
+
 def test_committed_plan_covers_the_projected_expiring_cohort():
     """The real NEXT_WINDOW.json must cover the cohort the ledger's
     forward budget projects to expire next round — i.e. the committed
