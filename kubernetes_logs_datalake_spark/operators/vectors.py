@@ -1386,6 +1386,71 @@ def _sq8_cell_score(
     )
 
 
+def sq8_cell_refine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    dim: int,
+    topk: int = 10,
+    n_candidates: int = 40,
+    n_probe: int | None = None,
+    cells: int = 8,
+    iters: int = 3,
+    scale: int = 4,
+    centers: list[list[float]] | None = None,
+    bounds_df: DataFrame | None = None,
+    assigned_df: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage SQ8 funnel — quantized candidate generation, EXACT
+    cosine re-rank (``IVF,SQ8-R``; the refine idiom of
+    :func:`pq_refine_topk` / Jégou et al. 2011 §V applied to the
+    per-cell SQ8 scorer): the SCALE.md r12 deployment rule's answer
+    for corpora where per-cell bounds DON'T pay (effective-bits
+    statistic small, e.g. the measured 1.76 bits on the organic
+    corpus — and the r13 rotation A/B showing no orthonormal rotation
+    recovers it). Quantization error then can't be sized away with a
+    finer grid, so spend full precision on ``n_candidates`` survivors
+    instead: recall becomes the CANDIDATE stage's recall@n_candidates
+    (strictly ≥ recall@topk, monotone in n_candidates), while
+    full-precision work stays ``n_candidates`` rows regardless of
+    corpus size — the 100 TB property.
+
+    ``n_probe=None`` scans all cells through :func:`sq8_cell_topk`;
+    an int probes that many cells through :func:`ivf_sq8_topk`
+    (candidate recall then also gated by the probe cut). The ≤
+    ``n_candidates``-row survivor frame joins back to the corpus by
+    id — AQE broadcasts it, the corpus never shuffles. Output:
+    (id, cos) exact cosine, descending, ties by id."""
+    from kubernetes_logs_datalake_spark.functions.vectors import (
+        cosine,
+        literal_vector,
+    )
+
+    if n_probe is None:
+        cands = sq8_cell_topk(
+            df, id_col, vec_col, query, dim, topk=n_candidates,
+            centers=centers, cells=cells, iters=iters,
+            bounds_df=bounds_df,
+        ).select(id_col)
+    else:
+        cands = ivf_sq8_topk(
+            df, id_col, vec_col, query, dim, topk=n_candidates,
+            n_probe=n_probe, cells=cells, iters=iters, centers=centers,
+            bounds_df=bounds_df, assigned_df=assigned_df,
+        ).select(id_col)
+    qlit = literal_vector([float(v) for v in query])
+    return (
+        df.join(cands, id_col)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), qlit), scale).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(topk)
+    )
+
+
 def kmeans_assign_arrow(
     df: DataFrame,
     id_col: str,

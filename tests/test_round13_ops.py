@@ -357,6 +357,138 @@ def test_pq_index_lifecycle_on_hadoop_file_scheme(
         pq_index_search(spark, idx, query)
 
 
+def test_pca_rotation_is_orthonormal_deterministic_and_balanced(spark):
+    """The OPQ-style rotation contract: R is orthonormal (preserves
+    the ANN metric exactly in exact arithmetic), bit-deterministic
+    across fits, and eigenvalue-BALANCED across the two half-spaces —
+    raw PCA order would concentrate variance in the first half and
+    make the IMI half-correlation worse, not better."""
+    import numpy as np
+
+    from kubernetes_logs_datalake_spark.operators.rotation import (
+        fit_pca_rotation,
+    )
+
+    rng = np.random.default_rng(3)
+    # anisotropic corpus: variance concentrated on a few raw axes
+    dim, n = 8, 400
+    scales = np.array([8.0, 5.0, 3.0, 2.0, 1.0, 0.5, 0.25, 0.1])
+    vecs = rng.normal(0.0, 1.0, (n, dim)) * scales
+    df = spark.createDataFrame(
+        [(i + 1, [float(v) for v in row]) for i, row in enumerate(vecs)],
+        "vec_id: long, embedding: array<double>",
+    ).localCheckpoint()
+
+    R1 = np.asarray(fit_pca_rotation(df, "vec_id", "embedding", dim))
+    R2 = np.asarray(fit_pca_rotation(df, "vec_id", "embedding", dim))
+    assert np.array_equal(R1, R2), "fit is not deterministic"
+    assert np.allclose(R1 @ R1.T, np.eye(dim), atol=1e-9), "not orthonormal"
+
+    # balanced halves: the variance of the rotated sample must split
+    # comparably between the first and second half of the output dims
+    rot = vecs @ R1.T
+    v1 = float(rot[:, : dim // 2].var(axis=0).sum())
+    v2 = float(rot[:, dim // 2 :].var(axis=0).sum())
+    ratio = max(v1, v2) / min(v1, v2)
+    # raw PCA order on this corpus would give ratio ~20; balanced
+    # allocation must keep the halves within a small factor
+    assert ratio < 2.0, (v1, v2)
+
+
+def test_rotation_preserves_dot_products_and_roundtrips(spark):
+    """v'·q' == v·q (orthonormality) to float tolerance — the property
+    that makes the rotation metric-free for every ANN consumer — and
+    rotate_vectors matches the numpy reference while preserving the
+    other columns."""
+    import numpy as np
+
+    from kubernetes_logs_datalake_spark.operators.rotation import (
+        random_rotation, rotate_vectors,
+    )
+
+    rng = np.random.default_rng(5)
+    dim, n = 6, 50
+    vecs = rng.normal(0.0, 2.0, (n, dim))
+    df = spark.createDataFrame(
+        [
+            (i + 1, f"tag{i % 3}", [float(v) for v in row])
+            for i, row in enumerate(vecs)
+        ],
+        "vec_id: long, tag: string, embedding: array<double>",
+    )
+    R = random_rotation(dim, seed=11)
+    Rm = np.asarray(R)
+    assert np.allclose(Rm @ Rm.T, np.eye(dim), atol=1e-12)
+    assert random_rotation(dim, seed=11) == R  # seeded determinism
+
+    out = rotate_vectors(df, "embedding", R).orderBy("vec_id").collect()
+    want = vecs @ Rm.T
+    got = np.asarray([r["embedding"] for r in out])
+    assert np.allclose(got, want, atol=1e-12)
+    assert [r["tag"] for r in out] == [f"tag{i % 3}" for i in range(n)]
+
+    q = rng.normal(0.0, 1.0, dim)
+    qr = Rm @ q
+    assert np.allclose(got @ qr, vecs @ q, atol=1e-9)
+
+
+def test_sq8_cell_refine_recovers_exact_topk(spark):
+    """The funnel contract on the corpus where per-cell bounds DON'T
+    pay: with enough candidates the exact re-rank must recover the
+    full-precision cosine top-k exactly (recall becomes the candidate
+    stage's recall@n_candidates), and recall must be monotone in
+    n_candidates. r14-QUEUED registry row (ann_topk_sq8_cell_refined);
+    operator pinned now, registration when the window has slots."""
+    import numpy as np
+
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        kmeans_fit, sq8_cell_refine_topk,
+    )
+
+    rng = np.random.default_rng(21)
+    dim, n = 8, 240
+    # overlapping clouds: within-cloud margins comparable to cloud
+    # width, the low-effective-bits regime where plain SQ8 misranks
+    comps = rng.normal(0.0, 1.0, (4, dim))
+    vecs = np.vstack([
+        c + rng.normal(0.0, 0.6, (n // 4, dim)) for c in comps
+    ])
+    df = spark.createDataFrame(
+        [(i + 1, [float(v) for v in row]) for i, row in enumerate(vecs)],
+        "vec_id: long, embedding: array<double>",
+    ).localCheckpoint()
+    query = [float(v) for v in comps[1] + rng.normal(0.0, 0.3, dim)]
+
+    qn = np.asarray(query)
+    cosines = (vecs @ qn) / (
+        np.linalg.norm(vecs, axis=1) * np.linalg.norm(qn)
+    )
+    exact10 = [int(i) + 1 for i in np.argsort(-cosines)[:10]]
+
+    centers, _ = kmeans_fit(df, "vec_id", "embedding", k=4, iters=3)
+    recalls = []
+    for nc in (10, 60, n):
+        got = [
+            r["vec_id"]
+            for r in sq8_cell_refine_topk(
+                df, "vec_id", "embedding", query, dim=8, topk=10,
+                n_candidates=nc, centers=centers, cells=4,
+            ).collect()
+        ]
+        recalls.append(len(set(got) & set(exact10)) / 10)
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0, recalls  # full-candidate = exact
+    # and the probed variant composes without error, exact at full probe
+    got = [
+        r["vec_id"]
+        for r in sq8_cell_refine_topk(
+            df, "vec_id", "embedding", query, dim=8, topk=10,
+            n_candidates=n, n_probe=4, centers=centers, cells=4,
+        ).collect()
+    ]
+    assert got == exact10
+
+
 def test_committed_plan_covers_the_projected_expiring_cohort():
     """The real NEXT_WINDOW.json must cover the cohort the ledger's
     forward budget projects to expire next round — i.e. the committed
