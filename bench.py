@@ -182,6 +182,11 @@ HEADLINE = [
     # to embedding_ivf_knn_join's flat Θ(n^1.5)) + per-cell SQ8
     "embedding_imi_knn_join",
     "ann_topk_sq8_cell",
+    # r13: the two newly-registered serving rows — IVF,SQ8 probed
+    # serving (shares the cached centers/bounds, so the timing is the
+    # true probe+fold serve path) and the IMI join's panel recall
+    "ann_topk_ivf_sq8",
+    "ann_recall_imi_join",
     # events_hits_scores is deliberately NOT benched for the same
     # reason as docs_bpe_merges: 8 mutual-reinforcement rounds = 16
     # sequential half-round actions whose per-action data is a 5-row
