@@ -1706,6 +1706,7 @@ def ivf_sq8_index_build(
     scale: int = 6,
     centers: list[list[float]] | None = None,
     assign_arrow: bool = False,
+    rotation: list[list[float]] | None = None,
 ) -> list[list[float]]:
     """Persist an IVF,SQ8 index with the layout that makes the probe
     cut REAL: the assigned corpus written ``partitionBy(cluster)`` (so
@@ -1720,6 +1721,21 @@ def ivf_sq8_index_build(
     the centroids."""
     import json as _json
 
+    if rotation is not None:
+        # OPQ-style pre-transform as a build-once index artifact (the
+        # FAISS "OPQ..,IVF..,SQ8" composition; r13 rotation A/B in
+        # SCALE.md for when it pays): rotate the corpus BEFORE the fit
+        # and assignment, persist R in the manifest, and the serve
+        # path rotates only the QUERY (one dim×dim matvec driver-side)
+        # — orthonormality preserves every score, so the output
+        # contract is unchanged while the quantizer sees decorrelated
+        # coordinates. `centers` passed together with `rotation` must
+        # already live in the ROTATED space.
+        from kubernetes_logs_datalake_spark.operators.rotation import (
+            rotate_vectors,
+        )
+
+        df = rotate_vectors(df, vec_col, rotation)
     if centers is None:
         centers, _ = kmeans_fit(df, id_col, vec_col, k=cells, iters=iters)
     assigned = (
@@ -1741,16 +1757,14 @@ def ivf_sq8_index_build(
         f"{index_dir}/cells"
     )
     bounds.write.mode("overwrite").parquet(f"{index_dir}/bounds")
-    fs.write_small_atomic(
-        manifest,
-        _json.dumps(
-            {
-                "dim": dim, "cells": len(centers), "scale": scale,
-                "id_col": id_col, "vec_col": vec_col,
-                "centers": [[float(v) for v in c] for c in centers],
-            }
-        ).encode(),
-    )
+    payload = {
+        "dim": dim, "cells": len(centers), "scale": scale,
+        "id_col": id_col, "vec_col": vec_col,
+        "centers": [[float(v) for v in c] for c in centers],
+    }
+    if rotation is not None:
+        payload["rotation"] = [[float(v) for v in r] for r in rotation]
+    fs.write_small_atomic(manifest, _json.dumps(payload).encode())
     return centers
 
 
@@ -1785,6 +1799,16 @@ def ivf_sq8_index_search(
     dim = int(cfg["dim"])
     if len(query) != dim:
         raise ValueError(f"query dim {len(query)} != index dim {dim}")
+    if "rotation" in cfg:
+        # the index was built in rotated space (OPQ pre-transform):
+        # rotate the query into it — one dim×dim matvec, driver-side;
+        # orthonormality keeps every reported score identical to the
+        # raw-space dot product
+        R = cfg["rotation"]
+        query = [
+            sum(R[i][j] * float(query[j]) for j in range(dim))
+            for i in range(dim)
+        ]
     centers = cfg["centers"]
     probe = _pick_probes(query, centers, n_probe)
     cellsdf = spark.read.parquet(f"{index_dir}/cells")

@@ -489,6 +489,50 @@ def test_sq8_cell_refine_recovers_exact_topk(spark):
     assert got == exact10
 
 
+def test_ivf_sq8_index_stores_and_applies_rotation(
+    spark, small_embed_corpus, tmp_path
+):
+    """The OPQ pre-transform as a build-once index artifact: building
+    with `rotation=R` rotates the corpus before fit/assignment and
+    persists R in the manifest; serving rotates only the QUERY
+    driver-side. Contract: served output is bit-identical to the
+    in-memory probed path over the explicitly-rotated corpus with the
+    explicitly-rotated query, at every probe width."""
+    import numpy as np
+
+    from kubernetes_logs_datalake_spark.operators.rotation import (
+        fit_pca_rotation, rotate_vectors,
+    )
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_index_build, ivf_sq8_index_search, ivf_sq8_topk,
+    )
+
+    df, query, dim = small_embed_corpus
+    R = fit_pca_rotation(df, "vec_id", "embedding", dim, subspaces=2)
+    idx = str(tmp_path / "ivfsq8_rot")
+    centers = ivf_sq8_index_build(
+        df, "vec_id", "embedding", idx, dim=dim, cells=4, rotation=R
+    )
+
+    import json as js
+
+    manifest = js.load(open(os.path.join(idx, "manifest.json")))
+    assert manifest["rotation"] == R
+
+    rotated = rotate_vectors(df, "embedding", R).localCheckpoint()
+    Rm = np.asarray(R)
+    q_rot = [float(v) for v in Rm @ np.asarray(query)]
+    for p in (1, 4):
+        served = ivf_sq8_index_search(spark, idx, query, topk=5, n_probe=p)
+        inline = ivf_sq8_topk(
+            rotated, "vec_id", "embedding", q_rot, dim=dim, topk=5,
+            n_probe=p, centers=centers,
+        )
+        assert [tuple(r) for r in served.collect()] == [
+            tuple(r) for r in inline.collect()
+        ], p
+
+
 def test_committed_plan_covers_the_projected_expiring_cohort():
     """The real NEXT_WINDOW.json must cover the cohort the ledger's
     forward budget projects to expire next round — i.e. the committed
