@@ -5093,6 +5093,61 @@ def _ddb_sq8_cell_sql(
     """
 
 
+_SQ8_REFINE_CANDS = 40
+
+
+def _ann_topk_sq8_cell_refined(spark: SparkSession, sf: str) -> DataFrame:
+    """r14-QUEUED (named in NEXT_WINDOW.json; the r13 window is full):
+    the IVF,SQ8-R exact-re-rank funnel (``vectors.
+    sq8_cell_refine_topk``) — per-cell SQ8 proposes 4k candidates,
+    exact cosine re-ranks to top-10. The r12/r13 measurements say this
+    is the deployment shape for corpora where the effective-bits
+    statistic is small (1.76 bits organic, and the r13 rotation A/B
+    showed no orthonormal rotation recovers it): full-precision work
+    is 40 rows regardless of corpus size. Shares the cached "ivfknn"
+    centers and the session-cached per-cell bounds, so the bench
+    measures assignment + fold + 40-row re-rank, the true serve
+    path."""
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        sq8_cell_refine_topk,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    cells, fit_mod = _sqrt_cells(_emb_count_cached(emb, sf, "nz"))
+    centers = _kmeans_centers_cached(
+        emb, sf, "ivfknn", k=cells, iters=3, fit_sample_mod=fit_mod
+    )
+    q = _query_vec(spark, sf)
+    return sq8_cell_refine_topk(
+        emb, "vec_id", "embedding", q, dim=EMBEDDING_DIM, topk=10,
+        n_candidates=_SQ8_REFINE_CANDS, centers=centers,
+        bounds_df=_sq8_cell_bounds_cached(spark, sf, centers),
+    )
+
+
+def _ddb_sq8_cell_refined_sql(
+    topk: int = 10, n_candidates: int = _SQ8_REFINE_CANDS,
+    iters: int = 3, dim: int = EMBEDDING_DIM,
+) -> str:
+    """Oracle for the r14-QUEUED ``ann_topk_sq8_cell_refined``: the
+    SAME shared per-cell SQ8 chain proposes the candidate ids
+    (``ORDER BY score DESC, vec_id LIMIT n_candidates`` — identical
+    tie-break to the Spark candidate stage), then exact cosine
+    re-ranks them (the ``ann_topk_pq_refine`` refine-oracle shape)."""
+    return f"""
+        WITH {_ddb_sq8_cell_ctes(iters, dim)},
+        cand AS (
+            SELECT vec_id FROM (
+                {_ddb_sq8_cell_score_select(dim)}
+                ORDER BY score DESC, e.vec_id LIMIT {n_candidates}))
+        SELECT e.vec_id,
+               round({_ddb_cos("e.embedding", "q.qv", dim)}, 4) AS cos
+        FROM (SELECT * FROM embeddings WHERE vec_id <> 0) e
+        JOIN cand c ON c.vec_id = e.vec_id, q
+        ORDER BY cos DESC, e.vec_id LIMIT {topk}
+    """
+
+
 def _ddb_ivf_sq8_sql(
     topk: int = 10, n_probe: int = 4, iters: int = 3,
     dim: int = EMBEDDING_DIM,

@@ -533,6 +533,41 @@ def test_ivf_sq8_index_stores_and_applies_rotation(
         ], p
 
 
+def _duckdb_on(sf: str, sql: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        try:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf}/{t}.parquet')"
+            )
+        except Exception:
+            pass
+    return con.execute(sql).fetchall()
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001",
+                                "/root/testdata/sf0.01"])
+def test_r14_queued_sq8_cell_refined_oracle_parity(spark, sf):
+    """The r14-queued ann_topk_sq8_cell_refined query and its oracle
+    agree TODAY on both hash-checked fixtures — registration at r14 is
+    the two dict lines (the r12->r13 queued-row pattern)."""
+    import __spark_entry__ as entry
+
+    got = [
+        (int(r[0]), float(r[1]))
+        for r in entry._ann_topk_sq8_cell_refined(spark, sf).collect()
+    ]
+    want = [
+        (int(a), float(b))
+        for a, b in _duckdb_on(sf, entry._ddb_sq8_cell_refined_sql())
+    ]
+    assert got == want
+
+
 def test_committed_plan_covers_the_projected_expiring_cohort():
     """The real NEXT_WINDOW.json must cover the cohort the ledger's
     forward budget projects to expire next round — i.e. the committed
