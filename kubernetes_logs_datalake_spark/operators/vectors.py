@@ -1768,6 +1768,138 @@ def ivf_sq8_index_build(
     return centers
 
 
+def ivf_sq8_index_append(
+    df: DataFrame,
+    index_dir: str,
+    assign_arrow: bool = False,
+) -> int:
+    """Append new vectors to a stored IVF,SQ8 index WITHOUT refitting:
+    assign the batch against the manifest's frozen codebook, append to
+    the cell partitions (only the touched cells' directories gain
+    files), and refresh the per-cell bounds for touched cells only —
+    untouched cells keep their bounds rows verbatim. Build once,
+    append many: the lake-scale ingestion shape, where a daily batch
+    is ≪ the corpus and a refit would re-shuffle 100 TB to move a few
+    centroids.
+
+    Two properties make the cheap append SOUND here:
+
+    - codes are derived AT SERVE TIME from (vector, bounds) — the
+      cells store raw vectors, so widening a touched cell's bounds
+      re-encodes its existing rows implicitly; there is no stored-code
+      table to invalidate (the classic SQ8-index append hazard).
+    - the torn-build protocol extends naturally: the manifest is
+      invalidated BEFORE the cells append and re-written (atomic
+      rename) only after cells + bounds are consistent, so a crash
+      mid-append leaves a refusing index, never a serving index whose
+      bounds do not cover its cells.
+
+    Centroid drift is the accepted trade-off (the batch is assigned to
+    the OLD centroids; recall degrades only as the data distribution
+    moves — rebuild when a drift monitor says so, cf.
+    ``operators/profile``'s drift statistics). Returns the number of
+    rows appended."""
+    import json as _json
+
+    spark = df.sparkSession
+    fs = _index_fs(spark, index_dir)
+    manifest = f"{index_dir}/manifest.json"
+    if not fs.exists(manifest):
+        raise FileNotFoundError(
+            f"ivf_sq8_index_append: no manifest at {manifest} — "
+            "incomplete or torn index build"
+        )
+    cfg = _json.loads(fs.read_small(manifest))
+    id_col, vec_col, dim = cfg["id_col"], cfg["vec_col"], int(cfg["dim"])
+    centers = cfg["centers"]
+    if "rotation" in cfg:
+        from kubernetes_logs_datalake_spark.operators.rotation import (
+            rotate_vectors,
+        )
+
+        df = rotate_vectors(df, vec_col, cfg["rotation"])
+    assigned = (
+        kmeans_assign_arrow(df, id_col, vec_col, centers)
+        if assign_arrow
+        else kmeans_assign(df, id_col, vec_col, centers)
+    ).localCheckpoint(eager=True)  # pin: feeds count, write AND bounds
+    n_new = assigned.count()
+    if n_new == 0:
+        return 0
+    touched = sorted(
+        int(r["cluster"])
+        for r in assigned.select("cluster").distinct().collect()
+    )
+    fs.delete(manifest)  # invalidate BEFORE touching data
+    assigned.select(
+        F.col(id_col), F.col(vec_col), F.col("cluster")
+    ).write.mode("append").partitionBy("cluster").parquet(
+        f"{index_dir}/cells"
+    )
+    # bounds: recompute ONLY touched cells from the now-complete cell
+    # partitions (partition pruning — the untouched 1 - t/cells of the
+    # corpus is never read), keep the rest verbatim
+    cells_df = spark.read.parquet(f"{index_dir}/cells")
+    new_bounds = sq8_cell_bounds(
+        cells_df.filter(F.col("cluster").isin(touched)), vec_col, dim
+    )
+    old_bounds = spark.read.parquet(f"{index_dir}/bounds").filter(
+        ~F.col("cluster").isin(touched)
+    )
+    merged = old_bounds.unionByName(new_bounds).localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(f"{index_dir}/bounds")
+    fs.write_small_atomic(manifest, _json.dumps(cfg).encode())
+    return n_new
+
+
+def ivf_sq8_index_verify(spark, index_dir: str) -> dict:
+    """Consistency report for a stored IVF,SQ8 index — the check a
+    serving fleet runs before taking an index live (and after an
+    append): manifest present and parseable, every cell partition's
+    cluster id inside the codebook range, and the bounds frame covers
+    EVERY cluster the cells contain (the uncovered-cluster condition
+    the scorer now raises on, checked here ahead of query time).
+    Returns ``{"ok": bool, "n_rows", "n_cells", "uncovered": [...],
+    "out_of_range": [...]}``; raises FileNotFoundError on a torn
+    build like the search path."""
+    import json as _json
+
+    fs = _index_fs(spark, index_dir)
+    manifest = f"{index_dir}/manifest.json"
+    if not fs.exists(manifest):
+        raise FileNotFoundError(
+            f"ivf_sq8_index_verify: no manifest at {manifest} — "
+            "incomplete or torn index build"
+        )
+    cfg = _json.loads(fs.read_small(manifest))
+    k = int(cfg["cells"])
+    cells_df = spark.read.parquet(f"{index_dir}/cells")
+    bounds = spark.read.parquet(f"{index_dir}/bounds")
+    present = cells_df.groupBy("cluster").count()
+    covered = bounds.select("cluster").distinct()
+    uncovered = sorted(
+        int(r["cluster"])
+        for r in present.join(covered, "cluster", "left_anti")
+        .select("cluster").collect()
+    )
+    out_of_range = sorted(
+        int(r["cluster"])
+        for r in present.filter(
+            (F.col("cluster") < 0) | (F.col("cluster") >= k)
+        ).select("cluster").collect()
+    )
+    stats = present.agg(
+        F.sum("count").alias("n"), F.count("*").alias("c")
+    ).first()
+    return {
+        "ok": not uncovered and not out_of_range,
+        "n_rows": int(stats["n"] or 0),
+        "n_cells": int(stats["c"]),
+        "uncovered": uncovered,
+        "out_of_range": out_of_range,
+    }
+
+
 def ivf_sq8_index_search(
     spark,
     index_dir: str,

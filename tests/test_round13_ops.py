@@ -568,6 +568,65 @@ def test_r14_queued_sq8_cell_refined_oracle_parity(spark, sf):
     assert got == want
 
 
+def test_ivf_sq8_index_append_serves_identically_to_rebuild(
+    spark, small_embed_corpus, tmp_path
+):
+    """Build-once/append-many: after appending a batch assigned with
+    the frozen codebook, serving must be bit-identical to the inline
+    probed path over the UNION corpus with the same centers (touched
+    cells re-bound, untouched cells' bounds verbatim — equal either
+    way because bounds are pure min/max of their rows). The verifier
+    passes after the append and catches a bounds hole."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_index_append, ivf_sq8_index_build, ivf_sq8_index_search,
+        ivf_sq8_index_verify, ivf_sq8_topk, kmeans_fit,
+    )
+
+    df, query, dim = small_embed_corpus
+    base = df.filter(F.col("vec_id") <= 90).localCheckpoint()
+    batch = df.filter(F.col("vec_id") > 90).localCheckpoint()
+    centers, _ = kmeans_fit(base, "vec_id", "embedding", k=4, iters=2)
+    idx = str(tmp_path / "ivfsq8_app")
+    ivf_sq8_index_build(
+        base, "vec_id", "embedding", idx, dim=dim, centers=centers
+    )
+
+    n = ivf_sq8_index_append(batch, idx)
+    assert n == batch.count()
+    rep = ivf_sq8_index_verify(spark, idx)
+    assert rep["ok"] and rep["n_rows"] == df.count(), rep
+
+    for p in (1, 4):
+        served = ivf_sq8_index_search(spark, idx, query, topk=7, n_probe=p)
+        inline = ivf_sq8_topk(
+            df, "vec_id", "embedding", query, dim=dim, topk=7,
+            n_probe=p, centers=centers,
+        )
+        assert [tuple(r) for r in served.collect()] == [
+            tuple(r) for r in inline.collect()
+        ], p
+
+    # empty append is a no-op that leaves the index serving
+    assert ivf_sq8_index_append(batch.filter(F.lit(False)), idx) == 0
+    assert ivf_sq8_index_verify(spark, idx)["ok"]
+
+    # verifier catches a bounds hole (the uncovered-cluster hazard the
+    # scorer raises on at query time)
+    bounds_path = os.path.join(idx, "bounds")
+    b = spark.read.parquet(bounds_path)
+    some = int(b.select("cluster").first()["cluster"])
+    b.filter(F.col("cluster") != some).localCheckpoint(
+        eager=True
+    ).write.mode("overwrite").parquet(bounds_path)
+    rep = ivf_sq8_index_verify(spark, idx)
+    # the hole is visible only if that cluster holds rows; it does by
+    # construction (bounds rows exist only for non-empty cells)
+    assert not rep["ok"] and some in rep["uncovered"], rep
+
+
 def test_committed_plan_covers_the_projected_expiring_cohort():
     """The real NEXT_WINDOW.json must cover the cohort the ledger's
     forward budget projects to expire next round — i.e. the committed
