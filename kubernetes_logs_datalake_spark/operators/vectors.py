@@ -610,10 +610,52 @@ def pq_index_build(
     fs.write_small_atomic(
         manifest,
         _json.dumps(
-            {"dim": dim, "m": m, "k": k, "scale": scale, "codebooks": books}
+            {"dim": dim, "m": m, "k": k, "scale": scale,
+             "id_col": id_col, "vec_col": vec_col, "codebooks": books}
         ).encode(),
     )
     return books
+
+
+def pq_index_append(df: DataFrame, index_dir: str) -> int:
+    """Append new vectors to a stored PQ index without refitting:
+    encode the batch against the manifest's frozen codebooks and
+    append the code rows. Unlike the IVF,SQ8 layout (raw vectors,
+    serve-time encode), the PQ index stores CODES — but a frozen
+    codebook makes old and new codes directly comparable, so append is
+    one encode pass + one parquet append, no invalidation of existing
+    rows. Same torn-build order as the build: manifest invalidated
+    before the codes append, re-written (atomic rename) after.
+    Codebook drift is the accepted trade-off, as in
+    :func:`ivf_sq8_index_append`. Returns rows appended."""
+    import json as _json
+
+    spark = df.sparkSession
+    fs = _index_fs(spark, index_dir)
+    manifest = f"{index_dir}/codebooks.json"
+    if not fs.exists(manifest):
+        raise FileNotFoundError(
+            f"pq_index_append: no manifest at {manifest} — "
+            "incomplete or torn index build"
+        )
+    meta = _json.loads(fs.read_small(manifest))
+    books, m, k, dim, scale = (
+        meta["codebooks"], meta["m"], meta["k"], meta["dim"],
+        meta["scale"],
+    )
+    id_col = meta.get("id_col", "vec_id")
+    vec_col = meta.get("vec_col", "embedding")
+    codes = pq_encode(
+        df, id_col, vec_col, dim, m, k, iters=0, scale=scale,
+        codebooks=books,
+    ).localCheckpoint(eager=True)
+    n_new = codes.count()
+    if n_new == 0:
+        return 0
+    fs.delete(manifest)  # invalidate BEFORE touching codes
+    codes.write.mode("append").parquet(f"{index_dir}/codes")
+    fs.write_small_atomic(manifest, _json.dumps(meta).encode())
+    return n_new
 
 
 def _index_fs(spark, index_dir: str):
