@@ -5093,6 +5093,65 @@ def _ddb_sq8_cell_sql(
     """
 
 
+#: session-cached stored IVF,SQ8 index dirs, keyed on (session id, sf)
+#: — the index build is a one-time artifact; re-building it per query
+#: would bench the builder, not the stored-serve scan (the
+#: ann_topk_sq8_served precedent applied to the stored lifecycle)
+_IVF_SQ8_INDEX_CACHE: dict = {}
+
+
+def _ivf_sq8_index_cached(spark: SparkSession, sf: str) -> str:
+    import tempfile as _tempfile
+
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_index_build,
+    )
+
+    key = (id(spark.sparkContext._jsc), sf)
+    if key not in _IVF_SQ8_INDEX_CACHE:
+        emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+        cells, fit_mod = _sqrt_cells(_emb_count_cached(emb, sf, "nz"))
+        centers = _kmeans_centers_cached(
+            emb, sf, "ivfknn", k=cells, iters=3, fit_sample_mod=fit_mod
+        )
+        idx = _tempfile.mkdtemp(prefix="kld-ivfsq8-idx-")
+        # mkdtemp pre-creates the dir; the builder treats it as a
+        # fresh (manifest-less) index root
+        ivf_sq8_index_build(
+            emb, "vec_id", "embedding", idx, dim=EMBEDDING_DIM,
+            centers=centers,
+        )
+        _IVF_SQ8_INDEX_CACHE[key] = idx
+    return _IVF_SQ8_INDEX_CACHE[key]
+
+
+def _ann_topk_ivf_sq8_served(spark: SparkSession, sf: str) -> DataFrame:
+    """r14-QUEUED (named in NEXT_WINDOW.json): IVF,SQ8 serving from
+    the STORED index (``vectors.ivf_sq8_index_search``) — the
+    cell-partitioned layout where the probe filter is partition
+    PRUNING, built once per (session, sf) and served many (the
+    measured 0.28 s vs 1.73 s lifecycle cut, SCALE.md r12). Results
+    are bit-identical to ``ann_topk_ivf_sq8``'s inline path
+    (pytest-pinned), so both rows share ``_ddb_ivf_sq8_sql``'s oracle
+    — the same one-oracle-two-representations contract as
+    ann_topk_sq8 / _packed / _served."""
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_index_search,
+    )
+
+    idx = _ivf_sq8_index_cached(spark, sf)
+    cells, _ = _sqrt_cells(
+        _emb_count_cached(
+            _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0),
+            sf, "nz",
+        )
+    )
+    return ivf_sq8_index_search(
+        spark, idx, _query_vec(spark, sf), topk=10,
+        n_probe=min(_IVF_SQ8_PROBE, cells),
+    )
+
+
 _SQ8_REFINE_CANDS = 40
 
 

@@ -679,6 +679,31 @@ def test_pq_index_append_serves_identically_to_rebuild(
         pq_index_append(batch, a)
 
 
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001",
+                                "/root/testdata/sf0.01"])
+def test_r14_queued_ivf_sq8_served_parity(spark, sf):
+    """The r14-queued ann_topk_ivf_sq8_served (stored-index serve) is
+    bit-identical to the registered inline row and matches the shared
+    oracle on both hash-checked fixtures — registration at r14 is the
+    two dict lines."""
+    import __spark_entry__ as entry
+
+    served = [
+        (int(r[0]), float(r[1]))
+        for r in entry._ann_topk_ivf_sq8_served(spark, sf).collect()
+    ]
+    inline = [
+        (int(r[0]), float(r[1]))
+        for r in entry._ann_topk_ivf_sq8(spark, sf).collect()
+    ]
+    assert served == inline
+    want = [
+        (int(a), float(b))
+        for a, b in _duckdb_on(sf, entry._ddb_ivf_sq8_sql())
+    ]
+    assert served == want
+
+
 def test_committed_plan_covers_the_projected_expiring_cohort():
     """The real NEXT_WINDOW.json must cover the cohort the ledger's
     forward budget projects to expire next round — i.e. the committed
