@@ -5152,6 +5152,83 @@ def _ann_topk_ivf_sq8_served(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_ROTATION_SEED = 29
+
+
+def _ann_topk_rotated(spark: SparkSession, sf: str) -> DataFrame:
+    """r14-QUEUED: exact cosine top-k computed entirely in ROTATED
+    space — corpus and query both pass through the same seeded random
+    orthonormal rotation (``rotation.random_rotation``, the
+    engine-neutral deterministic construction: corpus-independent, so
+    the oracle can embed the identical literal R), applied IN-PLAN by
+    ``rotation.rotate_vector_expr`` (one matrix literal + nested HOFs,
+    Python-free plan). This puts the rotation machinery — the OPQ
+    pre-transform every subspace quantizer composes with (SCALE.md
+    r13) — under the driver's oracle hash gate: the SQL replays the
+    same literal matvec with the same sequential fold order, so the
+    values must match bit-for-bit, pinning both the rotation algebra
+    and its orthonormal metric preservation (the top-k ids equal the
+    raw-space exact top-k's)."""
+    from kubernetes_logs_datalake_spark.functions.vectors import (
+        cosine, literal_vector,
+    )
+    from kubernetes_logs_datalake_spark.operators.rotation import (
+        random_rotation, rotate_vector_expr,
+    )
+
+    R = random_rotation(EMBEDDING_DIM, seed=_ROTATION_SEED)
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    q = _query_vec(spark, sf)
+    rv = rotate_vector_expr("embedding", R)
+    rq = rotate_vector_expr(
+        literal_vector([float(x) for x in q]), R
+    )
+    return (
+        emb.select(
+            "vec_id", F.round(cosine(rv, rq), 4).alias("cos")
+        )
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+    )
+
+
+def _ddb_rotated_topk_sql(
+    topk: int = 10, dim: int = EMBEDDING_DIM, seed: int = _ROTATION_SEED,
+) -> str:
+    """Oracle for the r14-QUEUED ``ann_topk_rotated``: the SAME
+    seeded-random R (pure numpy, engine-neutral, corpus-independent —
+    which is exactly why this row uses the random rotation rather than
+    the corpus-dependent PCA fit) embedded once as a literal, applied
+    to corpus and query by ``list_transform`` + ``list_sum`` in the
+    same sequential order as the Spark HOF fold, then the shared
+    cosine."""
+    from kubernetes_logs_datalake_spark.operators.rotation import (
+        random_rotation,
+    )
+
+    R = random_rotation(dim, seed=seed)
+    rlit = "[" + ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in R
+    ) + "]"
+
+    def rot(src: str) -> str:
+        return (
+            f"list_transform(RL.R, row -> list_sum(list_transform("
+            f"range(1, {dim + 1}), i -> row[i] * ({src}[i])::DOUBLE)))"
+        )
+
+    return f"""
+        WITH RL AS (SELECT {rlit}::DOUBLE[][] AS R),
+        q AS (SELECT {rot("e0.embedding")} AS qv
+              FROM embeddings e0, RL WHERE e0.vec_id = 0),
+        rot AS (SELECT e.vec_id, {rot("e.embedding")} AS rv
+                FROM embeddings e, RL WHERE e.vec_id <> 0)
+        SELECT r.vec_id, round({_ddb_cos("r.rv", "q.qv", dim)}, 4) AS cos
+        FROM rot r, q
+        ORDER BY cos DESC, r.vec_id LIMIT {topk}
+    """
+
+
 _SQ8_REFINE_CANDS = 40
 
 

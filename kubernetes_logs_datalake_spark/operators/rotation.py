@@ -161,6 +161,36 @@ def random_rotation(dim: int, seed: int = 0) -> list[list[float]]:
     return [[float(v) for v in row] for row in Q.T]
 
 
+def rotate_vector_expr(vec_col, rotation: list[list[float]]):
+    """EXPRESSION form of ``v' = R·v`` — one matrix literal (a single
+    ``F.lit`` call, no per-element py4j round-trips) and two nested
+    higher-order functions: ``transform(R, row -> aggregate(zip_with(
+    row, v, *), 0.0, +))``. The accumulation per output dim is the
+    sequential left-to-right fold, IEEE-identical to DuckDB's
+    ``list_sum(list_transform(...))`` — which is what makes a rotated
+    query ORACLE-CHECKABLE (the SQL replays the same literal R in the
+    same order).
+
+    When to use which: this form keeps the plan Python-free (the
+    PLAN_AUDIT invariant for registered queries) and costs O(dim²)
+    interpreted HOF steps per row — right for serving plans over
+    oracle-scale corpora and modest dims. :func:`rotate_vectors` (the
+    Arrow GEMM) is the build-time/bulk path: ~C-speed, but a
+    ``mapInPandas`` island."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    v = F.col(vec_col) if not isinstance(vec_col, Column) else vec_col
+    return F.transform(
+        F.lit([[float(x) for x in row] for row in rotation]),
+        lambda row: F.aggregate(
+            F.zip_with(row, v, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
 def rotate_vectors(
     df: DataFrame,
     vec_col: str,

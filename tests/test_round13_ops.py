@@ -704,6 +704,41 @@ def test_r14_queued_ivf_sq8_served_parity(spark, sf):
     assert served == want
 
 
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001",
+                                "/root/testdata/sf0.01"])
+def test_r14_queued_rotated_topk_oracle_parity(spark, sf):
+    """The r14-queued ann_topk_rotated matches its oracle (the SQL
+    replays the identical literal R with the same fold order) AND, by
+    orthonormal metric preservation, returns the same ids as the
+    raw-space exact top-k."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from kubernetes_logs_datalake_spark.functions.vectors import (
+        cosine, literal_vector,
+    )
+
+    got = [
+        (int(r[0]), float(r[1]))
+        for r in entry._ann_topk_rotated(spark, sf).collect()
+    ]
+    want = [
+        (int(a), float(b))
+        for a, b in _duckdb_on(sf, entry._ddb_rotated_topk_sql())
+    ]
+    assert got == want
+
+    emb = entry._t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    q = literal_vector([float(x) for x in entry._query_vec(spark, sf)])
+    raw_ids = [
+        int(r[0])
+        for r in emb.select(
+            "vec_id", F.round(cosine("embedding", q), 4).alias("cos")
+        ).orderBy(F.desc("cos"), "vec_id").limit(10).collect()
+    ]
+    assert [i for i, _ in got] == raw_ids
+
+
 def test_committed_plan_covers_the_projected_expiring_cohort():
     """The real NEXT_WINDOW.json must cover the cohort the ledger's
     forward budget projects to expire next round — i.e. the committed
