@@ -1942,6 +1942,96 @@ def ivf_sq8_index_verify(spark, index_dir: str) -> dict:
     }
 
 
+def ivf_sq8_index_drift(df: DataFrame, index_dir: str) -> dict:
+    """The rebuild trigger :func:`ivf_sq8_index_append` defers to: how
+    well does the FROZEN codebook still describe a new batch? Assigns
+    the batch against the manifest's centers and compares its
+    assignment-distance distribution to the stored corpus's own, cell
+    by cell (the stored side scans ONLY the touched cells — partition
+    pruning, so the monitor stays O(batch + touched cells) at lake
+    scale).
+
+    Returns ``{"n_batch", "n_touched_cells", "batch_p50", "batch_p95",
+    "base_p50", "base_p95", "drift_ratio"}`` where ``drift_ratio`` =
+    batch_p95 / base_p95 (≈1.0 while the batch looks like the corpus;
+    grows as the distribution leaves the codebook — the deployment
+    rule is rebuild past a threshold like 1.5, calibrated per corpus).
+    Quantiles are exact (the frames here are bounded by the batch and
+    its touched cells); approx_percentile is the drop-in at larger
+    scales."""
+    import json as _json
+
+    spark = df.sparkSession
+    fs = _index_fs(spark, index_dir)
+    manifest = f"{index_dir}/manifest.json"
+    if not fs.exists(manifest):
+        raise FileNotFoundError(
+            f"ivf_sq8_index_drift: no manifest at {manifest} — "
+            "incomplete or torn index build"
+        )
+    cfg = _json.loads(fs.read_small(manifest))
+    id_col, vec_col = cfg["id_col"], cfg["vec_col"]
+    centers = cfg["centers"]
+    if "rotation" in cfg:
+        from kubernetes_logs_datalake_spark.operators.rotation import (
+            rotate_vectors,
+        )
+
+        df = rotate_vectors(df, vec_col, cfg["rotation"])
+    assigned = kmeans_assign(
+        df, id_col, vec_col, centers
+    ).localCheckpoint(eager=False)
+    touched = sorted(
+        int(r["cluster"])
+        for r in assigned.select("cluster").distinct().collect()
+    )
+    bq = assigned.agg(
+        F.count("*").alias("n"),
+        F.expr("percentile(dist, 0.5)").alias("p50"),
+        F.expr("percentile(dist, 0.95)").alias("p95"),
+    ).first()
+    # stored side: the cluster is KNOWN, so the distance is one O(dim)
+    # fold to the OWN centroid (same formula/rounding as
+    # kmeans_assign's dist) via a broadcast join on the centroid frame
+    # — not the O(k·dim) full argmin the batch side needs
+    cents = df.sparkSession.createDataFrame(
+        [(int(j), [float(v) for v in c]) for j, c in enumerate(centers)],
+        "cluster int, _c array<double>",
+    )
+    stored = (
+        spark.read.parquet(f"{index_dir}/cells")
+        .filter(F.col("cluster").isin(touched))
+        .join(F.broadcast(cents), "cluster")
+    )
+    own_d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("_c"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    base = stored.select(float_round(F.sqrt(own_d2), 6).alias("dist"))
+    bs = base.agg(
+        F.expr("percentile(dist, 0.5)").alias("p50"),
+        F.expr("percentile(dist, 0.95)").alias("p95"),
+    ).first()
+    base_p95 = float(bs["p95"] or 0.0)
+    batch_p95 = float(bq["p95"] or 0.0)
+    return {
+        "n_batch": int(bq["n"]),
+        "n_touched_cells": len(touched),
+        "batch_p50": round(float(bq["p50"] or 0.0), 6),
+        "batch_p95": round(batch_p95, 6),
+        "base_p50": round(float(bs["p50"] or 0.0), 6),
+        "base_p95": round(base_p95, 6),
+        "drift_ratio": round(
+            batch_p95 / base_p95, 4
+        ) if base_p95 > 0 else float("inf"),
+    }
+
+
 def ivf_sq8_index_search(
     spark,
     index_dir: str,

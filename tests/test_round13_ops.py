@@ -739,6 +739,50 @@ def test_r14_queued_rotated_topk_oracle_parity(spark, sf):
     assert [i for i, _ in got] == raw_ids
 
 
+def test_ivf_sq8_index_drift_monitor(spark, small_embed_corpus, tmp_path):
+    """The rebuild trigger: an in-distribution batch reads
+    drift_ratio ~1, a shifted batch reads far above it — and the
+    stored-side baseline uses the O(dim) own-centroid distance that
+    must agree with kmeans_assign's dist on identical rows (same
+    formula, same rounding)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_index_build, ivf_sq8_index_drift, kmeans_fit,
+    )
+
+    df, query, dim = small_embed_corpus
+    centers, _ = kmeans_fit(df, "vec_id", "embedding", k=4, iters=2)
+    idx = str(tmp_path / "ivfsq8_drift")
+    ivf_sq8_index_build(
+        df, "vec_id", "embedding", idx, dim=dim, centers=centers
+    )
+
+    # in-distribution: a subset of the corpus itself
+    same = ivf_sq8_index_drift(df.filter(F.col("vec_id") % 3 == 0), idx)
+    assert same["n_batch"] > 0
+    assert 0.5 <= same["drift_ratio"] <= 1.5, same
+
+    # out-of-distribution: far-away cloud
+    rng = np.random.default_rng(33)
+    far = spark.createDataFrame(
+        [
+            (1000 + i, [float(v) for v in rng.normal(40.0, 1.0, dim)])
+            for i in range(30)
+        ],
+        "vec_id: long, embedding: array<double>",
+    )
+    shifted = ivf_sq8_index_drift(far, idx)
+    assert shifted["drift_ratio"] > 3.0, shifted
+
+    # baseline distance formula agrees with kmeans_assign on the same
+    # rows: full-batch drift of the corpus against itself is exactly 1
+    full = ivf_sq8_index_drift(df, idx)
+    assert abs(full["drift_ratio"] - 1.0) < 1e-9, full
+    assert full["batch_p95"] == full["base_p95"]
+
+
 def test_committed_plan_covers_the_projected_expiring_cohort():
     """The real NEXT_WINDOW.json must cover the cohort the ledger's
     forward budget projects to expire next round — i.e. the committed
