@@ -1,0 +1,92 @@
+"""Streaming ingestion into a stored IVF,SQ8 index — the lake-scale
+ANN loop: a vector stream (new documents' embeddings) lands in the
+cell-partitioned index via frozen-codebook appends, one
+``foreachBatch`` epoch at a time.
+
+Composition, not new machinery: each epoch calls
+:func:`operators.vectors.ivf_sq8_index_append` (assign against the
+manifest's codebook → append touched cell partitions → refresh touched
+bounds → atomic manifest rename), so every property the batch append
+pins carries over — serve-time encode means no stored-code
+invalidation, and the torn protocol means a crash mid-epoch leaves a
+refusing index, never a wrong one. Spark's ``foreachBatch`` gives
+at-least-once epochs against the stream checkpoint; an epoch REPLAY
+after a crash between the cells append and the manifest rename would
+re-append the batch — exactly-once therefore rides on the id column:
+downstream dedup (``dedup_exact`` on vec_id, or the verifier's row
+count against the source's) is the standard lake answer, and the
+docstring of :class:`AnnIngestJob` says so out loud rather than
+pretending idempotence.
+
+Serving during ingestion: the manifest is ABSENT inside an epoch (the
+invalidate→write→rename order), so a serving replica that re-resolves
+the manifest per query refuses briefly instead of reading torn state.
+Deployments that cannot tolerate the refusal window serve from a
+published snapshot copy and flip a pointer — the
+``sources/compact.py`` rename-publish idiom; at 100 TB the epoch's
+append touches only the batch's cells either way.
+
+Reference scope note: the reference engine has no vector surface; this
+extends the LLM-data-pipeline side of the build brief (streaming +
+ANN index lifecycle).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class AnnIngestJob:
+    """Continuous frozen-codebook ingestion into a stored IVF,SQ8
+    index. ``source_fn(spark) -> streaming DataFrame`` must yield the
+    index's (id_col, vec_col) schema; the index must already exist
+    (:func:`ivf_sq8_index_build`) — the codebook is a BUILD artifact,
+    never refit mid-stream (drift is watched by
+    :func:`ivf_sq8_index_drift` and answered with a rebuild).
+
+    At-least-once per epoch (foreachBatch + checkpoint); replays are
+    visible as duplicate ids, see module docstring. ``assign_arrow``
+    flips the batch assignment to the Arrow path when the scan
+    dominates the epoch."""
+
+    index_dir: str
+    checkpoint: str
+    trigger_seconds: int = 30
+    assign_arrow: bool = False
+    _query: object = field(default=None, repr=False)
+
+    def start(self, spark: SparkSession, source: DataFrame):
+        from kubernetes_logs_datalake_spark.operators.vectors import (
+            ivf_sq8_index_append,
+        )
+
+        index_dir = self.index_dir
+        assign_arrow = self.assign_arrow
+
+        def append_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            ivf_sq8_index_append(
+                batch_df, index_dir, assign_arrow=assign_arrow
+            )
+
+        self._query = (
+            source.writeStream.foreachBatch(append_batch)
+            .option("checkpointLocation", self.checkpoint)
+            .trigger(processingTime=f"{self.trigger_seconds} seconds")
+            .start()
+        )
+        return self._query
+
+    def process_available(self) -> None:
+        self._query.processAllAvailable()
+
+    def stop_gracefully(self) -> None:
+        """Finish the in-flight epoch, then stop — an interrupt
+        mid-epoch is survivable (torn protocol) but costs a rebuild
+        of nothing and a refused serve until the epoch replays."""
+        if self._query is not None:
+            self._query.processAllAvailable()
+            self._query.stop()
+            self._query.awaitTermination(30)

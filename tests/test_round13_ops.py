@@ -783,6 +783,66 @@ def test_ivf_sq8_index_drift_monitor(spark, small_embed_corpus, tmp_path):
     assert full["batch_p95"] == full["base_p95"]
 
 
+def test_streaming_ann_ingest_appends_epochs_into_stored_index(
+    spark, small_embed_corpus, tmp_path
+):
+    """The lake-scale ANN ingestion loop: a vector stream lands in the
+    stored index via frozen-codebook appends, one epoch per arriving
+    file; after draining, serving is bit-identical to the inline
+    probed path over the union corpus and the verifier is green."""
+    from pyspark.sql import functions as F
+
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_index_build, ivf_sq8_index_search, ivf_sq8_index_verify,
+        ivf_sq8_topk, kmeans_fit,
+    )
+    from kubernetes_logs_datalake_spark.streaming.ann_ingest import (
+        AnnIngestJob,
+    )
+
+    df, query, dim = small_embed_corpus
+    base = df.filter(F.col("vec_id") <= 60).localCheckpoint()
+    b1 = df.filter((F.col("vec_id") > 60) & (F.col("vec_id") <= 90))
+    b2 = df.filter(F.col("vec_id") > 90)
+    centers, _ = kmeans_fit(base, "vec_id", "embedding", k=4, iters=2)
+    idx = str(tmp_path / "ann_stream_idx")
+    ivf_sq8_index_build(
+        base, "vec_id", "embedding", idx, dim=dim, centers=centers
+    )
+
+    inbox = str(tmp_path / "inbox")
+    b1.coalesce(1).write.mode("append").parquet(inbox)
+    source = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inbox)
+    )
+    job = AnnIngestJob(
+        index_dir=idx, checkpoint=str(tmp_path / "ckpt"),
+        trigger_seconds=1,
+    )
+    job.start(spark, source)
+    try:
+        job.process_available()
+        # second epoch: a later file arrival
+        b2.coalesce(1).write.mode("append").parquet(inbox)
+        job.process_available()
+    finally:
+        job.stop_gracefully()
+
+    rep = ivf_sq8_index_verify(spark, idx)
+    assert rep["ok"] and rep["n_rows"] == df.count(), rep
+    for p in (1, 4):
+        served = ivf_sq8_index_search(spark, idx, query, topk=7, n_probe=p)
+        inline = ivf_sq8_topk(
+            df, "vec_id", "embedding", query, dim=dim, topk=7,
+            n_probe=p, centers=centers,
+        )
+        assert [tuple(r) for r in served.collect()] == [
+            tuple(r) for r in inline.collect()
+        ], p
+
+
 def test_committed_plan_covers_the_projected_expiring_cohort():
     """The real NEXT_WINDOW.json must cover the cohort the ledger's
     forward budget projects to expire next round — i.e. the committed
