@@ -1814,6 +1814,7 @@ def ivf_sq8_index_append(
     df: DataFrame,
     index_dir: str,
     assign_arrow: bool = False,
+    skip_existing_ids: bool = False,
 ) -> int:
     """Append new vectors to a stored IVF,SQ8 index WITHOUT refitting:
     assign the batch against the manifest's frozen codebook, append to
@@ -1839,8 +1840,16 @@ def ivf_sq8_index_append(
     Centroid drift is the accepted trade-off (the batch is assigned to
     the OLD centroids; recall degrades only as the data distribution
     moves — rebuild when a drift monitor says so, cf.
-    ``operators/profile``'s drift statistics). Returns the number of
-    rows appended."""
+    :func:`ivf_sq8_index_drift`). Returns the number of rows appended.
+
+    ``skip_existing_ids=True`` makes the append IDEMPOTENT per id: the
+    batch anti-joins against the ids already stored in ITS OWN cells
+    (a column-pruned, partition-pruned read — only the touched cells'
+    id column, never the vectors, never the other cells), so an
+    at-least-once replay (the streaming ``foreachBatch`` epoch after a
+    crash) appends 0 instead of duplicating rows. Off by default: the
+    cost is one extra pruned read per append, and batch callers with
+    exactly-once upstream semantics shouldn't pay it."""
     import json as _json
 
     spark = df.sparkSession
@@ -1872,6 +1881,22 @@ def ivf_sq8_index_append(
         int(r["cluster"])
         for r in assigned.select("cluster").distinct().collect()
     )
+    if skip_existing_ids:
+        existing = (
+            spark.read.parquet(f"{index_dir}/cells")
+            .filter(F.col("cluster").isin(touched))
+            .select(id_col)
+        )
+        assigned = assigned.join(
+            existing, id_col, "left_anti"
+        ).localCheckpoint(eager=True)
+        n_new = assigned.count()
+        if n_new == 0:
+            return 0
+        touched = sorted(
+            int(r["cluster"])
+            for r in assigned.select("cluster").distinct().collect()
+        )
     fs.delete(manifest)  # invalidate BEFORE touching data
     assigned.select(
         F.col(id_col), F.col(vec_col), F.col("cluster")

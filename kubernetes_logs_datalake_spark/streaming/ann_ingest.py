@@ -12,11 +12,13 @@ invalidation, and the torn protocol means a crash mid-epoch leaves a
 refusing index, never a wrong one. Spark's ``foreachBatch`` gives
 at-least-once epochs against the stream checkpoint; an epoch REPLAY
 after a crash between the cells append and the manifest rename would
-re-append the batch — exactly-once therefore rides on the id column:
-downstream dedup (``dedup_exact`` on vec_id, or the verifier's row
-count against the source's) is the standard lake answer, and the
-docstring of :class:`AnnIngestJob` says so out loud rather than
-pretending idempotence.
+re-append the batch, so the job defaults to the append's
+``skip_existing_ids`` guard (anti-join the epoch against the ids
+already stored in its own cells — column- and partition-pruned), which
+makes replays idempotent PER ID. That guard assumes ids are unique in
+the source; a stream that re-keys rows still needs downstream dedup
+(``dedup_exact`` on vec_id) — stated out loud rather than pretending
+unconditional exactly-once.
 
 Serving during ingestion: the manifest is ABSENT inside an epoch (the
 invalidate→write→rename order), so a serving replica that re-resolves
@@ -47,15 +49,20 @@ class AnnIngestJob:
     never refit mid-stream (drift is watched by
     :func:`ivf_sq8_index_drift` and answered with a rebuild).
 
-    At-least-once per epoch (foreachBatch + checkpoint); replays are
-    visible as duplicate ids, see module docstring. ``assign_arrow``
-    flips the batch assignment to the Arrow path when the scan
-    dominates the epoch."""
+    At-least-once per epoch (foreachBatch + checkpoint); the default
+    ``skip_existing_ids`` guard makes replays idempotent per id, see
+    module docstring. ``assign_arrow`` flips the batch assignment to
+    the Arrow path when the scan dominates the epoch."""
 
     index_dir: str
     checkpoint: str
     trigger_seconds: int = 30
     assign_arrow: bool = False
+    #: anti-join each epoch against the ids already stored in its own
+    #: cells (column- and partition-pruned), making at-least-once
+    #: epoch REPLAYS idempotent per id — on by default here because
+    #: foreachBatch is exactly the caller that replays
+    skip_existing_ids: bool = True
     _query: object = field(default=None, repr=False)
 
     def start(self, spark: SparkSession, source: DataFrame):
@@ -65,10 +72,12 @@ class AnnIngestJob:
 
         index_dir = self.index_dir
         assign_arrow = self.assign_arrow
+        skip_existing = self.skip_existing_ids
 
         def append_batch(batch_df: DataFrame, epoch_id: int) -> None:
             ivf_sq8_index_append(
-                batch_df, index_dir, assign_arrow=assign_arrow
+                batch_df, index_dir, assign_arrow=assign_arrow,
+                skip_existing_ids=skip_existing,
             )
 
         self._query = (

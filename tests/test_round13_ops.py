@@ -843,6 +843,52 @@ def test_streaming_ann_ingest_appends_epochs_into_stored_index(
         ], p
 
 
+def test_ivf_sq8_index_append_replay_is_idempotent_with_guard(
+    spark, small_embed_corpus, tmp_path
+):
+    """The at-least-once answer: replaying the SAME batch with
+    skip_existing_ids=True appends 0 and leaves serving unchanged;
+    without the guard the replay duplicates rows (the documented
+    default for exactly-once upstreams)."""
+    from pyspark.sql import functions as F
+
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_index_append, ivf_sq8_index_build, ivf_sq8_index_verify,
+        kmeans_fit,
+    )
+
+    df, query, dim = small_embed_corpus
+    base = df.filter(F.col("vec_id") <= 90).localCheckpoint()
+    batch = df.filter(F.col("vec_id") > 90).localCheckpoint()
+    centers, _ = kmeans_fit(base, "vec_id", "embedding", k=4, iters=2)
+    idx = str(tmp_path / "ivfsq8_replay")
+    ivf_sq8_index_build(
+        base, "vec_id", "embedding", idx, dim=dim, centers=centers
+    )
+
+    assert ivf_sq8_index_append(
+        batch, idx, skip_existing_ids=True
+    ) == batch.count()
+    # replay: guard sees every id already stored -> 0 appended
+    assert ivf_sq8_index_append(batch, idx, skip_existing_ids=True) == 0
+    assert ivf_sq8_index_verify(spark, idx)["n_rows"] == df.count()
+
+    # partial replay: 5 already-stored ids + 5 genuinely new ids —
+    # the guard appends only the new half
+    fresh = batch.select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    mixed = batch.limit(5).unionByName(fresh.limit(5))
+    n = ivf_sq8_index_append(mixed, idx, skip_existing_ids=True)
+    assert n == 5, n
+
+    # without the guard, a replay duplicates (the documented trade)
+    n_dup = ivf_sq8_index_append(batch.limit(3), idx)
+    assert n_dup == 3
+    rep = ivf_sq8_index_verify(spark, idx)
+    assert rep["n_rows"] == df.count() + 5 + 3
+
+
 def test_committed_plan_covers_the_projected_expiring_cohort():
     """The real NEXT_WINDOW.json must cover the cohort the ledger's
     forward budget projects to expire next round — i.e. the committed
