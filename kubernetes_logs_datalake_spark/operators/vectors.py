@@ -1967,6 +1967,72 @@ def ivf_sq8_index_verify(spark, index_dir: str) -> dict:
     }
 
 
+def ivf_sq8_index_compact(
+    spark, index_dir: str, max_files_per_cell: int = 4
+) -> dict:
+    """Small-file compaction for a stored IVF,SQ8 index — the cost
+    every append-many lifecycle accrues: each streaming epoch adds a
+    file to every cell it touches, and the probe-time scan eventually
+    pays per-file open/footer overhead instead of per-byte. Rewrites
+    ONLY the crowded cells (file count > ``max_files_per_cell``,
+    counted via the Hadoop FS listing) through Spark's dynamic
+    partition overwrite — untouched cells' files are never read or
+    replaced — under the same manifest invalidate→rewrite protocol as
+    the append, so a crash mid-compaction refuses instead of serving a
+    half-rewritten cell. Row content is unchanged (pinned by serving
+    bit-identity); only the file layout moves. Returns
+    ``{"compacted_cells", "files_before", "files_after"}``."""
+    import json as _json
+
+    fs = _index_fs(spark, index_dir)
+    manifest = f"{index_dir}/manifest.json"
+    if not fs.exists(manifest):
+        raise FileNotFoundError(
+            f"ivf_sq8_index_compact: no manifest at {manifest} — "
+            "incomplete or torn index build"
+        )
+    cfg = _json.loads(fs.read_small(manifest))
+    per_cell: dict[int, int] = {}
+    for p in fs.glob(f"{index_dir}/cells/cluster=*/part-*"):
+        cl = int(p.split("cluster=")[1].split("/")[0])
+        per_cell[cl] = per_cell.get(cl, 0) + 1
+    crowded = sorted(
+        c for c, n in per_cell.items() if n > max_files_per_cell
+    )
+    if not crowded:
+        return {"compacted_cells": 0, "files_before": sum(
+            per_cell.values()
+        ), "files_after": sum(per_cell.values())}
+    files_before = sum(per_cell.values())
+    rows = (
+        spark.read.parquet(f"{index_dir}/cells")
+        .filter(F.col("cluster").isin(crowded))
+        .localCheckpoint(eager=True)  # read fully BEFORE overwriting
+    )
+    fs.delete(manifest)  # invalidate BEFORE touching data
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            rows.repartition("cluster")
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(f"{index_dir}/cells")
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+    fs.write_small_atomic(manifest, _json.dumps(cfg).encode())
+    after = len(fs.glob(f"{index_dir}/cells/cluster=*/part-*"))
+    return {
+        "compacted_cells": len(crowded),
+        "files_before": files_before,
+        "files_after": after,
+    }
+
+
 def ivf_sq8_index_drift(df: DataFrame, index_dir: str) -> dict:
     """The rebuild trigger :func:`ivf_sq8_index_append` defers to: how
     well does the FROZEN codebook still describe a new batch? Assigns

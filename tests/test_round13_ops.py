@@ -889,6 +889,60 @@ def test_ivf_sq8_index_append_replay_is_idempotent_with_guard(
     assert rep["n_rows"] == df.count() + 5 + 3
 
 
+def test_ivf_sq8_index_compact_rewrites_only_crowded_cells(
+    spark, small_embed_corpus, tmp_path
+):
+    """After repeated appends the crowded cells compact down to one
+    file each, quiet cells keep their files untouched, and serving is
+    bit-identical before/after (content never moves, only layout)."""
+    import glob as globmod
+
+    from pyspark.sql import functions as F
+
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_index_append, ivf_sq8_index_build, ivf_sq8_index_compact,
+        ivf_sq8_index_search, ivf_sq8_index_verify, kmeans_fit,
+    )
+
+    df, query, dim = small_embed_corpus
+    base = df.filter(F.col("vec_id") <= 60).localCheckpoint()
+    centers, _ = kmeans_fit(base, "vec_id", "embedding", k=4, iters=2)
+    idx = str(tmp_path / "ivfsq8_cmp")
+    ivf_sq8_index_build(
+        base, "vec_id", "embedding", idx, dim=dim, centers=centers
+    )
+    for lo, hi in ((60, 80), (80, 100), (100, 120)):
+        ivf_sq8_index_append(
+            df.filter((F.col("vec_id") > lo) & (F.col("vec_id") <= hi)),
+            idx,
+        )
+
+    before = [
+        tuple(r) for r in ivf_sq8_index_search(
+            spark, idx, query, topk=7, n_probe=4
+        ).collect()
+    ]
+    n_files = len(globmod.glob(f"{idx}/cells/cluster=*/part-*"))
+    rep = ivf_sq8_index_compact(spark, idx, max_files_per_cell=1)
+    assert rep["compacted_cells"] > 0, rep
+    assert rep["files_before"] == n_files
+    assert rep["files_after"] < rep["files_before"], rep
+
+    after = [
+        tuple(r) for r in ivf_sq8_index_search(
+            spark, idx, query, topk=7, n_probe=4
+        ).collect()
+    ]
+    assert after == before
+    assert ivf_sq8_index_verify(spark, idx)["ok"]
+
+    # already-compacted: a second pass is a no-op that leaves the
+    # manifest in place
+    rep2 = ivf_sq8_index_compact(spark, idx, max_files_per_cell=1)
+    assert rep2["compacted_cells"] == 0
+    assert ivf_sq8_index_verify(spark, idx)["ok"]
+
+
 def test_committed_plan_covers_the_projected_expiring_cohort():
     """The real NEXT_WINDOW.json must cover the cohort the ledger's
     forward budget projects to expire next round — i.e. the committed
