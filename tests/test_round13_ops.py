@@ -943,6 +943,59 @@ def test_ivf_sq8_index_compact_rewrites_only_crowded_cells(
     assert ivf_sq8_index_verify(spark, idx)["ok"]
 
 
+def test_imi_join_over_rotated_corpus_preserves_the_metric(spark):
+    """The r13 rotation A/B showed the PCA-balanced rotation repairs
+    IMI's product-cell occupancy on clustered corpora; this pins the
+    CORRECTNESS half of that composition: the IMI join run entirely in
+    rotated space reports, for every (query, neighbor) pair it emits,
+    a cosine equal to the raw-space cosine of the same ids (orthonormal
+    metric preservation through the half-split, the two Lloyd fits,
+    the product-cell pair stage and the rank window), and emits full
+    rank<=k rows per query with no self-pairs."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kubernetes_logs_datalake_spark.operators.rotation import (
+        fit_pca_rotation, rotate_vectors,
+    )
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        imi_knn_join,
+    )
+
+    rng = np.random.default_rng(17)
+    dim, n = 8, 120
+    comps = rng.uniform(-4.0, 4.0, (4, dim))
+    vecs = np.vstack([
+        c + rng.normal(0.0, 0.4, (n // 4, dim)) for c in comps
+    ])
+    df = spark.createDataFrame(
+        [(i + 1, [float(v) for v in row]) for i, row in enumerate(vecs)],
+        "vec_id: long, embedding: array<double>",
+    ).localCheckpoint()
+
+    R = fit_pca_rotation(df, "vec_id", "embedding", dim, subspaces=2)
+    rot = rotate_vectors(df, "embedding", R).localCheckpoint()
+
+    out = imi_knn_join(
+        rot, "vec_id", "embedding", dim=dim, k=2, cells_per_half=2,
+        iters=2,
+    ).collect()
+    assert out, "join emitted nothing"
+    assert all(r["query_id"] != r["neighbor_id"] for r in out)
+    per_q: dict = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) <= 2 for v in per_q.values())
+
+    norms = np.linalg.norm(vecs, axis=1)
+    for r in out:
+        qi, ni = int(r["query_id"]) - 1, int(r["neighbor_id"]) - 1
+        raw_cos = float(
+            vecs[qi] @ vecs[ni] / (norms[qi] * norms[ni])
+        )
+        assert abs(float(r["cos"]) - raw_cos) < 2e-4, (r, raw_cos)
+
+
 def test_committed_plan_covers_the_projected_expiring_cohort():
     """The real NEXT_WINDOW.json must cover the cohort the ledger's
     forward budget projects to expire next round — i.e. the committed
