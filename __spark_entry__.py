@@ -5530,7 +5530,78 @@ _NO_ORACLE_AGREEMENT_TESTS = {
 #: the round whose driver window `queries()` currently implements —
 #: read by tools/ledger.py to match the window against the committed
 #: NEXT_WINDOW.json plan (r12 verdict task #2: plan-aware staleness).
-_WINDOW_ROUND = 13
+_WINDOW_ROUND = 14
+
+_R14_WINDOW = [
+    # 1. NEW this round (r13 verdict task #2): the three pre-verified
+    #    r14-queued rows named in NEXT_WINDOW.json's plans["14"] —
+    #    the SQ8 exact-re-rank funnel, the stored-index IVF,SQ8 serve
+    #    path, and exact top-k in rotated space. Parity was pinned at
+    #    r13 by tests/test_round13_ops.py::
+    #    test_r14_queued_sq8_cell_refined_oracle_parity,
+    #    ::test_r14_queued_ivf_sq8_served_parity and
+    #    ::test_r14_queued_rotated_topk_oracle_parity.
+    "ann_topk_sq8_cell_refined",
+    "ann_topk_ivf_sq8_served",
+    "ann_topk_rotated",
+    # 2. the 41 rows the committed plan (NEXT_WINDOW.json plans["14"])
+    #    binds this window to: the r9-vintage cohort expiring at the
+    #    r13 judging horizon (ledger guard 3 fails the window without
+    #    every one of them)
+    "ann_recall_lsh",
+    "ann_recall_mrl",
+    "ann_topk_sq8_packed",
+    "array_functions_showcase",
+    "array_stats_embeddings",
+    "bloom_prune_lineitem",
+    "corr_quantity_price",
+    "cross_join_region_pairs",
+    "date_functions_showcase",
+    "docs_chunk_passages",
+    "docs_common_ngrams",
+    "docs_corpus_diff",
+    "docs_curation_verdicts",
+    "docs_decontaminate",
+    "docs_dsir_sample",
+    "docs_dsir_weights",
+    "docs_snapshot_diff",
+    "embedding_sq8_codes",
+    "events_interarrival",
+    "events_retention",
+    "events_session_windows",
+    "events_value_hist_quantiles",
+    "full_outer_nation_counts",
+    "grouping_sets_orders",
+    "monthly_order_trend",
+    "q11_important_parts",
+    "q12_priority_by_linestatus",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filters",
+    "q20_volume_suppliers",
+    "q21_waiting_suppliers",
+    "q22_inactive_rich_customers",
+    "q8_market_share",
+    "regex_source_extract",
+    "scalar_null_handling",
+    "text_bm25_search",
+    # 3. freshness fill (6 slots): the oldest r10-vintage rows, chosen
+    #    from the PQ index family — adjacent to this round's
+    #    pq_index_append idempotency change (ADVICE r13 #3) and the
+    #    stored-index lifecycle work, and pre-refreshing them cuts
+    #    r15's expiring cohort 42 -> 36 (14 free slots)
+    "ann_topk_pq",
+    "ann_recall_pq",
+    "ann_topk_ivfpq",
+    "ann_recall_ivfpq",
+    "ann_topk_ivfpq_refined",
+    # sentinel (green in every round since r1)
+    "q1_pricing_summary",
+]
 
 _R13_WINDOW = [
     # 1. NEW this round (r12 verdict task #1): the two pre-verified
@@ -5926,7 +5997,7 @@ _R8_WINDOW = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _all_queries()
-    ordered = {name: base[name] for name in _R13_WINDOW}
+    ordered = {name: base[name] for name in _R14_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
     return ordered
 
@@ -6157,7 +6228,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_cluster_labels": _docs_cluster_labels,
         "ann_topk_sq8": _ann_topk_sq8,
         "ann_topk_sq8_cell": _ann_topk_sq8_cell,
+        "ann_topk_sq8_cell_refined": _ann_topk_sq8_cell_refined,
         "ann_topk_ivf_sq8": _ann_topk_ivf_sq8,
+        "ann_topk_ivf_sq8_served": _ann_topk_ivf_sq8_served,
+        "ann_topk_rotated": _ann_topk_rotated,
         "ann_topk_sq8_packed": _ann_topk_sq8_packed,
         "ann_topk_sq8_served": _ann_topk_sq8_served,
         "ann_topk_mrl": _ann_topk_mrl,
@@ -9315,7 +9389,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_topk_sq8": _ddb_sq8_sql(topk=10, codes_only=False),
         "ann_topk_sq8_cell": _ddb_sq8_cell_sql(topk=10),
+        "ann_topk_sq8_cell_refined": _ddb_sq8_cell_refined_sql(),
         "ann_topk_ivf_sq8": _ddb_ivf_sq8_sql(),
+        # stored-index serve is bit-identical to the inline probed path
+        # (pytest-pinned) — one oracle pins both representations
+        "ann_topk_ivf_sq8_served": _ddb_ivf_sq8_sql(),
+        "ann_topk_rotated": _ddb_rotated_topk_sql(),
         # packed variant decodes to the same values in the same fold
         # order — one oracle pins both representations
         "ann_topk_sq8_packed": _ddb_sq8_sql(topk=10, codes_only=False),

@@ -23,62 +23,150 @@ def _run_ledger(cwd: str) -> subprocess.CompletedProcess:
     )
 
 
-@pytest.fixture()
-def judged_dir(tmp_path):
-    """A cwd that simulates JUDGE time: every committed
-    CORRECTNESS_r*.json plus a synthetic artifact for the round the
-    driver has not run yet (greening exactly the current window). At
-    that moment the cohort expiring at the next round's horizon is
-    breaching by construction — the structural judge-time red the
-    committed NEXT_WINDOW plan exists to absorb."""
+MAX_STALE = 4  # mirrors tools/ledger.py MAX_STALE_ROUNDS
+
+
+def _copy_artifacts(d, n_synth: int) -> list[int]:
+    """Copy the real CORRECTNESS history into ``d`` plus ``n_synth``
+    synthetic future artifacts, each greening exactly the current
+    window. Returns the full round list. The synthetic rounds start
+    AFTER whatever has really landed, so the fixture is valid at any
+    point of the builder/driver/judge timeline (r13 verdict task #1a:
+    the old fixture hard-coded one synthetic round and broke the
+    moment the driver's real artifact shifted the horizon)."""
     sys.path.insert(0, REPO)
     import __spark_entry__ as entry
 
-    d = tmp_path / "judged"
-    d.mkdir()
     rounds = []
     for f in sorted(os.listdir(REPO)):
         if f.startswith("CORRECTNESS_r") and f.endswith(".json"):
             rounds.append(int(f.split("_r")[1].split(".")[0]))
             shutil.copy(os.path.join(REPO, f), d / f)
-    nxt = max(rounds) + 1
     window = list(entry.queries())[:50]
     synthetic = {q: {"hash_match": True, "rows_match": True} for q in window}
-    (d / f"CORRECTNESS_r{nxt:02d}.json").write_text(json.dumps(synthetic))
-    return d
+    for k in range(n_synth):
+        r = max(rounds) + 1
+        rounds.append(r)
+        (d / f"CORRECTNESS_r{r:02d}.json").write_text(json.dumps(synthetic))
+    return rounds
 
 
-def test_ledger_green_at_judge_time_with_committed_plan(judged_dir):
-    """The design fix for the structurally-guaranteed judge-time red:
-    when the new driver artifact lands and the next cohort starts
-    breaching, a committed NEXT_WINDOW plan covering every breaching
-    row keeps the ledger green."""
-    shutil.copy(os.path.join(REPO, "NEXT_WINDOW.json"),
-                judged_dir / "NEXT_WINDOW.json")
-    p = _run_ledger(str(judged_dir))
+def _breach_cohort(d, rounds) -> set[str]:
+    """Replay tools/ledger.py guard 2 over the artifacts in ``d``:
+    the green rows older than the horizon and outside the current
+    window — exactly what a committed plan must cover."""
+    import __spark_entry__ as entry
+
+    no_oracle = set(entry._NO_ORACLE_SIBLINGS)
+    last_green: dict[str, int] = {}
+    for f in sorted(os.listdir(d)):
+        if not (f.startswith("CORRECTNESS_r") and f.endswith(".json")):
+            continue
+        rnd = int(f.split("_r")[1].split(".")[0])
+        for name, row in json.load(open(os.path.join(d, f))).items():
+            if row.get("hash_match") or (
+                name in no_oracle and row.get("rows_match")
+            ):
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    window = set(list(entry.queries())[:50])
+    horizon = (max(rounds) + 1) - MAX_STALE
+    return {
+        q for q, g in last_green.items() if g < horizon and q not in window
+    }
+
+
+@pytest.fixture(params=[0, 1, 4], ids=["not_yet", "artifact_landed",
+                                       "deep_future"])
+def judged_dir(tmp_path, request):
+    """A cwd simulating three timeline states (r13 verdict task #1a —
+    hermetic over artifact timing): the builder's own state (no
+    synthetic artifact), judge time (one synthetic round greening the
+    window), and a deep future (four synthetic rounds — enough that
+    EVERY green row outside the 50-slot window breaches, since the
+    registry is larger than the window). Yields (dir, rounds)."""
+    d = tmp_path / "judged"
+    d.mkdir()
+    rounds = _copy_artifacts(d, request.param)
+    return d, rounds
+
+
+def test_ledger_green_with_covering_plan(judged_dir):
+    """Ledger MECHANICS, hermetic to repo vintage: whatever cohort
+    breaches in the simulated state, a synthetic plan covering exactly
+    that cohort keeps the ledger green — at builder time, judge time,
+    and any number of artifact landings later. (The old version copied
+    the repo's real NEXT_WINDOW.json, re-creating the artifact-timing
+    dependency one level up — the r13 judge-time red.)"""
+    d, rounds = judged_dir
+    cohort = _breach_cohort(d, rounds)
+    plan = {"plans": {str(max(rounds) + 1): {
+        "must_include": sorted(cohort)}}}
+    (d / "NEXT_WINDOW.json").write_text(json.dumps(plan))
+    p = _run_ledger(str(d))
     assert p.returncode == 0, p.stdout[-2000:]
     assert "plan-covered" in p.stdout or "staleness OK" in p.stdout
 
 
-def test_ledger_red_at_judge_time_without_plan(judged_dir):
-    """Without the committed plan the same simulated judge-time state
-    must stay red — the forcing function is not weakened, only made
-    satisfiable by an explicit commitment."""
-    p = _run_ledger(str(judged_dir))
+def test_real_repo_state_survives_artifact_landing(judged_dir):
+    """The REPO-STATE guarantee (not just mechanics): the committed
+    NEXT_WINDOW.json keeps the ledger green in the builder state AND
+    at judge time. The deep-future state is excluded: it simulates
+    rounds whose windows the protocol says would have rotated — a
+    frozen repo is not expected to survive unboundedly many landings,
+    only the one round the judge actually ages it by (plus one more,
+    covered by the rolling two-round plan horizon)."""
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry
+
+    d, rounds = judged_dir
+    synth = [
+        r for r in rounds
+        if not os.path.exists(os.path.join(REPO, f"CORRECTNESS_r{r:02d}.json"))
+    ]
+    if any(r > entry._WINDOW_ROUND for r in synth):
+        # the protocol rotates the window before any artifact PAST the
+        # window round can land — a frozen repo plus such an artifact
+        # is a state the rolling plan never has to cover
+        pytest.skip("simulated artifact beyond the window round means "
+                    "an un-rotated future — not a protocol state")
+    shutil.copy(os.path.join(REPO, "NEXT_WINDOW.json"),
+                d / "NEXT_WINDOW.json")
+    p = _run_ledger(str(d))
+    assert p.returncode == 0, p.stdout[-2000:]
+
+
+@pytest.fixture()
+def breached_dir(tmp_path):
+    """Deep-future state with a GUARANTEED non-empty breach cohort:
+    four synthetic rounds green only the 50-row window, so every other
+    green row (registry 226 > 50) ages past the horizon regardless of
+    when the last real artifact landed."""
+    d = tmp_path / "breached"
+    d.mkdir()
+    rounds = _copy_artifacts(d, MAX_STALE)
+    cohort = _breach_cohort(d, rounds)
+    assert cohort, "fixture broken: registry <= window?"
+    return d, rounds, cohort
+
+
+def test_ledger_red_without_plan(breached_dir):
+    """Without a committed plan a breaching state must stay red — the
+    forcing function is not weakened, only made satisfiable by an
+    explicit commitment."""
+    d, _, _ = breached_dir
+    p = _run_ledger(str(d))
     assert p.returncode == 1, p.stdout[-2000:]
     assert "STALENESS BREACH" in p.stdout
 
 
-def test_ledger_red_when_plan_does_not_cover_breach(judged_dir):
+def test_ledger_red_when_plan_does_not_cover_breach(breached_dir):
     """A plan that names the right round but omits a breaching row
     must NOT excuse the breach."""
-    plan = json.load(open(os.path.join(REPO, "NEXT_WINDOW.json")))
-    nxt = max(int(r) for r in plan["plans"])
-    plan["plans"][str(nxt)]["must_include"] = (
-        plan["plans"][str(nxt)]["must_include"][:-1]
-    )
-    (judged_dir / "NEXT_WINDOW.json").write_text(json.dumps(plan))
-    p = _run_ledger(str(judged_dir))
+    d, rounds, cohort = breached_dir
+    plan = {"plans": {str(max(rounds) + 1): {
+        "must_include": sorted(cohort)[:-1]}}}
+    (d / "NEXT_WINDOW.json").write_text(json.dumps(plan))
+    p = _run_ledger(str(d))
     assert p.returncode == 1, p.stdout[-2000:]
     assert "not covered by a committed NEXT_WINDOW plan" in p.stdout
 
@@ -996,40 +1084,65 @@ def test_imi_join_over_rotated_corpus_preserves_the_metric(spark):
         assert abs(float(r["cos"]) - raw_cos) < 2e-4, (r, raw_cos)
 
 
-def test_committed_plan_covers_the_projected_expiring_cohort():
-    """The real NEXT_WINDOW.json must cover the cohort the ledger's
-    forward budget projects to expire next round — i.e. the committed
-    plan is sufficient for the judge-time simulation above, today."""
+def test_committed_plan_covers_every_projected_horizon():
+    """The real NEXT_WINDOW.json must be SELF-CONSISTENT over its
+    whole committed horizon (r13 verdict task #1: horizon-robust, not
+    a one-round patch). Forward-simulate the rolling protocol from the
+    window round: each round R's window (the current ``queries()[:50]``
+    for R = _WINDOW_ROUND, the committed ``plans[R]`` minimum for
+    later rounds) re-greens its rows when round R's artifact lands;
+    the cohort breaching at that point must be covered by plans[R+1].
+    The old version projected exactly one horizon from max(rounds)+1,
+    so the driver's artifact landing after the last builder commit
+    aged it onto an uncommitted round — the third consecutive
+    judge-time red. This version is timing-independent: real artifacts
+    landing for rounds the simulation already covers change nothing."""
     plan = json.load(open(os.path.join(REPO, "NEXT_WINDOW.json")))
     sys.path.insert(0, REPO)
     import glob
 
     import __spark_entry__ as entry
 
-    hist: dict[str, list] = {}
-    rounds: list[int] = []
-    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        rnd = int(f.split("_r")[1].split(".")[0])
-        rounds.append(rnd)
-        for name, row in json.load(open(f)).items():
-            hist.setdefault(name, []).append((rnd, row))
     no_oracle = set(getattr(entry, "_NO_ORACLE_SIBLINGS", {}))
     last_green: dict[str, int] = {}
-    for q, rows in hist.items():
-        for rnd, row in rows:
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(f.split("_r")[1].split(".")[0])
+        for name, row in json.load(open(f)).items():
             if row.get("hash_match") or (
-                q in no_oracle and row.get("rows_match")
+                name in no_oracle and row.get("rows_match")
             ):
-                last_green[q] = max(last_green.get(q, 0), rnd)
-    window = set(list(entry.queries())[:50])
-    nxt = max(rounds) + 1
-    # after the upcoming run re-greens the window, the rows breaching
-    # at judge time are exactly: vintage <= nxt - MAX_STALE, not window
-    expiring = {
-        q for q, g in last_green.items()
-        if g <= nxt - 4 and q not in window
-    }
-    committed = set(
-        plan["plans"].get(str(nxt + 1), {}).get("must_include", [])
+                last_green[name] = max(last_green.get(name, 0), rnd)
+
+    wr = entry._WINDOW_ROUND
+    # the rolling plan must run at least two rounds past the current
+    # window — deep enough to survive one artifact landing after the
+    # last builder commit, with a full round of slack
+    committed_rounds = sorted(int(r) for r in plan["plans"])
+    assert {wr + 1, wr + 2} <= set(committed_rounds), (
+        f"rolling plan too shallow: window r{wr}, plans only for "
+        f"{committed_rounds}"
     )
-    assert expiring <= committed, sorted(expiring - committed)
+
+    windows = {wr: set(list(entry.queries())[:50])}
+    for r in committed_rounds:
+        if r > wr:
+            windows[r] = set(plan["plans"][str(r)]["must_include"])
+
+    eff = dict(last_green)
+    for R in range(wr, max(windows) + 1):
+        # round R's artifact lands: its window re-greens at vintage R
+        for q in windows[R]:
+            eff[q] = R
+        if R == max(windows):
+            break  # plans[R+1] is the NEXT round's rotation duty
+        breach = {
+            q for q, g in eff.items()
+            if g < (R + 1) - MAX_STALE and q not in windows[R]
+        }
+        committed = set(
+            plan["plans"].get(str(R + 1), {}).get("must_include", [])
+        )
+        assert breach <= committed, (
+            f"after round {R}'s artifact lands, plans[{R + 1}] misses: "
+            f"{sorted(breach - committed)}"
+        )
