@@ -129,6 +129,18 @@ def fit_pca_rotation(
     """
     import numpy as np
 
+    if dim % subspaces:
+        # _balance_buckets allocates exactly dim // subspaces components
+        # per bucket; a non-dividing count would strand the remainder
+        # components with no bucket and surface as an opaque
+        # "min() arg is an empty sequence" (ADVICE r13) — name both
+        # values instead
+        raise ValueError(
+            f"fit_pca_rotation: dim={dim} is not divisible by "
+            f"subspaces={subspaces} — the balanced allocation needs "
+            "equal-width subspaces (pad the vectors or change the "
+            "subspace count)"
+        )
     X = _sample_matrix(df, id_col, vec_col, sample_mod, max_rows)
     if X.shape[0] < dim:
         raise ValueError(

@@ -17,6 +17,8 @@ end; this is the repo's exact-sum recipe applied element-wise.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -604,40 +606,66 @@ def pq_index_build(
     # versioned into the manifest write order: invalidate first.
     fs = _index_fs(df.sparkSession, index_dir)
     manifest = f"{index_dir}/codebooks.json"
+    cfg = {"dim": dim, "m": m, "k": k, "scale": scale,
+           "id_col": id_col, "vec_col": vec_col, "codebooks": books}
     if fs.exists(manifest):
-        fs.delete(manifest)  # invalidate BEFORE touching codes
+        # invalidate BEFORE touching codes; a crashed REBUILD is not
+        # repairable (codes may be half-overwritten against either
+        # codebook) but the old codebooks survive in the sidecar for
+        # forensics — repair refuses op="build" and says to rebuild
+        old = _json.loads(fs.read_small(manifest))
+        _invalidate_manifest(fs, manifest, old, op="build")
     codes.write.mode("overwrite").parquet(f"{index_dir}/codes")
-    fs.write_small_atomic(
-        manifest,
-        _json.dumps(
-            {"dim": dim, "m": m, "k": k, "scale": scale,
-             "id_col": id_col, "vec_col": vec_col, "codebooks": books}
-        ).encode(),
-    )
+    _commit_manifest(fs, manifest, cfg)
     return books
 
 
-def pq_index_append(df: DataFrame, index_dir: str) -> int:
+def pq_index_append(
+    df: DataFrame,
+    index_dir: str,
+    skip_existing_ids: bool = False,
+    checkpoint_dir: str | None = None,
+) -> int:
     """Append new vectors to a stored PQ index without refitting:
     encode the batch against the manifest's frozen codebooks and
     append the code rows. Unlike the IVF,SQ8 layout (raw vectors,
     serve-time encode), the PQ index stores CODES — but a frozen
     codebook makes old and new codes directly comparable, so append is
     one encode pass + one parquet append, no invalidation of existing
-    rows. Same torn-build order as the build: manifest invalidated
-    before the codes append, re-written (atomic rename) after.
+    rows. Crash-survivable torn protocol as in
+    :func:`ivf_sq8_index_append`: the codebooks are preserved in a
+    ``.torn`` sidecar before the manifest is invalidated, and a torn
+    index found on entry self-heals via :func:`pq_index_repair`.
     Codebook drift is the accepted trade-off, as in
-    :func:`ivf_sq8_index_append`. Returns rows appended."""
+    :func:`ivf_sq8_index_append`. Returns rows appended.
+
+    ``skip_existing_ids=True`` makes the append IDEMPOTENT per id
+    (ADVICE r13): the batch anti-joins against the stored codes' id
+    column (a column-pruned read — m tinyints per row are never
+    decoded), so an at-least-once replay after a crash between the
+    codes append and the manifest rewrite appends 0 instead of
+    silently duplicating code rows (duplicated ids would surface in
+    :func:`pq_index_search` results). Off by default — the guard costs
+    one pruned scan of the whole code table per append (the PQ layout
+    is not cell-partitioned, so unlike the IVF,SQ8 guard it cannot
+    partition-prune), and exactly-once upstreams shouldn't pay it.
+
+    ``checkpoint_dir`` routes the batch pin through the reliable
+    checkpointer (:func:`operators.lineage.truncate_lineage`) so an
+    executor loss mid-append recomputes instead of failing the job —
+    the 100 TB availability posture; ``None`` keeps the local path."""
     import json as _json
+
+    from kubernetes_logs_datalake_spark.operators.lineage import (
+        truncate_lineage,
+    )
 
     spark = df.sparkSession
     fs = _index_fs(spark, index_dir)
     manifest = f"{index_dir}/codebooks.json"
-    if not fs.exists(manifest):
-        raise FileNotFoundError(
-            f"pq_index_append: no manifest at {manifest} — "
-            "incomplete or torn index build"
-        )
+    if not fs.exists(manifest) and fs.exists(_torn(manifest)):
+        pq_index_repair(spark, index_dir)  # self-heal a torn index
+    _refuse_torn(fs, manifest, "pq_index_append")
     meta = _json.loads(fs.read_small(manifest))
     books, m, k, dim, scale = (
         meta["codebooks"], meta["m"], meta["k"], meta["dim"],
@@ -645,17 +673,68 @@ def pq_index_append(df: DataFrame, index_dir: str) -> int:
     )
     id_col = meta.get("id_col", "vec_id")
     vec_col = meta.get("vec_col", "embedding")
-    codes = pq_encode(
-        df, id_col, vec_col, dim, m, k, iters=0, scale=scale,
-        codebooks=books,
-    ).localCheckpoint(eager=True)
+    codes = truncate_lineage(
+        pq_encode(
+            df, id_col, vec_col, dim, m, k, iters=0, scale=scale,
+            codebooks=books,
+        ),
+        checkpoint_dir, eager=True,
+    )
+    if skip_existing_ids:
+        existing = spark.read.parquet(f"{index_dir}/codes").select(id_col)
+        codes = truncate_lineage(
+            codes.join(existing, id_col, "left_anti"),
+            checkpoint_dir, eager=True,
+        )
     n_new = codes.count()
     if n_new == 0:
         return 0
-    fs.delete(manifest)  # invalidate BEFORE touching codes
+    _invalidate_manifest(fs, manifest, meta, op="append")
     codes.write.mode("append").parquet(f"{index_dir}/codes")
-    fs.write_small_atomic(manifest, _json.dumps(meta).encode())
+    _commit_manifest(fs, manifest, meta)
     return n_new
+
+
+def pq_index_repair(spark, index_dir: str) -> dict:
+    """Restore a PQ index torn by a crash inside an append's
+    manifest-invalidation window (r13 verdict item 2). The append
+    never deletes code files, so after any crash the code table is
+    either the old content or old+batch (parquet appends commit per
+    job) — both valid against the FROZEN codebooks preserved in the
+    ``.torn`` sidecar. Repair is therefore just: restore the manifest
+    from the sidecar, O(1). A torn (re)BUILD is refused: its codes may
+    be half-overwritten against either codebook — rebuild instead (the
+    old codebooks stay in the sidecar for forensics).
+
+    Returns ``{"repaired": bool, "status"/"op": ...}``; raises
+    FileNotFoundError when there is nothing to repair."""
+    import json as _json
+
+    fs = _index_fs(spark, index_dir)
+    manifest = f"{index_dir}/codebooks.json"
+    torn = _torn(manifest)
+    if fs.exists(manifest):
+        cleaned = fs.exists(torn)
+        if cleaned:
+            fs.delete(torn)  # dangling sidecar from a crash post-commit
+        return {"repaired": False, "status": "healthy",
+                "cleaned_sidecar": cleaned}
+    if not fs.exists(torn):
+        raise FileNotFoundError(
+            f"pq_index_repair: neither manifest nor sidecar at {manifest}"
+            " — nothing to repair (index was never built)"
+        )
+    sidecar = _json.loads(fs.read_small(torn))
+    op = sidecar.get("op", "unknown")
+    if op != "append":
+        raise RuntimeError(
+            f"pq_index_repair: torn '{op}' protocol is not repairable — "
+            f"a crashed (re)build may have half-overwritten the codes; "
+            f"rebuild with pq_index_build (old codebooks preserved in "
+            f"{torn})"
+        )
+    _commit_manifest(fs, manifest, sidecar["cfg"])
+    return {"repaired": True, "op": op}
 
 
 def _index_fs(spark, index_dir: str):
@@ -669,6 +748,90 @@ def _index_fs(spark, index_dir: str):
     from kubernetes_logs_datalake_spark.sources.compact import _Fs
 
     return _Fs(spark, index_dir)
+
+
+def _invalidate_manifest(fs, manifest: str, cfg: dict, op: str,
+                         **extra) -> None:
+    """Crash-SURVIVABLE manifest invalidation (r13 verdict item 2).
+
+    The r13 protocol deleted the manifest outright before mutating
+    data, so a crash inside the mutation window destroyed the ONLY
+    copy of the codebook/centroids — for append/compact a pure loss,
+    since the cfg is byte-identical before and after, and the only
+    recovery was a full O(n) refit. Now the cfg is first preserved in
+    a ``<manifest>.torn`` sidecar (atomic write, plus the op name and
+    whatever the repair path needs — e.g. compact's pre-counts), and
+    only THEN is the manifest deleted. Every crash point is safe:
+
+    - before the delete: manifest + sidecar both present, data
+      untouched — the manifest stays authoritative and the next
+      lifecycle commit removes the dangling sidecar;
+    - inside the mutation: manifest absent, sidecar present — serving
+      still REFUSES (unchanged posture), but
+      :func:`ivf_sq8_index_repair` / :func:`pq_index_repair` can
+      restore the index in O(touched data), and the append/compact
+      entry points self-heal on finding the sidecar;
+    - after the commit, before the sidecar cleanup: manifest (new)
+      + sidecar both present — manifest authoritative again.
+    """
+    import json as _json
+
+    sidecar = {"op": op, "cfg": cfg}
+    sidecar.update(extra)
+    fs.write_small_atomic(_torn(manifest), _json.dumps(sidecar).encode())
+    fs.delete(manifest)
+
+
+def _commit_manifest(fs, manifest: str, cfg: dict) -> None:
+    """Publish the manifest (atomic rename) and clear the torn
+    sidecar — the commit half of :func:`_invalidate_manifest`."""
+    import json as _json
+
+    fs.write_small_atomic(manifest, _json.dumps(cfg).encode())
+    torn = _torn(manifest)
+    if fs.exists(torn):
+        fs.delete(torn)
+
+
+def _torn(manifest: str) -> str:
+    return manifest + ".torn"
+
+
+@contextmanager
+def _conf_override(spark, key: str, value: str):
+    """Set a session conf for the duration of a block, then restore it
+    EXACTLY — including the unset state (ADVICE r13: ``conf.get(key,
+    None)`` returns None for an unset key, and restoring only when a
+    previous value existed left the session permanently in the
+    override; a later ``ivf_sq8_index_build`` overwrite under a
+    lingering ``partitionOverwriteMode=dynamic`` would then replace
+    only the clusters present in the new assignment, serving stale
+    cells under a fresh manifest)."""
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+
+
+def _refuse_torn(fs, manifest: str, fn: str) -> None:
+    """Shared refusal for read paths: missing manifest raises, and the
+    message says whether a repairable torn sidecar exists."""
+    if fs.exists(manifest):
+        return
+    if fs.exists(_torn(manifest)):
+        raise FileNotFoundError(
+            f"{fn}: manifest missing but {_torn(manifest)} exists — the "
+            "index is TORN (crash inside a lifecycle mutation); run the "
+            "matching index_repair() to restore it"
+        )
+    raise FileNotFoundError(
+        f"{fn}: no manifest at {manifest} — incomplete or torn index build"
+    )
 
 
 def pq_index_search(
@@ -691,11 +854,7 @@ def pq_index_search(
 
     fs = _index_fs(spark, index_dir)
     manifest = f"{index_dir}/codebooks.json"
-    if not fs.exists(manifest):
-        raise FileNotFoundError(
-            f"pq_index_search: no manifest at {manifest} — "
-            "incomplete or torn index build"
-        )
+    _refuse_torn(fs, manifest, "pq_index_search")
     meta = _json.loads(fs.read_small(manifest))
     books, m, dim, scale = (
         meta["codebooks"], meta["m"], meta["dim"], meta["scale"]
@@ -1792,7 +1951,11 @@ def ivf_sq8_index_build(
     fs = _index_fs(df.sparkSession, index_dir)
     manifest = f"{index_dir}/manifest.json"
     if fs.exists(manifest):
-        fs.delete(manifest)  # invalidate BEFORE touching data
+        # invalidate BEFORE touching data; a crashed REBUILD is not
+        # repairable (cells may be half-overwritten between corpora)
+        # but the old centroids survive in the sidecar for forensics
+        old = _json.loads(fs.read_small(manifest))
+        _invalidate_manifest(fs, manifest, old, op="build")
     assigned.select(
         F.col(id_col), F.col(vec_col), F.col("cluster")
     ).write.mode("overwrite").partitionBy("cluster").parquet(
@@ -1806,7 +1969,7 @@ def ivf_sq8_index_build(
     }
     if rotation is not None:
         payload["rotation"] = [[float(v) for v in r] for r in rotation]
-    fs.write_small_atomic(manifest, _json.dumps(payload).encode())
+    _commit_manifest(fs, manifest, payload)
     return centers
 
 
@@ -1815,6 +1978,7 @@ def ivf_sq8_index_append(
     index_dir: str,
     assign_arrow: bool = False,
     skip_existing_ids: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> int:
     """Append new vectors to a stored IVF,SQ8 index WITHOUT refitting:
     assign the batch against the manifest's frozen codebook, append to
@@ -1831,11 +1995,16 @@ def ivf_sq8_index_append(
       cells store raw vectors, so widening a touched cell's bounds
       re-encodes its existing rows implicitly; there is no stored-code
       table to invalidate (the classic SQ8-index append hazard).
-    - the torn-build protocol extends naturally: the manifest is
-      invalidated BEFORE the cells append and re-written (atomic
-      rename) only after cells + bounds are consistent, so a crash
-      mid-append leaves a refusing index, never a serving index whose
-      bounds do not cover its cells.
+    - the torn protocol extends naturally AND is crash-SURVIVABLE
+      (r13 verdict item 2): the manifest's cfg is preserved in a
+      ``.torn`` sidecar before the manifest is invalidated, the data
+      mutation runs while serving refuses, and the manifest is
+      re-committed (atomic rename) only after cells + bounds are
+      consistent. A crash anywhere inside the window leaves a
+      refusing-but-REPAIRABLE index — :func:`ivf_sq8_index_repair`
+      restores it without a refit, and this function calls it itself
+      on finding a torn sidecar, so replayed streaming epochs
+      self-heal instead of raising until a full rebuild.
 
     Centroid drift is the accepted trade-off (the batch is assigned to
     the OLD centroids; recall degrades only as the data distribution
@@ -1849,17 +2018,28 @@ def ivf_sq8_index_append(
     at-least-once replay (the streaming ``foreachBatch`` epoch after a
     crash) appends 0 instead of duplicating rows. Off by default: the
     cost is one extra pruned read per append, and batch callers with
-    exactly-once upstream semantics shouldn't pay it."""
+    exactly-once upstream semantics shouldn't pay it.
+
+    ``checkpoint_dir`` routes every lineage pin in the
+    read-then-overwrite-same-path steps through the reliable
+    checkpointer (:func:`operators.lineage.truncate_lineage`) instead
+    of the hard-coded executor-local path (ADVICE r13): at the 100 TB
+    posture an executor loss mid-overwrite under localCheckpoint fails
+    the job unrecoverably and leaves the index torn until repaired;
+    with a reliable dir the lost partitions re-fetch and the append
+    completes. ``None`` (default) keeps the sandbox-fast local path."""
     import json as _json
+
+    from kubernetes_logs_datalake_spark.operators.lineage import (
+        truncate_lineage,
+    )
 
     spark = df.sparkSession
     fs = _index_fs(spark, index_dir)
     manifest = f"{index_dir}/manifest.json"
-    if not fs.exists(manifest):
-        raise FileNotFoundError(
-            f"ivf_sq8_index_append: no manifest at {manifest} — "
-            "incomplete or torn index build"
-        )
+    if not fs.exists(manifest) and fs.exists(_torn(manifest)):
+        ivf_sq8_index_repair(spark, index_dir)  # self-heal a torn index
+    _refuse_torn(fs, manifest, "ivf_sq8_index_append")
     cfg = _json.loads(fs.read_small(manifest))
     id_col, vec_col, dim = cfg["id_col"], cfg["vec_col"], int(cfg["dim"])
     centers = cfg["centers"]
@@ -1869,11 +2049,12 @@ def ivf_sq8_index_append(
         )
 
         df = rotate_vectors(df, vec_col, cfg["rotation"])
-    assigned = (
+    assigned = truncate_lineage(
         kmeans_assign_arrow(df, id_col, vec_col, centers)
         if assign_arrow
-        else kmeans_assign(df, id_col, vec_col, centers)
-    ).localCheckpoint(eager=True)  # pin: feeds count, write AND bounds
+        else kmeans_assign(df, id_col, vec_col, centers),
+        checkpoint_dir, eager=True,
+    )  # pin: feeds count, write AND bounds
     n_new = assigned.count()
     if n_new == 0:
         return 0
@@ -1887,9 +2068,10 @@ def ivf_sq8_index_append(
             .filter(F.col("cluster").isin(touched))
             .select(id_col)
         )
-        assigned = assigned.join(
-            existing, id_col, "left_anti"
-        ).localCheckpoint(eager=True)
+        assigned = truncate_lineage(
+            assigned.join(existing, id_col, "left_anti"),
+            checkpoint_dir, eager=True,
+        )
         n_new = assigned.count()
         if n_new == 0:
             return 0
@@ -1897,7 +2079,9 @@ def ivf_sq8_index_append(
             int(r["cluster"])
             for r in assigned.select("cluster").distinct().collect()
         )
-    fs.delete(manifest)  # invalidate BEFORE touching data
+    # invalidate BEFORE touching data — cfg survives in the sidecar,
+    # with the touched set recorded for a bounded repair
+    _invalidate_manifest(fs, manifest, cfg, op="append", touched=touched)
     assigned.select(
         F.col(id_col), F.col(vec_col), F.col("cluster")
     ).write.mode("append").partitionBy("cluster").parquet(
@@ -1913,9 +2097,11 @@ def ivf_sq8_index_append(
     old_bounds = spark.read.parquet(f"{index_dir}/bounds").filter(
         ~F.col("cluster").isin(touched)
     )
-    merged = old_bounds.unionByName(new_bounds).localCheckpoint(eager=True)
+    merged = truncate_lineage(
+        old_bounds.unionByName(new_bounds), checkpoint_dir, eager=True
+    )
     merged.write.mode("overwrite").parquet(f"{index_dir}/bounds")
-    fs.write_small_atomic(manifest, _json.dumps(cfg).encode())
+    _commit_manifest(fs, manifest, cfg)
     return n_new
 
 
@@ -1933,11 +2119,7 @@ def ivf_sq8_index_verify(spark, index_dir: str) -> dict:
 
     fs = _index_fs(spark, index_dir)
     manifest = f"{index_dir}/manifest.json"
-    if not fs.exists(manifest):
-        raise FileNotFoundError(
-            f"ivf_sq8_index_verify: no manifest at {manifest} — "
-            "incomplete or torn index build"
-        )
+    _refuse_torn(fs, manifest, "ivf_sq8_index_verify")
     cfg = _json.loads(fs.read_small(manifest))
     k = int(cfg["cells"])
     cells_df = spark.read.parquet(f"{index_dir}/cells")
@@ -1967,8 +2149,137 @@ def ivf_sq8_index_verify(spark, index_dir: str) -> dict:
     }
 
 
+def ivf_sq8_index_repair(
+    spark, index_dir: str, checkpoint_dir: str | None = None
+) -> dict:
+    """Restore an IVF,SQ8 index torn by a crash inside a lifecycle
+    mutation (r13 verdict item 2) — the availability half of the torn
+    protocol: serving correctly REFUSES while the manifest is absent,
+    and this turns the refusal from "full O(n) refit" into a bounded
+    repair, because :func:`_invalidate_manifest` preserved the cfg
+    (centroids, bounds config) in the ``.torn`` sidecar.
+
+    Per torn op:
+
+    - ``append`` — cells only ever GAIN files (parquet append never
+      deletes), so the data is old or old+batch — or old+partial-batch
+      after a crash mid job-commit, which the per-id replay guard
+      completes. The bounds, though, can be stale (cells committed,
+      bounds overwrite not started) or DESTROYED (the crash hit inside
+      the bounds ``mode("overwrite")``). Repair recomputes the bounds
+      for every present cell: :func:`sq8_cell_bounds` is a
+      deterministic per-cell min/max, so untouched cells reproduce
+      their previous rows bit-identically and touched cells land
+      exactly where the uncrashed append would have put them. One
+      map-side-combined pass over the cells — the crash path, not the
+      hot path (the sidecar's touched set cannot be trusted to bound
+      it, because the partial-batch case can leave a touched cell's
+      data mid-way between old and new bounds).
+    - ``compact`` — the rewrite only moves file layout, but a crash
+      mid dynamic-partition-overwrite job-commit can leave a crowded
+      cell with old AND new files (duplicated rows) or with rows
+      missing. The sidecar recorded the crowded cells and their exact
+      pre-count: repair re-counts those cells; equal → layout-only
+      difference, restore the manifest; higher → duplicate copies,
+      deduplicate by id within the affected cells (rows are identical
+      copies, so this is lossless) and rewrite them; lower → data
+      LOSS, unrepairable without the corpus — raises.
+    - ``build`` — unrepairable by construction (the cells may be
+      half-overwritten between two corpora); raises and points at a
+      rebuild, with the old centroids still in the sidecar.
+
+    A HEALTHY index (manifest present) is a no-op that clears any
+    dangling sidecar left by a crash after the commit. Returns a dict
+    with ``repaired`` plus the post-repair :func:`ivf_sq8_index_verify`
+    report; raises FileNotFoundError if there is nothing to repair."""
+    import json as _json
+
+    from kubernetes_logs_datalake_spark.operators.lineage import (
+        truncate_lineage,
+    )
+
+    fs = _index_fs(spark, index_dir)
+    manifest = f"{index_dir}/manifest.json"
+    torn = _torn(manifest)
+    if fs.exists(manifest):
+        cleaned = fs.exists(torn)
+        if cleaned:
+            fs.delete(torn)  # dangling sidecar from a crash post-commit
+        return {"repaired": False, "status": "healthy",
+                "cleaned_sidecar": cleaned}
+    if not fs.exists(torn):
+        raise FileNotFoundError(
+            f"ivf_sq8_index_repair: neither manifest nor sidecar at "
+            f"{manifest} — nothing to repair (index was never built)"
+        )
+    sidecar = _json.loads(fs.read_small(torn))
+    op, cfg = sidecar.get("op", "unknown"), sidecar["cfg"]
+    if op == "append":
+        vec_col, dim = cfg["vec_col"], int(cfg["dim"])
+        bounds = truncate_lineage(
+            sq8_cell_bounds(
+                spark.read.parquet(f"{index_dir}/cells"), vec_col, dim
+            ),
+            checkpoint_dir, eager=True,
+        )
+        bounds.write.mode("overwrite").parquet(f"{index_dir}/bounds")
+    elif op == "compact":
+        crowded = [int(c) for c in sidecar.get("crowded", [])]
+        expected = sidecar.get("rows_crowded")
+        if crowded and expected is not None:
+            sub = spark.read.parquet(f"{index_dir}/cells").filter(
+                F.col("cluster").isin(crowded)
+            )
+            got = sub.count()
+            if got < int(expected):
+                raise RuntimeError(
+                    f"ivf_sq8_index_repair: compact crash LOST rows in "
+                    f"cells {crowded} ({got} < {expected}) — "
+                    "unrepairable without the corpus; rebuild with "
+                    "ivf_sq8_index_build"
+                )
+            if got > int(expected):
+                # old + new file copies coexist: identical rows, so an
+                # id-distinct rewrite of ONLY the affected cells is
+                # lossless. Same dynamic-overwrite recipe as compact.
+                id_col = cfg["id_col"]
+                rows = truncate_lineage(
+                    sub.dropDuplicates([id_col]), checkpoint_dir,
+                    eager=True,
+                )
+                if rows.count() != int(expected):
+                    raise RuntimeError(
+                        "ivf_sq8_index_repair: duplicate-id collapse "
+                        f"does not reproduce the recorded pre-count "
+                        f"{expected} — rebuild with ivf_sq8_index_build"
+                    )
+                with _conf_override(
+                    spark, "spark.sql.sources.partitionOverwriteMode",
+                    "dynamic",
+                ):
+                    (
+                        rows.repartition("cluster")
+                        .write.mode("overwrite")
+                        .partitionBy("cluster")
+                        .parquet(f"{index_dir}/cells")
+                    )
+    else:
+        raise RuntimeError(
+            f"ivf_sq8_index_repair: torn '{op}' protocol is not "
+            "repairable — a crashed (re)build may have half-overwritten "
+            "the cells; rebuild with ivf_sq8_index_build (old centroids "
+            f"preserved in {torn})"
+        )
+    _commit_manifest(fs, manifest, cfg)
+    report = ivf_sq8_index_verify(spark, index_dir)
+    return {"repaired": True, "op": op, "verify": report}
+
+
 def ivf_sq8_index_compact(
-    spark, index_dir: str, max_files_per_cell: int = 4
+    spark,
+    index_dir: str,
+    max_files_per_cell: int = 4,
+    checkpoint_dir: str | None = None,
 ) -> dict:
     """Small-file compaction for a stored IVF,SQ8 index — the cost
     every append-many lifecycle accrues: each streaming epoch adds a
@@ -1977,20 +2288,30 @@ def ivf_sq8_index_compact(
     ONLY the crowded cells (file count > ``max_files_per_cell``,
     counted via the Hadoop FS listing) through Spark's dynamic
     partition overwrite — untouched cells' files are never read or
-    replaced — under the same manifest invalidate→rewrite protocol as
-    the append, so a crash mid-compaction refuses instead of serving a
-    half-rewritten cell. Row content is unchanged (pinned by serving
-    bit-identity); only the file layout moves. Returns
-    ``{"compacted_cells", "files_before", "files_after"}``."""
+    replaced — under the crash-survivable manifest
+    invalidate→rewrite→commit protocol shared with the append: a crash
+    mid-compaction refuses instead of serving a half-rewritten cell,
+    and :func:`ivf_sq8_index_repair` (called here automatically on
+    finding a torn sidecar) restores it — the sidecar records the
+    crowded cells and their exact pre-count, so repair can prove the
+    layout-only invariant or losslessly collapse duplicated copies.
+    Row content is unchanged (pinned by serving bit-identity); only
+    the file layout moves. ``checkpoint_dir`` routes the
+    read-before-overwrite pin through the reliable checkpointer
+    (ADVICE r13 — survive executor loss mid-overwrite at the 100 TB
+    posture). Returns ``{"compacted_cells", "files_before",
+    "files_after"}``."""
     import json as _json
+
+    from kubernetes_logs_datalake_spark.operators.lineage import (
+        truncate_lineage,
+    )
 
     fs = _index_fs(spark, index_dir)
     manifest = f"{index_dir}/manifest.json"
-    if not fs.exists(manifest):
-        raise FileNotFoundError(
-            f"ivf_sq8_index_compact: no manifest at {manifest} — "
-            "incomplete or torn index build"
-        )
+    if not fs.exists(manifest) and fs.exists(_torn(manifest)):
+        ivf_sq8_index_repair(spark, index_dir)  # self-heal a torn index
+    _refuse_torn(fs, manifest, "ivf_sq8_index_compact")
     cfg = _json.loads(fs.read_small(manifest))
     per_cell: dict[int, int] = {}
     for p in fs.glob(f"{index_dir}/cells/cluster=*/part-*"):
@@ -2004,27 +2325,28 @@ def ivf_sq8_index_compact(
             per_cell.values()
         ), "files_after": sum(per_cell.values())}
     files_before = sum(per_cell.values())
-    rows = (
+    rows = truncate_lineage(
         spark.read.parquet(f"{index_dir}/cells")
-        .filter(F.col("cluster").isin(crowded))
-        .localCheckpoint(eager=True)  # read fully BEFORE overwriting
+        .filter(F.col("cluster").isin(crowded)),
+        checkpoint_dir, eager=True,  # read fully BEFORE overwriting
     )
-    fs.delete(manifest)  # invalidate BEFORE touching data
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
+    # invalidate BEFORE touching data — the sidecar carries the
+    # affected cells and their pre-count so repair can verify the
+    # layout-only invariant after a crash
+    _invalidate_manifest(
+        fs, manifest, cfg, op="compact",
+        crowded=[int(c) for c in crowded], rows_crowded=rows.count(),
+    )
+    with _conf_override(
+        spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    ):
         (
             rows.repartition("cluster")
             .write.mode("overwrite")
             .partitionBy("cluster")
             .parquet(f"{index_dir}/cells")
         )
-    finally:
-        if prev is not None:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
-            )
-    fs.write_small_atomic(manifest, _json.dumps(cfg).encode())
+    _commit_manifest(fs, manifest, cfg)
     after = len(fs.glob(f"{index_dir}/cells/cluster=*/part-*"))
     return {
         "compacted_cells": len(crowded),
@@ -2055,11 +2377,7 @@ def ivf_sq8_index_drift(df: DataFrame, index_dir: str) -> dict:
     spark = df.sparkSession
     fs = _index_fs(spark, index_dir)
     manifest = f"{index_dir}/manifest.json"
-    if not fs.exists(manifest):
-        raise FileNotFoundError(
-            f"ivf_sq8_index_drift: no manifest at {manifest} — "
-            "incomplete or torn index build"
-        )
+    _refuse_torn(fs, manifest, "ivf_sq8_index_drift")
     cfg = _json.loads(fs.read_small(manifest))
     id_col, vec_col = cfg["id_col"], cfg["vec_col"]
     centers = cfg["centers"]
@@ -2145,11 +2463,7 @@ def ivf_sq8_index_search(
 
     fs = _index_fs(spark, index_dir)
     manifest = f"{index_dir}/manifest.json"
-    if not fs.exists(manifest):
-        raise FileNotFoundError(
-            f"ivf_sq8_index_search: no manifest at {manifest} — "
-            "incomplete or torn index build"
-        )
+    _refuse_torn(fs, manifest, "ivf_sq8_index_search")
     cfg = _json.loads(fs.read_small(manifest))
     dim = int(cfg["dim"])
     if len(query) != dim:

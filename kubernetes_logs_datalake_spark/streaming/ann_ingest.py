@@ -63,6 +63,12 @@ class AnnIngestJob:
     #: epoch REPLAYS idempotent per id — on by default here because
     #: foreachBatch is exactly the caller that replays
     skip_existing_ids: bool = True
+    #: reliable-checkpoint dir for the append's lineage pins (distinct
+    #: from ``checkpoint``, the STREAM's progress checkpoint): set it
+    #: on clusters with preemptible executors so an executor loss
+    #: mid-epoch recomputes instead of failing the epoch and leaving
+    #: the index torn until the replay repairs it (ADVICE r13)
+    reliable_checkpoint_dir: str | None = None
     _query: object = field(default=None, repr=False)
 
     def start(self, spark: SparkSession, source: DataFrame):
@@ -73,11 +79,17 @@ class AnnIngestJob:
         index_dir = self.index_dir
         assign_arrow = self.assign_arrow
         skip_existing = self.skip_existing_ids
+        reliable_dir = self.reliable_checkpoint_dir
 
         def append_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            # a torn index (crash inside a previous epoch's manifest
+            # window) self-heals inside the append via
+            # ivf_sq8_index_repair — the replayed epoch then completes
+            # against the restored manifest instead of raising forever
             ivf_sq8_index_append(
                 batch_df, index_dir, assign_arrow=assign_arrow,
                 skip_existing_ids=skip_existing,
+                checkpoint_dir=reliable_dir,
             )
 
         self._query = (

@@ -1,0 +1,536 @@
+"""Round-14 additions: crash-SURVIVABLE manifest invalidation for the
+stored-index lifecycle (r13 verdict item 2 — the `.torn` sidecar +
+repair API, self-healing appends/compacts), the r13 ADVICE closures
+(compact conf restore, pq append idempotency, reliable-checkpoint
+threading, rotation dim validation).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def small_embed_corpus(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim, n = 8, 120
+    vecs = rng.normal(0.0, 1.0, (n, dim))
+    df = spark.createDataFrame(
+        [(i + 1, [float(v) for v in vec]) for i, vec in enumerate(vecs)],
+        "vec_id: long, embedding: array<double>",
+    )
+    query = [float(v) for v in rng.normal(0.0, 1.0, dim)]
+    return df.localCheckpoint(), query, dim
+
+
+def _fail_manifest_write(mp, at_call: int):
+    """Make the Nth write_small_atomic raise — the 'crash inside the
+    manifest window' switch. Call #1 in any lifecycle op is the torn
+    sidecar; call #2 is the commit, so at_call=2 crashes after the
+    data mutation, before the manifest re-publish."""
+    from kubernetes_logs_datalake_spark.sources import compact as cmod
+
+    calls = {"i": 0}
+    real = cmod._Fs.write_small_atomic
+
+    def wrapper(self, p, data):
+        calls["i"] += 1
+        if calls["i"] == at_call:
+            raise RuntimeError("simulated crash inside manifest window")
+        return real(self, p, data)
+
+    mp.setattr(cmod._Fs, "write_small_atomic", wrapper)
+    return calls
+
+
+def _serve(spark, idx, query, n_probe=4, topk=7):
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_index_search,
+    )
+
+    return [
+        tuple(r)
+        for r in ivf_sq8_index_search(
+            spark, idx, query, topk=topk, n_probe=n_probe
+        ).collect()
+    ]
+
+
+def _bounds_set(spark, idx):
+    return sorted(
+        (int(r["cluster"]), tuple(r["mn"]), tuple(r["sc"]), tuple(r["iv"]))
+        for r in spark.read.parquet(f"{idx}/bounds").collect()
+    )
+
+
+def _build_pair(spark, small_embed_corpus, tmp_path, name):
+    """Two bit-identical indexes from the same base corpus + the held
+    out batch: one to crash, one as the uncrashed control."""
+    from pyspark.sql import functions as F
+
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_index_build, kmeans_fit,
+    )
+
+    df, query, dim = small_embed_corpus
+    base = df.filter(F.col("vec_id") <= 90).localCheckpoint()
+    batch = df.filter(F.col("vec_id") > 90).localCheckpoint()
+    centers, _ = kmeans_fit(base, "vec_id", "embedding", k=4, iters=2)
+    a, b = str(tmp_path / f"{name}_crash"), str(tmp_path / f"{name}_ctl")
+    for idx in (a, b):
+        ivf_sq8_index_build(
+            base, "vec_id", "embedding", idx, dim=dim, centers=centers
+        )
+    return a, b, batch, query, dim
+
+
+@pytest.mark.parametrize("crash_point", ["post_cells", "pre_commit"])
+def test_append_crash_self_heals_bit_identically(
+    spark, small_embed_corpus, tmp_path, crash_point
+):
+    """THE r13 verdict item-2 pin: kill the append inside the
+    manifest-invalidation window — right after the cells append
+    (bounds never recomputed) and right before the manifest commit
+    (bounds done) — then show the index refuses-with-a-pointer, the
+    REPLAYED epoch self-heals via the torn sidecar, and serving is
+    bit-identical to an uncrashed control (bounds values included).
+    Under the r13 protocol both crash points destroyed the only copy
+    of the centroids and demanded a full refit."""
+    from kubernetes_logs_datalake_spark.operators import vectors as vmod
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_index_append, ivf_sq8_index_search, ivf_sq8_index_verify,
+    )
+
+    a, b, batch, query, dim = _build_pair(
+        spark, small_embed_corpus, tmp_path, f"heal_{crash_point}"
+    )
+    assert ivf_sq8_index_append(
+        batch, b, skip_existing_ids=True
+    ) == batch.count()  # uncrashed control
+
+    with pytest.MonkeyPatch.context() as mp:
+        if crash_point == "post_cells":
+            # crash between the cells append and the bounds recompute
+            real = vmod.sq8_cell_bounds
+
+            def boom(*args, **kw):
+                raise RuntimeError("simulated crash after cells append")
+
+            mp.setattr(vmod, "sq8_cell_bounds", boom)
+        else:
+            # crash after bounds, before the manifest commit (call #2;
+            # #1 is the torn sidecar write)
+            _fail_manifest_write(mp, at_call=2)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            ivf_sq8_index_append(batch, a, skip_existing_ids=True)
+
+    # torn: manifest gone, sidecar present, serving refuses and the
+    # error points at the repair API
+    fs = vmod._index_fs(spark, a)
+    assert not fs.exists(f"{a}/manifest.json")
+    assert fs.exists(f"{a}/manifest.json.torn")
+    with pytest.raises(FileNotFoundError, match="repair"):
+        ivf_sq8_index_search(spark, a, query, topk=7)
+
+    # the replayed epoch self-heals: repair inside the append restores
+    # the manifest, the per-id guard completes whatever the crash left
+    n_replay = ivf_sq8_index_append(batch, a, skip_existing_ids=True)
+    if crash_point == "post_cells":
+        assert n_replay == 0  # cells were committed before the crash
+    assert fs.exists(f"{a}/manifest.json")
+    assert not fs.exists(f"{a}/manifest.json.torn")
+
+    assert ivf_sq8_index_verify(spark, a)["ok"]
+    for p in (1, 4):
+        assert _serve(spark, a, query, n_probe=p) == _serve(
+            spark, b, query, n_probe=p
+        ), p
+    assert _bounds_set(spark, a) == _bounds_set(spark, b)
+
+
+def test_repair_restores_invalidated_but_unmutated_index(
+    spark, small_embed_corpus, tmp_path
+):
+    """Crash point zero: invalidation completed (sidecar written,
+    manifest deleted) but the data mutation never started. Repair
+    recomputes bounds from the untouched cells — bit-identical values,
+    since sq8_cell_bounds is deterministic per-cell min/max — and
+    restores serving exactly."""
+    import json as js
+
+    from kubernetes_logs_datalake_spark.operators import vectors as vmod
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_index_repair,
+    )
+
+    a, b, batch, query, dim = _build_pair(
+        spark, small_embed_corpus, tmp_path, "heal_zero"
+    )
+    before = _serve(spark, a, query)
+    fs = vmod._index_fs(spark, a)
+    cfg = js.loads(fs.read_small(f"{a}/manifest.json"))
+    vmod._invalidate_manifest(
+        fs, f"{a}/manifest.json", cfg, op="append", touched=[0]
+    )
+    rep = ivf_sq8_index_repair(spark, a)
+    assert rep["repaired"] and rep["op"] == "append"
+    assert rep["verify"]["ok"]
+    assert _serve(spark, a, query) == before
+
+
+def test_compact_crash_self_heals_bit_identically(
+    spark, small_embed_corpus, tmp_path
+):
+    """Kill the compaction before its manifest commit, then show the
+    NEXT compact call self-heals (the sidecar's crowded-cell pre-count
+    proves no rows were lost or duplicated) and finishes the layout
+    rewrite; serving stays bit-identical to an uncrashed control
+    throughout."""
+    from pyspark.sql import functions as F
+
+    from kubernetes_logs_datalake_spark.operators import vectors as vmod
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_index_append, ivf_sq8_index_compact, ivf_sq8_index_verify,
+    )
+
+    a, b, batch, query, dim = _build_pair(
+        spark, small_embed_corpus, tmp_path, "cmp"
+    )
+    # crowd the cells on both indexes with identical epoch slices
+    for lo, hi in ((90, 100), (100, 110), (110, 999)):
+        sl = batch.filter(
+            (F.col("vec_id") > lo) & (F.col("vec_id") <= hi)
+        ).localCheckpoint()
+        for idx in (a, b):
+            ivf_sq8_index_append(sl, idx, skip_existing_ids=True)
+
+    ctl = ivf_sq8_index_compact(spark, b, max_files_per_cell=1)
+    assert ctl["compacted_cells"] > 0
+
+    with pytest.MonkeyPatch.context() as mp:
+        _fail_manifest_write(mp, at_call=2)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            ivf_sq8_index_compact(spark, a, max_files_per_cell=1)
+
+    fs = vmod._index_fs(spark, a)
+    assert not fs.exists(f"{a}/manifest.json")
+    assert fs.exists(f"{a}/manifest.json.torn")
+
+    # re-running the compaction self-heals, then finishes the job
+    res = ivf_sq8_index_compact(spark, a, max_files_per_cell=1)
+    assert fs.exists(f"{a}/manifest.json")
+    assert not fs.exists(f"{a}/manifest.json.torn")
+    assert res["files_after"] <= ctl["files_after"], (res, ctl)
+    assert ivf_sq8_index_verify(spark, a)["ok"]
+    for p in (1, 4):
+        assert _serve(spark, a, query, n_probe=p) == _serve(
+            spark, b, query, n_probe=p
+        ), p
+
+
+def test_repair_refuses_torn_build_and_missing_index(
+    spark, small_embed_corpus, tmp_path
+):
+    """A crashed (re)BUILD is not repairable — the cells may be half
+    overwritten between two corpora — so repair raises and points at a
+    rebuild, with the old centroids preserved in the sidecar; and a
+    never-built dir raises FileNotFoundError."""
+    import json as js
+
+    from kubernetes_logs_datalake_spark.operators import vectors as vmod
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_index_build, ivf_sq8_index_repair,
+    )
+
+    a, b, batch, query, dim = _build_pair(
+        spark, small_embed_corpus, tmp_path, "bld"
+    )
+    with pytest.MonkeyPatch.context() as mp:
+        _fail_manifest_write(mp, at_call=2)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            ivf_sq8_index_build(
+                batch, "vec_id", "embedding", a, dim=dim, cells=2, iters=1
+            )
+    fs = vmod._index_fs(spark, a)
+    torn = js.loads(fs.read_small(f"{a}/manifest.json.torn"))
+    assert torn["op"] == "build" and torn["cfg"]["centers"]
+    with pytest.raises(RuntimeError, match="rebuild"):
+        ivf_sq8_index_repair(spark, a)
+    # the prescribed recovery — a full rebuild — works in place
+    ivf_sq8_index_build(
+        batch, "vec_id", "embedding", a, dim=dim, cells=2, iters=1
+    )
+    assert fs.exists(f"{a}/manifest.json")
+    assert not fs.exists(f"{a}/manifest.json.torn")
+
+    with pytest.raises(FileNotFoundError, match="never built"):
+        ivf_sq8_index_repair(spark, str(tmp_path / "no_such_index"))
+
+
+def test_repair_on_healthy_index_is_noop_and_cleans_dangling_sidecar(
+    spark, small_embed_corpus, tmp_path
+):
+    """A crash between the manifest commit and the sidecar cleanup
+    leaves BOTH present — the manifest is authoritative; repair just
+    clears the dangling sidecar."""
+    from kubernetes_logs_datalake_spark.operators import vectors as vmod
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_index_repair,
+    )
+
+    a, b, batch, query, dim = _build_pair(
+        spark, small_embed_corpus, tmp_path, "noop"
+    )
+    assert ivf_sq8_index_repair(spark, a) == {
+        "repaired": False, "status": "healthy", "cleaned_sidecar": False,
+    }
+    fs = vmod._index_fs(spark, a)
+    fs.write_small_atomic(f"{a}/manifest.json.torn", b'{"op":"append"}')
+    rep = ivf_sq8_index_repair(spark, a)
+    assert rep["cleaned_sidecar"] and not rep["repaired"]
+    assert not fs.exists(f"{a}/manifest.json.torn")
+    before = _serve(spark, a, query)
+    assert _serve(spark, b, query) == before
+
+
+def test_pq_append_crash_self_heals_and_replay_is_idempotent(
+    spark, small_embed_corpus, tmp_path
+):
+    """The PQ mirror (ADVICE r13 + verdict item 2): crash the append
+    before its manifest commit — the frozen codebooks survive in the
+    sidecar; the replayed append self-heals via pq_index_repair and,
+    with skip_existing_ids=True, appends 0 instead of duplicating code
+    rows; served ADC results match the uncrashed control."""
+    from pyspark.sql import functions as F
+
+    from kubernetes_logs_datalake_spark.operators import vectors as vmod
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        pq_index_append, pq_index_build, pq_index_search,
+    )
+
+    df, query, dim = small_embed_corpus
+    base = df.filter(F.col("vec_id") <= 90).localCheckpoint()
+    batch = df.filter(F.col("vec_id") > 90).localCheckpoint()
+    a, b = str(tmp_path / "pq_crash"), str(tmp_path / "pq_ctl")
+    for idx in (a, b):
+        pq_index_build(
+            base, "vec_id", "embedding", idx, dim=dim, m=4, k=8, iters=2
+        )
+    assert pq_index_append(batch, b) == batch.count()
+
+    with pytest.MonkeyPatch.context() as mp:
+        _fail_manifest_write(mp, at_call=2)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            pq_index_append(batch, a)
+
+    fs = vmod._index_fs(spark, a)
+    assert not fs.exists(f"{a}/codebooks.json")
+    assert fs.exists(f"{a}/codebooks.json.torn")
+    with pytest.raises(FileNotFoundError, match="repair"):
+        pq_index_search(spark, a, query, topk=7)
+
+    # self-heal + per-id idempotency: the crashed batch WAS committed
+    # (the crash hit after the codes append), so the replay appends 0
+    assert pq_index_append(batch, a, skip_existing_ids=True) == 0
+    assert fs.exists(f"{a}/codebooks.json")
+    assert not fs.exists(f"{a}/codebooks.json.torn")
+    sa = [tuple(r) for r in pq_index_search(spark, a, query, topk=7).collect()]
+    sb = [tuple(r) for r in pq_index_search(spark, b, query, topk=7).collect()]
+    assert sa == sb
+    # no duplicated ids anywhere in the healed code table
+    codes = spark.read.parquet(f"{a}/codes")
+    assert codes.count() == codes.select("vec_id").distinct().count()
+
+    # without the guard a replay duplicates — the documented trade-off
+    assert pq_index_append(batch.limit(3), a) == 3
+    assert spark.read.parquet(f"{a}/codes").count() == df.count() + 3
+
+
+def test_compact_restores_unset_partition_overwrite_mode(
+    spark, small_embed_corpus, tmp_path
+):
+    """ADVICE r13 (medium): compaction must leave the session conf
+    exactly as found — including UNSET. A lingering dynamic mode makes
+    a later rebuild into an existing dir overwrite only the clusters
+    present in the new assignment, serving stale cells under a fresh
+    manifest."""
+    from pyspark.sql import functions as F
+
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_index_append, ivf_sq8_index_build, ivf_sq8_index_compact,
+        ivf_sq8_index_verify, kmeans_fit,
+    )
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    if prev is not None:
+        spark.conf.unset(key)
+    try:
+        df, query, dim = small_embed_corpus
+        base = df.filter(F.col("vec_id") <= 60).localCheckpoint()
+        centers, _ = kmeans_fit(base, "vec_id", "embedding", k=4, iters=2)
+        idx = str(tmp_path / "conf_restore")
+        ivf_sq8_index_build(
+            base, "vec_id", "embedding", idx, dim=dim, centers=centers
+        )
+        for lo, hi in ((60, 90), (90, 999)):
+            ivf_sq8_index_append(
+                df.filter(
+                    (F.col("vec_id") > lo) & (F.col("vec_id") <= hi)
+                ).localCheckpoint(),
+                idx,
+            )
+        res = ivf_sq8_index_compact(spark, idx, max_files_per_cell=1)
+        assert res["compacted_cells"] > 0
+        assert spark.conf.get(key, None) is None, (
+            "compact leaked partitionOverwriteMode=dynamic into the "
+            "session"
+        )
+        # the downstream hazard the advice names: a REBUILD into the
+        # same dir must fully replace the cells (static overwrite) —
+        # with only 2 cells' worth of data, stale extra clusters would
+        # fail the verifier's row count
+        small = df.filter(F.col("vec_id") <= 30).localCheckpoint()
+        c2, _ = kmeans_fit(small, "vec_id", "embedding", k=2, iters=2)
+        ivf_sq8_index_build(
+            small, "vec_id", "embedding", idx, dim=dim, centers=c2
+        )
+        rep = ivf_sq8_index_verify(spark, idx)
+        assert rep["ok"] and rep["n_rows"] == small.count(), rep
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+
+
+def test_append_and_compact_take_the_reliable_checkpoint_path(
+    spark, small_embed_corpus, tmp_path
+):
+    """ADVICE r13 (low): the index append/compact lifecycle threads
+    the lineage.truncate_lineage checkpoint_dir knob like the other
+    iterative operators — with a dir set, the reliable checkpointer
+    actually writes there, and the results are unchanged."""
+    from pyspark.sql import functions as F
+
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_index_append, ivf_sq8_index_compact, ivf_sq8_index_verify,
+    )
+
+    a, b, batch, query, dim = _build_pair(
+        spark, small_embed_corpus, tmp_path, "ckpt"
+    )
+    ck = str(tmp_path / "reliable_ck")
+    assert ivf_sq8_index_append(
+        batch, a, skip_existing_ids=True, checkpoint_dir=ck
+    ) == batch.count()
+    assert ivf_sq8_index_append(
+        batch, b, skip_existing_ids=True
+    ) == batch.count()
+    walked = [
+        os.path.join(r, f) for r, _, fs in os.walk(ck) for f in fs
+    ]
+    assert walked, "reliable checkpoint dir never written"
+    assert _serve(spark, a, query) == _serve(spark, b, query)
+    assert ivf_sq8_index_compact(
+        spark, a, max_files_per_cell=1, checkpoint_dir=ck
+    )["compacted_cells"] >= 0
+    assert ivf_sq8_index_verify(spark, a)["ok"]
+    assert _serve(spark, a, query) == _serve(spark, b, query)
+
+
+def test_fit_pca_rotation_validates_subspace_divisibility(
+    spark, small_embed_corpus
+):
+    """ADVICE r13 (low): dim % subspaces != 0 must raise a ValueError
+    naming both values, not an opaque min()-of-empty-sequence."""
+    from kubernetes_logs_datalake_spark.operators.rotation import (
+        fit_pca_rotation,
+    )
+
+    df, query, dim = small_embed_corpus
+    with pytest.raises(ValueError, match=r"dim=8.*subspaces=3"):
+        fit_pca_rotation(df, "vec_id", "embedding", dim=8, subspaces=3)
+
+
+def test_streaming_ingest_epoch_crash_then_replay_self_heals(
+    spark, small_embed_corpus, tmp_path
+):
+    """The end-to-end r13 verdict item-2 scenario: an AnnIngestJob
+    epoch crashes inside the manifest window (commit write killed);
+    the stream restarts from its checkpoint, REPLAYS the epoch, and
+    the replay self-heals the torn index — final serving bit-identical
+    to a never-crashed ingest of the same batches."""
+    from pyspark.sql import functions as F
+
+    from kubernetes_logs_datalake_spark.operators import vectors as vmod
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_index_build, ivf_sq8_index_verify, kmeans_fit,
+    )
+    from kubernetes_logs_datalake_spark.streaming.ann_ingest import (
+        AnnIngestJob,
+    )
+
+    df, query, dim = small_embed_corpus
+    base = df.filter(F.col("vec_id") <= 60).localCheckpoint()
+    b1 = df.filter((F.col("vec_id") > 60) & (F.col("vec_id") <= 90))
+    b2 = df.filter(F.col("vec_id") > 90)
+    centers, _ = kmeans_fit(base, "vec_id", "embedding", k=4, iters=2)
+    a, b = str(tmp_path / "stream_crash"), str(tmp_path / "stream_ctl")
+    for idx in (a, b):
+        ivf_sq8_index_build(
+            base, "vec_id", "embedding", idx, dim=dim, centers=centers
+        )
+
+    def run_ingest(idx, inbox, ckpt, crash_first_epoch=False):
+        job = AnnIngestJob(
+            index_dir=idx, checkpoint=ckpt, trigger_seconds=1
+        )
+        source = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(inbox)
+        )
+        q = job.start(spark, source)
+        try:
+            if crash_first_epoch:
+                with pytest.MonkeyPatch.context() as mp:
+                    _fail_manifest_write(mp, at_call=2)
+                    with pytest.raises(Exception):
+                        q.processAllAvailable()
+                return None
+            job.process_available()
+        finally:
+            try:
+                q.stop()
+                q.awaitTermination(30)
+            except Exception:
+                pass
+        return job
+
+    inbox_a = str(tmp_path / "inbox_a")
+    ckpt_a = str(tmp_path / "ckpt_a")
+    b1.coalesce(1).write.mode("append").parquet(inbox_a)
+    # epoch 1 crashes inside the manifest window → torn index
+    run_ingest(a, inbox_a, ckpt_a, crash_first_epoch=True)
+    fs = vmod._index_fs(spark, a)
+    assert not fs.exists(f"{a}/manifest.json")
+    assert fs.exists(f"{a}/manifest.json.torn")
+    # restart: the replayed epoch self-heals, then the next epoch lands
+    b2.coalesce(1).write.mode("append").parquet(inbox_a)
+    run_ingest(a, inbox_a, ckpt_a)
+    assert fs.exists(f"{a}/manifest.json")
+    assert not fs.exists(f"{a}/manifest.json.torn")
+
+    inbox_b = str(tmp_path / "inbox_b")
+    b1.coalesce(1).write.mode("append").parquet(inbox_b)
+    b2.coalesce(1).write.mode("append").parquet(inbox_b)
+    run_ingest(b, inbox_b, str(tmp_path / "ckpt_b"))
+
+    assert ivf_sq8_index_verify(spark, a)["n_rows"] == df.count()
+    for p in (1, 4):
+        assert _serve(spark, a, query, n_probe=p) == _serve(
+            spark, b, query, n_probe=p
+        ), p
