@@ -3221,6 +3221,124 @@ def _embedding_imi_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: the fitted-rotation sample contract shared by the Spark query and
+#: its oracle replay: all vec_id != 0 rows, id-ordered, first 100k
+#: (``rotation._sample_matrix`` with sample_mod=None) — replayable
+#: without Spark (pyarrow sort+slice), unlike the xxhash64 thinning
+#: the lake-scale knob would use (same boundary story as the kmeans
+#: oracles' fit_sample_mod guard).
+_IMI_ROT_MAX_ROWS = 100_000
+_IMI_ROT_SUBSPACES = 2
+
+_IMI_ROT_CACHE: dict[str, list[list[float]]] = {}
+
+
+def _imi_rotation_cached(spark: SparkSession, sf: str) -> list[list[float]]:
+    """The PCA-balanced rotation for the IMI pair (SCALE.md r13: the
+    measured occupancy unlock), fit once per sf via the Spark path
+    (bounded driver collect — ≤100k×dim float64, the kmeans_fit
+    'driver sees k·dim doubles, never the data' contract scaled to a
+    fit sample)."""
+    from kubernetes_logs_datalake_spark.operators.rotation import (
+        fit_pca_rotation,
+    )
+
+    if sf not in _IMI_ROT_CACHE:
+        emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+        _IMI_ROT_CACHE[sf] = fit_pca_rotation(
+            emb, "vec_id", "embedding", EMBEDDING_DIM,
+            subspaces=_IMI_ROT_SUBSPACES, sample_mod=None,
+            max_rows=_IMI_ROT_MAX_ROWS,
+        )
+    return _IMI_ROT_CACHE[sf]
+
+
+def _imi_rotation_replay(sf: str) -> list[list[float]]:
+    """Spark-FREE replay of :func:`_imi_rotation_cached`'s fit for
+    oracle generation: pyarrow loads the same rows (vec_id != 0,
+    id-ordered, first ``_IMI_ROT_MAX_ROWS``) as float64 and
+    ``rotation.fit_rotation_from_matrix`` runs the identical numpy
+    pipeline — deterministic ``eigh`` on the same matrix in the same
+    numpy build, so the two fits are BIT-identical and the oracle can
+    embed R as a literal (the corpus-dependent analog of
+    ``_ddb_rotated_topk_sql``'s seeded-random literal)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from kubernetes_logs_datalake_spark.operators.rotation import (
+        fit_rotation_from_matrix,
+    )
+
+    t = pq.read_table(
+        f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    t = t.filter(pc.field("vec_id") != 0).sort_by("vec_id")
+    t = t.slice(0, _IMI_ROT_MAX_ROWS)
+    X = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in
+         t.column("embedding").to_pylist()]
+    )
+    return fit_rotation_from_matrix(
+        X, EMBEDDING_DIM, subspaces=_IMI_ROT_SUBSPACES
+    )
+
+
+def _embedding_imi_knn_join_rotated(spark: SparkSession, sf: str) -> DataFrame:
+    """r14 NEW: the IMI product-cell kNN join run ENTIRELY in rotated
+    space — the composition the r13 rotation A/B measured (occupancy
+    81→454 / 98→658, wall −37 %/−21 % on the organic ×10/×20 corpora,
+    SCALE.md r13) now under the driver's oracle hash gate. The
+    corpus-dependent PCA-balanced R is fit once per sf (deterministic:
+    id-ordered ≤100k sample → covariance → eigh → balanced permutation
+    → sign normalization), applied IN-PLAN by ``rotate_vector_expr``
+    (matrix literal + nested HOFs — Python-free, the PLAN_AUDIT
+    invariant), and the two half-codebooks are REFIT in rotated space
+    (that is the unlock: the halves decorrelate, so the product cells
+    fill). The oracle replays the same fit in numpy over the same
+    pyarrow-loaded rows and embeds R as a literal, then runs the same
+    two prefix-namespaced Lloyd chains over the rotated halves — every
+    value bit-identical (the rotated-algebra parity is already
+    hash-pinned by ann_topk_rotated). Orthonormality keeps each
+    reported cos equal to the raw-space cos of the same pair (pinned
+    at tests/test_round13_ops.py::
+    test_imi_join_over_rotated_corpus_preserves_the_metric)."""
+    from kubernetes_logs_datalake_spark.operators.rotation import (
+        rotate_vector_expr,
+    )
+    from kubernetes_logs_datalake_spark.operators.similarity import (
+        imi_knn_join,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    n = _emb_count_cached(emb, sf, "nz")
+    R = _imi_rotation_cached(spark, sf)
+    emb_rot = emb.select(
+        "vec_id",
+        rotate_vector_expr("embedding", R).alias("embedding"),
+    )
+    k1, fit_mod = _cbrt_cells(n)
+    h = EMBEDDING_DIM // 2
+    halves = []
+    for half, off in (("h1", 1), ("h2", h + 1)):
+        sliced = emb_rot.select(
+            F.col("vec_id"),
+            F.slice(F.col("embedding"), off, h).alias("embedding"),
+        )
+        halves.append(_kmeans_centers_cached(
+            sliced, sf, f"imirot_{half}", k=k1, iters=3,
+            fit_sample_mod=fit_mod,
+        ))
+    out = imi_knn_join(
+        emb_rot, "vec_id", "embedding", dim=EMBEDDING_DIM, k=3,
+        cells_per_half=k1, iters=3, centers=(halves[0], halves[1]),
+        split_cap=_imi_split_cap(n, k1),
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank"
+    )
+
+
 _IVF_SQ8_PROBE = 4
 
 
@@ -5598,7 +5716,11 @@ _R14_WINDOW = [
     "ann_recall_pq",
     "ann_topk_ivfpq",
     "ann_recall_ivfpq",
-    "ann_topk_ivfpq_refined",
+    # 4. r14 NEW (the NEXT_WINDOW conditional, resolved BUILT): the
+    #    IMI join over the corpus-dependent PCA-balanced rotation,
+    #    oracle-replayed via the literal-R fit (takes the slot of
+    #    ann_topk_ivfpq_refined, which moves to plans["15"])
+    "embedding_imi_knn_join_rotated",
     # sentinel (green in every round since r1)
     "q1_pricing_summary",
 ]
@@ -6183,6 +6305,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_hard_negatives": _embedding_hard_negatives,
         "embedding_ivf_knn_join": _embedding_ivf_knn_join,
         "embedding_imi_knn_join": _embedding_imi_knn_join,
+        "embedding_imi_knn_join_rotated": _embedding_imi_knn_join_rotated,
         "ann_recall_imi_join": _ann_recall_imi_join,
         "ann_recall_ivf_join": _ann_recall_ivf_join,
         "embedding_ivf_knn_join_probed": _embedding_ivf_knn_join_probed,
@@ -8106,6 +8229,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic_collapsed": _ddb_semdedup_sql(collapsed=True),
         "embedding_ivf_knn_join": _ddb_ivf_knn_join_sql(),
         "embedding_imi_knn_join": _ddb_imi_knn_join_sql(),
+        # corpus-dependent rotation embedded as a literal fit at
+        # SQL-generation time over the driver's sf0.01 fixture
+        "embedding_imi_knn_join_rotated": _ddb_imi_knn_join_rotated_sql(),
         "ann_recall_imi_join": _ddb_imi_join_recall_sql(),
         "ann_recall_ivf_join": _ddb_ivf_join_recall_sql(),
         "embedding_ivf_knn_join_probed": _ddb_ivf_knn_join_sql(n_probe=_IVF_JOIN_NPROBE),
@@ -10404,6 +10530,86 @@ def _ddb_imi_knn_join_sql(
                       AND x.vec_id <> y.vec_id
             JOIN embeddings a ON a.vec_id = x.vec_id
             JOIN embeddings b ON b.vec_id = y.vec_id),
+        r AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id)
+                       AS rank
+            FROM sc)
+        SELECT query_id, neighbor_id, round(cos, 4) AS cos,
+               CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= {k}
+    """
+
+
+def _ddb_imi_knn_join_rotated_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    k: int = 3, iters: int = 3, dim: int = EMBEDDING_DIM,
+) -> str:
+    """Oracle for the r14 ``embedding_imi_knn_join_rotated`` — the
+    corpus-DEPENDENT-rotation replay NEXT_WINDOW.json left
+    conditional at r13, now real: at SQL-GENERATION time (python, not
+    SQL) ``_imi_rotation_replay`` refits the PCA-balanced R over the
+    same pyarrow-loaded sample the Spark fit uses (bit-identical —
+    deterministic eigh on the same float64 matrix), embeds it as a
+    literal, and the SQL rotates the corpus once
+    (``list_transform``+``list_sum``, the fold order
+    ``rotate_vector_expr`` is hash-pinned against by
+    ann_topk_rotated), then reruns the ENTIRE IMI oracle over the
+    rotated frame: two prefix-namespaced unrolled Lloyd chains on the
+    rotated halves, pairs on (j1, j2), cos over the rotated vectors,
+    the same rank window.
+
+    ``sf_dir`` defaults to the driver's oracle fixture (the only SF
+    the driver compares at); the parity pytest regenerates per
+    fixture. Same split-cap asymmetry note as
+    ``_ddb_imi_knn_join_sql``: the cap must stay inactive on
+    hash-checked fixtures — rotation only IMPROVES occupancy balance,
+    and the parity pytest would fail loudly if a regenerated corpus
+    ever activated it."""
+    R = _imi_rotation_replay(sf_dir)
+    rlit = "[" + ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in R
+    ) + "]"
+    rot = (
+        f"list_transform(RL.R, row -> list_sum(list_transform("
+        f"range(1, {dim + 1}), i -> row[i] * (e.embedding[i])::DOUBLE)))"
+    )
+    h1 = dim // 2
+    h2 = dim - h1
+    src1 = f"(SELECT vec_id, embedding[1:{h1}] AS embedding FROM rotimi)"
+    src2 = (
+        f"(SELECT vec_id, embedding[{h1 + 1}:{dim}] AS embedding "
+        f"FROM rotimi)"
+    )
+    ctes1 = _ddb_kmeans_ctes(
+        _ddb_cbrt_cells_limit("ra"), iters, h1, src=src1, prefix="ra"
+    )
+    ctes2 = _ddb_kmeans_ctes(
+        _ddb_cbrt_cells_limit("rb"), iters, h2, src=src2, prefix="rb"
+    )
+    cos = _ddb_cos("a.embedding", "b.embedding")
+    return f"""
+        WITH RL AS (SELECT {rlit}::DOUBLE[][] AS R),
+        rotimi AS (
+            SELECT e.vec_id, {rot} AS embedding
+            FROM embeddings e, RL WHERE e.vec_id <> 0),
+        {ctes1},
+        {ctes2},
+        asg AS (
+            SELECT xa.vec_id, CAST(xa.j AS INT) AS j1,
+                   CAST(xb.j AS INT) AS j2
+            FROM (SELECT vec_id, j FROM raa{iters + 1} WHERE rk = 1) xa
+            JOIN (SELECT vec_id, j FROM rba{iters + 1} WHERE rk = 1) xb
+              ON xb.vec_id = xa.vec_id),
+        sc AS (
+            SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id,
+                   {cos} AS cos
+            FROM asg x
+            JOIN asg y ON x.j1 = y.j1 AND x.j2 = y.j2
+                      AND x.vec_id <> y.vec_id
+            JOIN rotimi a ON a.vec_id = x.vec_id
+            JOIN rotimi b ON b.vec_id = y.vec_id),
         r AS (
             SELECT query_id, neighbor_id, cos,
                    row_number() OVER (PARTITION BY query_id

@@ -142,6 +142,28 @@ def fit_pca_rotation(
             "subspace count)"
         )
     X = _sample_matrix(df, id_col, vec_col, sample_mod, max_rows)
+    return fit_rotation_from_matrix(X, dim, subspaces)
+
+
+def fit_rotation_from_matrix(X, dim: int, subspaces: int = 2):
+    """The engine-neutral numpy core of :func:`fit_pca_rotation`:
+    covariance → ``eigh`` → eigenvalue-balanced permutation → sign
+    normalization, over an already-materialized float64 sample matrix.
+    Factored out (r13 verdict task #4) so an ORACLE can replay the
+    exact fit without a SparkSession — load the same rows (id-ordered,
+    limit-capped, float64) from parquet via pyarrow and both paths
+    produce a bit-identical R (same numpy build, deterministic
+    ``eigh``), which is what makes a corpus-dependent rotated query
+    hash-checkable against a literal-R SQL oracle."""
+    import numpy as np
+
+    if dim % subspaces:
+        raise ValueError(
+            f"fit_rotation_from_matrix: dim={dim} is not divisible by "
+            f"subspaces={subspaces} — the balanced allocation needs "
+            "equal-width subspaces"
+        )
+    X = np.asarray(X, dtype=np.float64)
     if X.shape[0] < dim:
         raise ValueError(
             f"rotation fit needs >= dim={dim} sample rows, got {X.shape[0]}"

@@ -534,3 +534,42 @@ def test_streaming_ingest_epoch_crash_then_replay_self_heals(
         assert _serve(spark, a, query, n_probe=p) == _serve(
             spark, b, query, n_probe=p
         ), p
+
+
+def _duckdb_emb(sf: str, sql: str):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    return con.execute(sql).fetchall()
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001",
+                                "/root/testdata/sf0.01"])
+def test_imi_knn_join_rotated_oracle_parity(spark, sf):
+    """r13 verdict task #4, resolved BUILT: the corpus-dependent
+    PCA-balanced rotation is oracle-replayable — the pyarrow/numpy
+    refit is bit-identical to the Spark fit (same id-ordered sample,
+    same float64 pipeline, deterministic eigh), and the full rotated
+    IMI join matches the literal-R SQL oracle hash-for-hash on both
+    driver fixtures."""
+    import __spark_entry__ as entry
+
+    assert entry._imi_rotation_cached(spark, sf) == \
+        entry._imi_rotation_replay(sf)
+    got = sorted(
+        tuple(r)
+        for r in entry._embedding_imi_knn_join_rotated(spark, sf).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in _duckdb_emb(
+            sf, entry._ddb_imi_knn_join_rotated_sql(sf_dir=sf)
+        )
+    )
+    assert got == want
+    # full contract shape: rank<=3 per query, no self-pairs
+    assert all(r[3] <= 3 and r[0] != r[1] for r in got)
