@@ -187,6 +187,16 @@ HEADLINE = [
     # true probe+fold serve path) and the IMI join's panel recall
     "ann_topk_ivf_sq8",
     "ann_recall_imi_join",
+    # r14: the four newly-registered rows — the SQ8 exact-re-rank
+    # funnel, the STORED-index serve leg (timed next to the inline
+    # ann_topk_ivf_sq8 so the lifecycle cut stays measured), exact
+    # top-k in rotated space (the HOF-rotation serve cost), and the
+    # IMI join over the corpus-fitted rotation (timed next to the raw
+    # embedding_imi_knn_join — the occupancy-unlock composition)
+    "ann_topk_sq8_cell_refined",
+    "ann_topk_ivf_sq8_served",
+    "ann_topk_rotated",
+    "embedding_imi_knn_join_rotated",
     # events_hits_scores is deliberately NOT benched for the same
     # reason as docs_bpe_merges: 8 mutual-reinforcement rounds = 16
     # sequential half-round actions whose per-action data is a 5-row

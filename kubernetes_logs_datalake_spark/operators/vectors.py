@@ -2355,7 +2355,12 @@ def ivf_sq8_index_compact(
     }
 
 
-def ivf_sq8_index_drift(df: DataFrame, index_dir: str) -> dict:
+def ivf_sq8_index_drift(
+    df: DataFrame,
+    index_dir: str,
+    approx: bool = False,
+    approx_accuracy: int = 10_000,
+) -> dict:
     """The rebuild trigger :func:`ivf_sq8_index_append` defers to: how
     well does the FROZEN codebook still describe a new batch? Assigns
     the batch against the manifest's centers and compares its
@@ -2368,10 +2373,29 @@ def ivf_sq8_index_drift(df: DataFrame, index_dir: str) -> dict:
     "base_p50", "base_p95", "drift_ratio"}`` where ``drift_ratio`` =
     batch_p95 / base_p95 (≈1.0 while the batch looks like the corpus;
     grows as the distribution leaves the codebook — the deployment
-    rule is rebuild past a threshold like 1.5, calibrated per corpus).
-    Quantiles are exact (the frames here are bounded by the batch and
-    its touched cells); approx_percentile is the drop-in at larger
-    scales."""
+    rule: the measured SCALE.md r14 calibration puts the organic
+    in-distribution band at ≈1.0±0.03 and recommends investigating
+    past ~1.3, where the curve has clearly exited the band). A ratio
+    of ``inf`` means the batch's touched cells are DEGENERATE on the
+    stored side (e.g. singleton cells whose one member is its own
+    centroid — base p95 = 0): the batch landed where the corpus has
+    essentially nothing, the loudest signal the monitor can emit.
+    SCALE.md r14 measures both drift modes — a translated cloud
+    serves fine frozen even at ratio 1.7; an emergent tight cluster
+    is exact-re-rank-funnel territory rather than an automatic
+    rebuild (the rebuild measurably does NOT fix its resolution
+    limit).
+
+    ``approx=False`` (default): exact ``percentile`` — the frames are
+    bounded by the batch and its touched cells, but the stored side's
+    exact quantile still SORTS the touched cells' distances on one
+    reducer per group. ``approx=True`` switches BOTH sides to
+    ``approx_percentile`` (Greenwald-Khanna, mergeable partial
+    sketches — no row shuffle, the 100 TB shape for a monitor that
+    runs every epoch); ``approx_accuracy`` is Spark's accuracy knob
+    (error ≤ 1/accuracy of the rank). Agreement between the two modes
+    is pytest-pinned; the ratio of two p95s is even less sensitive
+    than the quantiles themselves."""
     import json as _json
 
     spark = df.sparkSession
@@ -2394,10 +2418,18 @@ def ivf_sq8_index_drift(df: DataFrame, index_dir: str) -> dict:
         int(r["cluster"])
         for r in assigned.select("cluster").distinct().collect()
     )
+
+    def _pct(q: float):
+        if approx:
+            return F.expr(
+                f"approx_percentile(dist, {q}, {approx_accuracy})"
+            )
+        return F.expr(f"percentile(dist, {q})")
+
     bq = assigned.agg(
         F.count("*").alias("n"),
-        F.expr("percentile(dist, 0.5)").alias("p50"),
-        F.expr("percentile(dist, 0.95)").alias("p95"),
+        _pct(0.5).alias("p50"),
+        _pct(0.95).alias("p95"),
     ).first()
     # stored side: the cluster is KNOWN, so the distance is one O(dim)
     # fold to the OWN centroid (same formula/rounding as
@@ -2423,8 +2455,8 @@ def ivf_sq8_index_drift(df: DataFrame, index_dir: str) -> dict:
     )
     base = stored.select(float_round(F.sqrt(own_d2), 6).alias("dist"))
     bs = base.agg(
-        F.expr("percentile(dist, 0.5)").alias("p50"),
-        F.expr("percentile(dist, 0.95)").alias("p95"),
+        _pct(0.5).alias("p50"),
+        _pct(0.95).alias("p95"),
     ).first()
     base_p95 = float(bs["p95"] or 0.0)
     batch_p95 = float(bq["p95"] or 0.0)

@@ -573,3 +573,59 @@ def test_imi_knn_join_rotated_oracle_parity(spark, sf):
     assert got == want
     # full contract shape: rank<=3 per query, no self-pairs
     assert all(r[3] <= 3 and r[0] != r[1] for r in got)
+
+
+def test_drift_monitor_approx_percentile_agrees_with_exact(
+    spark, small_embed_corpus, tmp_path
+):
+    """r13 verdict task #5 (the at-scale variant): approx_percentile
+    drift must track the exact monitor — same n/touched bookkeeping,
+    drift_ratio within a tight band on both an in-distribution batch
+    and a far-shifted cloud (where what matters is the ORDER of
+    magnitude, not the digits)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_index_build, ivf_sq8_index_drift, kmeans_fit,
+    )
+
+    df, query, dim = small_embed_corpus
+    centers, _ = kmeans_fit(df, "vec_id", "embedding", k=4, iters=2)
+    idx = str(tmp_path / "drift_approx")
+    ivf_sq8_index_build(
+        df, "vec_id", "embedding", idx, dim=dim, centers=centers
+    )
+
+    same = df.filter(F.col("vec_id") % 3 == 0)
+    ex = ivf_sq8_index_drift(same, idx)
+    ap = ivf_sq8_index_drift(same, idx, approx=True)
+    assert ap["n_batch"] == ex["n_batch"]
+    assert ap["n_touched_cells"] == ex["n_touched_cells"]
+    # GK sketch error is <= 1/accuracy of the RANK; on these small
+    # frames the quantiles land within a few percent and the RATIO of
+    # two p95s is tighter still
+    assert abs(ap["drift_ratio"] - ex["drift_ratio"]) <= 0.05 * max(
+        ex["drift_ratio"], 1.0
+    ), (ex, ap)
+
+    rng = np.random.default_rng(33)
+    far = spark.createDataFrame(
+        [
+            (1000 + i, [float(v) for v in rng.normal(40.0, 1.0, dim)])
+            for i in range(30)
+        ],
+        "vec_id: long, embedding: array<double>",
+    )
+    exf = ivf_sq8_index_drift(far, idx)
+    apf = ivf_sq8_index_drift(far, idx, approx=True)
+    assert apf["drift_ratio"] > 3.0
+    # small-n honesty: exact `percentile` INTERPOLATES between order
+    # statistics, approx_percentile returns an actual element, so on a
+    # ~30-row touched-cell frame the p95s can differ by one inter-rank
+    # step (~10 % here) even at accuracy=10000. At real batch sizes
+    # the two agree to 4 decimals (SCALE.md r14, n=4k batches) — this
+    # fixture-scale bound is the interpolation gap, not sketch error.
+    assert abs(apf["drift_ratio"] - exf["drift_ratio"]) <= 0.15 * exf[
+        "drift_ratio"
+    ], (exf, apf)
