@@ -1956,11 +1956,21 @@ def ivf_sq8_index_build(
         # but the old centroids survive in the sidecar for forensics
         old = _json.loads(fs.read_small(manifest))
         _invalidate_manifest(fs, manifest, old, op="build")
+    # repartition on the partition column BEFORE the partitionBy write
+    # (the compaction recipe, applied from day one): without it every
+    # shuffle task fans out one file per cluster it holds — measured
+    # 2,634 files for 99 cells at ×10 (SCALE.md r14), and at lake
+    # scale 10k tasks × 1k cells is a 10M-small-file catastrophe whose
+    # listing cost the serve path pays on every query. One file per
+    # cell cut the stored serve 790→510 ms in the same measurement.
+    # Skewed giant cells are the compaction's problem to split, not a
+    # reason to fan out every cell (spark.sql.files.maxRecordsPerFile
+    # is the knob if a single cell outgrows one task's write).
     assigned.select(
         F.col(id_col), F.col(vec_col), F.col("cluster")
-    ).write.mode("overwrite").partitionBy("cluster").parquet(
-        f"{index_dir}/cells"
-    )
+    ).repartition("cluster").write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(f"{index_dir}/cells")
     bounds.write.mode("overwrite").parquet(f"{index_dir}/bounds")
     payload = {
         "dim": dim, "cells": len(centers), "scale": scale,
@@ -2082,11 +2092,16 @@ def ivf_sq8_index_append(
     # invalidate BEFORE touching data — cfg survives in the sidecar,
     # with the touched set recorded for a bounded repair
     _invalidate_manifest(fs, manifest, cfg, op="append", touched=touched)
+    # repartition the (batch-sized — cheap) epoch on the partition
+    # column so each epoch adds ~1 file per touched cell instead of
+    # one per (task × cell) — measured ~355 files/epoch without it at
+    # ×10 (SCALE.md r14); the serve path pays the listing on every
+    # query until compaction catches up
     assigned.select(
         F.col(id_col), F.col(vec_col), F.col("cluster")
-    ).write.mode("append").partitionBy("cluster").parquet(
-        f"{index_dir}/cells"
-    )
+    ).repartition("cluster").write.mode("append").partitionBy(
+        "cluster"
+    ).parquet(f"{index_dir}/cells")
     # bounds: recompute ONLY touched cells from the now-complete cell
     # partitions (partition pruning — the untouched 1 - t/cells of the
     # corpus is never read), keep the rest verbatim

@@ -629,3 +629,40 @@ def test_drift_monitor_approx_percentile_agrees_with_exact(
     assert abs(apf["drift_ratio"] - exf["drift_ratio"]) <= 0.15 * exf[
         "drift_ratio"
     ], (exf, apf)
+
+
+def test_index_build_and_append_write_one_file_per_touched_cell(
+    spark, small_embed_corpus, tmp_path
+):
+    """SCALE.md r14: the build/append writes repartition on the
+    partition column first, so the file census stays ~1 file per
+    (cell, lifecycle event) instead of one per (task x cell) — the
+    10M-small-file catastrophe at lake scale, measured 2,634 files for
+    99 cells at x10 before the fix."""
+    import glob as globmod
+
+    from pyspark.sql import functions as F
+
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_index_append, ivf_sq8_index_build, kmeans_fit,
+    )
+
+    df, query, dim = small_embed_corpus
+    base = df.filter(F.col("vec_id") <= 90).repartition(8).localCheckpoint()
+    batch = df.filter(F.col("vec_id") > 90).repartition(8).localCheckpoint()
+    centers, _ = kmeans_fit(base, "vec_id", "embedding", k=4, iters=2)
+    idx = str(tmp_path / "layout")
+    ivf_sq8_index_build(
+        base, "vec_id", "embedding", idx, dim=dim, centers=centers
+    )
+
+    def census():
+        return len(globmod.glob(f"{idx}/cells/cluster=*/part-*"))
+
+    n_cells = len(globmod.glob(f"{idx}/cells/cluster=*"))
+    assert census() <= n_cells, (census(), n_cells)
+    before = census()
+    ivf_sq8_index_append(batch, idx)
+    # the epoch adds at most one file per touched cell (<= n_cells),
+    # never one per (task x cell)
+    assert census() - before <= n_cells, (census(), before, n_cells)
