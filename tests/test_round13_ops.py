@@ -812,7 +812,7 @@ def test_r14_queued_rotated_topk_oracle_parity(spark, sf):
     ]
     want = [
         (int(a), float(b))
-        for a, b in _duckdb_on(sf, entry._ddb_rotated_topk_sql())
+        for a, b in _duckdb_on(sf, entry._ddb_rotated_topk_sql(sf_dir=sf))
     ]
     assert got == want
 
