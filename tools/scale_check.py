@@ -184,6 +184,17 @@ QUERIES = [
     # wall-clock curve — and the per-cell SQ8 serving scan
     "embedding_imi_knn_join",
     "ann_topk_sq8_cell",
+    # r13/r14: the serving-lifecycle rows (r13 verdict task #7) — the
+    # probed IVF,SQ8 serve and its recall instrument, the STORED-index
+    # serve leg (build-once/serve-many at sf~1), the SQ8 exact-re-rank
+    # funnel, exact top-k in rotated space, and the IMI join over the
+    # corpus-fitted rotation (the occupancy unlock measured as wall)
+    "ann_topk_ivf_sq8",
+    "ann_recall_imi_join",
+    "ann_topk_ivf_sq8_served",
+    "ann_topk_sq8_cell_refined",
+    "ann_topk_rotated",
+    "embedding_imi_knn_join_rotated",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
