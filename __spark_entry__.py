@@ -154,6 +154,36 @@ def _bucket_ns_to_us(col: F.Column) -> F.Column:
 
 
 # DuckDB-side sequential-double cosine between two list<float> columns.
+def _ddb_exact_double(v: float) -> str:
+    """A DOUBLE literal DuckDB parses to exactly ``v``. DuckDB's
+    decimal-literal parse is NOT correctly rounded (measured r14:
+    ``0.21188833135692486`` parses one ulp high), so repr-based
+    literals silently perturb the last bit — invisible under 4-dp
+    rounding but fatal where a fold feeds a floor() quantizer (the
+    rotated SQ8 oracle flipped codes). Integer mantissa × power of
+    two transports the bits exactly: the mantissa is an integer
+    ≤ 2^53 (exact int→double), pow(2, e) is exact, and multiplying by
+    a power of two is exact."""
+    import math
+
+    if v == 0.0:
+        return "0.0::DOUBLE"
+    m, e = math.frexp(v)  # v = m · 2^e, 0.5 <= |m| < 1
+    return f"({int(m * (1 << 53))}::DOUBLE * pow(2.0, {e - 53}))"
+
+
+def _ddb_exact_vec(vals) -> str:
+    return "list_value(" + ", ".join(
+        _ddb_exact_double(float(v)) for v in vals
+    ) + ")"
+
+
+def _ddb_exact_mat(rows) -> str:
+    return "list_value(" + ", ".join(
+        _ddb_exact_vec(row) for row in rows
+    ) + ")"
+
+
 def _ddb_cos(a: str, b: str, dim: int = EMBEDDING_DIM) -> str:
     dp = f"list_sum(list_transform(range(1,{dim + 1}), i -> ({a}[i])::DOUBLE * ({b}[i])::DOUBLE))"
     na = f"list_sum(list_transform(range(1,{dim + 1}), i -> ({a}[i])::DOUBLE * ({a}[i])::DOUBLE))"
@@ -5134,17 +5164,26 @@ def _ddb_sq8_sql(topk: int | None, codes_only: bool, dim: int = 64) -> str:
         """
 
 
-def _ddb_sq8_cell_ctes(iters: int, dim: int) -> str:
+def _ddb_sq8_cell_ctes(
+    iters: int, dim: int,
+    src: str = "(SELECT * FROM embeddings WHERE vec_id <> 0)",
+    q_sql: str | None = None,
+) -> str:
     """Shared CTE text for the per-cell SQ8 family oracles
     (``_ddb_sq8_cell_sql`` full scan, ``_ddb_ivf_sq8_sql`` probed):
     the √n-cells unrolled Lloyd chain over the ``dim``-wide vec_id≠0
     corpus, the rk=1 assignment, the per-cell GROUP BY bounds, and the
     mn/sc/iv list assembly — ONE copy, so a fix to the bounds/encode
     algebra cannot diverge the two oracles (the Spark side's
-    ``_sq8_cell_score`` rule, applied to the SQL; r12 review)."""
+    ``_sq8_cell_score`` rule, applied to the SQL; r12 review).
+
+    ``src``/``q_sql`` parameterize the corpus relation and the query
+    CTE body for the ROTATED composition (r15-queued): the rotated
+    variant feeds a rotated-corpus CTE as ``src`` and a driver-folded
+    rotated-query literal as ``q_sql``; the defaults reproduce the
+    raw-corpus text byte-for-byte."""
     ctes = _ddb_kmeans_ctes(
-        _ddb_sqrt_cells_limit(), iters, dim,
-        src="(SELECT * FROM embeddings WHERE vec_id <> 0)",
+        _ddb_sqrt_cells_limit(), iters, dim, src=src,
     )
     mins = ", ".join(
         f"min((x.embedding[{i}])::DOUBLE) AS mn{i}" for i in range(1, dim + 1)
@@ -5177,7 +5216,8 @@ def _ddb_sq8_cell_ctes(iters: int, dim: int) -> str:
         b AS (SELECT cluster, {mn_list} AS mn, {sc_list} AS sc,
                      {iv_list} AS iv
               FROM cb),
-        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)"""
+        q AS ({q_sql or
+               "SELECT embedding AS qv FROM embeddings WHERE vec_id = 0"})"""
 
 
 def _ddb_sq8_cell_score_select(dim: int) -> str:
@@ -5258,6 +5298,63 @@ def _ann_topk_ivf_sq8_served(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     idx = _ivf_sq8_index_cached(spark, sf)
+    cells, _ = _sqrt_cells(
+        _emb_count_cached(
+            _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0),
+            sf, "nz",
+        )
+    )
+    return ivf_sq8_index_search(
+        spark, idx, _query_vec(spark, sf), topk=10,
+        n_probe=min(_IVF_SQ8_PROBE, cells),
+    )
+
+
+def _ivf_sq8_rot_index_cached(spark: SparkSession, sf: str) -> str:
+    """The ROTATED stored index, built once per (session, sf): the
+    corpus-fitted PCA-balanced R (shared with the rotated IMI row)
+    applied IN-PLAN (``rotation_in_plan=True`` — the HOF fold, so the
+    stored rotated vectors are bit-identical to the oracle's
+    list_sum replay), centroids refit in rotated space, R persisted in
+    the manifest so the serve path rotates only the query."""
+    import tempfile as _tempfile
+
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_index_build,
+    )
+
+    key = (id(spark.sparkContext._jsc), sf, "rot")
+    if key not in _IVF_SQ8_INDEX_CACHE:
+        emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+        cells, _ = _sqrt_cells(_emb_count_cached(emb, sf, "nz"))
+        R = _imi_rotation_cached(spark, sf)
+        idx = _tempfile.mkdtemp(prefix="kld-ivfsq8rot-idx-")
+        ivf_sq8_index_build(
+            emb, "vec_id", "embedding", idx, dim=EMBEDDING_DIM,
+            cells=cells, iters=3, rotation=R, rotation_in_plan=True,
+        )
+        _IVF_SQ8_INDEX_CACHE[key] = idx
+    return _IVF_SQ8_INDEX_CACHE[key]
+
+
+def _ann_topk_ivf_sq8_rotated(spark: SparkSession, sf: str) -> DataFrame:
+    """r15-QUEUED: the full OPQ,IVF,SQ8 STORED-lifecycle composition
+    under the oracle hash gate — corpus-fitted rotation applied at
+    build (in-plan HOF fold), centroids + per-cell bounds fit in
+    rotated space, R persisted in the manifest, and the serve path
+    rotating only the QUERY (``ivf_sq8_index_search``'s sequential
+    driver-side matvec — the same fold order as ``_seq_matvec`` and
+    the SQL). Registered for CORRECTNESS coverage of the shipped
+    ``rotation=`` build path; the honest r13 measurement stands —
+    rotation does NOT recover SQ8 effective bits (SCALE.md r13), so
+    this is the composition a deployment reaches for when the IMI
+    coarse quantizer (which rotation DOES unlock) shares the stored
+    artifact, not an automatic win."""
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_index_search,
+    )
+
+    idx = _ivf_sq8_rot_index_cached(spark, sf)
     cells, _ = _sqrt_cells(
         _emb_count_cached(
             _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0),
@@ -5352,23 +5449,24 @@ def _ddb_rotated_topk_sql(
     )
 
     R = random_rotation(dim, seed=seed)
-    rlit = "[" + ", ".join(
-        "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in R
-    ) + "]"
+    rlit = _ddb_exact_mat(R)
     t = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).filter(pc.field("vec_id") == 0)
     qvec = [float(v) for v in t.column("embedding").to_pylist()[0]]
-    rq = _seq_matvec(R, qvec)
-    qlit = "[" + ", ".join(repr(float(x)) for x in rq) + "]"
+    # exact-bit literals (_ddb_exact_*): DuckDB's decimal parse is
+    # off-by-ulp on repr literals — absorbed by this row's 4-dp
+    # rounding, but transported exactly anyway so the rotated corpus
+    # values are bit-identical across engines
+    qlit = _ddb_exact_vec(_seq_matvec(R, qvec))
 
     rot = (
         f"list_transform(RL.R, row -> list_sum(list_transform("
         f"range(1, {dim + 1}), i -> row[i] * (e.embedding[i])::DOUBLE)))"
     )
     return f"""
-        WITH RL AS (SELECT {rlit}::DOUBLE[][] AS R),
-        q AS (SELECT {qlit}::DOUBLE[] AS qv),
+        WITH RL AS (SELECT {rlit} AS R),
+        q AS (SELECT {qlit} AS qv),
         rot AS (SELECT e.vec_id, {rot} AS rv
                 FROM embeddings e, RL WHERE e.vec_id <> 0)
         SELECT r.vec_id, round({_ddb_cos("r.rv", "q.qv", dim)}, 4) AS cos
@@ -5450,6 +5548,61 @@ def _ddb_ivf_sq8_sql(
     )
     return f"""
         WITH {_ddb_sq8_cell_ctes(iters, dim)},
+        probes AS (
+            SELECT c.j FROM cent{iters} c, q
+            ORDER BY {qd2}, c.j LIMIT {n_probe})
+        {_ddb_sq8_cell_score_select(dim)}
+        WHERE a.cluster IN (SELECT j FROM probes)
+        ORDER BY score DESC, e.vec_id LIMIT {topk}
+    """
+
+
+def _ddb_ivf_sq8_rotated_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+    topk: int = 10, n_probe: int = 4, iters: int = 3,
+    dim: int = EMBEDDING_DIM,
+) -> str:
+    """Oracle for the r15-QUEUED ``ann_topk_ivf_sq8_rotated``: the
+    corpus-fitted R replayed at SQL-generation time
+    (``_imi_rotation_replay`` — bit-identical to the Spark fit) and
+    embedded as a literal; the corpus rotated ONCE in SQL by the
+    fold-order-pinned list_sum matvec; then the SAME shared per-cell
+    SQ8 chain + probe cut as ``_ddb_ivf_sq8_sql``, parameterized onto
+    the rotated relation, with the rotated-query literal produced by
+    the same sequential fold the serve path uses."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    R = _imi_rotation_replay(sf_dir)
+    # exact-bit literals: this oracle's fold feeds floor() quantizers,
+    # where DuckDB's off-by-ulp decimal parse of repr literals flips
+    # codes (measured r14) — see _ddb_exact_double
+    rlit = _ddb_exact_mat(R)
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).filter(pc.field("vec_id") == 0)
+    qvec = [float(v) for v in t.column("embedding").to_pylist()[0]]
+    qlit = _ddb_exact_vec(_seq_matvec(R, qvec))
+    rot = (
+        f"list_transform(RL.R, row -> list_sum(list_transform("
+        f"range(1, {dim + 1}), i -> row[i] * (e.embedding[i])::DOUBLE)))"
+    )
+    cell_ctes = _ddb_sq8_cell_ctes(
+        iters, dim,
+        src="(SELECT vec_id, embedding FROM rotsq8)",
+        q_sql=f"SELECT {qlit} AS qv",
+    )
+    qd2 = (
+        "list_sum(list_transform(range(1, "
+        f"{dim + 1}), i -> ((q.qv[i])::DOUBLE - c.cvec[i])"
+        " * ((q.qv[i])::DOUBLE - c.cvec[i])))"
+    )
+    return f"""
+        WITH RL AS (SELECT {rlit} AS R),
+        rotsq8 AS (
+            SELECT e.vec_id, {rot} AS embedding
+            FROM embeddings e, RL WHERE e.vec_id <> 0),
+        {cell_ctes},
         probes AS (
             SELECT c.j FROM cent{iters} c, q
             ORDER BY {qd2}, c.j LIMIT {n_probe})
@@ -10598,9 +10751,7 @@ def _ddb_imi_knn_join_rotated_sql(
     and the parity pytest would fail loudly if a regenerated corpus
     ever activated it."""
     R = _imi_rotation_replay(sf_dir)
-    rlit = "[" + ", ".join(
-        "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in R
-    ) + "]"
+    rlit = _ddb_exact_mat(R)  # exact-bit transport (see _ddb_exact_double)
     rot = (
         f"list_transform(RL.R, row -> list_sum(list_transform("
         f"range(1, {dim + 1}), i -> row[i] * (e.embedding[i])::DOUBLE)))"
@@ -10620,7 +10771,7 @@ def _ddb_imi_knn_join_rotated_sql(
     )
     cos = _ddb_cos("a.embedding", "b.embedding")
     return f"""
-        WITH RL AS (SELECT {rlit}::DOUBLE[][] AS R),
+        WITH RL AS (SELECT {rlit} AS R),
         rotimi AS (
             SELECT e.vec_id, {rot} AS embedding
             FROM embeddings e, RL WHERE e.vec_id <> 0),

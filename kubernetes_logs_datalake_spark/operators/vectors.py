@@ -1908,6 +1908,7 @@ def ivf_sq8_index_build(
     centers: list[list[float]] | None = None,
     assign_arrow: bool = False,
     rotation: list[list[float]] | None = None,
+    rotation_in_plan: bool = False,
 ) -> list[list[float]]:
     """Persist an IVF,SQ8 index with the layout that makes the probe
     cut REAL: the assigned corpus written ``partitionBy(cluster)`` (so
@@ -1932,11 +1933,27 @@ def ivf_sq8_index_build(
         # contract is unchanged while the quantizer sees decorrelated
         # coordinates. `centers` passed together with `rotation` must
         # already live in the ROTATED space.
+        #
+        # rotation_in_plan=False (default): the Arrow GEMM
+        # (:func:`rotate_vectors`) — C-speed, the bulk build path.
+        # rotation_in_plan=True: the HOF expression form
+        # (:func:`rotate_vector_expr`) — slower per row but its
+        # left-to-right fold is IEEE-identical to DuckDB's
+        # list_sum(list_transform(...)), which makes the STORED
+        # rotated lifecycle oracle-checkable bit-for-bit (a GEMM
+        # pairwise-reorders the accumulation and drifts in the low
+        # bits). Both store the same logical index; pick by whether a
+        # hash gate or bulk throughput is watching.
         from kubernetes_logs_datalake_spark.operators.rotation import (
-            rotate_vectors,
+            rotate_vector_expr, rotate_vectors,
         )
 
-        df = rotate_vectors(df, vec_col, rotation)
+        if rotation_in_plan:
+            df = df.withColumn(
+                vec_col, rotate_vector_expr(vec_col, rotation)
+            )
+        else:
+            df = rotate_vectors(df, vec_col, rotation)
     if centers is None:
         centers, _ = kmeans_fit(df, id_col, vec_col, k=cells, iters=iters)
     assigned = (

@@ -666,3 +666,58 @@ def test_index_build_and_append_write_one_file_per_touched_cell(
     # the epoch adds at most one file per touched cell (<= n_cells),
     # never one per (task x cell)
     assert census() - before <= n_cells, (census(), before, n_cells)
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001",
+                                "/root/testdata/sf0.01"])
+def test_r15_queued_ivf_sq8_rotated_oracle_parity(spark, sf):
+    """r15-QUEUED (named in NEXT_WINDOW.json): the full OPQ,IVF,SQ8
+    STORED-lifecycle composition matches its oracle hash-for-hash on
+    both driver fixtures — registration at r15 is the two dict lines.
+    Exact-bit literal transport (_ddb_exact_double) is load-bearing
+    here: DuckDB's repr-literal parse is off-by-ulp and this oracle's
+    fold feeds floor() quantizers."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    got = sorted(
+        tuple(r)
+        for r in entry._ann_topk_ivf_sq8_rotated(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            entry._ddb_ivf_sq8_rotated_sql(sf_dir=sf)
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) == 10
+
+
+def test_exact_double_literals_round_trip_through_duckdb():
+    """The r14 finding pinned: DuckDB's decimal literal parse is not
+    correctly rounded (a repr literal can come back one ulp off), and
+    the _ddb_exact_double mantissa-times-power-of-two form transports
+    every bit. If DuckDB ever fixes its parser this still passes; if
+    the exact form ever breaks, the rotated-SQ8 oracle breaks with it
+    — fail here first, with the value named."""
+    import random
+
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    rng = random.Random(2)
+    vals = [rng.uniform(-1, 1) for _ in range(200)]
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT " + ", ".join(entry._ddb_exact_double(v) for v in vals)
+    ).fetchone()
+    bad = [(v, g) for v, g in zip(vals, got) if v != g]
+    assert not bad, bad[:3]
