@@ -5337,6 +5337,86 @@ def _ivf_sq8_rot_index_cached(spark: SparkSession, sf: str) -> str:
     return _IVF_SQ8_INDEX_CACHE[key]
 
 
+def _ann_drift_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """r15-QUEUED: the index-drift MONITOR itself under the oracle
+    hash gate — ``vectors.ivf_sq8_index_drift`` run against the
+    session-cached stored IVF,SQ8 index with a deterministic
+    in-distribution batch (vec_id ≡ 3 mod 7 ⊂ the indexed corpus), its
+    report returned as one row. Pins, cross-engine: the frozen-center
+    assignment distances (argmin fold + round-6 sqrt), the touched-cell
+    partition cut, BOTH interpolated percentiles on both sides (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont`` — same (n−1)p linear
+    interpolation, probed bitwise at r14), and the ratio. The work
+    happens in the operator's own Spark jobs (the served-row
+    precedent: the query fn drives the lifecycle, the returned frame
+    is its report)."""
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_index_drift,
+    )
+
+    idx = _ivf_sq8_index_cached(spark, sf)
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    batch = emb.filter(F.pmod(F.col("vec_id"), F.lit(7)) == 3)
+    d = ivf_sq8_index_drift(batch, idx)
+    return spark.createDataFrame(
+        [(
+            int(d["n_batch"]), int(d["n_touched_cells"]),
+            float(d["batch_p50"]), float(d["batch_p95"]),
+            float(d["base_p50"]), float(d["base_p95"]),
+            float(d["drift_ratio"]),
+        )],
+        "n_batch int, n_touched_cells int, batch_p50 double, "
+        "batch_p95 double, base_p50 double, base_p95 double, "
+        "drift_ratio double",
+    )
+
+
+def _ddb_drift_ratio_sql(iters: int = 3, dim: int = EMBEDDING_DIM) -> str:
+    """Oracle for the r15-QUEUED ``ann_drift_ratio``: the shared
+    √n-cells Lloyd chain's final assignment gives every corpus row its
+    frozen-center distance (``round(sqrt(d2), 6)`` — the
+    ``kmeans_assign`` formula; for stored rows the own-centroid
+    distance IS the argmin distance, so one relation serves both
+    sides), the batch is the same ``vec_id % 7 = 3`` cut, the stored
+    side is the batch's touched cells, and ``quantile_cont`` replays
+    Spark's interpolated ``percentile`` bit-for-bit. Ratio from the
+    UNROUNDED quantiles, as in the operator."""
+    ctes = _ddb_kmeans_ctes(
+        _ddb_sqrt_cells_limit(), iters, dim,
+        src="(SELECT * FROM embeddings WHERE vec_id <> 0)",
+    )
+    return f"""
+        WITH {ctes},
+        asgd AS (
+            SELECT vec_id, CAST(j AS INT) AS cluster,
+                   round(sqrt(d2), 6) AS dist
+            FROM a{iters + 1} WHERE rk = 1),
+        batch AS (SELECT * FROM asgd WHERE (vec_id % 7) = 3),
+        touched AS (SELECT DISTINCT cluster FROM batch),
+        base AS (
+            SELECT a.dist FROM asgd a
+            JOIN touched t ON t.cluster = a.cluster),
+        bq AS (
+            SELECT count(*) AS n,
+                   quantile_cont(dist, 0.5) AS p50,
+                   quantile_cont(dist, 0.95) AS p95
+            FROM batch),
+        bs AS (
+            SELECT quantile_cont(dist, 0.5) AS p50,
+                   quantile_cont(dist, 0.95) AS p95
+            FROM base)
+        SELECT CAST(bq.n AS INT) AS n_batch,
+               CAST((SELECT count(*) FROM touched) AS INT)
+                   AS n_touched_cells,
+               round(bq.p50, 6) AS batch_p50,
+               round(bq.p95, 6) AS batch_p95,
+               round(bs.p50, 6) AS base_p50,
+               round(bs.p95, 6) AS base_p95,
+               round(bq.p95 / bs.p95, 4) AS drift_ratio
+        FROM bq, bs
+    """
+
+
 def _ann_topk_ivf_sq8_rotated(spark: SparkSession, sf: str) -> DataFrame:
     """r15-QUEUED: the full OPQ,IVF,SQ8 STORED-lifecycle composition
     under the oracle hash gate — corpus-fitted rotation applied at

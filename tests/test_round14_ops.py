@@ -721,3 +721,29 @@ def test_exact_double_literals_round_trip_through_duckdb():
     ).fetchone()
     bad = [(v, g) for v, g in zip(vals, got) if v != g]
     assert not bad, bad[:3]
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001",
+                                "/root/testdata/sf0.01"])
+def test_r15_queued_drift_ratio_oracle_parity(spark, sf):
+    """r15-QUEUED: the drift MONITOR under the hash gate — the stored
+    index's frozen-center distances, the touched-cell cut, Spark
+    ``percentile`` vs DuckDB ``quantile_cont`` (same (n-1)p linear
+    interpolation), and the ratio all replay bit-for-bit on both
+    driver fixtures."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    got = [tuple(r) for r in entry._ann_drift_ratio(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(
+        entry._ddb_drift_ratio_sql()
+    ).fetchall()]
+    assert got == want
+    # an in-distribution batch must read inside the calibrated band
+    assert 0.9 <= got[0][-1] <= 1.1, got
