@@ -5911,7 +5911,82 @@ _NO_ORACLE_AGREEMENT_TESTS = {
 #: the round whose driver window `queries()` currently implements —
 #: read by tools/ledger.py to match the window against the committed
 #: NEXT_WINDOW.json plan (r12 verdict task #2: plan-aware staleness).
-_WINDOW_ROUND = 14
+_WINDOW_ROUND = 15
+
+_R15_WINDOW = [
+    # 1. NEW this round (r14 verdict task #3): the two pre-verified
+    #    r15-queued rows named in NEXT_WINDOW.json's plans["15"]
+    #    planned_new — the full OPQ,IVF,SQ8 stored-lifecycle
+    #    composition and the calibrated drift monitor's report under
+    #    the hash gate. Parity was pinned at r14 by
+    #    tests/test_round14_ops.py::
+    #    test_r15_queued_ivf_sq8_rotated_oracle_parity and
+    #    ::test_r15_queued_drift_ratio_oracle_parity.
+    "ann_topk_ivf_sq8_rotated",
+    "ann_drift_ratio",
+    # 2. the rows the committed plan (NEXT_WINDOW.json plans["15"])
+    #    binds this window to: the r10-vintage cohort expiring at the
+    #    r14 judging horizon. 37 of the plan's 38 — ann_topk_ivf is
+    #    RETIRED this round under the registry-capacity policy
+    #    (NEXT_WINDOW.json "retired"; successors ann_topk_ivf_sq8 /
+    #    ann_topk_ivfpq / ann_topk_ivf_sq8_served and the new
+    #    composition above), and the ledger's guard 3 exempts retired
+    #    rows from plan-implementation debt.
+    "ann_topk_ivfpq_refined",
+    "ann_topk_lsh",
+    "ann_topk_mrl_refined",
+    "ann_topk_pq_refine",
+    "docs_cluster_labels",
+    "docs_decontaminate_semantic",
+    "docs_dedup_incremental",
+    "docs_duplicate_spans",
+    "docs_ngram_novelty",
+    "docs_pii_scrub",
+    "docs_repetition_profile",
+    "docs_segment_dedup",
+    "docs_token_budget",
+    "docs_topic_clusters",
+    "embedding_kmeans",
+    "embedding_label_centroids",
+    "embedding_pq_codes",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
+    "events_funnel",
+    "events_heavy_hitters",
+    "events_hopping_rollup",
+    "events_sliding_topk",
+    "events_value_outliers",
+    "groupingsets_segment_priority",
+    "histogram_order_price",
+    "mix_datasets_by_lang",
+    "pivot_status_priority",
+    "quantiles_price_by_flag",
+    "stratified_sample_docs",
+    "text_entropy",
+    "text_oov_rate",
+    "text_tfidf_topk",
+    "unpivot_lineitem_metrics",
+    "vocab_top50",
+    "weighted_sample_docs",
+    "zorder_orders_key",
+    # 3. freshness fill (10 slots): pre-refresh the r11-vintage
+    #    ANN/embedding cohort — adjacent to this round's vectors.py
+    #    changes (drift-advisor wiring, repair hardening) — cutting
+    #    r16's expiring cohort 42 -> 32 (NEXT_WINDOW.json plans["16"]
+    #    recomputed to match)
+    "ann_label_ndcg",
+    "ann_recall_ivf_join",
+    "ann_recall_ivf_join_probed",
+    "dedup_embedding",
+    "dedup_embedding_lsh",
+    "dedup_semantic",
+    "dedup_semantic_collapsed",
+    "docs_hybrid_search",
+    "embedding_hard_negatives",
+    "embedding_ivf_knn_join",
+    # sentinel (green in every round since r1)
+    "q1_pricing_summary",
+]
 
 _R14_WINDOW = [
     # 1. NEW this round (r13 verdict task #2): the three pre-verified
@@ -6382,7 +6457,7 @@ _R8_WINDOW = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _all_queries()
-    ordered = {name: base[name] for name in _R14_WINDOW}
+    ordered = {name: base[name] for name in _R15_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
     return ordered
 
@@ -6432,7 +6507,6 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_bruteforce": _ann_topk_bruteforce,
         "ann_topk_arrow": _ann_topk_arrow,
         "ann_topk_lsh": _ann_topk_lsh,
-        "ann_topk_ivf": _ann_topk_ivf,
         "knn_join": _knn_join,
         # extended relational / temporal
         "asof_purchase_click": _asof_purchase_click,
@@ -6612,18 +6686,23 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_snapshot_diff": _docs_snapshot_diff,
         "docs_epoch_allocation": _docs_epoch_allocation,
         "docs_cluster_labels": _docs_cluster_labels,
-        "ann_topk_sq8": _ann_topk_sq8,
+        # r15 RETIRED (NEXT_WINDOW.json "retired" — the registry-
+        # capacity policy, r14 verdict task #2): ann_topk_sq8,
+        # ann_topk_sq8_served, ann_recall_sq8, ann_topk_ivf and
+        # ann_topk_mrl are deregistered — each operator stays in the
+        # package with pytest coverage and a strictly-stronger
+        # registered successor row; the private query fns below remain
+        # for those tests.
         "ann_topk_sq8_cell": _ann_topk_sq8_cell,
         "ann_topk_sq8_cell_refined": _ann_topk_sq8_cell_refined,
         "ann_topk_ivf_sq8": _ann_topk_ivf_sq8,
         "ann_topk_ivf_sq8_served": _ann_topk_ivf_sq8_served,
+        "ann_topk_ivf_sq8_rotated": _ann_topk_ivf_sq8_rotated,
+        "ann_drift_ratio": _ann_drift_ratio,
         "ann_topk_rotated": _ann_topk_rotated,
         "ann_topk_sq8_packed": _ann_topk_sq8_packed,
-        "ann_topk_sq8_served": _ann_topk_sq8_served,
-        "ann_topk_mrl": _ann_topk_mrl,
         "ann_topk_mrl_refined": _ann_topk_mrl_refined,
         "ann_recall_mrl": _ann_recall_mrl,
-        "ann_recall_sq8": _ann_recall_sq8,
         "embedding_sq8_codes": _embedding_sq8_codes,
         "docs_score_agreement": _docs_score_agreement,
     }
@@ -7807,7 +7886,6 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": _lang_id_oracle_sql(),
         "dedup_embedding_lsh": _lsh_pairs_oracle_sql(dim=EMBEDDING_DIM),
         "ann_topk_lsh": _ann_lsh_oracle_sql(dim=EMBEDDING_DIM),
-        "ann_topk_ivf": _ddb_ivf_oracle_sql(),
         "asof_purchase_click": """
             -- equal-ts clicks pre-collapsed to max(click_id): mirrors the
             -- Spark operator's tiebreak=click_id (largest wins), removing
@@ -9776,18 +9854,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, n_events, score
             FROM s ORDER BY score DESC, user_id LIMIT 25
         """,
-        "ann_topk_sq8": _ddb_sq8_sql(topk=10, codes_only=False),
         "ann_topk_sq8_cell": _ddb_sq8_cell_sql(topk=10),
         "ann_topk_sq8_cell_refined": _ddb_sq8_cell_refined_sql(),
         "ann_topk_ivf_sq8": _ddb_ivf_sq8_sql(),
         # stored-index serve is bit-identical to the inline probed path
         # (pytest-pinned) — one oracle pins both representations
         "ann_topk_ivf_sq8_served": _ddb_ivf_sq8_sql(),
+        # r15 NEW: the full OPQ,IVF,SQ8 stored-lifecycle composition —
+        # corpus-fitted rotation replayed via exact-bit literals
+        "ann_topk_ivf_sq8_rotated": _ddb_ivf_sq8_rotated_sql(),
+        # r15 NEW: the drift monitor's report under the hash gate
+        "ann_drift_ratio": _ddb_drift_ratio_sql(),
         "ann_topk_rotated": _ddb_rotated_topk_sql(),
         # packed variant decodes to the same values in the same fold
         # order — one oracle pins both representations
         "ann_topk_sq8_packed": _ddb_sq8_sql(topk=10, codes_only=False),
-        "ann_topk_sq8_served": _ddb_sq8_sql(topk=10, codes_only=False),
         "embedding_sq8_codes": _ddb_sq8_sql(topk=None, codes_only=True),
         "docs_epoch_allocation": f"""
             WITH counts AS (
@@ -10065,16 +10146,6 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN qq
             ORDER BY cos DESC, e.vec_id LIMIT 10
         """,
-        "ann_topk_mrl": f"""
-            SELECT vec_id, round(cos, 4) AS cos FROM (
-                SELECT e.vec_id,
-                       {_ddb_cos("e.embedding", "q.embedding", dim=_MRL_DIM)}
-                           AS cos
-                FROM embeddings e,
-                     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-                WHERE e.vec_id <> 0)
-            ORDER BY cos DESC, vec_id LIMIT 10
-        """,
         "ann_recall_mrl": f"""
             WITH bf AS (
                 SELECT vec_id FROM (
@@ -10095,22 +10166,6 @@ def oracle_sql() -> dict[str, str]:
                           WHERE vec_id = 0) q
                     WHERE e.vec_id <> 0)
                 ORDER BY cos DESC, vec_id LIMIT 10
-            )
-            SELECT 10 AS k, count(*) AS n_hits, count(*) / 10.0 AS recall
-            FROM bf JOIN ap USING (vec_id)
-        """,
-        "ann_recall_sq8": f"""
-            WITH bf AS (
-                SELECT vec_id FROM (
-                    SELECT e.vec_id,
-                           {_ddb_cos("e.embedding", "q.embedding")} AS cos
-                    FROM embeddings e,
-                         (SELECT embedding FROM embeddings
-                          WHERE vec_id = 0) q
-                    WHERE e.vec_id <> 0)
-                ORDER BY cos DESC, vec_id LIMIT 10
-            ), ap AS (
-                {_ddb_sq8_sql(topk=10, codes_only=False)}
             )
             SELECT 10 AS k, count(*) AS n_hits, count(*) / 10.0 AS recall
             FROM bf JOIN ap USING (vec_id)

@@ -156,17 +156,15 @@ HEADLINE = [
     "docs_snapshot_diff",
     "docs_epoch_allocation",
     "docs_cluster_labels",
-    "ann_topk_sq8",
+    # (ann_topk_sq8 / ann_recall_sq8 / ann_topk_mrl /
+    # ann_topk_sq8_served retired r15 — NEXT_WINDOW.json "retired";
+    # their successor rows below keep the paths timed)
     "ann_topk_sq8_packed",
-    "ann_recall_sq8",
     "embedding_sq8_codes",
-    "ann_topk_mrl",
     "ann_recall_mrl",
-    # r10: the MRL two-stage funnel, and the stored-codes serving leg
-    # benched NEXT TO the encode+score path so the bench separates the
-    # true serve cost from the one-time encode (r9 verdict item 7)
+    # r10: the MRL two-stage funnel, benched NEXT TO the truncation
+    # recall harness so the funnel's refine cost stays separable
     "ann_topk_mrl_refined",
-    "ann_topk_sq8_served",
     # the multi-probe join next to its 1-probe sibling (benched above)
     # and both recall harnesses
     "embedding_ivf_knn_join_probed",
@@ -197,6 +195,12 @@ HEADLINE = [
     "ann_topk_ivf_sq8_served",
     "ann_topk_rotated",
     "embedding_imi_knn_join_rotated",
+    # r15: the two newly-registered rows — the OPQ,IVF,SQ8 stored-
+    # lifecycle serve (timed next to ann_topk_ivf_sq8_served so the
+    # rotation's serve overhead is the visible delta) and the drift
+    # monitor's report (the per-epoch ops cost of watching an index)
+    "ann_topk_ivf_sq8_rotated",
+    "ann_drift_ratio",
     # events_hits_scores is deliberately NOT benched for the same
     # reason as docs_bpe_merges: 8 mutual-reinforcement rounds = 16
     # sequential half-round actions whose per-action data is a 5-row

@@ -2258,43 +2258,55 @@ def ivf_sq8_index_repair(
     elif op == "compact":
         crowded = [int(c) for c in sidecar.get("crowded", [])]
         expected = sidecar.get("rows_crowded")
-        if crowded and expected is not None:
-            sub = spark.read.parquet(f"{index_dir}/cells").filter(
-                F.col("cluster").isin(crowded)
+        # a genuine compact sidecar ALWAYS carries both fields
+        # (ivf_sq8_index_compact returns early, without invalidating,
+        # when nothing is crowded) — a sidecar lacking them is
+        # malformed/hand-damaged, and silently restoring the manifest
+        # from it would commit an unverified layout (r14 verdict #6)
+        if not crowded or expected is None:
+            raise RuntimeError(
+                "ivf_sq8_index_repair: compact sidecar is malformed "
+                f"(crowded={sidecar.get('crowded')!r}, rows_crowded="
+                f"{expected!r}) — cannot prove the layout-only "
+                "invariant; rebuild with ivf_sq8_index_build (old "
+                f"centroids preserved in {torn})"
             )
-            got = sub.count()
-            if got < int(expected):
+        sub = spark.read.parquet(f"{index_dir}/cells").filter(
+            F.col("cluster").isin(crowded)
+        )
+        got = sub.count()
+        if got < int(expected):
+            raise RuntimeError(
+                f"ivf_sq8_index_repair: compact crash LOST rows in "
+                f"cells {crowded} ({got} < {expected}) — "
+                "unrepairable without the corpus; rebuild with "
+                "ivf_sq8_index_build"
+            )
+        if got > int(expected):
+            # old + new file copies coexist: identical rows, so an
+            # id-distinct rewrite of ONLY the affected cells is
+            # lossless. Same dynamic-overwrite recipe as compact.
+            id_col = cfg["id_col"]
+            rows = truncate_lineage(
+                sub.dropDuplicates([id_col]), checkpoint_dir,
+                eager=True,
+            )
+            if rows.count() != int(expected):
                 raise RuntimeError(
-                    f"ivf_sq8_index_repair: compact crash LOST rows in "
-                    f"cells {crowded} ({got} < {expected}) — "
-                    "unrepairable without the corpus; rebuild with "
-                    "ivf_sq8_index_build"
+                    "ivf_sq8_index_repair: duplicate-id collapse "
+                    f"does not reproduce the recorded pre-count "
+                    f"{expected} — rebuild with ivf_sq8_index_build"
                 )
-            if got > int(expected):
-                # old + new file copies coexist: identical rows, so an
-                # id-distinct rewrite of ONLY the affected cells is
-                # lossless. Same dynamic-overwrite recipe as compact.
-                id_col = cfg["id_col"]
-                rows = truncate_lineage(
-                    sub.dropDuplicates([id_col]), checkpoint_dir,
-                    eager=True,
+            with _conf_override(
+                spark, "spark.sql.sources.partitionOverwriteMode",
+                "dynamic",
+            ):
+                (
+                    rows.repartition("cluster")
+                    .write.mode("overwrite")
+                    .partitionBy("cluster")
+                    .parquet(f"{index_dir}/cells")
                 )
-                if rows.count() != int(expected):
-                    raise RuntimeError(
-                        "ivf_sq8_index_repair: duplicate-id collapse "
-                        f"does not reproduce the recorded pre-count "
-                        f"{expected} — rebuild with ivf_sq8_index_build"
-                    )
-                with _conf_override(
-                    spark, "spark.sql.sources.partitionOverwriteMode",
-                    "dynamic",
-                ):
-                    (
-                        rows.repartition("cluster")
-                        .write.mode("overwrite")
-                        .partitionBy("cluster")
-                        .parquet(f"{index_dir}/cells")
-                    )
     else:
         raise RuntimeError(
             f"ivf_sq8_index_repair: torn '{op}' protocol is not "
@@ -2304,7 +2316,19 @@ def ivf_sq8_index_repair(
         )
     _commit_manifest(fs, manifest, cfg)
     report = ivf_sq8_index_verify(spark, index_dir)
-    return {"repaired": True, "op": op, "verify": report}
+    out = {"repaired": True, "op": op, "verify": report}
+    if op == "append":
+        # the sidecar's touched fingerprint (recorded by
+        # ivf_sq8_index_append before mutating) names the cells whose
+        # bounds the crash could have moved — everything else was
+        # recomputed bit-identically (deterministic per-cell min/max)
+        out["touched_cells"] = sorted(
+            int(c) for c in sidecar.get("touched", [])
+        )
+    elif op == "compact":
+        out["repaired_cells"] = crowded
+        out["deduplicated"] = bool(got > int(expected))
+    return out
 
 
 def ivf_sq8_index_compact(
@@ -2502,6 +2526,85 @@ def ivf_sq8_index_drift(
         "drift_ratio": round(
             batch_p95 / base_p95, 4
         ) if base_p95 > 0 else float("inf"),
+    }
+
+
+#: the calibrated investigate trigger (SCALE.md r14,
+#: tools/drift_calibration.py): the organic in-distribution band is
+#: ≈1.0±0.03 on both the ×10 and ×20 corpora (scale-stable within
+#: 1%), and ~1.3 ≈ 2σ of translation — clearly outside the band
+DRIFT_INVESTIGATE_RATIO = 1.3
+
+
+def index_advisor(
+    df: DataFrame,
+    index_dir: str,
+    threshold: float = DRIFT_INVESTIGATE_RATIO,
+    approx: bool = True,
+    approx_accuracy: int = 10_000,
+) -> dict:
+    """The calibrated drift rule as CODE, not docstring (r14 verdict
+    task #4): run :func:`ivf_sq8_index_drift` on a batch and map the
+    ratio onto the measured two-mode analysis (SCALE.md r14,
+    `tools/drift_calibration.py`):
+
+    - ``in_band`` (ratio ≤ threshold) — the batch looks like the
+      corpus (organic band ≈1.0±0.03). Frozen-codebook serving is
+      fine; keep appending.
+    - ``investigate`` (finite ratio > threshold) — the distribution
+      has clearly left the band; the measured signature of
+      TRANSLATION drift, where recall loss vs a rebuild is noise
+      (±half a hit at ratio 1.70 on both organic corpora). Frozen
+      serving remains sound; schedule a rebuild at convenience, not
+      urgency, and keep watching the ratio's trend.
+    - ``emergent`` (ratio = ∞) — the batch's touched cells are
+      degenerate on the stored side: a new tight component landed
+      where the corpus has essentially nothing. A rebuild measurably
+      does NOT fix this mode (recall 0.175 frozen vs 0.125 rebuilt —
+      resolution-limited, not cell-geometry-limited); serve these
+      queries through the exact-re-rank funnel
+      (:func:`sq8_cell_refine_topk`), consider raising ``n_probe``
+      for the affected cells, and rebuild only once the component
+      has accumulated enough mass to deserve well-populated cells.
+
+    Defaults to the ``approx_percentile`` monitor (mergeable
+    Greenwald-Khanna partials — no stored-side row sort; agrees with
+    the exact monitor to 4 dp, pytest-pinned), the shape an
+    every-epoch monitor needs at 100 TB. Returns the drift report
+    plus ``verdict``, ``mode``, ``recommendation`` and ``threshold``.
+    MUST run against the pre-append index state — after the append
+    the batch's own rows sit in the touched cells and dilute (or, in
+    the emergent mode, completely mask) the signal."""
+    report = ivf_sq8_index_drift(
+        df, index_dir, approx=approx, approx_accuracy=approx_accuracy
+    )
+    ratio = report["drift_ratio"]
+    if ratio == float("inf"):
+        verdict, mode = "emergent", "emergent-component"
+        recommendation = (
+            "batch landed in near-empty territory: serve its queries "
+            "via the exact-re-rank funnel (sq8_cell_refine_topk), "
+            "consider more probes for the touched cells; rebuild only "
+            "when the new component has mass (a rebuild does not fix "
+            "its resolution limit — SCALE.md r14)"
+        )
+    elif ratio > threshold:
+        verdict, mode = "investigate", "translation"
+        recommendation = (
+            "distribution left the calibrated band (translation "
+            "signature): frozen-codebook serving stays sound (recall "
+            "gap ≈ noise at ratio 1.7), schedule a rebuild at "
+            "convenience and watch the trend"
+        )
+    else:
+        verdict, mode = "in_band", "in-distribution"
+        recommendation = "frozen-codebook serving ok; keep appending"
+    return {
+        **report,
+        "verdict": verdict,
+        "mode": mode,
+        "recommendation": recommendation,
+        "threshold": float(threshold),
     }
 
 

@@ -279,11 +279,14 @@ def test_sq8_served_matches_encode_in_query(spark):
     import __spark_entry__ as e
 
     sf = "/root/testdata/sf0.001"
-    served = e.queries()["ann_topk_sq8_served"](spark, sf).collect()
+    # the global-SQ8 served row is RETIRED from the driver registry
+    # (r15 capacity policy) — the operator contract stays pinned here
+    # through the private query fn
+    served = e._ann_topk_sq8_served(spark, sf).collect()
     packed = e.queries()["ann_topk_sq8_packed"](spark, sf).collect()
     assert [tuple(r) for r in served] == [tuple(r) for r in packed]
     # second call reuses the session-persisted frame (cache hit)
-    again = e.queries()["ann_topk_sq8_served"](spark, sf).collect()
+    again = e._ann_topk_sq8_served(spark, sf).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in served]
 
 

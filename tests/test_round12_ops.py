@@ -168,7 +168,8 @@ def test_sq8_serving_cache_honors_checkpoint_dir(spark, tmp_path, monkeypatch):
     import __spark_entry__ as entry
 
     sf = "/root/testdata/sf0.001"
-    base = entry.queries()["ann_topk_sq8_served"](spark, sf)
+    # retired driver row (r15 capacity policy): pin via the private fn
+    base = entry._ann_topk_sq8_served(spark, sf)
     base_rows = _sorted_rows(base)
 
     ckdir = str(tmp_path / "sq8")
@@ -176,7 +177,7 @@ def test_sq8_serving_cache_honors_checkpoint_dir(spark, tmp_path, monkeypatch):
     # fresh cache entry so the knob is exercised, not the memo
     entry._SQ8_PACKED_CACHE.clear()
     try:
-        rel = entry.queries()["ann_topk_sq8_served"](spark, sf)
+        rel = entry._ann_topk_sq8_served(spark, sf)
         assert _sorted_rows(rel) == base_rows
         found = [f for _r, _d, fs in os.walk(ckdir) for f in fs]
         assert found, "serving cache did not checkpoint to the reliable dir"

@@ -70,8 +70,10 @@ def _breach_cohort(d, rounds) -> set[str]:
                 last_green[name] = max(last_green.get(name, 0), rnd)
     window = set(list(entry.queries())[:50])
     horizon = (max(rounds) + 1) - MAX_STALE
+    registered = set(entry._all_queries())
     return {
-        q for q, g in last_green.items() if g < horizon and q not in window
+        q for q, g in last_green.items()
+        if g < horizon and q not in window and q in registered
     }
 
 
@@ -1104,10 +1106,22 @@ def test_committed_plan_covers_every_projected_horizon():
     import __spark_entry__ as entry
 
     no_oracle = set(getattr(entry, "_NO_ORACLE_SIBLINGS", {}))
+    # retired rows (NEXT_WINDOW.json "retired", r15 capacity policy)
+    # are deregistered — their green history carries no rotation debt,
+    # exactly as in tools/ledger.py. A retired name still registered
+    # would be a policy violation; the ledger guards that, pin it here
+    # too so the simulation can safely drop them.
+    retired = set(plan.get("retired", {}))
+    assert not retired & set(entry._all_queries()), (
+        "retired rows must be deregistered: "
+        f"{sorted(retired & set(entry._all_queries()))}"
+    )
     last_green: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(f.split("_r")[1].split(".")[0])
         for name, row in json.load(open(f)).items():
+            if name in retired:
+                continue
             if row.get("hash_match") or (
                 name in no_oracle and row.get("rows_match")
             ):

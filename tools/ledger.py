@@ -36,6 +36,21 @@ def _load_plan() -> dict:
         return {}
 
 
+def _load_retired() -> dict:
+    """The registry-capacity policy's retirement map (r14 verdict task
+    #2): NEXT_WINDOW.json's top-level ``retired`` maps a deregistered
+    row name -> reason + named successors. Retired rows are exempt
+    from plan-implementation debt (guard 3) — the committed plans that
+    predate the retirement stay untouched as history — and drop out of
+    staleness/budget arithmetic naturally because they are no longer
+    registered."""
+    try:
+        with open(PLAN_FILE) as f:
+            return json.load(f).get("retired", {})
+    except FileNotFoundError:
+        return {}
+
+
 def main() -> int:
     n_stale = 40
     if "--stale" in sys.argv:
@@ -156,17 +171,31 @@ def main() -> int:
     # implements plans[R] — otherwise a plan could excuse a breach
     # forever without the rotation ever happening.
     wr = getattr(entrymod, "_WINDOW_ROUND", None)
+    retired = _load_retired()
     if wr is not None and str(wr) in plan:
         owed = [q for q in plan[str(wr)].get("must_include", [])
-                if q not in window]
+                if q not in window and q not in retired]
         if owed:
             print(f"\nPLAN NOT IMPLEMENTED: the r{wr} window omits "
                   f"{len(owed)} rows its committed plan promised: {owed}")
             rc = 1
         else:
+            exempt = [q for q in plan[str(wr)].get("must_include", [])
+                      if q in retired]
+            note = (f" ({len(exempt)} retired-exempt: {exempt})"
+                    if exempt else "")
             print(f"plan OK: the r{wr} window implements all "
                   f"{len(plan[str(wr)].get('must_include', []))} rows of "
-                  f"its committed NEXT_WINDOW plan")
+                  f"its committed NEXT_WINDOW plan{note}")
+
+    # retirement-consistency guard: a name in the retired map that is
+    # STILL registered would let the map excuse plan debt for a live
+    # row — the exemption only applies to genuinely deregistered rows
+    zombie = [q for q in retired if q in registered]
+    if zombie:
+        print(f"\nRETIREMENT INCONSISTENT: {len(zombie)} retired names "
+              f"are still registered: {zombie}")
+        rc = 1
 
     # forward budget (r11 verdict task #1): with a 50-slot window and a
     # ≤MAX_STALE-round horizon, each future round's window must absorb
@@ -181,7 +210,10 @@ def main() -> int:
         # understate free slots (r12 review)
         vintage: dict[int, int] = {}
         nxt = max(rounds) + 1
+        reg_set = set(registered)
         for q, g in last_green.items():
+            if q not in reg_set:
+                continue  # retired/deregistered rows carry no debt
             eff = nxt if q in window else g
             vintage[eff] = vintage.get(eff, 0) + 1
         print(f"\nforward new-query budget (window 50, horizon "
@@ -192,6 +224,22 @@ def main() -> int:
             expiring = vintage.get(future - 1 - MAX_STALE_ROUNDS, 0)
             print(f"  r{future}: {expiring} rows expire -> "
                   f"{max(0, 50 - expiring)} free slots")
+        # the sustainable-ceiling arithmetic, visible at planning time
+        # (r14 verdict task #2): every registered green row must be
+        # re-greened once per (horizon+1) rounds by a 50-row window,
+        # so steady state needs registry <= 50*(horizon+1); the margin
+        # line is how much headroom the capacity policy has left
+        n_reg_green = sum(1 for q in last_green if q in reg_set)
+        ceiling = 50 * (MAX_STALE_ROUNDS + 1)
+        per_round = n_reg_green / (MAX_STALE_ROUNDS + 1)
+        print(f"capacity: registry {len(registered)} "
+              f"({n_reg_green} green-tracked, "
+              f"{len(registered) - n_reg_green} rows-only/new; "
+              f"{len(_load_retired())} retired) vs ceiling {ceiling} "
+              f"= 50 x (horizon {MAX_STALE_ROUNDS} + 1); steady-state "
+              f"re-green load ~{per_round:.1f}/round -> "
+              f"~{50 - per_round:.1f} slots/round for new rows + "
+              f"pre-refresh smoothing")
     return rc
 
 

@@ -41,7 +41,7 @@ HARNESSES = [
     "ann_recall_ivf_join_probed",
     "ann_recall_ivf_join_adc",
     "ann_recall_mrl",
-    "ann_recall_sq8",
+    # ann_recall_sq8 retired r15 (NEXT_WINDOW.json "retired")
     "ann_recall_ivfpq",
 ]
 

@@ -160,16 +160,13 @@ QUERIES = [
     "docs_snapshot_diff",
     "docs_epoch_allocation",
     "docs_cluster_labels",
-    "ann_topk_sq8",
+    # (ann_topk_sq8 / ann_recall_sq8 / ann_topk_mrl /
+    # ann_topk_sq8_served retired r15 — successors below)
     "ann_topk_sq8_packed",
-    "ann_recall_sq8",
     "embedding_sq8_codes",
-    "ann_topk_mrl",
     "ann_recall_mrl",
-    # r10: MRL refine funnel + stored-codes SQ8 serving leg + the
-    # multi-probe join and its recall harness
+    # r10: MRL refine funnel + the multi-probe join and its recall
     "ann_topk_mrl_refined",
-    "ann_topk_sq8_served",
     "embedding_ivf_knn_join_probed",
     "ann_recall_ivf_join",
     "ann_recall_ivf_join_probed",
@@ -195,6 +192,9 @@ QUERIES = [
     "ann_topk_sq8_cell_refined",
     "ann_topk_rotated",
     "embedding_imi_knn_join_rotated",
+    # r15: the OPQ,IVF,SQ8 stored-lifecycle serve + the drift monitor
+    "ann_topk_ivf_sq8_rotated",
+    "ann_drift_ratio",
 ]
 
 # The two LSH bench entries run on bench.py's clustered fixture (the
