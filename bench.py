@@ -215,6 +215,24 @@ HEADLINE = [
 
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
+#: CANARY calibration suite (r14 verdict task #1): a fixed micro-suite
+#: of stable, code-frozen paths — scan+agg (q1), ns-time rollup,
+#: hash-groupBy dedup, HOF vector math — timed at CANARY_REPS after
+#: the suite has fully warmed, medians published in every BENCH
+#: artifact under "canary". Cross-round, the canary's ratio estimates
+#: the ENVIRONMENT's drift (the r11→r12 and r13→r14 episodes were
+#: uniform ×1.11–1.16 shifts on untouched code), so suite-level
+#: comparisons can be normalized instead of re-litigated each round.
+#: Changing these names breaks cross-round comparability — don't,
+#: unless a member is retired from the registry.
+CANARY = [
+    "q1_pricing_summary",
+    "events_hourly_rollup",
+    "dedup_exact",
+    "knn_join",
+]
+CANARY_REPS = int(os.environ.get("SPARK_GRAFT_CANARY_REPS", "10"))
+
 
 # --------------------------------------------------- clustered fixture
 #
@@ -500,6 +518,19 @@ def main() -> None:
         name: round(max(ts) - min(ts), 3) for name, ts in samples.items() if ts
     }
 
+    # canary calibration pass (r14 verdict task #1): runs LAST, after
+    # the whole suite has warmed the JVM, so its medians measure the
+    # box, not the JIT; see the CANARY constant for the contract
+    canary: dict[str, float] = {}
+    for name in CANARY:
+        ts = []
+        for _ in range(CANARY_REPS):
+            t = safe_run(name)
+            if t is not None:
+                ts.append(t)
+        if ts:
+            canary[name] = round(sorted(ts)[(len(ts) - 1) // 2], 3)
+
     try:
         ingest = bench_ingest(spark, sf)
     except Exception as exc:  # noqa: BLE001
@@ -526,6 +557,7 @@ def main() -> None:
             round(sum(max(ts) for ts in samples.values() if ts), 1),
         ],
         "n_queries": len(timings),
+        "canary": canary,
         "queries": timings,
         "spread": spread,
         "errors": errors,

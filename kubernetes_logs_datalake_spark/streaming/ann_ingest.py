@@ -69,21 +69,56 @@ class AnnIngestJob:
     #: mid-epoch recomputes instead of failing the epoch and leaving
     #: the index torn until the replay repairs it (ADVICE r13)
     reliable_checkpoint_dir: str | None = None
+    #: per-epoch calibrated drift verdict (r14 verdict task #4): when
+    #: True, each epoch runs :func:`operators.vectors.index_advisor`
+    #: (the approx_percentile monitor — mergeable sketches, the
+    #: every-epoch shape) against the PRE-append index state and
+    #: records the advice in :attr:`advice` / forwards it to
+    #: :attr:`on_advice`. Pre-append is load-bearing: after the append
+    #: the batch's own rows sit in the touched cells and mask the
+    #: emergent-mode signal entirely (base == batch → ratio 1.0).
+    monitor_drift: bool = False
+    drift_threshold: float = 1.3
+    #: optional callback ``(epoch_id: int, advice: dict) -> None`` —
+    #: the alerting seam (page on "emergent", ticket on
+    #: "investigate"); exceptions in it are swallowed so a broken
+    #: alert hook cannot fail the ingest epoch
+    on_advice: object = None
+    #: the advice log, newest last: ``[(epoch_id, advice_dict), ...]``
+    advice: list = field(default_factory=list)
     _query: object = field(default=None, repr=False)
 
     def start(self, spark: SparkSession, source: DataFrame):
         from kubernetes_logs_datalake_spark.operators.vectors import (
-            ivf_sq8_index_append,
+            index_advisor, ivf_sq8_index_append, ivf_sq8_index_repair,
         )
 
         index_dir = self.index_dir
         assign_arrow = self.assign_arrow
         skip_existing = self.skip_existing_ids
         reliable_dir = self.reliable_checkpoint_dir
+        monitor = self.monitor_drift
+        threshold = self.drift_threshold
+        on_advice = self.on_advice
+        advice_log = self.advice
 
         def append_batch(batch_df: DataFrame, epoch_id: int) -> None:
-            # a torn index (crash inside a previous epoch's manifest
-            # window) self-heals inside the append via
+            if monitor and batch_df.limit(1).count() > 0:
+                # the advisor reads the manifest, so a torn index
+                # (crash inside a previous epoch's manifest window)
+                # must self-heal FIRST — same repair the append would
+                # run; doing it here keeps the advice pre-append
+                ivf_sq8_index_repair(batch_df.sparkSession, index_dir)
+                verdict = index_advisor(
+                    batch_df, index_dir, threshold=threshold
+                )
+                advice_log.append((int(epoch_id), verdict))
+                if on_advice is not None:
+                    try:
+                        on_advice(int(epoch_id), verdict)
+                    except Exception:  # noqa: BLE001 — alerting seam
+                        pass
+            # a torn index self-heals inside the append via
             # ivf_sq8_index_repair — the replayed epoch then completes
             # against the restored manifest instead of raising forever
             ivf_sq8_index_append(
