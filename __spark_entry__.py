@@ -4079,6 +4079,37 @@ def _events_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     ).select("node", "rank")
 
 
+_PPR_SEEDS = ["purchase", "signup"]  # the two conversion events
+
+
+def _events_personalized_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """r16-QUEUED: personalized PageRank over the event-type
+    transition graph, teleport concentrated on the 'purchase' seed —
+    random-walk-with-restart relevance to the conversion event (the
+    related-hosts / related-items primitive; Page et al. 1999 §6).
+    Same decimal-exact fixed-round power method as events_pagerank;
+    the oracle unrolls the identical rounds with the seeded teleport
+    vector and teleport-directed dangling redistribution."""
+    from kubernetes_logs_datalake_spark.operators.graph import (
+        personalized_pagerank,
+        transition_edges,
+    )
+
+    e = _t(spark, sf, "events")
+    edges = transition_edges(
+        e, "user_id", "ts", "event_type", tiebreak_col="event_id"
+    )
+    return personalized_pagerank(
+        edges,
+        "src",
+        "dst",
+        seeds=_PPR_SEEDS,
+        weight_col="n_transitions",
+        iters=_PAGERANK_ITERS,
+        damping=_PAGERANK_DAMPING,
+    ).select("node", "rank")
+
+
 # -------------------------------------------------- round-7 additions
 
 _TRI_MIN_SHARED = 3
@@ -5417,6 +5448,31 @@ def _ddb_drift_ratio_sql(iters: int = 3, dim: int = EMBEDDING_DIM) -> str:
     """
 
 
+def _ddb_recall_ivf_sq8_rotated_sql(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str:
+    """Oracle for the r16-QUEUED ``ann_recall_ivf_sq8_rotated``: the
+    raw-space brute-force top-10 joined against the full rotated
+    OPQ,IVF,SQ8 chain (``_ddb_ivf_sq8_rotated_sql`` nested as the ap
+    CTE — the ann_recall_sq8 recipe)."""
+    return f"""
+        WITH bf AS (
+            SELECT vec_id FROM (
+                SELECT e.vec_id,
+                       {_ddb_cos("e.embedding", "q.embedding")} AS cos
+                FROM embeddings e,
+                     (SELECT embedding FROM embeddings
+                      WHERE vec_id = 0) q
+                WHERE e.vec_id <> 0)
+            ORDER BY cos DESC, vec_id LIMIT 10
+        ), ap AS (
+            {_ddb_ivf_sq8_rotated_sql(sf_dir)}
+        )
+        SELECT 10 AS k, count(*) AS n_hits, count(*) / 10.0 AS recall
+        FROM bf JOIN ap USING (vec_id)
+    """
+
+
 def _ann_topk_ivf_sq8_rotated(spark: SparkSession, sf: str) -> DataFrame:
     """r15-QUEUED: the full OPQ,IVF,SQ8 STORED-lifecycle composition
     under the oracle hash gate — corpus-fitted rotation applied at
@@ -5444,6 +5500,34 @@ def _ann_topk_ivf_sq8_rotated(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_sq8_index_search(
         spark, idx, _query_vec(spark, sf), topk=10,
         n_probe=min(_IVF_SQ8_PROBE, cells),
+    )
+
+
+def _ann_recall_ivf_sq8_rotated(spark: SparkSession, sf: str) -> DataFrame:
+    """r16-QUEUED: recall@10 of the STORED OPQ,IVF,SQ8 composition
+    (the ann_topk_ivf_sq8_rotated serve path — rotated index, rotated
+    query, probed per-cell SQ8 scoring) against the full-precision
+    raw-space brute force — the honest-recall harness for the
+    composed lifecycle artifact, completing the instrument family
+    (ann_recall_pq/ivfpq/lsh/mrl). Orthonormality means the EXACT
+    rotated-space ranking equals the raw-space one, so any recall gap
+    is the quantizer+probe cut, not the rotation."""
+    from kubernetes_logs_datalake_spark.operators.vectors import (
+        ivf_sq8_index_search,
+    )
+
+    emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+    q = _query_vec(spark, sf)
+    bf = brute_force_topk(emb, "embedding", q, k=10).select("vec_id")
+    idx = _ivf_sq8_rot_index_cached(spark, sf)
+    cells, _ = _sqrt_cells(_emb_count_cached(emb, sf, "nz"))
+    ap = ivf_sq8_index_search(
+        spark, idx, q, topk=10, n_probe=min(_IVF_SQ8_PROBE, cells)
+    ).select("vec_id")
+    return bf.join(ap, "vec_id").agg(
+        F.lit(10).alias("k"),
+        F.count("*").alias("n_hits"),
+        (F.count("*") / F.lit(10)).alias("recall"),
     )
 
 
@@ -6972,6 +7056,59 @@ def _ddb_pagerank_sql(iters: int, damping: float, scale: int = 12) -> str:
                             AS DOUBLE) AS c
                 FROM frac f JOIN r{i - 1} r ON f.src = r.node
                 GROUP BY f.dst) s ON n.node = s.node)""")
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM r{iters}"
+    )
+
+
+def _ddb_ppr_sql(
+    iters: int, damping: float, seeds: list[str], scale: int = 12
+) -> str:
+    """Unroll ``operators.graph.personalized_pagerank`` into chained
+    CTEs — the pagerank oracle recipe with the seeded teleport vector:
+    p = 1/|S∩nodes| on seeds else 0, r0 = round(p, scale), and the
+    per-round update ``round((1-d)·p + d·(link_in + dm·p), scale)``
+    with the dangling mass dm re-entering through p (the PPR
+    convention the operator ships), messages decimal-summed in both
+    engines."""
+    d = f"CAST({damping!r} AS DOUBLE)"
+    seed_list = ", ".join(f"'{s}'" for s in sorted(set(seeds)))
+    ctes = [
+        f"edges AS ({_DDB_TRANSITIONS})",
+        "outw AS (SELECT src, sum(n_transitions) AS ow FROM edges GROUP BY src)",
+        """frac AS (
+            SELECT e.src, e.dst,
+                   CAST(e.n_transitions AS DOUBLE) / CAST(o.ow AS DOUBLE) AS fr
+            FROM edges e JOIN outw o USING (src))""",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        f"sd AS (SELECT node FROM nodes WHERE node IN ({seed_list}))",
+        "ns AS (SELECT count(*) AS n FROM sd)",
+        """p AS MATERIALIZED (
+            SELECT n.node,
+                   CASE WHEN s.node IS NOT NULL
+                        THEN 1.0 / (SELECT n FROM ns)
+                        ELSE 0.0 END AS tp
+            FROM nodes n LEFT JOIN sd s ON n.node = s.node)""",
+        f"r0 AS MATERIALIZED (SELECT node, round(tp, {scale}) AS rank FROM p)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""dm{i} AS (
+            SELECT coalesce(CAST(sum(CAST(r.rank AS DECIMAL(38,18)))
+                       AS DOUBLE), 0.0) AS m
+            FROM r{i - 1} r LEFT JOIN outw o ON r.node = o.src
+            WHERE o.src IS NULL)""")
+        ctes.append(f"""r{i} AS MATERIALIZED (
+            SELECT p.node,
+                   round((1 - {d}) * p.tp
+                         + {d} * (coalesce(s.c, 0.0)
+                                  + (SELECT m FROM dm{i}) * p.tp),
+                         {scale}) AS rank
+            FROM p LEFT JOIN (
+                SELECT f.dst AS node,
+                       CAST(sum(CAST(r.rank * f.fr AS DECIMAL(38,18)))
+                            AS DOUBLE) AS c
+                FROM frac f JOIN r{i - 1} r ON f.src = r.node
+                GROUP BY f.dst) s ON p.node = s.node)""")
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM r{iters}"
     )

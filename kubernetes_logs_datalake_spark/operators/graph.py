@@ -205,6 +205,149 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seeds: list | None = None,
+    weight_col: str | None = None,
+    iters: int = 10,
+    damping: float = 0.85,
+    scale: int = 12,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Personalized PageRank (Page et al. 1999 §6; the random-walk-
+    with-restart relevance score): identical power method to
+    :func:`pagerank` except the teleport distribution concentrates on
+    ``seeds`` instead of being uniform — each restart jumps to a seed,
+    so ranks measure proximity TO the seed set (the "related items /
+    related hosts" primitive corpus curation and recommendation both
+    reach for). Conventions, all deterministic and oracle-replayable:
+
+    - teleport mass 1/|S| on each seed PRESENT in the graph (a seed
+      with no edges contributes nothing and is dropped; an entirely
+      absent seed set raises — an all-zero teleport vector has no
+      fixpoint);
+    - dangling-node mass is redistributed to the TELEPORT distribution
+      (the standard PPR convention — uniform redistribution would leak
+      relevance mass to unrelated nodes), so Σrank stays 1;
+    - per-round ranks rounded to ``scale``, messages summed as
+      DECIMAL(38,18) — bit-deterministic across partitionings, same as
+      :func:`pagerank`.
+
+    Non-seed nodes have base teleport 0: their rank is pure damped
+    link mass. At lake scale the plan shape is the pagerank one — the
+    seed frame is a broadcast semi/left join, never a shuffle."""
+    if not seeds:
+        raise ValueError(
+            "personalized_pagerank: seeds must be a non-empty list"
+        )
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    if weight_col is not None:
+        edges = edges.filter(w > 0)  # same poisoned-fraction guard
+    spark = edges.sparkSession
+    nodes = truncate_lineage(
+        edges.select(F.col(src_col).alias("node"))
+        .union(edges.select(F.col(dst_col).alias("node")))
+        .distinct(),
+        checkpoint_dir,
+    )
+    seed_df = spark.createDataFrame(
+        [(s,) for s in sorted(set(seeds))], ["node"]
+    )
+    live_seeds = truncate_lineage(
+        nodes.join(F.broadcast(seed_df), "node", "semi"), checkpoint_dir
+    )
+    n_seeds = live_seeds.count()
+    if n_seeds == 0:
+        raise ValueError(
+            f"personalized_pagerank: none of the {len(set(seeds))} "
+            "seeds appear in the graph — the teleport vector is zero"
+        )
+
+    out_w = edges.groupBy(src_col).agg(F.sum(w).alias("_ow"))
+    frac = truncate_lineage(
+        edges.join(out_w, src_col)
+        .select(
+            F.col(src_col).alias("_src"),
+            F.col(dst_col).alias("_dst"),
+            (w / F.col("_ow")).alias("_fr"),
+        ),
+        checkpoint_dir,
+    )
+    dangling = truncate_lineage(
+        nodes.join(
+            edges.select(F.col(src_col).alias("node")).distinct(),
+            "node",
+            "left_anti",
+        ),
+        checkpoint_dir,
+    )
+    has_dangling = dangling.count() > 0
+
+    is_seed = F.col("_seed").isNotNull()
+    seeded_nodes = nodes.join(
+        F.broadcast(live_seeds.select(F.col("node"), F.lit(1).alias("_seed"))),
+        "node",
+        "left",
+    )
+    teleport = F.when(is_seed, F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0))
+    # start at the teleport distribution (the walk's t=0 state)
+    ranks = seeded_nodes.select(
+        "node", F.round(teleport, scale).alias("rank")
+    )
+    for _it in range(iters):
+        if has_dangling:
+            dm_row = (
+                ranks.join(dangling, "node", "semi")
+                .agg(
+                    F.coalesce(
+                        F.sum(F.col("rank").cast("decimal(38,18)")),
+                        F.lit(0).cast("decimal(38,18)"),
+                    ).alias("_dm")
+                )
+                .collect()[0]
+            )
+            dangling_mass = float(dm_row["_dm"])
+        else:
+            dangling_mass = 0.0
+        summed = (
+            frac.join(ranks, frac["_src"] == ranks["node"])
+            .select(
+                F.col("_dst").alias("node"),
+                (F.col("rank") * F.col("_fr")).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(
+                F.sum(F.col("_c").cast("decimal(38,18)"))
+                .cast("double")
+                .alias("_in")
+            )
+        )
+        # rank = (1-d)·p + d·(link_in + dm·p): the dangling mass dm
+        # re-enters through the teleport vector p, not uniformly
+        ranks = truncate_lineage(
+            seeded_nodes.join(summed, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(1.0 - damping) * teleport
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_in"), F.lit(0.0))
+                       + F.lit(dangling_mass) * teleport),
+                    scale,
+                ).alias("rank"),
+            ),
+            reliable_this_round(checkpoint_dir, _it, checkpoint_every),
+        )
+    return ranks
+
+
 def label_propagation(
     edges: DataFrame,
     seeds: DataFrame,

@@ -118,3 +118,98 @@ def test_repair_reports_touched_and_repaired_cells(
     assert rep2["repaired_cells"] == sorted(crowded)
     assert rep2["deduplicated"] is False
     assert rep2["verify"]["ok"]
+
+
+# ----------------------------- r16-QUEUED rows (capacity-policy cap: 2)
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001",
+                                "/root/testdata/sf0.01"])
+def test_r16_queued_personalized_pagerank_oracle_parity(spark, sf):
+    """r16-QUEUED (named in NEXT_WINDOW.json plans['16'].planned_new):
+    personalized PageRank over the event-transition graph — seeded
+    teleport vector, teleport-directed dangling redistribution,
+    decimal-exact message sums — matches the unrolled-CTE oracle
+    bit-for-bit on both driver fixtures. Registration at r16 is the
+    two dict lines."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    got = sorted(
+        tuple(r)
+        for r in entry._events_personalized_pagerank(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(
+        entry._ddb_ppr_sql(
+            entry._PAGERANK_ITERS, entry._PAGERANK_DAMPING,
+            entry._PPR_SEEDS,
+        )
+    ).fetchall())
+    assert got == want
+    # mass conservation: Σrank = 1 (teleport + dangling both re-enter)
+    total = sum(r for _n, r in got)
+    assert abs(total - 1.0) < 1e-9, total
+    # relevance concentrates on/near the seeds: every seed outranks
+    # the uniform share
+    ranks = dict(got)
+    for s in entry._PPR_SEEDS:
+        assert ranks[s] > 1.0 / len(ranks), (s, ranks)
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001",
+                                "/root/testdata/sf0.01"])
+def test_r16_queued_recall_ivf_sq8_rotated_oracle_parity(spark, sf):
+    """r16-QUEUED: the honest-recall instrument for the stored
+    OPQ,IVF,SQ8 composition — raw-space brute force vs the rotated
+    probed serve — matches the nested-chain oracle on both fixtures."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    got = [tuple(r) for r in
+           entry._ann_recall_ivf_sq8_rotated(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = [tuple(r) for r in con.execute(
+        entry._ddb_recall_ivf_sq8_rotated_sql(sf_dir=sf)
+    ).fetchall()]
+    assert got == want
+    assert got[0][0] == 10 and 0.0 <= got[0][2] <= 1.0
+
+
+def test_personalized_pagerank_contracts(spark):
+    """Operator contracts: seed validation raises; dangling mass
+    re-enters through the SEEDS (not uniformly) — a sink node's mass
+    flows back to the seed set, so non-seed, non-reachable nodes stay
+    at rank 0."""
+    from kubernetes_logs_datalake_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("d", "a", 1)],
+        "src string, dst string, n int",
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        personalized_pagerank(edges, "src", "dst", seeds=[])
+    with pytest.raises(ValueError, match="none of the"):
+        personalized_pagerank(edges, "src", "dst", seeds=["zz"])
+
+    out = personalized_pagerank(
+        edges, "src", "dst", seeds=["a"], weight_col="n", iters=12
+    )
+    ranks = {r["node"]: r["rank"] for r in out.collect()}
+    # Σ = 1; 'c' is a sink whose mass restarts at 'a'; 'd' has no
+    # in-links and is not a seed -> exactly 0
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks["d"] == 0.0
+    assert ranks["a"] > ranks["b"] > ranks["c"] > 0
