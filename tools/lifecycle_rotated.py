@@ -142,7 +142,14 @@ def main() -> None:
 
     def _build(idx, rot):
         kw = {"rotation": rot} if rot is not None else {}
-        corpus = rotate_vectors(base, "embedding", rot) if rot else base
+        # PIN the rotated frame before the iterative fit: unpinned,
+        # every k-means iteration re-runs the Arrow rotation through
+        # lineage (measured 21.2 s vs 12.7 s pinned vs 13.4 s raw at
+        # ×10 — pinned, the rotation is FREE at build; SCALE.md r15)
+        corpus = (
+            rotate_vectors(base, "embedding", rot).localCheckpoint()
+            if rot else base
+        )
         centers, _ = kmeans_fit(
             corpus, "vec_id", "embedding", k=cells, iters=3,
             fit_sample_mod=fit_mod,
@@ -204,7 +211,7 @@ def main() -> None:
 
     def _rebuild():
         idx_c = os.path.join(work, "rebuild")
-        corpus = rotate_vectors(final, "embedding", R)
+        corpus = rotate_vectors(final, "embedding", R).localCheckpoint()
         centers, _ = kmeans_fit(
             corpus, "vec_id", "embedding", k=cells, iters=3,
             fit_sample_mod=fit_mod,
