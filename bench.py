@@ -418,27 +418,41 @@ def bench_ingest(spark, sf: float) -> dict:
     from kubernetes_logs_datalake_spark.streaming.ingest import IngestJob
 
     logs_dir, total_lines = ensure_cri_corpus(sf)
-    lake_root = tempfile.mkdtemp(prefix="spark_graft_ingest_bench_")
-    shutil.rmtree(lake_root)  # IngestJob creates it
-    job = IngestJob(
-        logs_dir=logs_dir, lake_root=lake_root, cluster="bench",
-        trigger_seconds=1,
-    )
-    t0 = time.time()
-    try:
-        job.start(spark)
-        job.process_available()
-    finally:
-        # always stop the stream and clean the temp lake — a failed
-        # batch must not leave a running query or orphaned /tmp trees
-        job.stop_gracefully()
-        elapsed = time.time() - t0
-        shutil.rmtree(lake_root, ignore_errors=True)
-        shutil.rmtree(lake_root + "_checkpoint", ignore_errors=True)
+
+    def one_run() -> float:
+        lake_root = tempfile.mkdtemp(prefix="spark_graft_ingest_bench_")
+        shutil.rmtree(lake_root)  # IngestJob creates it
+        job = IngestJob(
+            logs_dir=logs_dir, lake_root=lake_root, cluster="bench",
+            trigger_seconds=1,
+        )
+        t0 = time.time()
+        try:
+            job.start(spark)
+            job.process_available()
+        finally:
+            # always stop the stream and clean the temp lake — a failed
+            # batch must not leave a running query or orphaned /tmp trees
+            job.stop_gracefully()
+            elapsed = time.time() - t0
+            shutil.rmtree(lake_root, ignore_errors=True)
+            shutil.rmtree(lake_root + "_checkpoint", ignore_errors=True)
+        return elapsed
+
+    # run twice: the first run keeps the historical COLD metric
+    # (comparable across every prior round's artifact), the second is
+    # the steady-state rate a long-lived DaemonSet-analog stream
+    # actually sustains — tools/ingest_profile.py (r15) showed the
+    # cold number is JIT/session-start dominated (~2 s of the wall at
+    # sf0.1 is two 1 s trigger epochs; parse+dual-sink itself runs
+    # ~74k lines/s warmed vs ~14k cold)
+    elapsed = one_run()
+    warm = one_run()
     return {
         "ingest_lines": total_lines,
         "ingest_sec": round(elapsed, 3),
         "ingest_lines_per_sec": round(total_lines / elapsed),
+        "ingest_warm_lines_per_sec": round(total_lines / warm),
     }
 
 
