@@ -818,6 +818,112 @@ def _conf_override(spark, key: str, value: str):
             spark.conf.unset(key)
 
 
+def ivf_sq8_index_publish(
+    spark, index_dir: str, serve_root: str, keep_snapshots: int = 2
+) -> dict:
+    """Zero-refusal serving for the stored IVF,SQ8 index: publish an
+    immutable SNAPSHOT copy and flip a pointer — the
+    ``sources/compact.py`` rename-publish idiom applied to the index
+    artifact. The live index refuses (correctly) while a lifecycle
+    mutation is in flight; a serving fleet that cannot tolerate that
+    window serves from ``resolve_serving_index(serve_root)`` instead,
+    which always resolves a COMPLETE snapshot:
+
+    - snapshots land under ``serve_root/snapshots/snap-<n>`` with the
+      data (cells, bounds) copied FIRST and the snapshot's
+      ``manifest.json`` copied LAST — the manifest doubles as the
+      completeness marker, so a crash mid-copy leaves a manifest-less
+      partial that readers never see and the next publish sweeps;
+    - the ``CURRENT`` pointer is an atomic tmp+rename write
+      (``_Fs.write_small_atomic``), so readers see the old snapshot or
+      the new one, never a torn pointer;
+    - the previous ``keep_snapshots`` complete snapshots are retained
+      (an in-flight query on the just-replaced snapshot keeps reading
+      files that still exist); older ones and manifest-less partials
+      are deleted.
+
+    The copy itself is a driver-side Hadoop ``FileUtil.copy`` — right
+    for the sandbox and for indexes up to tens of GB; a 100 TB
+    deployment swaps this one seam for distcp/S3 batch copy and keeps
+    the marker-last + pointer-flip protocol unchanged. Publishing a
+    TORN index refuses (repair first). Returns
+    ``{"snapshot", "pruned"}``."""
+    import json as _json
+    import re as _re
+
+    fs = _index_fs(spark, index_dir)
+    src_manifest = f"{index_dir}/manifest.json"
+    _refuse_torn(fs, src_manifest, "ivf_sq8_index_publish")
+    sfs = _index_fs(spark, serve_root)
+    snaps_dir = f"{serve_root}/snapshots"
+
+    def _snap_ids() -> list[int]:
+        out = []
+        for p in sfs.glob(f"{snaps_dir}/snap-*"):
+            m = _re.search(r"snap-(\d+)$", p)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    ids = _snap_ids()
+    nxt = (ids[-1] + 1) if ids else 1
+    snap = f"{snaps_dir}/snap-{nxt}"
+    # data first, marker (manifest) LAST
+    for part in ("cells", "bounds"):
+        if fs.exists(f"{index_dir}/{part}"):
+            sfs.copy(f"{index_dir}/{part}", f"{snap}/{part}")
+    sfs.copy(src_manifest, f"{snap}/manifest.json")
+    sfs.write_small_atomic(
+        f"{serve_root}/CURRENT",
+        _json.dumps({"snapshot": f"snap-{nxt}"}).encode(),
+    )
+    # prune: manifest-less partials always; complete snapshots beyond
+    # the retention window, never the one CURRENT names
+    pruned = []
+    complete = []
+    for sid in _snap_ids():
+        p = f"{snaps_dir}/snap-{sid}"
+        if not sfs.exists(f"{p}/manifest.json"):
+            if sid != nxt:
+                sfs.delete(p)
+                pruned.append(f"snap-{sid}")
+        else:
+            complete.append(sid)
+    for sid in complete[:-keep_snapshots] if keep_snapshots > 0 else []:
+        if sid != nxt:
+            sfs.delete(f"{snaps_dir}/snap-{sid}")
+            pruned.append(f"snap-{sid}")
+    return {"snapshot": f"snap-{nxt}", "pruned": pruned}
+
+
+def resolve_serving_index(spark, serve_root: str) -> str:
+    """The reader half of :func:`ivf_sq8_index_publish`: follow
+    ``CURRENT`` to the snapshot directory and verify its completeness
+    marker. The returned path serves through the ordinary
+    :func:`ivf_sq8_index_search` — and keeps serving, untouched, while
+    the LIVE index runs appends/compactions/repairs."""
+    import json as _json
+
+    sfs = _index_fs(spark, serve_root)
+    cur = f"{serve_root}/CURRENT"
+    if not sfs.exists(cur):
+        raise FileNotFoundError(
+            f"resolve_serving_index: no CURRENT pointer under "
+            f"{serve_root} — nothing published yet"
+        )
+    name = _json.loads(sfs.read_small(cur))["snapshot"]
+    snap = f"{serve_root}/snapshots/{name}"
+    if not sfs.exists(f"{snap}/manifest.json"):
+        raise FileNotFoundError(
+            f"resolve_serving_index: CURRENT names {name} but its "
+            "completeness marker is missing — publish was torn AFTER "
+            "the pointer flip, which the marker-last order makes "
+            "impossible unless the snapshot was deleted by hand; "
+            "re-publish from the live index"
+        )
+    return snap
+
+
 def _refuse_torn(fs, manifest: str, fn: str) -> None:
     """Shared refusal for read paths: missing manifest raises, and the
     message says whether a repairable torn sidecar exists."""
@@ -1585,6 +1691,158 @@ def _sq8_cell_score(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(topk)
     )
+
+
+def ivf_sq8_index_search_many(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    qid_col: str = "query_id",
+    qvec_col: str = "embedding",
+    topk: int = 10,
+    n_probe: int = 1,
+) -> DataFrame:
+    """BATCHED serve over the stored IVF,SQ8 index — the production
+    shape when queries arrive as a frame (offline re-ranking, nightly
+    kNN refresh, eval panels), where per-query driver round-trips
+    (:func:`ivf_sq8_index_search` in a loop) would pay one Spark job
+    per query. One plan serves the whole batch:
+
+    - queries are rotated IN-PLAN through the manifest's R when the
+      index is an OPQ composition (``rotation.rotate_vector_expr`` —
+      the sequential HOF fold, bit-identical to the single-query
+      path's driver-side matvec, NOT the GEMM which reorders sums);
+    - probes replay :func:`_pick_probes` in-plan: per (query,
+      centroid) the same sequential-sum L2 with the same (d2, index)
+      tie-break, rank ≤ ``n_probe`` over a BROADCAST centroid frame
+      — no shuffle of the query side;
+    - the union of probed clusters (bounded by the cell count) is
+      collected driver-side and filters the cells scan — STATIC
+      partition pruning, same as the single-query serve; only probed
+      partitions are listed or decoded;
+    - the (query × probed-cell) pairing is a broadcast join of the
+      query-probe frame (n_queries × n_probe rows) onto the pruned
+      cells — the corpus never shuffles; per-candidate scoring
+      replays ``_sq8_cell_score``'s exact decode+dot op sequence with
+      the query read from the broadcast column instead of a literal,
+      so every (query, row) score is bit-identical to the
+      single-query serve;
+    - per-query top-k via a rank window partitioned by query id (the
+      only shuffle, carrying id+score+qid — never vectors).
+
+    Pytest pins batched ≡ per-query-loop bit-identity on both raw and
+    rotated indexes. Sized for serving batches up to ~1M queries (the
+    broadcast is n_queries × n_probe small rows); beyond that,
+    partition the batch. Returns (qid, id, score) with scores rounded
+    exactly as the single-query path rounds them."""
+    import json as _json
+
+    from pyspark.sql import Window
+
+    fs = _index_fs(spark, index_dir)
+    manifest = f"{index_dir}/manifest.json"
+    _refuse_torn(fs, manifest, "ivf_sq8_index_search_many")
+    cfg = _json.loads(fs.read_small(manifest))
+    dim = int(cfg["dim"])
+    scale = int(cfg["scale"])
+    id_col, vec_col = cfg["id_col"], cfg["vec_col"]
+    centers = cfg["centers"]
+    if n_probe < 1 or n_probe > len(centers):
+        raise ValueError(
+            f"n_probe must be in [1, {len(centers)}], got {n_probe}"
+        )
+
+    q = queries.select(
+        F.col(qid_col).alias("_qid"), F.col(qvec_col).alias("_qv")
+    )
+    if "rotation" in cfg:
+        from kubernetes_logs_datalake_spark.operators.rotation import (
+            rotate_vector_expr,
+        )
+
+        q = q.select("_qid", rotate_vector_expr("_qv", cfg["rotation"])
+                     .alias("_qv"))
+
+    cents = spark.createDataFrame(
+        [(int(j), [float(v) for v in c]) for j, c in enumerate(centers)],
+        "cluster int, _c array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("_qv"), F.col("_c"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    probe_rank = F.row_number().over(
+        Window.partitionBy("_qid").orderBy(F.col("_d2"), F.col("cluster"))
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .select("_qid", "_qv", "cluster", d2.alias("_d2"))
+        .withColumn("_pr", probe_rank)
+        .filter(F.col("_pr") <= n_probe)
+        .select("_qid", "_qv", "cluster")
+        .localCheckpoint(eager=True)  # pin: feeds the driver cut + join
+    )
+    probed_clusters = sorted(
+        int(r["cluster"])
+        for r in probes.select("cluster").distinct().collect()
+    )
+    cells = spark.read.parquet(f"{index_dir}/cells").filter(
+        F.col("cluster").isin(probed_clusters)
+    )
+    bounds = spark.read.parquet(f"{index_dir}/bounds")
+    joined = (
+        cells.join(F.broadcast(probes), "cluster")
+        .join(F.broadcast(bounds), "cluster", "left")
+    )
+
+    v = F.col(vec_col)
+    mn, sc, iv = F.col("mn"), F.col("sc"), F.col("iv")
+
+    # _sq8_cell_score._term verbatim, with the query element read from
+    # the broadcast _qv column — same ops, same order, same rounding
+    def _term(acc, i):
+        code = F.least(
+            F.greatest(
+                F.floor(
+                    (F.element_at(v, i.cast("int")).cast("double")
+                     - F.element_at(mn, i.cast("int")))
+                    * F.element_at(sc, i.cast("int"))
+                ),
+                F.lit(0),
+            ),
+            F.lit(255),
+        ).cast("int")
+        return acc + F.element_at(F.col("_qv"), i.cast("int")) * (
+            F.element_at(mn, i.cast("int"))
+            + code.cast("double") * F.element_at(iv, i.cast("int"))
+        )
+
+    fold = F.aggregate(
+        F.sequence(F.lit(1), F.lit(dim)), F.lit(0.0), _term
+    )
+    score = F.when(
+        mn.isNull(),
+        F.raise_error(F.lit(
+            "sq8 bounds do not cover every probed cluster — stale or "
+            "foreign bounds under the served index"
+        )),
+    ).otherwise(fold)
+    ranked = joined.select(
+        F.col("_qid").alias(qid_col),
+        F.col(id_col),
+        F.round(score, scale).alias("score"),
+    ).withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy(qid_col)
+            .orderBy(F.desc("score"), F.col(id_col))
+        ),
+    )
+    return ranked.filter(F.col("_rk") <= topk).drop("_rk")
 
 
 def sq8_cell_refine_topk(

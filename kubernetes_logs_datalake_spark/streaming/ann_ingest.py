@@ -86,11 +86,20 @@ class AnnIngestJob:
     on_advice: object = None
     #: the advice log, newest last: ``[(epoch_id, advice_dict), ...]``
     advice: list = field(default_factory=list)
+    #: zero-refusal serving (r15): when ``serve_root`` is set, every
+    #: ``publish_every``-th NON-EMPTY epoch ends by publishing a
+    #: snapshot + pointer flip (:func:`vectors.ivf_sq8_index_publish`)
+    #: — serving replicas resolve ``serve_root`` and never see the
+    #: live index's mid-epoch refusal window
+    serve_root: str | None = None
+    publish_every: int = 1
     _query: object = field(default=None, repr=False)
+    _epochs_since_publish: int = field(default=0, repr=False)
 
     def start(self, spark: SparkSession, source: DataFrame):
         from kubernetes_logs_datalake_spark.operators.vectors import (
-            index_advisor, ivf_sq8_index_append, ivf_sq8_index_repair,
+            index_advisor, ivf_sq8_index_append, ivf_sq8_index_publish,
+            ivf_sq8_index_repair,
         )
 
         index_dir = self.index_dir
@@ -121,11 +130,25 @@ class AnnIngestJob:
             # a torn index self-heals inside the append via
             # ivf_sq8_index_repair — the replayed epoch then completes
             # against the restored manifest instead of raising forever
-            ivf_sq8_index_append(
+            n = ivf_sq8_index_append(
                 batch_df, index_dir, assign_arrow=assign_arrow,
                 skip_existing_ids=skip_existing,
                 checkpoint_dir=reliable_dir,
             )
+            if self.serve_root is not None and n > 0:
+                # publish AFTER the append's manifest commit, so the
+                # snapshot is always a complete post-epoch state; a
+                # crash between commit and publish just means serving
+                # replicas stay one epoch behind until the next flip
+                self._epochs_since_publish += 1
+                if self._epochs_since_publish >= max(
+                    1, int(self.publish_every)
+                ):
+                    ivf_sq8_index_publish(
+                        batch_df.sparkSession, index_dir,
+                        self.serve_root,
+                    )
+                    self._epochs_since_publish = 0
 
         self._query = (
             source.writeStream.foreachBatch(append_batch)
