@@ -83,3 +83,28 @@ def literal_vector(values: list[float]) -> Column:
     execution, bit-identical results)."""
     s = ",".join(repr(float(v)) for v in values)
     return F.split(F.lit(s), ",").cast("array<double>")
+
+
+def literal_matrix(rows: list[list[float]]) -> Column:
+    """Plan-time-constant matrix (``array<array<double>>``), packed as
+    one flat :func:`literal_vector` reshaped with foldable ``slice``
+    calls — NOT ``F.lit(nested_list)``, which PySpark expands into one
+    py4j round-trip per element (measured 2.5–11 s of pure driver time
+    per build for a 64×64 matrix — the dominant cost of every
+    rotated-family query, r15). The slice form is ~130 py4j calls and
+    ConstantFolding collapses it to the bit-identical nested array
+    Literal (slice of a folded literal is foldable; verified
+    element-equal to the ``F.lit`` form), so analysis, execution and
+    results are unchanged.
+
+    Do NOT build a nested literal with a lambda-bearing HOF
+    (``transform(split(...), r -> split(r, ','))``): HOFs never
+    constant-fold, so the reshape would re-parse every element PER ROW
+    at execution (measured 2.8 → 16 s on the rotated top-k)."""
+    if not rows:
+        return F.lit([]).cast("array<array<double>>")
+    n = len(rows[0])
+    if any(len(r) != n for r in rows):
+        raise ValueError("literal_matrix: ragged rows")
+    flat = literal_vector([float(x) for row in rows for x in row])
+    return F.array(*[F.slice(flat, i * n + 1, n) for i in range(len(rows))])

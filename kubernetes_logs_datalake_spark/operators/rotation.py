@@ -196,9 +196,10 @@ def random_rotation(dim: int, seed: int = 0) -> list[list[float]]:
 
 
 def rotate_vector_expr(vec_col, rotation: list[list[float]]):
-    """EXPRESSION form of ``v' = R·v`` — one matrix literal (a single
-    ``F.lit`` call, no per-element py4j round-trips) and two nested
-    higher-order functions: ``transform(R, row -> aggregate(zip_with(
+    """EXPRESSION form of ``v' = R·v`` — one packed matrix literal
+    (``literal_matrix``: a flat packed literal + foldable slices, no
+    per-element py4j round-trips) and two nested higher-order
+    functions: ``transform(R, row -> aggregate(zip_with(
     row, v, *), 0.0, +))``. The accumulation per output dim is the
     sequential left-to-right fold, IEEE-identical to DuckDB's
     ``list_sum(list_transform(...))`` — which is what makes a rotated
@@ -214,9 +215,13 @@ def rotate_vector_expr(vec_col, rotation: list[list[float]]):
     from pyspark.sql import Column
     from pyspark.sql import functions as F
 
+    from kubernetes_logs_datalake_spark.functions.vectors import (
+        literal_matrix,
+    )
+
     v = F.col(vec_col) if not isinstance(vec_col, Column) else vec_col
     return F.transform(
-        F.lit([[float(x) for x in row] for row in rotation]),
+        literal_matrix(rotation),
         lambda row: F.aggregate(
             F.zip_with(row, v, lambda a, b: a * b),
             F.lit(0.0),
