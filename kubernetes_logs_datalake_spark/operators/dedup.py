@@ -567,10 +567,19 @@ def connected_components(
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = truncate_lineage(sym.distinct(), checkpoint_dir, eager=True)
+    # Round-0 seed (r15): with identity labels, the first round's
+    # neighbor-min JOIN degenerates to min(dst) per src — fold it into
+    # the init as one aggregation over the symmetric edges (no join, no
+    # pointer jump). Bit-identical fixpoint (the min-reachable-id label
+    # is unique), one fewer full propagation round — which at scale is
+    # one fewer edges⋈labels pass, and at bench scale ~1 s per CC call.
     labels = truncate_lineage(
-        sym.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node")),
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_m"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("_m")).alias("label"),
+        ),
         checkpoint_dir,
         eager=True,
     )

@@ -399,19 +399,23 @@ def label_propagation(
             )
         )
     base = truncate_lineage(base, checkpoint_dir)
-    nodes = truncate_lineage(
-        base.select(F.col("_s").alias("node"))
-        .union(base.select(F.col("_d").alias("node")))
-        .distinct(),
-        checkpoint_dir,
-    )
     seed = seeds.select(
         F.col(seeds.columns[0]).alias("node"),
         F.col(label_col).alias("_seed"),
     )
-    labels = nodes.join(seed, "node", "left").select(
-        "node", F.col("_seed").alias("label")
+    # (node, _seed) is loop-invariant — join the seed table ONCE here
+    # instead of once per round (r15: the per-round verdict join was
+    # nodes⋈cand⋈seed; hoisting the constant seed leg drops one join —
+    # at scale one fewer node-keyed pass per round, same values since
+    # coalesce(_seed, _cand) reads the identical _seed either way).
+    nodes = truncate_lineage(
+        base.select(F.col("_s").alias("node"))
+        .union(base.select(F.col("_d").alias("node")))
+        .distinct()
+        .join(seed, "node", "left"),
+        checkpoint_dir,
     )
+    labels = nodes.select("node", F.col("_seed").alias("label"))
     rk = Window.partitionBy("_d").orderBy(F.desc("_ws"), F.asc("label"))
     for _it in range(iters):
         lab = labels.filter(F.col("label").isNotNull()).select(
@@ -427,7 +431,6 @@ def label_propagation(
         )
         labels = truncate_lineage(
             nodes.join(cand, "node", "left")
-            .join(seed, "node", "left")
             .select(
                 "node",
                 F.coalesce(F.col("_seed"), F.col("_cand")).alias("label"),
