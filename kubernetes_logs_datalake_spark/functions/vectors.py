@@ -85,6 +85,20 @@ def literal_vector(values: list[float]) -> Column:
     return F.split(F.lit(s), ",").cast("array<double>")
 
 
+def sql_double(x: float) -> str:
+    """Exact Spark-SQL double literal text: ``repr`` round-trips every
+    finite IEEE double (shortest-unique decimal) and the ``D`` suffix
+    pins DoubleType, so ``F.expr`` parses back the bit-identical value.
+    Used by the SQL-text expression builders (r15): constructing a
+    64-term decode/dot chain through the Column API costs one py4j
+    round-trip per node (~3.4 s per IVFADC build); one ``F.expr`` call
+    on generated text is ~1000× cheaper and yields the same tree."""
+    x = float(x)
+    if x != x or x in (float("inf"), float("-inf")):
+        raise ValueError(f"sql_double: non-finite {x!r}")
+    return repr(x) + "D"
+
+
 def literal_matrix(rows: list[list[float]]) -> Column:
     """Plan-time-constant matrix (``array<array<double>>``), packed as
     one flat :func:`literal_vector` reshaped with foldable ``slice``

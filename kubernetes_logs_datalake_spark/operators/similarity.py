@@ -917,6 +917,19 @@ def _sq8_shifted_decoded_terms(
     ]
 
 
+def _sq8_shifted_decoded_sql(codes_col: str, mins, inv, i: int) -> str:
+    """SQL text of ``_sq8_shifted_decoded_terms``'s i-th term — the
+    identical expression tree built by one JVM parse instead of ~7 py4j
+    round-trips per dimension (r15; see ``sql_double``)."""
+    from kubernetes_logs_datalake_spark.functions.vectors import sql_double
+
+    return (
+        f"{sql_double(mins[i - 1])} + "
+        f"CAST((CAST(element_at({codes_col}, {i}) AS INT) + 128) AS DOUBLE)"
+        f" * {sql_double(inv[i - 1])}"
+    )
+
+
 def ivf_knn_join_adc(
     df: DataFrame,
     id_col: str,
@@ -1056,15 +1069,18 @@ def ivf_knn_join_adc(
     # oracle formula is unchanged). Wire cost per row: dim 1-byte
     # elements + array header + one norm double ≈ 90 B at dim 64, vs
     # ~530 B for the raw float64 vector.
-    pk = F.col("packed")
-    codes_s_expr = F.array(
-        *[
-            (
-                F.conv(F.hex(F.substring(pk, i, 1)), 16, 10).cast("int")
-                - F.lit(128)
-            ).cast("tinyint")
+    # SQL-text form of: (conv(hex(substring(packed,i,1)),16,10)::int
+    # - 128)::tinyint per dim — the tree is identical to the Column-API
+    # construction it replaced, but ONE F.expr parse instead of ~450
+    # py4j round-trips (r15: Column-API construction alone cost ~1.5 s
+    # of driver time per build; see sql_double).
+    codes_s_expr = F.expr(
+        "array(%s)"
+        % ",".join(
+            f"CAST((CAST(conv(hex(substring(packed,{i},1)),16,10) AS INT)"
+            f" - 128) AS TINYINT)"
             for i in range(1, dim + 1)
-        ]
+        )
     )
     # explode barrier: the 64-extract unpack expression is referenced
     # by all 64 norm terms below — CollapseProject would inline it per
@@ -1088,18 +1104,28 @@ def ivf_knn_join_adc(
     import functools
     import operator as _op
 
+    from kubernetes_logs_datalake_spark.functions.vectors import sql_double
+
     Ls = [mins[i] + 128.0 * inv[i] for i in range(dim)]
     LIs = [Ls[i] * inv[i] for i in range(dim)]
     Ws = [inv[i] * inv[i] for i in range(dim)]
     C0 = functools.reduce(_op.add, [L * L for L in Ls])
-    cs = F.col("_cs")
-    dterms = _sq8_shifted_decoded_terms(cs, mins, inv, dim)
-    dnorm = F.sqrt(_flat_sum([t * t for t in dterms]))
-    ps = _flat_sum(
-        [
-            F.lit(LIs[i - 1]) * F.element_at(cs, i).cast("double")
+    # SQL-text twins of the Column-API builders (bit-identical trees:
+    # flat LEFT-ASSOCIATIVE sums — SQL's + is left-associative — over
+    # the same per-dim terms; r15 driver-time cut, see sql_double)
+    dterm_sql = [
+        "(%s)" % _sq8_shifted_decoded_sql("_cs", mins, inv, i)
+        for i in range(1, dim + 1)
+    ]
+    dnorm = F.expr(
+        "SQRT(%s)" % " + ".join(f"{t} * {t}" for t in dterm_sql)
+    )
+    ps = F.expr(
+        " + ".join(
+            f"{sql_double(LIs[i - 1])} * "
+            f"CAST(element_at(_cs, {i}) AS DOUBLE)"
             for i in range(1, dim + 1)
-        ]
+        )
     )
     coded = unpacked.select(
         F.col(id_col), F.col("cell"), F.col("probe_rank"),

@@ -79,3 +79,58 @@ def test_rotate_vector_expr_unchanged_by_packed_literal(spark):
             acc = acc + R[i][j] * v[j]
         expected.append(acc)
     assert list(row) == expected
+
+
+def test_sq8_sql_text_builders_match_column_api(spark):
+    """The r15 SQL-text expression builders (one F.expr parse instead
+    of ~py4j-per-node) must stay BIT-identical to the Column-API trees
+    they replaced — decode terms, the norm's flat left-associative
+    sum, and the per-row partial."""
+    import functools
+    import operator as op
+    import struct
+
+    import kubernetes_logs_datalake_spark.operators.similarity as S
+    from kubernetes_logs_datalake_spark.functions.vectors import sql_double
+
+    dim = 8
+    mins = [-0.5 + 0.01 * i for i in range(dim)]
+    inv = [0.003 + 0.0001 * i for i in range(dim)]
+    df = spark.range(64).select(
+        F.expr(
+            f"transform(sequence(1,{dim}),"
+            " j -> CAST(pmod(id*31+j*17,256)-128 AS TINYINT))"
+        ).alias("_cs")
+    )
+    old_terms = S._sq8_shifted_decoded_terms(F.col("_cs"), mins, inv, dim)
+    old_dnorm = F.sqrt(
+        functools.reduce(op.add, [t * t for t in old_terms])
+    )
+    new_dnorm = F.expr(
+        "SQRT(%s)"
+        % " + ".join(
+            "(%s) * (%s)"
+            % (
+                S._sq8_shifted_decoded_sql("_cs", mins, inv, i),
+                S._sq8_shifted_decoded_sql("_cs", mins, inv, i),
+            )
+            for i in range(1, dim + 1)
+        )
+    )
+    bits = lambda rows: [struct.pack("d", r[0]) for r in rows]  # noqa: E731
+    assert bits(df.select(old_dnorm.alias("n")).collect()) == bits(
+        df.select(new_dnorm.alias("n")).collect()
+    )
+
+
+def test_sql_double_round_trips_corner_values(spark):
+    import struct
+
+    from kubernetes_logs_datalake_spark.functions.vectors import sql_double
+
+    for x in [5e-324, 1.7976931348623157e308, -2.2250738585072014e-308,
+              0.1, -0.0, 123456789.123456789]:
+        got = spark.range(1).select(F.expr(sql_double(x)).alias("v")).collect()[0][0]
+        assert struct.pack("d", got) == struct.pack("d", x), x
+    with pytest.raises(ValueError):
+        sql_double(float("nan"))
