@@ -271,13 +271,19 @@ def minhash_signatures(
             for k, (a, b) in enumerate(minhash_affine_coeffs(num_hashes))
         ]
     else:
+        # SQL-text form (r15): identical tree to
+        # min(xxhash64(_hb, seed)) per seed, one JVM parse per column
+        # instead of ~5 py4j round-trips each (see sql_double's note)
         mins = [
-            F.min(F.xxhash64(F.col("_hb"), F.lit(seed))).alias(f"h{seed}")
+            F.expr(f"min(xxhash64(_hb, {seed})) AS h{seed}")
             for seed in range(num_hashes)
         ]
     agg = base.groupBy("_id").agg(*mins)
     return agg.select(
-        "_id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("signature")
+        "_id",
+        F.expr(
+            "array(%s)" % ",".join(f"h{s}" for s in range(num_hashes))
+        ).alias("signature"),
     )
 
 
@@ -322,13 +328,16 @@ def minhash_lsh_candidates(
 
         band_arr = F.array(*[bucket_of(b) for b in range(bands)])
     else:
-        band_arr = F.array(
-            *[
-                F.xxhash64(
-                    *[F.element_at("signature", b * rows + r + 1) for r in range(rows)]
+        band_arr = F.expr(
+            "array(%s)"
+            % ",".join(
+                "xxhash64(%s)"
+                % ",".join(
+                    f"element_at(signature, {b * rows + r + 1})"
+                    for r in range(rows)
                 )
                 for b in range(bands)
-            ]
+            )
         )
     banded = sig.select("_id", F.posexplode(band_arr).alias("band", "bucket"))
     a, b = banded.alias("a"), banded.alias("b")

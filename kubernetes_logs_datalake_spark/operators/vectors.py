@@ -2728,10 +2728,6 @@ def ivf_sq8_index_drift(
     assigned = kmeans_assign(
         df, id_col, vec_col, centers
     ).localCheckpoint(eager=False)
-    touched = sorted(
-        int(r["cluster"])
-        for r in assigned.select("cluster").distinct().collect()
-    )
 
     def _pct(q: float):
         if approx:
@@ -2740,11 +2736,17 @@ def ivf_sq8_index_drift(
             )
         return F.expr(f"percentile(dist, {q})")
 
+    # ONE pass over the batch: count, both percentiles AND the touched
+    # cell set ride the same aggregation (r15 — the separate
+    # distinct().collect() was a second full scan of the batch; at lake
+    # scale the monitor's batch pass should be single)
     bq = assigned.agg(
         F.count("*").alias("n"),
         _pct(0.5).alias("p50"),
         _pct(0.95).alias("p95"),
+        F.collect_set("cluster").alias("_cells"),
     ).first()
+    touched = sorted(int(c) for c in (bq["_cells"] or []))
     # stored side: the cluster is KNOWN, so the distance is one O(dim)
     # fold to the OWN centroid (same formula/rounding as
     # kmeans_assign's dist) via a broadcast join on the centroid frame
