@@ -231,6 +231,20 @@ CANARY = [
     "dedup_exact",
     "knn_join",
 ]
+
+#: r15: rows retired from the ORACLE registry (NEXT_WINDOW.json
+#: "retired" — the registry-capacity policy) stay TIMED here so
+#: BENCH_rNN.json's "queries" never loses a name round-over-round
+#: (the bench contract: entries may be added, never removed). The
+#: query fns remain in the entry module for pytest; they are simply
+#: no longer oracle-registered.
+RETIRED_TIMED = [
+    "ann_topk_sq8",
+    "ann_topk_sq8_served",
+    "ann_recall_sq8",
+    "ann_topk_ivf",
+    "ann_topk_mrl",
+]
 CANARY_REPS = int(os.environ.get("SPARK_GRAFT_CANARY_REPS", "10"))
 
 
@@ -476,11 +490,16 @@ def main() -> None:
 
     def run(name: str) -> float:
         t0 = time.time()
-        df = extra[name]() if name in extra else qs[name](spark, sf_dir)
+        if name in extra:
+            df = extra[name]()
+        elif name in RETIRED_TIMED:
+            df = getattr(entrymod, f"_{name}")(spark, sf_dir)
+        else:
+            df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    names = HEADLINE + sorted(extra)
+    names = HEADLINE + RETIRED_TIMED + sorted(extra)
 
     # Per-query fault isolation: one broken query must not zero out the
     # whole round's perf signal (round 3 lost all timings to a single
