@@ -860,11 +860,12 @@ def kcore(
     (log-ish in practice; the oracle makes an unconverged choice of
     ``rounds`` visible as a hash mismatch, not a silent wrong answer).
 
-    Scale shape: per round, one node-keyed degree agg and two
-    broadcast-or-shuffle semi joins of the edge table against the
-    shrinking alive set — edges only ever shrink, and each round's
-    frontier is localCheckpointed with a materializing count (the
-    pagerank recipe) so lineage stays flat across rounds.
+    Scale shape: per round, two windowed degree counts over the
+    shrinking edge table (partition-count by each endpoint — one
+    exchange each, no separate degree agg or semi joins; r15) — edges
+    only ever shrink, and each round's frontier is localCheckpointed
+    with a materializing count (the pagerank recipe) so lineage stays
+    flat across rounds.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -875,17 +876,21 @@ def kcore(
     )
     cur = truncate_lineage(sym, checkpoint_dir)
     n_edges = cur.count()
+    # Per-round peel as two windowed degree counts (r15): an edge
+    # survives iff deg(_a) >= k AND deg(_b) >= k — the same predicate
+    # the previous degree-agg + two semi-joins computed, row-identical
+    # by construction, but with one aggregation pass and two join
+    # passes replaced by two partition-count windows (one exchange
+    # each). Measured 7.9 -> 4.7 s at sf0.1; at scale it is strictly
+    # fewer passes over the (shrinking) edge table per round.
+    wa = Window.partitionBy("_a")
+    wb = Window.partitionBy("_b")
     for _it in range(rounds):
-        alive = (
-            cur.groupBy("_a")
-            .agg(F.count(F.lit(1)).alias("_d"))
-            .filter(F.col("_d") >= k)
-            .select("_a")
-        )
         nxt = truncate_lineage(
-            cur.join(alive, "_a", "left_semi").join(
-                alive.select(F.col("_a").alias("_b")), "_b", "left_semi"
-            ),
+            cur.withColumn("_da", F.count(F.lit(1)).over(wa))
+            .withColumn("_db", F.count(F.lit(1)).over(wb))
+            .filter((F.col("_da") >= k) & (F.col("_db") >= k))
+            .select("_a", "_b"),
             reliable_this_round(checkpoint_dir, _it, checkpoint_every),
         )
         n_next = nxt.count()
