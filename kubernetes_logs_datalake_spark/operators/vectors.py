@@ -1374,25 +1374,25 @@ def sq8_score_packed(
     bit-identical to the encode-in-query path and the two share one
     oracle. Output: (id, score) descending, ties by id.
     """
-    import functools
-    import operator as _op
+    from kubernetes_logs_datalake_spark.functions.vectors import sql_double
 
     mins, maxs = bounds
     inv = [
         ((mx - mn) / 255.0) if mx > mn else 0.0
         for mn, mx in zip(mins, maxs)
     ]
-    packed = F.col(packed_col)
-    terms = [
-        F.lit(float(query[i - 1]))
-        * (
-            F.lit(mins[i - 1])
-            + F.conv(F.hex(F.substring(packed, i, 1)), 16, 10).cast("double")
-            * F.lit(inv[i - 1])
+    # SQL-text twin of the unrolled byte-decode·query sum (r15):
+    # identical flat left-associative tree, one JVM parse instead of
+    # ~10 py4j round-trips per dimension (see sql_double)
+    score = F.expr(
+        " + ".join(
+            f"{sql_double(float(query[i - 1]))} * "
+            f"({sql_double(mins[i - 1])} + "
+            f"CAST(conv(hex(substring(`{packed_col}`, {i}, 1)), 16, 10)"
+            f" AS DOUBLE) * {sql_double(inv[i - 1])})"
+            for i in range(1, dim + 1)
         )
-        for i in range(1, dim + 1)
-    ]
-    score = functools.reduce(_op.add, terms)
+    )
     return (
         df.select(F.col(id_col), F.round(score, scale).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
@@ -1467,16 +1467,20 @@ def sq8_topk(
         ((mx - mn) / 255.0) if mx > mn else 0.0
         for mn, mx in zip(mins, maxs)
     ]
-    c = F.col("codes")
-    terms = [
-        F.lit(float(query[i - 1]))
-        * (
-            F.lit(mins[i - 1])
-            + F.element_at(c, i).cast("double") * F.lit(inv[i - 1])
+    from kubernetes_logs_datalake_spark.functions.vectors import sql_double
+
+    # SQL-text twin of the unrolled decode·query sum (r15): identical
+    # flat left-associative tree, one JVM parse instead of ~8 py4j
+    # round-trips per dimension (see sql_double)
+    score = F.expr(
+        " + ".join(
+            f"{sql_double(float(query[i - 1]))} * "
+            f"({sql_double(mins[i - 1])} + "
+            f"CAST(element_at(codes, {i}) AS DOUBLE)"
+            f" * {sql_double(inv[i - 1])})"
+            for i in range(1, dim + 1)
         )
-        for i in range(1, dim + 1)
-    ]
-    score = functools.reduce(_op.add, terms)
+    )
     return (
         enc.select(F.col(id_col), F.round(score, scale).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
@@ -1516,30 +1520,41 @@ def sq8_cell_bounds(
     wasted its codes. Output: (cluster, mn, sc, iv) — cells rows, a
     broadcastable dim-scaled frame, never collected to the driver.
     """
+    # SQL-text twins (r15): identical trees to the Column-API
+    # constructions they replaced, ~6 py4j round-trips per dim saved
+    # on the aggs and per array element (see sql_double's note)
     mn_aggs = [
-        F.min(F.element_at(F.col(vec_col), i).cast("double")).alias(f"_mn{i}")
+        F.expr(
+            f"min(CAST(element_at(`{vec_col}`, {i}) AS DOUBLE)) AS _mn{i}"
+        )
         for i in range(1, dim + 1)
     ]
     mx_aggs = [
-        F.max(F.element_at(F.col(vec_col), i).cast("double")).alias(f"_mx{i}")
+        F.expr(
+            f"max(CAST(element_at(`{vec_col}`, {i}) AS DOUBLE)) AS _mx{i}"
+        )
         for i in range(1, dim + 1)
     ]
     agg = assigned.groupBy(cluster_col).agg(*mn_aggs, *mx_aggs)
-    mn = F.array(*[F.col(f"_mn{i}") for i in range(1, dim + 1)])
-    sc = F.array(*[
-        F.when(
-            F.col(f"_mx{i}") > F.col(f"_mn{i}"),
-            F.lit(255.0) / (F.col(f"_mx{i}") - F.col(f"_mn{i}")),
-        ).otherwise(F.lit(0.0))
-        for i in range(1, dim + 1)
-    ])
-    iv = F.array(*[
-        F.when(
-            F.col(f"_mx{i}") > F.col(f"_mn{i}"),
-            (F.col(f"_mx{i}") - F.col(f"_mn{i}")) / F.lit(255.0),
-        ).otherwise(F.lit(0.0))
-        for i in range(1, dim + 1)
-    ])
+    mn = F.expr(
+        "array(%s)" % ",".join(f"_mn{i}" for i in range(1, dim + 1))
+    )
+    sc = F.expr(
+        "array(%s)"
+        % ",".join(
+            f"CASE WHEN _mx{i} > _mn{i}"
+            f" THEN 255.0D / (_mx{i} - _mn{i}) ELSE 0.0D END"
+            for i in range(1, dim + 1)
+        )
+    )
+    iv = F.expr(
+        "array(%s)"
+        % ",".join(
+            f"CASE WHEN _mx{i} > _mn{i}"
+            f" THEN (_mx{i} - _mn{i}) / 255.0D ELSE 0.0D END"
+            for i in range(1, dim + 1)
+        )
+    )
     return agg.select(
         F.col(cluster_col),
         mn.alias("mn"),
