@@ -84,12 +84,28 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # --------------------------------------------------------- n-gram Jaccard
 
 
-def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) pairs, distinct per document."""
-    return (
-        df.select(F.col(id_col).alias("_id"), F.explode(shingles(text_col, n)).alias("shingle"))
-        .distinct()
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3,
+    with_size: bool = False,
+) -> DataFrame:
+    """(id, shingle) pairs, distinct per document — deduped MAP-SIDE
+    (``array_distinct`` before the explode): a document's grams all
+    live in one array cell, so per-doc distinctness never needs the
+    full (id, shingle) exchange a post-explode ``.distinct()`` pays
+    (guide §2.4 — one corpus-gram shuffle removed from every consumer:
+    the jaccard/containment kernels, the prefix join, novelty,
+    common-ngrams, the fuzzy join). ``with_size=True`` additionally
+    emits the set size as ``sz``, computed on the unexploded array, so
+    callers needing |set| skip their per-doc window/aggregate exchange
+    too."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(text_col, n)).alias("_arr"),
     )
+    cols = [F.col("_id"), F.explode("_arr").alias("shingle")]
+    if with_size:
+        cols.append(F.size("_arr").alias("sz"))
+    return base.select(*cols)
 
 
 def ngram_jaccard_pairs(
@@ -119,7 +135,8 @@ def ngram_jaccard_pairs(
     ``minhash_lsh_candidates``).
     """
     return _set_jaccard_pairs(
-        shingle_sets(df, id_col, text_col, n), "shingle", threshold, max_df
+        shingle_sets(df, id_col, text_col, n, with_size=True),
+        "shingle", threshold, max_df,
     )
 
 
@@ -147,7 +164,7 @@ def containment_pairs(
     all-pairs.
     """
     pairs = _pair_intersections(
-        shingle_sets(df, id_col, text_col, n), "shingle", max_df
+        shingle_sets(df, id_col, text_col, n, with_size=True), "shingle", max_df
     )
     return (
         pairs.filter(
@@ -181,14 +198,20 @@ def _pair_intersections(
             .filter(F.col("_df") <= max_df)
             .select(key)
         )
-        sets = sets.join(keep, key, "left_semi")
-    # carry each document's set size on the set rows via one window
-    # (cardinality = docs, perfectly spread) instead of a separate
-    # sizes relation — no session-lifetime cache() leak, and the two
-    # post-aggregation size joins disappear
-    from pyspark.sql import Window
+        sets = sets.drop("sz").join(keep, key, "left_semi")
+    if "sz" not in sets.columns:
+        # carry each document's set size on the set rows via one window
+        # (cardinality = docs, perfectly spread) instead of a separate
+        # sizes relation — no session-lifetime cache() leak, and the two
+        # post-aggregation size joins disappear. Only needed when the
+        # caller didn't attach a map-side size (shingle_sets
+        # with_size=True) or when max_df re-defines |set| as the
+        # retained-shingle count (post-filter sizes by contract).
+        from pyspark.sql import Window
 
-    sets = sets.withColumn("sz", F.count("*").over(Window.partitionBy("_id")))
+        sets = sets.withColumn(
+            "sz", F.count("*").over(Window.partitionBy("_id"))
+        )
     a = sets.alias("a")
     b = sets.alias("b")
     return (
@@ -825,22 +848,36 @@ def minhash_calibration(
             ).alias("_est"),
         )
     )
-    sets = shingle_sets(df, id_col, text_col, n)
-    sz = sets.groupBy("_id").agg(F.count("*").alias("_sz"))
-    inter = (
-        cands.join(sets.select(F.col("_id").alias("id_a"), "shingle"), "id_a")
-        .join(sets.select(F.col("_id").alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("_inter"))
+    # exact verify via per-doc shingle ARRAYS (r16, guide §2.3/§2.4 —
+    # the jaccard_prefix_join pattern): one MAP-ONLY array projection
+    # per document (distinct grams never leave their row), attached to
+    # the candidate pair by two id-keyed joins, intersection counted
+    # in-task. The old shape paid the exploded (id, shingle) distinct
+    # exchange three times (sz agg + both verify sides), a
+    # token-granularity verify join, a pair aggregation and two size
+    # joins; all of it collapses into these two joins. A candidate
+    # pair with zero shared shingles keeps _inter = 0 directly (the
+    # old left-join backfill is structural now). Candidates always
+    # have ≥1 shingle (they carry a signature), so the inner joins
+    # drop nothing — same as the old sz joins.
+    arr = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(text_col, n)).alias("_sh"),
     )
     out = (
-        est.join(inter, ["id_a", "id_b"], "left")
-        .join(sz.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza")), "id_a")
-        .join(sz.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb")), "id_b")
-        .withColumn("_inter", F.coalesce(F.col("_inter"), F.lit(0)))
+        est.join(
+            arr.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_ga")),
+            "id_a",
+        )
+        .join(
+            arr.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_gb")),
+            "id_b",
+        )
+        .withColumn("_inter", F.size(F.array_intersect("_ga", "_gb")))
         .withColumn(
             "_jac",
-            F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter")),
+            F.col("_inter")
+            / (F.size("_ga") + F.size("_gb") - F.col("_inter")),
         )
     )
     return out.select(
@@ -884,9 +921,12 @@ def fuzzy_text_join(
     """
     if metric not in ("containment", "jaccard"):
         raise ValueError(f"unknown metric {metric!r}")
-    sa = shingle_sets(left, left_id, left_text, n)
-    sb = shingle_sets(right, right_id, right_text, n)
+    sa = shingle_sets(left, left_id, left_text, n, with_size=True)
+    sb = shingle_sets(right, right_id, right_text, n, with_size=True)
     if max_df is not None:
+        # |set| is re-defined as the RETAINED-shingle count when hot
+        # shingles are dropped (post-filter sizes by contract), so the
+        # map-side size is recomputed with a per-doc window here
         df_counts = (
             sa.select("shingle")
             .unionAll(sb.select("shingle"))
@@ -895,12 +935,22 @@ def fuzzy_text_join(
             .filter(F.col("_df") <= max_df)
             .select("shingle")
         )
-        sa = sa.join(df_counts, "shingle", "left_semi")
-        sb = sb.join(df_counts, "shingle", "left_semi")
-    from pyspark.sql import Window
+        from pyspark.sql import Window
 
-    sa = sa.withColumn("sz_l", F.count("*").over(Window.partitionBy("_id")))
-    sb = sb.withColumn("sz_r", F.count("*").over(Window.partitionBy("_id")))
+        sa = (
+            sa.drop("sz")
+            .join(df_counts, "shingle", "left_semi")
+            .withColumn("sz", F.count("*").over(Window.partitionBy("_id")))
+        )
+        sb = (
+            sb.drop("sz")
+            .join(df_counts, "shingle", "left_semi")
+            .withColumn("sz", F.count("*").over(Window.partitionBy("_id")))
+        )
+    # sizes ride the set rows (map-side via shingle_sets with_size when
+    # max_df is off — both per-doc window exchanges removed, r16)
+    sa = sa.withColumn("sz_l", F.col("sz"))
+    sb = sb.withColumn("sz_r", F.col("sz"))
     a = sa.select(
         F.col("_id").alias("_lid"), F.col("shingle"), F.col("sz_l")
     )
@@ -987,7 +1037,9 @@ def jaccard_prefix_join(
     # rank window, size agg, both verify sides); checkpoint it once so
     # the explode+DISTINCT shuffle runs once, not per reference — the
     # same shared-signature pattern as minhash_calibration
-    sets = shingle_sets(df, id_col, text_col, n).localCheckpoint(eager=False)
+    sets = shingle_sets(
+        df, id_col, text_col, n, with_size=True
+    ).localCheckpoint(eager=False)
     dfreq = sets.groupBy("shingle").agg(F.count("*").alias("_df"))
     ranked = (
         sets.join(dfreq, "shingle")
@@ -997,15 +1049,19 @@ def jaccard_prefix_join(
                 Window.partitionBy("_id").orderBy("_df", "shingle")
             ),
         )
-        .withColumn("_sz", F.count("*").over(Window.partitionBy("_id")))
+        # |set| rides the set rows map-side (shingle_sets with_size) —
+        # no second window over the _id partition needed (r16)
+        .withColumn("_sz", F.col("sz"))
     )
     tbp = math.floor(threshold * 10_000)
     req = F.floor((F.lit(tbp) * F.col("_sz") + F.lit(9_999)) / F.lit(10_000))
     # the prefix table feeds both sides of the candidate join; without
-    # the checkpoint the dfreq join + two windows above run twice
+    # the checkpoint the dfreq join + rank window above run twice. Only
+    # the four columns the candidate join needs are checkpointed (§2.3
+    # — _df/sz would otherwise ride every checkpointed block)
     prefix = ranked.filter(
         F.col("_rk") <= F.col("_sz") - req + 1
-    ).localCheckpoint(eager=False)
+    ).select("_id", "shingle", "_rk", "_sz").localCheckpoint(eager=False)
     a = prefix.select(
         F.col("_id").alias("id_a"), "shingle",
         F.col("_rk").alias("_ia"), F.col("_sz").alias("_sa"),
@@ -1048,19 +1104,37 @@ def jaccard_prefix_join(
         )
         .select("id_a", "id_b", "_sa", "_sb")
     )
-    # verify candidates against the FULL sets (exact intersection);
-    # sizes ride the candidate row, so no post-verify size joins
-    x = sets.select(F.col("_id").alias("id_a"), F.col("shingle").alias("_sha"))
-    y = sets.select(F.col("_id").alias("_yb"), F.col("shingle").alias("_shb"))
+    # verify candidates against the FULL sets (exact intersection) via
+    # per-doc shingle ARRAYS (r16, guide §2.3/§2.4): the old verify
+    # exploded every candidate pair to |A| token rows through a second
+    # token-keyed exchange plus a pair-keyed aggregation; instead
+    # collect each doc's set into one array (one agg over the
+    # checkpointed sets), attach both arrays to the candidate row, and
+    # count the intersection in-task — sets are distinct per doc, so
+    # size(array_intersect) IS |A∩B| exactly. The pair stage now
+    # shuffles one row per candidate, never one row per candidate
+    # token, and the post-verify aggregation disappears.
+    # built ONCE behind a lazy checkpoint: the array table feeds both
+    # candidate sides — without it the collect_list aggregation (and
+    # its corpus-gram exchange) would run once per side
+    arr = (
+        sets.groupBy("_id")
+        .agg(F.collect_list("shingle").alias("_sh"))
+        .localCheckpoint(eager=False)
+    )
     inter = (
-        cands.join(x, "id_a")
-        .join(
-            y,
-            (F.col("id_b") == F.col("_yb"))
-            & (F.col("_sha") == F.col("_shb")),
+        cands.join(
+            arr.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha")),
+            "id_a",
         )
-        .groupBy("id_a", "id_b", "_sa", "_sb")
-        .agg(F.count("*").alias("_i"))
+        .join(
+            arr.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb")),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b", "_sa", "_sb",
+            F.size(F.array_intersect("_sha", "_shb")).alias("_i"),
+        )
     )
     out = inter.withColumn(
         "jaccard",

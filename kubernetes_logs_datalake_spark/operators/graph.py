@@ -860,12 +860,18 @@ def kcore(
     (log-ish in practice; the oracle makes an unconverged choice of
     ``rounds`` visible as a hash mismatch, not a silent wrong answer).
 
-    Scale shape: per round, two windowed degree counts over the
-    shrinking edge table (partition-count by each endpoint — one
-    exchange each, no separate degree agg or semi joins; r15) — edges
-    only ever shrink, and each round's frontier is localCheckpointed
-    with a materializing count (the pagerank recipe) so lineage stays
-    flat across rounds.
+    Scale shape (r16): per round, ONE map-side-combined degree
+    aggregate over the shrinking symmetric edge table, then the dying
+    node set (deg < k, shrinks every round) broadcast into two
+    anti-joins — the edges are filtered map-only, never shuffled per
+    round, and a celebrity endpoint partial-aggregates across map
+    tasks instead of landing one window partition on one task (the
+    r15 verdict's §2.5 skew note). Edges only ever shrink, and each
+    round's frontier is localCheckpointed with a materializing count
+    (the pagerank recipe) so lineage stays flat across rounds. If a
+    graph's first-round dying set were ever too large to broadcast
+    (deg < k for most nodes), lower the first peel to a plain
+    aggregate+join; every later round's dying set only shrinks.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -876,20 +882,34 @@ def kcore(
     )
     cur = truncate_lineage(sym, checkpoint_dir)
     n_edges = cur.count()
-    # Per-round peel as two windowed degree counts (r15): an edge
-    # survives iff deg(_a) >= k AND deg(_b) >= k — the same predicate
-    # the previous degree-agg + two semi-joins computed, row-identical
-    # by construction, but with one aggregation pass and two join
-    # passes replaced by two partition-count windows (one exchange
-    # each). Measured 7.9 -> 4.7 s at sf0.1; at scale it is strictly
-    # fewer passes over the (shrinking) edge table per round.
-    wa = Window.partitionBy("_a")
-    wb = Window.partitionBy("_b")
+    # Per-round peel: ONE partial-aggregated degree count over the
+    # symmetric edges (groupBy _a covers every node — map-side partials
+    # absorb celebrity endpoints, unlike the r15 partition-count
+    # windows, which landed a hot node's whole edge partition in one
+    # task: the §2.5 skew magnet the r15 verdict flagged), then the
+    # DYING set (deg < k — shrinks every round) broadcast into two
+    # null-safe anti-joins, so the edge table itself is filtered
+    # map-only, never shuffled per round. Same predicate as before —
+    # an edge survives iff deg(_a) >= k AND deg(_b) >= k — now at one
+    # skew-proof exchange per round instead of two skew-prone ones.
     for _it in range(rounds):
+        dying = (
+            cur.groupBy("_a")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") < k)
+            .select(F.col("_a").alias("_dying"))
+        )
         nxt = truncate_lineage(
-            cur.withColumn("_da", F.count(F.lit(1)).over(wa))
-            .withColumn("_db", F.count(F.lit(1)).over(wb))
-            .filter((F.col("_da") >= k) & (F.col("_db") >= k))
+            cur.join(
+                F.broadcast(dying),
+                F.col("_a").eqNullSafe(F.col("_dying")),
+                "left_anti",
+            )
+            .join(
+                F.broadcast(dying),
+                F.col("_b").eqNullSafe(F.col("_dying")),
+                "left_anti",
+            )
             .select("_a", "_b"),
             reliable_this_round(checkpoint_dir, _it, checkpoint_every),
         )

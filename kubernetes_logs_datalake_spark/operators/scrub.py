@@ -70,8 +70,18 @@ def _gram_hashes(
 
     cols = [F.col(id_col)] if with_id else []
     g = df.select(
-        *cols, F.explode(shingles(text_col, n)).alias("_g")
+        *cols, F.explode(F.array_distinct(shingles(text_col, n))).alias("_g")
     ).select(*cols, F.md5("_g").alias("_h"))
+    if with_id:
+        # a doc's grams live in one array cell, so per-doc distinctness
+        # is already guaranteed by the map-side array_distinct — the
+        # train-side corpus-gram exchange a .distinct() would pay is
+        # gone (r16, guide §2.4); md5 is injective on distinct grams
+        # for any practical purpose (128-bit, no known accidental
+        # collisions), so distinct grams ⇔ distinct hashes
+        return g
+    # cross-document gram set: the global distinct still needs its
+    # exchange, but the map-side per-doc dedup shrinks what enters it
     return g.distinct()
 
 

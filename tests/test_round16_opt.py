@@ -1,0 +1,250 @@
+"""Round-16 (optimization round 2) focused pins.
+
+Each test guards an optimization that changed an operator's internals,
+asserting the optimized form computes exactly what the straightforward
+form it replaced computed — the optimization-round contract is "same
+results, less time".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_shingle_sets_mapside_distinct_matches_post_explode_distinct(spark):
+    """shingle_sets dedups per doc MAP-SIDE (array_distinct before the
+    explode, r16) — the row multiset must equal the old
+    explode-then-.distinct() form, including repeated grams, empty and
+    null texts, and the with_size count must equal the distinct-gram
+    count."""
+    from kubernetes_logs_datalake_spark.functions.text import shingles
+    from kubernetes_logs_datalake_spark.operators.dedup import shingle_sets
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b a b a"),          # heavy repetition
+            (2, "x y z"),
+            (3, ""),                    # no shingles -> no rows
+            (4, None),                  # null text -> no rows
+            (5, "a b a"),
+        ],
+        "doc_id long, text string",
+    )
+    new = shingle_sets(d, "doc_id", "text", n=2)
+    old = (
+        d.select(
+            F.col("doc_id").alias("_id"),
+            F.explode(shingles("text", 2)).alias("shingle"),
+        ).distinct()
+    )
+    assert _rows(new, "_id", "shingle") == _rows(old, "_id", "shingle")
+    sized = shingle_sets(d, "doc_id", "text", n=2, with_size=True)
+    per_doc = {
+        r._id: r.sz for r in sized.select("_id", "sz").distinct().collect()
+    }
+    truth = {
+        r._id: r.c
+        for r in old.groupBy("_id").agg(F.count("*").alias("c")).collect()
+    }
+    assert per_doc == truth
+
+
+def test_gram_hashes_mapside_distinct(spark):
+    """scrub._gram_hashes with_id=True skips the post-explode distinct
+    (per-doc dedup is map-side now) — rows must stay distinct per
+    (id, hash) and identical to the explicit-distinct form."""
+    from kubernetes_logs_datalake_spark.operators.scrub import _gram_hashes
+
+    d = spark.createDataFrame(
+        [(1, "p q p q p q p"), (2, "p q r"), (3, "")],
+        "doc_id long, text string",
+    )
+    from kubernetes_logs_datalake_spark.functions.text import shingles
+
+    got = _rows(_gram_hashes(d, "doc_id", "text", 2, with_id=True),
+                "doc_id", "_h")
+    assert len(got) == len(set(got)), "rows must be distinct per (id, hash)"
+    old = (
+        d.select(F.col("doc_id"), F.explode(shingles("text", 2)).alias("_g"))
+        .select("doc_id", F.md5("_g").alias("_h"))
+        .distinct()
+    )
+    assert got == _rows(old, "doc_id", "_h")
+
+
+def test_decontaminate_bloom_still_matches_exact(spark):
+    """decontaminate_bloom must stay output-identical to decontaminate
+    after the map-side gram dedup (the bloom variant's losslessness is
+    the whole point of sharing _gram_hashes)."""
+    from kubernetes_logs_datalake_spark.operators.scrub import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    rows = [
+        (i, f"tok{i} tok{i + 1} tok{i + 2} tok{i + 3} shared a b c d")
+        for i in range(40)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = d.filter(F.col("doc_id") % 10 == 0)
+    tr = d.filter(F.col("doc_id") % 10 != 0)
+    exact = _rows(decontaminate(tr, ev, "doc_id", "text", n=3),
+                  "doc_id", "n_hits", "contaminated")
+    bloom = _rows(decontaminate_bloom(tr, ev, "doc_id", "text", n=3,
+                                      num_bits=1 << 12),
+                  "doc_id", "n_hits", "contaminated")
+    assert exact == bloom
+    assert any(r[2] for r in exact), "fixture must contain contamination"
+
+
+def test_jaccard_prefix_join_matches_bruteforce_after_array_verify(spark):
+    """jaccard_prefix_join's array-intersection verify (r16) must stay
+    LOSSLESS against the brute-force inverted-index Jaccard — same
+    pairs, same scores, across thresholds that exercise the prefix
+    bound."""
+    from kubernetes_logs_datalake_spark.operators.dedup import (
+        jaccard_prefix_join,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (1, "a b c d e f"),
+        (2, "a b c d e g"),      # jaccard 5/7 with 1
+        (3, "a b c d e f"),      # exact dup of 1
+        (4, "x y z w q r"),
+        (5, "x y z w q r s"),    # high containment pair with 4
+        (6, "m n"),
+        (7, "m n"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    for thr in (0.5, 0.7, 1.0):
+        fast = _rows(jaccard_prefix_join(d, "doc_id", "text", n=1,
+                                         threshold=thr, scale=6),
+                     "id_a", "id_b", "jaccard")
+        brute = _rows(
+            ngram_jaccard_pairs(d, "doc_id", "text", n=1, threshold=thr)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")),
+            "id_a", "id_b", "jaccard",
+        )
+        assert fast == brute, f"threshold {thr}"
+
+
+def test_minhash_calibration_exact_column_is_true_jaccard(spark):
+    """minhash_calibration's array-based exact verify (r16) must report
+    the TRUE shingle-set Jaccard for every candidate pair (cross-check
+    against ngram_jaccard_pairs at threshold 0)."""
+    from kubernetes_logs_datalake_spark.operators.dedup import (
+        minhash_calibration,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "completely different text with other words here"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    cal = minhash_calibration(d, "doc_id", "text", num_hashes=32, bands=16,
+                              n=1)
+    truth = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", n=1,
+                                     threshold=0.0).collect()
+    }
+    got = cal.collect()
+    assert got, "banding must produce candidates on this fixture"
+    for r in got:
+        assert round(r.jaccard, 6) == truth.get((r.id_a, r.id_b), 0.0)
+        assert abs(r.abs_err - abs(r.est_jaccard - r.jaccard)) < 1e-9
+
+
+def test_connected_components_adversarial_shapes(spark):
+    """connected_components must label every node with its component's
+    min id on adversarial shapes: long chains (pointer doubling),
+    stars, singleton pairs, multiple components. (Guards the r16
+    experiment history: a 1-join/round pointer-edge reformulation was
+    measured at 7 rounds vs 5 — MORE edge-table passes — and
+    reverted; this pin keeps any future loop change honest.)"""
+    from kubernetes_logs_datalake_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(10, 25)]          # 16-node chain
+    star = [(100, x) for x in (101, 102, 103, 104)]
+    pair = [(7, 8)]
+    cross = [(200, 300), (300, 250), (250, 201)]
+    pairs = spark.createDataFrame(chain + star + pair + cross,
+                                  "id_a long, id_b long")
+    got = {
+        r.node: r.component
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    expect = {}
+    for n in range(10, 26):
+        expect[n] = 10
+    for n in (100, 101, 102, 103, 104):
+        expect[n] = 100
+    expect[7] = expect[8] = 7
+    for n in (200, 300, 250, 201):
+        expect[n] = 200
+    assert got == expect
+
+
+def test_kcore_anti_join_matches_definition(spark):
+    """kcore's r16 peel (one partial-agg degree pass + broadcast
+    anti-joins on the dying set) must equal the brute-force iterative
+    definition on a graph with a celebrity hub and cascading
+    removals."""
+    from kubernetes_logs_datalake_spark.operators.graph import kcore
+
+    edges = (
+        [(0, i) for i in range(1, 12)]      # hub 0 with 11 spokes
+        + [(1, 2), (2, 3), (3, 1)]          # triangle hanging off hub
+        + [(20, 21), (21, 22)]              # chain that fully dissolves
+        + [(30, 31), (31, 32), (32, 30), (30, 33)]  # triangle + pendant
+    )
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.node, r.core_degree)
+        for r in kcore(e, k=2, rounds=8).collect()
+    }
+    # brute force in python
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    alive = set(adj)
+    while True:
+        dying = {n for n in alive
+                 if len(adj[n] & alive) < 2}
+        if not dying:
+            break
+        alive -= dying
+    expect = {(n, len(adj[n] & alive)) for n in alive}
+    assert got == expect
+
+
+def test_fuzzy_text_join_mapside_sizes(spark):
+    """fuzzy_text_join without max_df rides map-side set sizes (r16) —
+    containment/jaccard scores must match hand-computed values."""
+    from kubernetes_logs_datalake_spark.operators.dedup import fuzzy_text_join
+
+    left = spark.createDataFrame(
+        [(1, "a b c"), (2, "x y")], "lid long, ltext string"
+    )
+    right = spark.createDataFrame(
+        [(10, "a b c d e"), (11, "x q")], "rid long, rtext string"
+    )
+    got = _rows(
+        fuzzy_text_join(left, right, "lid", "rid", "ltext", "rtext",
+                        n=1, threshold=0.4, metric="containment"),
+        "lid", "rid", "score",
+    )
+    # left 1 = {a,b,c} wholly inside right 10 -> 1.0
+    # left 2 = {x,y}; right 11 = {x,q} -> |∩|/|L| = 0.5
+    assert got == [(1, 10, 1.0), (2, 11, 0.5)]

@@ -18,8 +18,10 @@ import __spark_entry__ as entrymod  # noqa: E402
 import bench  # noqa: E402
 from kubernetes_logs_datalake_spark import get_spark  # noqa: E402
 
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "plans", "r15")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16"),
+)
 
 
 def main() -> None:
