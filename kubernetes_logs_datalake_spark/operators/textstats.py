@@ -191,24 +191,66 @@ def char_bigram_lm_score(
     unseen_ctx_nll = F.round(
         -F.log2(F.lit(1.0) / F.lit(float(LM_VOCAB_SIZE))), 12
     ).cast("decimal(25,12)")
-    sc = bigrams(score)
-    joined = sc.join(F.broadcast(grid), "_bg", "left").select(
-        F.col(id_col),
-        F.coalesce(F.col("_nll"), unseen_ctx_nll).alias("_nll"),
+    # --- r16: the model grid COLLECTS to the driver (≤ 37² = 1369
+    # rows — bounded by the alphabet, never the corpus, the kmeans-
+    # centers driver contract) and rides into the scoring scan as ONE
+    # constant-folded decimal array literal indexed by the bigram's
+    # ascii codes. The corpus side is then MAP-ONLY: the per-char
+    # bigram explode, the broadcast-join probe, and the per-doc
+    # aggregation exchange all disappear (guide §2.4/§5) — each doc's
+    # transitions are summed in-task by one `aggregate` fold over its
+    # char-code array. Every nll value is produced by the SAME JVM
+    # expressions as before (the grid plan is unchanged, just
+    # collected instead of broadcast), decimal addition is
+    # order-independent, and docs with <2 normalized chars are
+    # filtered exactly like the old explode dropped them — so scores
+    # are bit-identical (pinned by test_round16_opt; oracle
+    # hash-checked).
+    spark = score.sparkSession
+    nll_by_bg = {r["_bg"]: r["_nll"] for r in grid.collect()}
+    unseen = spark.range(1).select(unseen_ctx_nll.alias("u")).first()["u"]
+    # slot index for bigram (c1, c2): (ascii(c1)-32)*91 + ascii(c2)-31,
+    # 1-based; the normalized alphabet is ascii 32..122 so 91 slots per
+    # context cover every reachable code, unseen-context cells carry
+    # the constant fallback value
+    slots = [str(unseen)] * (91 * 91)
+    for bg, nll in nll_by_bg.items():
+        slots[(ord(bg[0]) - 32) * 91 + (ord(bg[1]) - 32)] = str(nll)
+    nll_arr = F.split(F.lit(",".join(slots)), ",").cast(
+        "array<decimal(25,12)>"
     )
-    return (
-        joined.groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_transitions"),
-            F.sum("_nll").alias("_sum"),
+    sc = (
+        score.select(
+            F.col(id_col),
+            F.split(normalize_text(F.col(text_col)), "").alias("_ch"),
         )
         .select(
             F.col(id_col),
-            "n_transitions",
-            F.round(
-                F.col("_sum").cast("double") / F.col("n_transitions"), scale
-            ).alias("avg_nll_bits"),
+            F.transform("_ch", lambda c: F.ascii(c)).alias("_a"),
         )
+        .filter(F.size("_a") >= 2)
+    )
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.size("_a") - 1),
+        F.lit("0").cast("decimal(25,12)"),
+        lambda acc, i: (
+            acc
+            + F.element_at(
+                nll_arr,
+                (
+                    (F.element_at("_a", i.cast("int")) - 32) * 91
+                    + F.element_at("_a", (i + 1).cast("int"))
+                    - 31
+                ).cast("int"),
+            )
+        ).cast("decimal(25,12)"),
+    )
+    return sc.select(
+        F.col(id_col),
+        (F.size("_a") - 1).cast("long").alias("n_transitions"),
+        F.round(
+            total.cast("double") / (F.size("_a") - 1), scale
+        ).alias("avg_nll_bits"),
     )
 
 

@@ -248,3 +248,104 @@ def test_fuzzy_text_join_mapside_sizes(spark):
     # left 1 = {a,b,c} wholly inside right 10 -> 1.0
     # left 2 = {x,y}; right 11 = {x,q} -> |∩|/|L| = 0.5
     assert got == [(1, 10, 1.0), (2, 11, 0.5)]
+
+
+def test_char_bigram_lm_score_matches_broadcast_join_form(spark):
+    """char_bigram_lm_score's collected-grid literal scoring (r16) must
+    be bit-identical to the broadcast-join form it replaced: same
+    Laplace-smoothed grid values, same unseen-context fallback, same
+    per-doc decimal sums, and docs with <2 normalized chars absent from
+    the output exactly as the old explode dropped them."""
+    from pyspark.sql import functions as F
+
+    from kubernetes_logs_datalake_spark.functions.text import normalize_text
+    from kubernetes_logs_datalake_spark.operators.textstats import (
+        LM_VOCAB_SIZE,
+        char_bigram_lm_score,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "a cat ate 9 rats")],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [
+            (10, "the cat"),          # all-seen contexts
+            (11, "zzz qqq xyz"),      # unseen contexts -> fallback
+            (12, "a"),                # 1 char -> dropped
+            (13, ""),                 # empty -> dropped
+            (14, None),               # null -> dropped
+            (15, "cats eat 99 rats"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_transitions, r.avg_nll_bits)
+        for r in char_bigram_lm_score(train, score, "doc_id", "text").collect()
+    }
+    assert set(got) == {10, 11, 15}, got
+
+    # reference: the pre-r16 broadcast-join implementation, verbatim
+    def bigrams(df):
+        bound = df.select(
+            F.col("doc_id"),
+            F.split(normalize_text(F.col("text")), "").alias("_ch"),
+        )
+        ch = F.col("_ch")
+        n = F.size(ch)
+        arr = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.concat(
+                    F.element_at(ch, (i + 1).cast("int")),
+                    F.element_at(ch, (i + 2).cast("int")),
+                ),
+            )
+        )
+        return bound.select(F.col("doc_id"), F.explode(arr).alias("_bg"))
+
+    tr = bigrams(train)
+    model = tr.groupBy("_bg").agg(F.count("*").alias("_c"))
+    ctx = model.groupBy(F.substring("_bg", 1, 1).alias("_c1")).agg(
+        F.sum("_c").alias("_ctx")
+    )
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    grid = (
+        ctx.select(
+            "_c1", "_ctx",
+            F.explode(F.array(*[F.lit(c) for c in alphabet])).alias("_c2"),
+        )
+        .withColumn("_bg", F.concat("_c1", "_c2"))
+        .join(model, "_bg", "left")
+        .select(
+            "_bg",
+            F.round(
+                -F.log2(
+                    (F.coalesce(F.col("_c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("_ctx") + LM_VOCAB_SIZE)
+                ),
+                12,
+            ).cast("decimal(25,12)").alias("_nll"),
+        )
+    )
+    unseen = F.round(
+        -F.log2(F.lit(1.0) / F.lit(float(LM_VOCAB_SIZE))), 12
+    ).cast("decimal(25,12)")
+    joined = bigrams(score).join(F.broadcast(grid), "_bg", "left").select(
+        F.col("doc_id"),
+        F.coalesce(F.col("_nll"), unseen).alias("_nll"),
+    )
+    old = (
+        joined.groupBy("doc_id")
+        .agg(F.count("*").alias("n_transitions"), F.sum("_nll").alias("_s"))
+        .select(
+            "doc_id", "n_transitions",
+            F.round(
+                F.col("_s").cast("double") / F.col("n_transitions"), 6
+            ).alias("avg_nll_bits"),
+        )
+    )
+    expect = {
+        r.doc_id: (r.n_transitions, r.avg_nll_bits) for r in old.collect()
+    }
+    assert got == expect
