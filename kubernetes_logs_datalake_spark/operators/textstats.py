@@ -281,16 +281,32 @@ def duplicate_spans(
 
     from kubernetes_logs_datalake_spark.functions.text import shingles
 
+    # binary16 gram keys (r16): unhex(md5) halves the key bytes through
+    # both gram-keyed exchanges vs the 32-char hex string, with zero
+    # collision change (it is the same 128 bits)
     win = df.select(
         F.col(id_col),
         F.posexplode(shingles(text_col, n=n)).alias("_pos", "_gram"),
-    ).select(F.col(id_col), "_pos", F.md5(F.col("_gram")).alias("_h"))
-    hot = (
-        win.groupBy("_h")
-        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("_h")
-    )
+    ).select(F.col(id_col), "_pos", F.unhex(F.md5(F.col("_gram"))).alias("_h"))
+    if min_docs == 2:
+        # ≥2 distinct docs ⟺ min(id) != max(id): plain min/max partial
+        # aggregation instead of a distinct-count — the partial state
+        # collapses map-side to one row per gram per task, where the
+        # distinct count had to keep every (gram, id) pair through the
+        # exchange (r16, guide §2.3)
+        hot = (
+            win.groupBy("_h")
+            .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+            .filter(F.col("_lo") != F.col("_hi"))
+            .select("_h")
+        )
+    else:
+        hot = (
+            win.groupBy("_h")
+            .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+            .filter(F.col("_nd") >= min_docs)
+            .select("_h")
+        )
     flagged = win.join(hot, "_h").select(F.col(id_col), "_pos")
     w = (
         Window.partitionBy(id_col)

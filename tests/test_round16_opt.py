@@ -349,3 +349,55 @@ def test_char_bigram_lm_score_matches_broadcast_join_form(spark):
         r.doc_id: (r.n_transitions, r.avg_nll_bits) for r in old.collect()
     }
     assert got == expect
+
+
+def test_duplicate_spans_minmax_hot_path_matches_distinct_count(spark):
+    """duplicate_spans' min_docs=2 fast path (min(id) != max(id)
+    replaces count_distinct, r16) must equal the distinct-count path,
+    including a gram repeated many times INSIDE one doc (must NOT count
+    as hot) and grams shared across docs (must)."""
+    from kubernetes_logs_datalake_spark.operators.textstats import (
+        duplicate_spans,
+    )
+
+    rows = [
+        (1, "s t s t s t s t s t"),              # self-repetition only
+        (2, "shared run of words here now yes"),
+        (3, "shared run of words here now no"),  # shares 2-grams with 2
+        (4, "unique text entirely alone today"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = sorted(
+        tuple(r) for r in duplicate_spans(d, "doc_id", "text", n=2,
+                                          min_docs=2).collect()
+    )
+    slow = sorted(
+        tuple(r) for r in duplicate_spans(d, "doc_id", "text", n=2,
+                                          min_docs=3).collect()
+    )
+    assert fast, "shared grams must produce spans"
+    assert all(r[0] in (2, 3) for r in fast), (
+        "self-repetition inside doc 1 must not flag spans: %r" % (fast,)
+    )
+    # cross-check the fast path against the generic path at the same
+    # threshold by calling the internals: min_docs=2 via both routes
+    import kubernetes_logs_datalake_spark.operators.textstats as T
+    import pyspark.sql.functions as F
+    from kubernetes_logs_datalake_spark.functions.text import shingles
+
+    win = d.select(
+        F.col("doc_id"),
+        F.posexplode(shingles("text", n=2)).alias("_pos", "_gram"),
+    ).select("doc_id", "_pos", F.unhex(F.md5("_gram")).alias("_h"))
+    hot_slow = (
+        win.groupBy("_h").agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2).select("_h")
+    )
+    hot_fast = (
+        win.groupBy("_h").agg(F.min("doc_id").alias("_lo"),
+                              F.max("doc_id").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi")).select("_h")
+    )
+    assert sorted(r._h for r in hot_fast.collect()) == sorted(
+        r._h for r in hot_slow.collect()
+    )
