@@ -566,74 +566,85 @@ def rake_keyphrases(
     ``max_len`` are dropped as candidates entirely (they contribute
     neither phrases nor word statistics), the Rose et al. semantics.
 
-    Plan: posexplode → stopword filter → the gaps-and-islands window
-    (pos − row_number, PARTITIONED by doc — the duplicate-spans
-    pattern) marks each phrase run; phrase assembly is a (doc, island)
-    agg; word stats are a word-keyed agg over candidate tokens; phrase
-    scores come back through one word-keyed join. Word scores are
-    rounded then summed as DECIMAL so identical phrases get
+    Plan (r16): phrase runs are extracted MAP-SIDE — stopwords become a
+    sentinel inside the staged word array and one split recovers the
+    maximal stopword-free runs, so the per-doc gaps-and-islands window
+    (an exchange + sort by doc) and the (doc, island) assembly
+    aggregate + two island-keyed joins of the old shape all disappear.
+    Phrase INSTANCES explode once and feed two straight partial-agg
+    shuffles (word stats; per-phrase counts); phrase scores are
+    computed on the DISTINCT phrase table (vocabulary-bounded —
+    identical phrases always scored identically, so instance identity
+    only matters for the count) through one word-keyed join. Word
+    scores are rounded then summed as DECIMAL so identical phrases get
     bit-identical scores under any partitioning (the exact-reduce
     recipe); the final top-k is a TakeOrderedAndProject over the
-    distinct-phrase agg (vocabulary-bounded, never corpus-sized).
+    distinct-phrase agg.
     """
-    from pyspark.sql import Window
-
     from kubernetes_logs_datalake_spark.functions.text import (
         STOPWORDS_EN,
         words,
     )
 
     stop = stopwords or STOPWORDS_EN
-    tok = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.posexplode(words(F.col(text_col))).alias("_pos", "word"),
-        )
-        .filter(F.col("word") != "")
-    )
-    cand = tok.filter(~F.col("word").isin(*stop)).withColumn(
-        "_isl",
-        F.col("_pos")
-        - F.row_number().over(Window.partitionBy("_id").orderBy("_pos")),
-    )
-    # phrase runs: text + length per (doc, island)
-    ph = cand.groupBy("_id", "_isl").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_pos", "word"))),
-                lambda s: s["word"],
+    # maximal stopword-free runs, per row: stopword → '|' sentinel
+    # (words are [a-z0-9]+ so the sentinel can't collide), join, split
+    # on sentinel-with-surrounding-spaces, drop empties. Run text and
+    # order are identical to the old window/island assembly because
+    # words() positions are gap-free.
+    runs = F.filter(
+        F.split(
+            F.array_join(
+                F.transform(
+                    words(F.col(text_col)),
+                    lambda w: F.when(w.isin(*stop), F.lit("|")).otherwise(w),
+                ),
+                " ",
             ),
-            " ",
-        ).alias("phrase"),
-        F.count(F.lit(1)).alias("_plen"),
+            r"\s*\|\s*",
+        ),
+        lambda p: p != "",
     )
     if max_len is not None:
-        ph = ph.filter(F.col("_plen") <= max_len)
-    # candidate tokens restricted to kept phrases — ONE join reused by
-    # both the word stats and the phrase scoring
-    candk = cand.join(ph.select("_id", "_isl", "_plen"), ["_id", "_isl"])
-    # RAKE word stats over candidate tokens: freq + degree
-    wst = candk.groupBy("word").agg(
-        F.count(F.lit(1)).alias("_freq"),
-        F.sum("_plen").alias("_deg"),
-    ).select(
-        "word",
-        F.round(F.col("_deg") / F.col("_freq"), 9)
-        .cast("decimal(20,9)")
-        .alias("_ws"),
+        runs = F.filter(
+            runs, lambda p: F.size(F.split(p, " ")) <= F.lit(max_len)
+        )
+    inst = df.select(F.explode(runs).alias("phrase")).select(
+        "phrase", F.size(F.split(F.col("phrase"), " ")).alias("_plen")
+    )
+    # per-phrase instance counts (also the distinct-phrase table the
+    # scoring leg reuses — vocabulary-bounded)
+    ph_n = inst.groupBy("phrase", "_plen").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # RAKE word stats over candidate tokens (every word occurrence of
+    # every kept instance): freq + degree
+    wst = (
+        inst.select(F.col("_plen"), F.explode(F.split("phrase", " ")).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("_freq"),
+            F.sum("_plen").alias("_deg"),
+        )
+        .select(
+            "word",
+            F.round(F.col("_deg") / F.col("_freq"), 9)
+            .cast("decimal(20,9)")
+            .alias("_ws"),
+        )
     )
     psc = (
-        candk.join(wst, "word")
-        .groupBy("_id", "_isl")
+        ph_n.select("phrase", F.explode(F.split("phrase", " ")).alias("word"))
+        .join(wst, "word")
+        .groupBy("phrase")
         .agg(F.sum("_ws").alias("_score"))
-        .join(ph, ["_id", "_isl"])
     )
     return (
-        psc.groupBy("phrase")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            # identical phrases have bit-identical decimal scores
-            F.round(F.max("_score").cast("double"), scale).alias("score"),
+        ph_n.join(psc, "phrase")
+        .select(
+            "phrase",
+            "n",
+            F.round(F.col("_score").cast("double"), scale).alias("score"),
         )
         .orderBy(F.desc("score"), "phrase")
         .limit(k)

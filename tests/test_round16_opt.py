@@ -401,3 +401,80 @@ def test_duplicate_spans_minmax_hot_path_matches_distinct_count(spark):
     assert sorted(r._h for r in hot_fast.collect()) == sorted(
         r._h for r in hot_slow.collect()
     )
+
+
+def test_rake_mapside_runs_match_window_island_form(spark):
+    """rake_keyphrases' map-side run extraction (r16: stopword sentinel
+    + split replaces the per-doc island window and two island-keyed
+    joins) must reproduce the windowed form exactly: run boundaries at
+    stopwords, adjacent stopwords, repeated phrases inside one doc,
+    the max_len drop, and the degree/freq word scores."""
+    from pyspark.sql import Window
+
+    from kubernetes_logs_datalake_spark.functions.text import (
+        STOPWORDS_EN,
+        words,
+    )
+    from kubernetes_logs_datalake_spark.operators.textstats import (
+        rake_keyphrases,
+    )
+
+    rows = [
+        (1, "the quick brown fox and the quick brown fox ran off"),
+        (2, "deep learning of deep learning with very long phrase runs "
+            "exceeding every cap here"),
+        (3, "and or but the of"),                    # all stopwords
+        (4, "solo"),
+        (5, ""),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [tuple(r) for r in rake_keyphrases(d, "doc_id", "text", k=50,
+                                             max_len=4).collect()]
+
+    # reference: the pre-r16 window/island implementation, verbatim
+    stop = STOPWORDS_EN
+    tok = d.select(
+        F.col("doc_id").alias("_id"),
+        F.posexplode(words(F.col("text"))).alias("_pos", "word"),
+    ).filter(F.col("word") != "")
+    cand = tok.filter(~F.col("word").isin(*stop)).withColumn(
+        "_isl",
+        F.col("_pos")
+        - F.row_number().over(Window.partitionBy("_id").orderBy("_pos")),
+    )
+    ph = cand.groupBy("_id", "_isl").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("_plen"),
+    ).filter(F.col("_plen") <= 4)
+    candk = cand.join(ph.select("_id", "_isl", "_plen"), ["_id", "_isl"])
+    wst = candk.groupBy("word").agg(
+        F.count(F.lit(1)).alias("_freq"), F.sum("_plen").alias("_deg")
+    ).select(
+        "word",
+        F.round(F.col("_deg") / F.col("_freq"), 9)
+        .cast("decimal(20,9)").alias("_ws"),
+    )
+    psc = (
+        candk.join(wst, "word")
+        .groupBy("_id", "_isl")
+        .agg(F.sum("_ws").alias("_score"))
+        .join(ph, ["_id", "_isl"])
+    )
+    old = [
+        tuple(r)
+        for r in psc.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.max("_score").cast("double"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(50)
+        .collect()
+    ]
+    assert got == old
