@@ -4770,11 +4770,12 @@ def _events_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
 def _docs_score_agreement(spark: SparkSession, sf: str) -> DataFrame:
     """Learned-gate diagnostic: the hashed-linear classifier's score
     banded over [-0.3, 0.3] and compared per band against the Gopher
-    rule gate — predicted vs reference keep rate and agreement. Two
-    doc-keyed scans joined on the id; binning is pure arithmetic on
-    the 9-dp score, so no transcendental can flip a band."""
+    rule gate — predicted vs reference keep rate and agreement. ONE
+    doc scan (classifier columns carried on gopher's projection);
+    binning is pure arithmetic on the 9-dp score, so no
+    transcendental can flip a band."""
     from kubernetes_logs_datalake_spark.operators.classify import (
-        hashed_linear_score,
+        hashed_linear_columns,
         score_agreement_bins,
     )
     from kubernetes_logs_datalake_spark.operators.webclean import (
@@ -4782,15 +4783,19 @@ def _docs_score_agreement(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     d = _t(spark, sf, "documents")
-    sc = hashed_linear_score(
-        d, "doc_id", "text", dim=256, bias=0.01, threshold=0.0
-    ).select("doc_id", "score", F.col("keep").alias("ckeep"))
+    # both gates are MAP-ONLY over the same text — the classifier
+    # columns ride gopher's scan via carry_cols instead of a second
+    # corpus scan + an id-keyed join back (r16, guide §2.4); values
+    # are the same expressions hashed_linear_score builds
+    _, score_col, keep_col = hashed_linear_columns(
+        "text", dim=256, bias=0.01, threshold=0.0
+    )
     # min_stopword_hits=1 for the same corpus-vocabulary reason as
     # _docs_gopher_quality (the oracle's g_keep uses stop >= 1)
-    g = gopher_quality_rules(d, "doc_id", "text", min_stopword_hits=1).select(
-        "doc_id", F.col("keep").alias("gkeep")
-    )
-    joined = sc.join(g, "doc_id")
+    joined = gopher_quality_rules(
+        d, "doc_id", "text", min_stopword_hits=1,
+        carry_cols=(score_col.alias("score"), keep_col.alias("ckeep")),
+    ).select("doc_id", "score", "ckeep", F.col("keep").alias("gkeep"))
     return score_agreement_bins(
         joined, "score", "ckeep", "gkeep", lo=-0.3, hi=0.3, n_bins=10
     )

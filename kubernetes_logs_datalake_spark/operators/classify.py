@@ -61,6 +61,32 @@ def hashed_linear_score(
     plan as ONE packed literal (see ``literal_vector``), so ``dim`` can
     be 1e5+ without analysis cost; per-row work is O(n_words).
     """
+    n, score_rounded, keep = hashed_linear_columns(
+        text_col, dim=dim, weights=weights, bias=bias,
+        threshold=threshold, scale=scale,
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        score_rounded.alias("score"),
+        keep.alias("keep"),
+    )
+
+
+def hashed_linear_columns(
+    text_col,
+    *,
+    dim: int = 256,
+    weights: list[float] | None = None,
+    bias: float = 0.0,
+    threshold: float = 0.0,
+    scale: int = 9,
+) -> tuple[F.Column, F.Column, F.Column]:
+    """The (n_words, score, keep) COLUMN expressions behind
+    :func:`hashed_linear_score` — exposed so composed reports can ride
+    the classifier on another operator's scan (e.g. through
+    ``gopher_quality_rules(carry_cols=...)``) instead of paying a
+    second corpus scan + an id-keyed join back (r16, guide §2.4)."""
     if weights is None:
         weights = default_weights(dim)
     if len(weights) != dim:
@@ -74,11 +100,10 @@ def hashed_linear_score(
     )
     n = F.size(ws)
     score = F.lit(float(bias)) + F.when(n > 0, total / n).otherwise(F.lit(0.0))
-    return df.select(
-        F.col(id_col),
-        n.cast("long").alias("n_words"),
-        F.round(score, scale).alias("score"),
-        (score > F.lit(float(threshold))).alias("keep"),
+    return (
+        n.cast("long"),
+        F.round(score, scale),
+        score > F.lit(float(threshold)),
     )
 
 
