@@ -221,12 +221,18 @@ def test_classifier_is_map_only(spark):
     assert "Join" not in p
 
 
-def test_char_lm_broadcasts_model(spark):
-    """The char-LM scoring join must broadcast the (≤37²-row) model —
-    the corpus side must never shuffle for the join."""
+def test_char_lm_scoring_side_is_map_only(spark):
+    """r16: the char-LM model grid (≤37² rows) collects to the driver
+    and rides the scan as a constant-folded decimal-array literal —
+    the corpus side must be MAP-ONLY: no join, no exchange, no
+    per-transition explode. (Supersedes the pre-r16 broadcast-join
+    pin: the model must STILL never shuffle the corpus, now it must
+    not join at all.)"""
     p = plan_of(spark, "docs_char_lm_score")
-    assert "BroadcastHashJoin" in p
+    assert "BroadcastHashJoin" not in p
     assert "SortMergeJoin" not in p
+    assert "Exchange" not in p
+    assert "Generate" not in p
 
 
 def test_multiline_reassembly_single_shuffle_at_contract(spark):
