@@ -343,22 +343,38 @@ def ngram_novelty(
     DISTINCT word n-grams that occur in no other document. Boilerplate
     and template docs score near 0; original content near 1.
 
-    Plan: distinct (id, shingle) explode → document-frequency count on
-    the shingle (one map-side-combined shuffle, key cardinality ≈
-    corpus n-grams — perfectly spread) → equi join back → per-doc
-    aggregate. No windows, no broadcast assumptions on the gram table.
+    Plan (r16): a gram with document frequency 1 belongs to exactly ONE
+    document, so the df-count aggregate can carry each gram's owner
+    (min id — over one row it IS the owner) and the novel counts
+    aggregate straight to doc granularity: explode once → one
+    map-side-combined gram-keyed shuffle → one doc-keyed partial agg of
+    the df==1 subset. Per-doc set sizes come map-side from the
+    unexploded array (no explode at all on that leg). The old shape's
+    gram-granularity equi-join back — a second corpus-gram exchange —
+    is gone. No windows, no broadcast assumptions on the gram table.
     Output: (id, n_grams, n_novel, novelty).
     """
+    from kubernetes_logs_datalake_spark.functions.text import shingles
     from kubernetes_logs_datalake_spark.operators.dedup import shingle_sets
 
-    sh = shingle_sets(df, id_col, text_col, n=n)
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    n_grams = df.select(
+        F.col(id_col),
+        F.size(F.array_distinct(shingles(text_col, n))).alias("_ng"),
+    ).filter(F.col("_ng") > 0)
+    novel = (
+        shingle_sets(df, id_col, text_col, n=n)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("_df"), F.min("_id").alias("_owner"))
+        .filter(F.col("_df") == 1)
+        .groupBy("_owner")
+        .agg(F.count("*").alias("_nn"))
+    )
     return (
-        sh.join(dfreq, "shingle")
-        .groupBy(F.col("_id").alias(id_col))
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias("n_novel"),
+        n_grams.join(novel, n_grams[id_col] == novel["_owner"], "left")
+        .select(
+            F.col(id_col),
+            F.col("_ng").cast("long").alias("n_grams"),
+            F.coalesce(F.col("_nn"), F.lit(0)).cast("long").alias("n_novel"),
         )
         .withColumn(
             "novelty",
